@@ -125,6 +125,49 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
+  // Text analysis (LLM-pipeline extension set; functions/TextFunctions)
+  // ---------------------------------------------------------------------
+
+  /** Token counting: whitespace tokens, distinct tokens, chars, BPE-ish
+    * sub-word count — the per-document stats a data pipeline filters on. */
+  def tokenStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    t(spark, sfDir, "documents").select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      distinctTokenCount(col("text")).as("n_distinct"),
+      charCount(col("text")).as("n_chars_actual"),
+      bpeTokenCount(col("text")).as("bpe_tokens"))
+  }
+
+  /** Quality scoring: integer-exact score in [0,1000] from length +
+    * stopword-density components. */
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    t(spark, sfDir, "documents").select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      stopwordCount(col("text")).as("stop_cnt"),
+      qualityScore(col("text")).as("quality"))
+  }
+
+  /** Language ID: marker-word heuristic, deterministic tie-break. */
+  def langIdQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    t(spark, sfDir, "documents").select(
+      col("doc_id"),
+      langId(col("text")).as("lang_guess"))
+  }
+
+  /** Document fingerprint: order-sensitive rolling hash mod 1e9+7. */
+  def fingerprintQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    t(spark, sfDir, "documents").select(
+      col("doc_id"),
+      fingerprint(col("text")).as("fp"))
+  }
+
+  // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
 
@@ -136,7 +179,11 @@ object Queries {
     "q05_join_agg" -> (joinAgg _),
     "q06_window_topn" -> (windowTopN _),
     "q07_knn_predict" -> (knnPredict _),
-    "q08_knn_accuracy" -> (knnAccuracy _))
+    "q08_knn_accuracy" -> (knnAccuracy _),
+    "q12_token_stats" -> (tokenStats _),
+    "q13_text_quality" -> (textQuality _),
+    "q14_lang_id" -> (langIdQuery _),
+    "q15_fingerprint" -> (fingerprintQuery _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = Map(
@@ -219,5 +266,56 @@ object Queries {
              FROM votes) WHERE vr = 1)
          SELECT CAST(sum(CASE WHEN p.prediction = t.label THEN 1 ELSE 0 END) AS BIGINT) AS correct,
                 count(*) AS total
-         FROM preds p JOIN test t ON p.test_id = t.vec_id""")
+         FROM preds p JOIN test t ON p.test_id = t.vec_id""",
+    "q12_token_stats" ->
+      """SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+           len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_distinct,
+           length(text) AS n_chars_actual,
+           len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS bpe_tokens
+         FROM documents""",
+    "q13_text_quality" ->
+      """WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id, len(toks) AS n_tokens,
+             len(list_filter(toks, t -> t IN
+               ('the','a','an','of','and','is','in','to','it','that'))) AS stop_cnt
+           FROM tk)
+         SELECT doc_id, n_tokens, stop_cnt,
+           least(n_tokens, 100) * 5
+             + CAST(floor(stop_cnt * 500.0 / n_tokens) AS BIGINT) AS quality
+         FROM c""",
+    "q14_lang_id" ->
+      """WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id,
+             len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht'))) AS c_de,
+             len(list_filter(toks, t -> t IN ('the','a','of','and','is','not'))) AS c_en,
+             len(list_filter(toks, t -> t IN ('el','la','de','y','es','no'))) AS c_es,
+             len(list_filter(toks, t -> t IN ('le','la','de','et','est','pas'))) AS c_fr
+           FROM tk)
+         SELECT doc_id,
+           CASE
+             WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+             WHEN c_de = greatest(c_de, c_en, c_es, c_fr) THEN 'de'
+             WHEN c_en = greatest(c_de, c_en, c_es, c_fr) THEN 'en'
+             WHEN c_es = greatest(c_de, c_en, c_es, c_fr) THEN 'es'
+             ELSE 'fr'
+           END AS lang_guess
+         FROM c""",
+    "q15_fingerprint" ->
+      """SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(regexp_split_to_array(trim(text), '\s+'), t ->
+                 list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                     list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+                   (h, c) -> (h * 131 + c) % 1000000007))),
+             (f, h) -> (f * 31 + h) % 1000000007) AS fp
+         FROM documents""")
 }

@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for a training-data pipeline — language ID,
+  * quality scoring, token counting, document fingerprinting — as pure
+  * Catalyst column expressions over a string column (no UDFs; every
+  * function here is also expressible in ANSI-ish SQL for the DuckDB
+  * oracle gate).
+  *
+  * The reference engine has no text surface at all (SURVEY §2.1); this is
+  * part of the LLM-training-data extension set the north-star mandates.
+  *
+  * Portability rules (Spark ↔ DuckDB):
+  *  - tokenization = regex split on `\s+` after trim;
+  *  - hashes = polynomial rolling hashes in Long arithmetic mod
+  *    [[TextFunctions.P]] (= 1e9+7, so `h*131 + 127 < 2^63` — no
+  *    overflow in either engine);
+  *  - ratio-derived scores go through `floor` (never `round`: quotients
+  *    of small ints can land exactly on .5 where HALF_UP vs
+  *    HALF_EVEN diverge across engines).
+  */
+object TextFunctions {
+
+  /** Modulus for all rolling hashes (prime, < 2^30 so products stay in
+    * Long range). */
+  val P = 1000000007L
+
+  /** Whitespace tokenization: trim + split on runs of whitespace. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("long")
+
+  def charCount(text: Column): Column = length(text).cast("long")
+
+  /** BPE-ish sub-word count: alpha runs, single digits, or single
+    * non-alnum glyphs — the shape (not the vocab) of a byte-pair
+    * tokenizer's pre-tokenization. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0)))
+      .cast("long")
+
+  /** English stopword seed set (fixed, tiny — a heuristic signal, not a
+    * linguistics claim). */
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "is", "in", "to", "it", "that")
+
+  def stopwordCount(text: Column, stopwords: Seq[String] = EnglishStopwords): Column =
+    size(filter(tokens(text), t => t.isin(stopwords: _*))).cast("long")
+
+  /** Quality score in [0, 1000], integer-exact across engines:
+    * 5·min(tokens,100)  (length component, caps at 500)
+    * + floor(500·stopwords/tokens)  (naturalness component).
+    */
+  def qualityScore(text: Column): Column = {
+    val nt = tokenCount(text)
+    val stop = stopwordCount(text)
+    (least(nt, lit(100L)) * 5 +
+      floor(stop * lit(500.0) / nt).cast("long")).as("quality")
+  }
+
+  /** Marker-word sets for the n-gram-free language-ID heuristic. Keys are
+    * ISO codes; deterministic argmax with ties toward the smaller code,
+    * zero hits → "und". */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "is", "not"),
+    "es" -> Seq("el", "la", "de", "y", "es", "no"),
+    "fr" -> Seq("le", "la", "de", "et", "est", "pas"))
+
+  /** Heuristic language ID from marker-word hit counts. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val cnt: Map[String, Column] = LangMarkers.map { case (code, words) =>
+      code -> size(filter(toks, t => t.isin(words: _*))).cast("long")
+    }.toMap
+    val codes = LangMarkers.map(_._1) // lexicographic already
+    val best = codes.map(cnt).reduce((a, b) => greatest(a, b))
+    // first (lexicographically smallest) code reaching the max wins
+    codes.foldRight(lit("und")) { case (code, rest) =>
+      when(best > 0 && cnt(code) === best, lit(code)).otherwise(rest)
+    }
+  }
+
+  /** Polynomial hash of one token: fold over characters,
+    * `h ← (h·131 + ascii(c)) mod P`, h₀ = 0. */
+  def tokenHash(token: Column): Column =
+    aggregate(
+      split(token, ""),
+      lit(0L),
+      (h, c) => (h * 131L + ascii(c).cast("long")) % P)
+
+  /** Document fingerprint: rolling hash over token hashes,
+    * `f ← (f·31 + tokenHash) mod P` — order-sensitive, so
+    * permuted documents get distinct fingerprints (unlike a set hash). */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(tokens(text), tokenHash(_)),
+      lit(0L),
+      (f, h) => (f * 31L + h) % P)
+
+  /** Word n-gram shingles as strings ("tok1 tok2 … tokN"), for
+    * Jaccard/MinHash dedup. Documents shorter than n shingle to their
+    * whole token sequence. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val m = size(toks)
+    when(m <= n, array(array_join(toks, " ")))
+      .otherwise(
+        transform(
+          sequence(lit(0), m - n),
+          i => array_join(slice(toks, i + 1, lit(n)), " ")))
+  }
+
+  /** Hashed shingles: [[shingles]] → [[tokenHash]]-style polynomial hash
+    * per shingle (over its characters, spaces included). */
+  def shingleHashes(text: Column, n: Int): Column =
+    transform(shingles(text, n), s => tokenHash(s))
+}

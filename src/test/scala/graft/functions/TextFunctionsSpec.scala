@@ -1,0 +1,54 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import TextFunctions._
+  import org.apache.spark.sql.Column
+
+  private def one[T](c: Column): T = {
+    import spark.implicits._
+    Seq(1).toDF("x").select(c.as("v")).head().getAs[T](0)
+  }
+
+  test("tokens: trims and splits on whitespace runs") {
+    assert(one[Seq[String]](tokens(lit("  a  bc\td "))) === Seq("a", "bc", "d"))
+  }
+
+  test("counts: tokens, distinct, chars, bpe") {
+    val t = lit("the cat the hat is #1")
+    assert(one[Long](tokenCount(t)) === 6L)
+    assert(one[Long](distinctTokenCount(t)) === 5L)
+    assert(one[Long](charCount(t)) === 21L)
+    // bpe: the,cat,the,hat,is,#,1 = 7
+    assert(one[Long](bpeTokenCount(t)) === 7L)
+  }
+
+  test("quality score: integer-exact formula") {
+    // 4 tokens, 2 stopwords: 5*4 + floor(500*2/4) = 20 + 250 = 270
+    assert(one[Long](qualityScore(lit("the cat a hat"))) === 270L)
+  }
+
+  test("langId: marker argmax, ties toward smaller code, zero hits → und") {
+    assert(one[String](langId(lit("the cat is happy"))) === "en")
+    assert(one[String](langId(lit("el gato es feliz y no duerme"))) === "es")
+    assert(one[String](langId(lit("xyzzy plugh"))) === "und")
+    // 'la de' hits both es and fr markers equally → smaller code (es) wins
+    assert(one[String](langId(lit("la de"))) === "es")
+  }
+
+  test("fingerprint: deterministic, order-sensitive, in [0, P)") {
+    val f1 = one[Long](fingerprint(lit("a b c")))
+    val f2 = one[Long](fingerprint(lit("c b a")))
+    assert(f1 !== f2)
+    assert(f1 === one[Long](fingerprint(lit("a b c"))))
+    assert(f1 >= 0 && f1 < P)
+  }
+
+  test("shingles: sliding word n-grams; short docs shingle whole") {
+    assert(one[Seq[String]](shingles(lit("a b c d"), 3)) === Seq("a b c", "b c d"))
+    assert(one[Seq[String]](shingles(lit("a b"), 3)) === Seq("a b"))
+    assert(one[Seq[Long]](shingleHashes(lit("a b c d"), 2)).size === 3)
+  }
+}
