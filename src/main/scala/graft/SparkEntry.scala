@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.Knn
+import graft.operators.{Dedup, Knn}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -168,6 +168,44 @@ object Queries {
   }
 
   // ---------------------------------------------------------------------
+  // Deduplication (operators/Dedup)
+  // ---------------------------------------------------------------------
+
+  /** Exact dedup over a corpus with planted duplicates (every 10th doc
+    * re-appears under a shifted id): survivor id + copy count per group. */
+  def dedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val aug = docs.unionAll(
+      docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    Dedup.exactGroups(aug, Seq("text"), "doc_id")
+      .select(col("keep_id"), col("n_copies"))
+  }
+
+  /** Exact word-3-gram Jaccard near-dup pairs ≥ 0.5. */
+  def jaccardPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.jaccardPairs(t(spark, sfDir, "documents"), "doc_id", "text",
+      shingleN = 3, minJaccardMicro = 500000L)
+
+  /** MinHash(24) + LSH(8 bands × 3) candidates, verified with exact
+    * Jaccard ≥ 0.5 — the discovery path for web-scale near-dedup. */
+  def minhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.lshVerifiedPairs(t(spark, sfDir, "documents"), "doc_id", "text",
+      numHashes = 24, bands = 8, shingleN = 3, minJaccardMicro = 500000L)
+
+  /** 32-bit SimHash pairs within Hamming distance 2 (pigeonhole-banded
+    * join, popcount-verified). */
+  def simhashPairs(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simHashPairs(t(spark, sfDir, "documents"), "doc_id", "text",
+      maxHamming = 2, bits = 32, bands = 4)
+
+  /** Embedding-cosine near-dup pairs ≥ 0.35 over a 1-in-5 sample. */
+  def cosinePairs(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.cosinePairs(
+      t(spark, sfDir, "embeddings").filter(col("vec_id") % 5 === 0),
+      "vec_id", "embedding", minCosineMicro = 350000L)
+
+  // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
 
@@ -183,7 +221,12 @@ object Queries {
     "q12_token_stats" -> (tokenStats _),
     "q13_text_quality" -> (textQuality _),
     "q14_lang_id" -> (langIdQuery _),
-    "q15_fingerprint" -> (fingerprintQuery _))
+    "q15_fingerprint" -> (fingerprintQuery _),
+    "q16_dedup_exact" -> (dedupExact _),
+    "q17_jaccard_pairs" -> (jaccardPairs _),
+    "q18_minhash_lsh" -> (minhashLsh _),
+    "q19_simhash_pairs" -> (simhashPairs _),
+    "q20_cosine_pairs" -> (cosinePairs _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = Map(
@@ -317,5 +360,124 @@ object Queries {
                      list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
                    (h, c) -> (h * 131 + c) % 1000000007))),
              (f, h) -> (f * 31 + h) % 1000000007) AS fp
-         FROM documents""")
+         FROM documents""",
+    "q16_dedup_exact" ->
+      """WITH aug AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0)
+         SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+         FROM aug GROUP BY text""",
+    "q17_jaccard_pairs" ->
+      """WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         shg AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks)-2),
+                         i -> array_to_string(toks[i:i+2], ' '))
+             END AS shingles
+           FROM tk),
+         shh AS (
+           SELECT doc_id, list_distinct(list_transform(shingles, s ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 131 + c) % 1000000007))) AS sh
+           FROM shg),
+         ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shh),
+         common AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS na, b.n AS nb, count(*) AS c
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4)
+         SELECT id1, id2,
+           CAST(floor(c * 1000000.0 / (na + nb - c)) AS BIGINT) AS jac_micro
+         FROM common
+         WHERE floor(c * 1000000.0 / (na + nb - c)) >= 500000""",
+    "q18_minhash_lsh" ->
+      """WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         shg AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks)-2),
+                         i -> array_to_string(toks[i:i+2], ' '))
+             END AS shingles
+           FROM tk),
+         shh AS (
+           SELECT doc_id, list_distinct(list_transform(shingles, s ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 131 + c) % 1000000007))) AS sh
+           FROM shg),
+         sig AS (
+           SELECT doc_id, list_transform(generate_series(0, 23), i ->
+             list_min(list_transform(sh, s -> ((2*i+1)*s + i*1000003) % 1000000007))) AS sig
+           FROM shh),
+         bands AS (
+           SELECT doc_id, b,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*3+1 : b*3+3]),
+               (h, v) -> (h * 131 + v) % 1000000007) AS bh
+           FROM sig, (SELECT unnest(generate_series(0, 7)) AS b)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
+           FROM bands a JOIN bands b2
+             ON a.b = b2.b AND a.bh = b2.bh AND a.doc_id < b2.doc_id),
+         ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shh),
+         common AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS na, b.n AS nb, count(*) AS c
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         jac AS (
+           SELECT id1, id2,
+             CAST(floor(c * 1000000.0 / (na + nb - c)) AS BIGINT) AS jac_micro
+           FROM common
+           WHERE floor(c * 1000000.0 / (na + nb - c)) >= 500000)
+         SELECT j.id1, j.id2, j.jac_micro
+         FROM jac j JOIN cand USING (id1, id2)""",
+    "q19_simhash_pairs" ->
+      """WITH th AS (
+           SELECT doc_id, unnest(list_transform(regexp_split_to_array(trim(text), '\s+'), t ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 131 + c) % 1000000007))) AS h
+           FROM documents),
+         bitsum AS (
+           SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           FROM th, (SELECT unnest(generate_series(0, 31)) AS j)
+           GROUP BY doc_id, j),
+         simh AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+           FROM bitsum GROUP BY doc_id)
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         FROM simh a JOIN simh b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 2""",
+    "q20_cosine_pairs" ->
+      """WITH v AS (
+           SELECT vec_id AS id, embedding AS e FROM embeddings WHERE vec_id % 5 = 0),
+         p AS (
+           SELECT a.id AS id1, b.id AS id2, a.e AS ea, b.e AS eb
+           FROM v a JOIN v b ON a.id < b.id),
+         s AS (
+           SELECT id1, id2,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, len(ea)),
+                 i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))),
+               (x, y) -> x + y) AS dot,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, len(ea)),
+                 i -> CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE))),
+               (x, y) -> x + y) AS na,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, len(eb)),
+                 i -> CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))),
+               (x, y) -> x + y) AS nb
+           FROM p)
+         SELECT id1, id2, cos_micro FROM (
+           SELECT id1, id2,
+             CAST(floor(1000000.0 * (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0
+               ELSE dot / (sqrt(na) * sqrt(nb)) END)) AS BIGINT) AS cos_micro
+           FROM s)
+         WHERE cos_micro >= 350000""")
 }

@@ -1,0 +1,228 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+
+/** Deduplication for large text/embedding corpora — exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+  *
+  * Absent from the reference engine (SURVEY §2.1); part of the
+  * LLM-training-data extension set. Designed scale-first:
+  *
+  *  - Every *signature* (shingle set, MinHash signature, SimHash bits,
+  *    LSH band keys) is computed per-row with pure column expressions —
+  *    zero shuffle until candidate generation.
+  *  - Candidate generation is always an equi-join on a compact key
+  *    (shingle hash / band key), never an all-pairs cross join, so the
+  *    shuffle carries O(rows × keys), not O(rows²).
+  *  - Verification (exact Jaccard / Hamming / cosine) runs only on
+  *    candidate pairs.
+  *
+  * At 100 TB: the exact-Jaccard shingle join is the verification path;
+  * MinHash-LSH ([[lshCandidates]]) is the discovery path (band keys bound
+  * the join fan-out); SimHash banding ([[simHashPairs]]) is pigeonhole-
+  * complete for `maxHamming < bands`.
+  */
+object Dedup {
+
+  /** Exact dedup: one survivor (smallest `idCol`) per identical
+    * `keyCols` tuple, plus the copy count. The groupBy shuffles only
+    * (key, id) after map-side partial aggregation.
+    */
+  def exactGroups(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact-dedup survivors: the full rows whose id won [[exactGroups]]. */
+  def exactSurvivors(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
+    val keep = exactGroups(df, keyCols, idCol).select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Distinct hashed word-`n`-gram shingles of a text column. */
+  def shingleSet(text: Column, n: Int): Column =
+    array_distinct(shingleHashes(text, n))
+
+  /** Exact n-gram Jaccard near-dup pairs: documents sharing ≥ 1 shingle,
+    * scored `floor(1e6·|A∩B| / |A∪B|)`, kept when ≥ `minJaccardMicro`.
+    *
+    * Shuffle = one row per (doc, distinct shingle); pairs exist only for
+    * docs that truly share a shingle. Skew warning: a shingle appearing
+    * in F docs fans out F² — on web-scale corpora drop ultra-frequent
+    * shingles first or go through [[lshCandidates]].
+    *
+    * @return (id1, id2, jac_micro) with id1 < id2
+    */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      minJaccardMicro: Long = 500000L): DataFrame = {
+    val sets = df.select(
+      col(idCol).cast("long").as("id"),
+      shingleSet(col(textCol), shingleN).as("sh"))
+    val ex = sets.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+    val a = ex.as("a"); val b = ex.as("b")
+    a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("jac_micro",
+        floor(col("c") * lit(1000000.0) / (col("na") + col("nb") - col("c"))).cast("long"))
+      .filter(col("jac_micro") >= minJaccardMicro)
+      .select(col("id1"), col("id2"), col("jac_micro"))
+  }
+
+  /** MinHash signature: `numHashes` permutations
+    * `hᵢ(s) = ((2i+1)·s + i·1000003) mod P` over the distinct shingle
+    * hashes; element i of the result is `min hᵢ`. Pure per-row column
+    * expression (statically unrolled — no shuffle, codegen-friendly).
+    */
+  def minHashSignature(text: Column, numHashes: Int, shingleN: Int = 3): Column = {
+    val sh = shingleSet(text, shingleN)
+    array((0 until numHashes).map { i =>
+      array_min(transform(sh, s => (s * (2 * i + 1) + lit(i * 1000003L)) % P))
+    }: _*)
+  }
+
+  /** LSH band keys from a MinHash signature: `bands` rolling hashes of
+    * `rowsPerBand` consecutive signature slots each. */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      (0 until rowsPerBand).foldLeft(lit(0L)) { (h, r) =>
+        (h * 131L + element_at(sig, b * rowsPerBand + r + 1)) % P
+      }
+    }: _*)
+
+  /** MinHash-LSH candidate pairs: docs agreeing on ≥ 1 of the
+    * `bands` band keys. The join key is (band index, band hash) — at
+    * scale this is the discovery path: shuffle = rows × bands, with the
+    * collision probability of a pair at Jaccard j being
+    * `1 − (1 − j^rowsPerBand)^bands`.
+    *
+    * @return (id1, id2) with id1 < id2, distinct
+    */
+  def lshCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 24,
+      bands: Int = 8,
+      shingleN: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val keyed = df.select(
+      col(idCol).cast("long").as("id"),
+      posexplode(lshBandKeys(
+        minHashSignature(col(textCol), numHashes, shingleN), bands, r))
+        .as(Seq("band", "bh")))
+    val a = keyed.as("a"); val b = keyed.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+        && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup pairs, verified: LSH candidates re-scored with
+    * exact Jaccard and kept when ≥ `minJaccardMicro`.
+    * @return (id1, id2, jac_micro)
+    */
+  def lshVerifiedPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 24,
+      bands: Int = 8,
+      shingleN: Int = 3,
+      minJaccardMicro: Long = 500000L): DataFrame = {
+    val cand = lshCandidates(df, idCol, textCol, numHashes, bands, shingleN)
+    val sets = df.select(
+      col(idCol).cast("long").as("id"),
+      shingleSet(col(textCol), shingleN).as("sh"))
+    cand
+      .join(sets.withColumnRenamed("id", "id1").withColumnRenamed("sh", "sha"), "id1")
+      .join(sets.withColumnRenamed("id", "id2").withColumnRenamed("sh", "shb"), "id2")
+      .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jac_micro",
+        floor(col("c") * lit(1000000.0)
+          / (size(col("sha")) + size(col("shb")) - col("c"))).cast("long"))
+      .filter(col("jac_micro") >= minJaccardMicro)
+      .select(col("id1"), col("id2"), col("jac_micro"))
+  }
+
+  /** `bits`-bit SimHash over the document's tokens (with multiplicity):
+    * bit j of the result is 1 iff more token hashes have bit j set than
+    * clear. Statically unrolled per-row expression — no shuffle.
+    */
+  def simHash(text: Column, bits: Int = 32): Column = {
+    require(bits >= 1 && bits <= 63, "bits must be in [1, 63]")
+    val th = transform(tokens(text), tokenHash(_))
+    (0 until bits).map { j =>
+      val bitSum = aggregate(th, lit(0L),
+        (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
+      when(bitSum > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`.
+    *
+    * Candidate generation is pigeonhole banding: the `bits` are cut into
+    * `bands` contiguous slices; two hashes within `maxHamming` must agree
+    * exactly on ≥ 1 slice whenever `maxHamming < bands`, so the equi-join
+    * on (band, slice value) is complete — no O(n²) cross join. Verified
+    * with an exact popcount on the XOR.
+    *
+    * @return (id1, id2, hamming) with id1 < id2
+    */
+  def simHashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 2,
+      bits: Int = 32,
+      bands: Int = 4): DataFrame = {
+    require(maxHamming < bands, s"banding is only complete for maxHamming < bands")
+    require(bits % bands == 0, "bits must divide into bands")
+    val w = bits / bands
+    val mask = (1L << w) - 1
+    val hashed = df.select(col(idCol).cast("long").as("id"),
+      simHash(col(textCol), bits).as("sh"))
+    val keyed = hashed.select(col("id"), col("sh"),
+      posexplode(array((0 until bands).map(b =>
+        shiftright(col("sh"), b * w).bitwiseAND(mask)): _*)).as(Seq("band", "bk")))
+    val a = keyed.as("a"); val b = keyed.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bk") === col("b.bk")
+        && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs: `floor(1e6·cos)` ≥ `minCosineMicro`.
+    *
+    * All-pairs by construction (cosine has no exact banding); the blocked
+    * cross join is the verification-scale path — for discovery at scale
+    * use random-hyperplane LSH ([[SimilaritySearch.hyperplaneLsh]]) to
+    * generate candidates first.
+    *
+    * @return (id1, id2, cos_micro) with id1 < id2
+    */
+  def cosinePairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosineMicro: Long): DataFrame = {
+    val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val a = v.as("a"); val b = v.as("b")
+    a.join(b, col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"),
+        floor(VectorFunctions.cosineSimilarity(col("a.vec"), col("b.vec"))
+          * 1000000.0).cast("long").as("cos_micro"))
+      .filter(col("cos_micro") >= minCosineMicro)
+  }
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Similarity search over an embedding column — brute-force exact top-k
+  * as the baseline, random-hyperplane LSH bucketing as the
+  * approximate scale path.
+  *
+  * The reference engine's KNN (Hadoop.java) *is* brute-force similarity
+  * search specialized to squared-Euclidean + majority vote; [[Knn.knnJoin]]
+  * generalizes it to any metric. This module adds the
+  * approximate path a 100 TB corpus needs: exact scoring only inside
+  * LSH buckets, so compute is O(rows × bucket width), not O(rows²).
+  */
+object SimilaritySearch {
+
+  /** Exact cosine top-k: brute force over all items per query
+    * (BroadcastNestedLoopJoin + bounded top-k aggregation — see
+    * [[Knn.knnJoin]] for the physical shape).
+    * @return (query_id, rank, neighbor_id, neighbor_label, dist) where
+    *         dist = 1 − cosine similarity
+    */
+  def cosineTopK(
+      queries: DataFrame,
+      items: DataFrame,
+      k: Int,
+      queryId: String,
+      itemId: String,
+      queryVec: String,
+      itemVec: String): DataFrame =
+    Knn.knnJoin(queries, items, k, queryId, itemId, queryVec, itemVec,
+      metric = "cosine")
+
+  /** Deterministic pseudo-random unit-ish hyperplane component: a value
+    * in [−0.5, 0.5) derived from (plane, dim) by integer hashing — both
+    * engines (and any re-run) regenerate the identical planes, no RNG
+    * state to ship.
+    */
+  private def planeComponent(plane: Int, dim: Int): Double = {
+    val h = (plane.toLong * 2654435761L + dim.toLong * 40503L + 17L) % 1000000007L
+    (h.toDouble / 1000000007.0) - 0.5
+  }
+
+  /** Random-hyperplane (SRP) signature: bit p of the result is 1 iff
+    * `vec · plane_(planeOffset+p) ≥ 0`. Cosine-similar vectors agree on
+    * most bits. Pure per-row expression, statically unrolled over
+    * `planes`; `planeOffset` selects an independent plane set per LSH
+    * table.
+    */
+  def hyperplaneSignature(vec: Column, planes: Int, dim: Int, planeOffset: Int = 0): Column = {
+    val v = vec.cast("array<double>")
+    (0 until planes).map { p =>
+      val dot = (0 until dim).map { d =>
+        element_at(v, d + 1) * lit(planeComponent(planeOffset + p, d))
+      }.reduce(_ + _)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Approximate cosine top-k: queries and items are bucketed by their
+    * `planes`-bit hyperplane signature; exact cosine runs only within a
+    * bucket. Recall < 1 by construction (a true neighbor in another
+    * bucket is missed); raise recall by probing more buckets (smaller
+    * `planes`) or unioning several independent signature sets
+    * (`tables`).
+    *
+    * Scale shape: the signature is per-row compute; the bucket join is a
+    * hash equi-join on (table, signature) — shuffle O(rows × tables),
+    * never O(rows²).
+    *
+    * @return (query_id, rank, neighbor_id, dist) — dist = 1 − cosine
+    */
+  def approxCosineTopK(
+      queries: DataFrame,
+      items: DataFrame,
+      k: Int,
+      queryId: String,
+      itemId: String,
+      queryVec: String,
+      itemVec: String,
+      dim: Int,
+      planes: Int = 8,
+      tables: Int = 2): DataFrame = {
+
+    def signatures(df: DataFrame, id: String, vec: String, side: String): DataFrame =
+      df.select(
+        col(id).cast("long").as(s"${side}_id"),
+        col(vec).as(s"${side}_vec"),
+        posexplode(array((0 until tables).map(t =>
+          hyperplaneSignature(col(vec), planes, dim, planeOffset = t * planes)): _*))
+          .as(Seq("tbl", "sig")))
+
+    val q = signatures(queries, queryId, queryVec, "q")
+    val it = signatures(items, itemId, itemVec, "i")
+
+    val scored = q.join(it, Seq("tbl", "sig"))
+      .select(
+        col("q_id"),
+        VectorFunctions.cosineDistance(col("q_vec"), col("i_vec")).as("dist"),
+        col("i_id"))
+      // a pair can collide in several tables; keep one copy
+      .groupBy(col("q_id"), col("i_id")).agg(min(col("dist")).as("dist"))
+
+    scored
+      .groupBy(col("q_id"))
+      .agg(TopK.topK(k)(col("dist"), col("i_id"), col("i_id")).as("nbrs"))
+      .select(col("q_id"), posexplode(col("nbrs")).as(Seq("pos", "n")))
+      .select(
+        col("q_id").as("query_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("n.id").as("neighbor_id"),
+        col("n.dist").as("dist"))
+  }
+}
