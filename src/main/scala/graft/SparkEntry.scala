@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Knn}
+import graft.operators.{Dedup, Knn, SimilaritySearch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -206,6 +206,100 @@ object Queries {
       "vec_id", "embedding", minCosineMicro = 350000L)
 
   // ---------------------------------------------------------------------
+  // Similarity search (operators/SimilaritySearch)
+  // ---------------------------------------------------------------------
+
+  /** Exact cosine top-5 neighbors for every 10th vector (brute force —
+    * the correctness baseline for ANN). */
+  def annExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    SimilaritySearch.cosineTopK(
+      emb.filter(col("vec_id") % 10 === 0), emb.filter(col("vec_id") % 10 =!= 0),
+      k = 5, "vec_id", "vec_id", "embedding", "embedding")
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"),
+        floor(col("dist") * 1000000.0).cast("long").as("dist_micro"))
+  }
+
+  /** Approximate cosine top-5 via random-hyperplane LSH (6 planes × 4
+    * tables) — the 100 TB discovery path; deterministic planes let the
+    * DuckDB oracle replicate it exactly. */
+  def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    SimilaritySearch.approxCosineTopK(
+      emb.filter(col("vec_id") % 10 === 0), emb.filter(col("vec_id") % 10 =!= 0),
+      k = 5, "vec_id", "vec_id", "embedding", "embedding",
+      dim = 64, planes = 6, tables = 4)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"),
+        floor(col("dist") * 1000000.0).cast("long").as("dist_micro"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Relational surface beyond the reference (sorts, set ops, semi/anti,
+  // grouping sets, time windows) — all built-in Catalyst
+  // ---------------------------------------------------------------------
+
+  /** Global sort + limit with a deterministic tie-break. */
+  def sortLimit(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+
+  /** Set operations: customers with orders ∩/∖ customers with high-value
+    * orders, as one unioned tagged result. */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = t(spark, sfDir, "orders")
+    val all = orders.select(col("o_custkey").as("custkey"))
+    val high = orders.filter(col("o_totalprice") > 200000.0)
+      .select(col("o_custkey").as("custkey"))
+    val both = all.intersect(high).withColumn("tag", lit("high"))
+    val onlyLow = all.except(high).withColumn("tag", lit("low_only"))
+    both.unionAll(onlyLow)
+  }
+
+  /** Left-semi and left-anti joins: per-nation counts of customers with
+    * and without orders. */
+  def semiAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = t(spark, sfDir, "customer")
+    val orders = t(spark, sfDir, "orders").select(col("o_custkey"))
+    val withO = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_with_orders"))
+    val withoutO = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_without_orders"))
+    withO.join(withoutO, Seq("c_nationkey"), "full_outer")
+      .select(col("c_nationkey"),
+        coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+        coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+  }
+
+  /** ROLLUP grouping sets over lineitem (returnflag × linestatus). */
+  def rollupAgg(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+        count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("cnt"))
+
+  /** Tumbling 1-hour event-time windows over the events table — the
+    * batch shape of the streaming windowed aggregation
+    * (streaming/StreamingOps uses the same window spec on readStream). */
+  def eventsWindowed(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy(
+        window(col("ts"), "1 hour").getField("start").as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n_events"), col("value_cents"))
+
+  // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
 
@@ -226,7 +320,14 @@ object Queries {
     "q17_jaccard_pairs" -> (jaccardPairs _),
     "q18_minhash_lsh" -> (minhashLsh _),
     "q19_simhash_pairs" -> (simhashPairs _),
-    "q20_cosine_pairs" -> (cosinePairs _))
+    "q20_cosine_pairs" -> (cosinePairs _),
+    "q21_ann_exact" -> (annExact _),
+    "q22_ann_lsh" -> (annLsh _),
+    "q23_sort_limit" -> (sortLimit _),
+    "q24_set_ops" -> (setOps _),
+    "q25_semi_anti" -> (semiAnti _),
+    "q26_rollup" -> (rollupAgg _),
+    "q27_events_windowed" -> (eventsWindowed _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = Map(
@@ -479,5 +580,119 @@ object Queries {
              CAST(floor(1000000.0 * (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0
                ELSE dot / (sqrt(na) * sqrt(nb)) END)) AS BIGINT) AS cos_micro
            FROM s)
-         WHERE cos_micro >= 350000""")
+         WHERE cos_micro >= 350000""",
+    "q21_ann_exact" ->
+      """WITH q AS (
+           SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 10 = 0),
+         it AS (
+           SELECT vec_id AS iid, embedding AS ie FROM embeddings WHERE vec_id % 10 <> 0),
+         scored AS (
+           SELECT qid, iid,
+             1.0 - (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0
+                    ELSE dot / (sqrt(na) * sqrt(nb)) END) AS dist
+           FROM (
+             SELECT qid, iid,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(generate_series(1, len(qe)),
+                   i -> CAST(qe[i] AS DOUBLE) * CAST(ie[i] AS DOUBLE))), (x,y) -> x+y) AS dot,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(generate_series(1, len(qe)),
+                   i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))), (x,y) -> x+y) AS na,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(generate_series(1, len(ie)),
+                   i -> CAST(ie[i] AS DOUBLE) * CAST(ie[i] AS DOUBLE))), (x,y) -> x+y) AS nb
+             FROM q CROSS JOIN it))
+         SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank, iid AS neighbor_id,
+           CAST(floor(dist * 1000000.0) AS BIGINT) AS dist_micro
+         FROM (SELECT qid, iid, dist,
+                 row_number() OVER (PARTITION BY qid ORDER BY dist, iid) AS rn
+               FROM scored)
+         WHERE rn <= 5""",
+    "q22_ann_lsh" ->
+      """WITH q AS (
+           SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 10 = 0),
+         it AS (
+           SELECT vec_id AS iid, embedding AS ie FROM embeddings WHERE vec_id % 10 <> 0),
+         qs AS (
+           SELECT qid, tbl,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(0, 5), p ->
+                 CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(generate_series(0, 63), d ->
+                     CAST(qe[d+1] AS DOUBLE) *
+                     (CAST((((tbl*6+p)*6700417 + d + 1) * 2654435761) % 1000000007 AS DOUBLE)
+                       / 1000000007.0 - 0.5))), (x,y) -> x+y) >= 0
+                 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)), (a,b) -> a+b) AS sig
+           FROM q, (SELECT unnest(generate_series(0, 3)) AS tbl)),
+         its AS (
+           SELECT iid, tbl,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(0, 5), p ->
+                 CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(generate_series(0, 63), d ->
+                     CAST(ie[d+1] AS DOUBLE) *
+                     (CAST((((tbl*6+p)*6700417 + d + 1) * 2654435761) % 1000000007 AS DOUBLE)
+                       / 1000000007.0 - 0.5))), (x,y) -> x+y) >= 0
+                 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)), (a,b) -> a+b) AS sig
+           FROM it, (SELECT unnest(generate_series(0, 3)) AS tbl)),
+         cand AS (
+           SELECT DISTINCT qs.qid, its.iid
+           FROM qs JOIN its ON qs.tbl = its.tbl AND qs.sig = its.sig),
+         scored AS (
+           SELECT c.qid, c.iid,
+             1.0 - (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0
+                    ELSE dot / (sqrt(na) * sqrt(nb)) END) AS dist
+           FROM (
+             SELECT c.qid, c.iid,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(generate_series(1, len(qe)),
+                   i -> CAST(qe[i] AS DOUBLE) * CAST(ie[i] AS DOUBLE))), (x,y) -> x+y) AS dot,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(generate_series(1, len(qe)),
+                   i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))), (x,y) -> x+y) AS na,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(generate_series(1, len(ie)),
+                   i -> CAST(ie[i] AS DOUBLE) * CAST(ie[i] AS DOUBLE))), (x,y) -> x+y) AS nb
+             FROM cand c JOIN q ON c.qid = q.qid JOIN it ON c.iid = it.iid) c)
+         SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank, iid AS neighbor_id,
+           CAST(floor(dist * 1000000.0) AS BIGINT) AS dist_micro
+         FROM (SELECT qid, iid, dist,
+                 row_number() OVER (PARTITION BY qid ORDER BY dist, iid) AS rn
+               FROM scored)
+         WHERE rn <= 5""",
+    "q23_sort_limit" ->
+      """SELECT o_orderkey, o_custkey,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+         FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""",
+    "q24_set_ops" ->
+      """SELECT custkey, 'high' AS tag FROM (
+           SELECT o_custkey AS custkey FROM orders
+           INTERSECT
+           SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000.0)
+         UNION ALL
+         SELECT custkey, 'low_only' AS tag FROM (
+           SELECT o_custkey AS custkey FROM orders
+           EXCEPT
+           SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000.0)""",
+    "q25_semi_anti" ->
+      """WITH w AS (
+           SELECT c_nationkey, count(*) AS n_with_orders FROM customer
+           WHERE c_custkey IN (SELECT o_custkey FROM orders) GROUP BY 1),
+         wo AS (
+           SELECT c_nationkey, count(*) AS n_without_orders FROM customer
+           WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) GROUP BY 1)
+         SELECT coalesce(w.c_nationkey, wo.c_nationkey) AS c_nationkey,
+           coalesce(n_with_orders, 0) AS n_with_orders,
+           coalesce(n_without_orders, 0) AS n_without_orders
+         FROM w FULL OUTER JOIN wo ON w.c_nationkey = wo.c_nationkey""",
+    "q26_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty, count(*) AS cnt
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    "q27_events_windowed" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
+           event_type, count(*) AS n_events,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events GROUP BY 1, 2""")
 }

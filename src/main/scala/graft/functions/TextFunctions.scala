@@ -87,19 +87,25 @@ object TextFunctions {
   }
 
   /** Polynomial hash of one token: fold over characters,
-    * `h ← (h·131 + ascii(c)) mod P`, h₀ = 0. */
+    * `h ← (h·131 + ascii(c)) mod P`, h₀ = 0. Interpreted HOF — for
+    * array-at-a-time hashing use [[tokenHashArray]] (native codegen,
+    * same result). */
   def tokenHash(token: Column): Column =
     aggregate(
       split(token, ""),
       lit(0L),
       (h, c) => (h * 131L + ascii(c).cast("long")) % P)
 
+  /** `array<string> → array<long>`: [[tokenHash]] of every element in
+    * one fused codegen loop ([[PolyHashArrayExpr]]). */
+  def tokenHashArray(arr: Column): Column = PolyHashArrayExpr(arr)
+
   /** Document fingerprint: rolling hash over token hashes,
     * `f ← (f·31 + tokenHash) mod P` — order-sensitive, so
     * permuted documents get distinct fingerprints (unlike a set hash). */
   def fingerprint(text: Column): Column =
     aggregate(
-      transform(tokens(text), tokenHash(_)),
+      tokenHashArray(tokens(text)),
       lit(0L),
       (f, h) => (f * 31L + h) % P)
 
@@ -117,7 +123,8 @@ object TextFunctions {
   }
 
   /** Hashed shingles: [[shingles]] → [[tokenHash]]-style polynomial hash
-    * per shingle (over its characters, spaces included). */
+    * per shingle (over its characters, spaces included); fused codegen
+    * via [[tokenHashArray]]. */
   def shingleHashes(text: Column, n: Int): Column =
-    transform(shingles(text, n), s => tokenHash(s))
+    tokenHashArray(shingles(text, n))
 }

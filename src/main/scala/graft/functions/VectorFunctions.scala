@@ -3,9 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Vector math over `ArrayType` columns, as pure Catalyst column
-  * expressions (codegen'd higher-order functions — no UDFs, no
-  * serialization boundary in the hot path).
+/** Vector math over `ArrayType` columns.
   *
   * The reference engine's single scalar function is the squared
   * Euclidean distance over all-but-the-label columns
@@ -13,6 +11,16 @@ import org.apache.spark.sql.functions._
   * deliberately skips the `sqrt` because ranking by squared distance is
   * order-preserving. We keep that shortcut ([[squaredEuclidean]]) and add
   * the neighboring vector ops a similarity-search / dedup pipeline needs.
+  *
+  * Two implementations with identical (bit-for-bit) results:
+  *  - the default entry points delegate to [[VectorDistanceExpr]], a
+  *    native Catalyst expression with fused codegen loops — the hot
+  *    path for KNN/ANN/dedup scans;
+  *  - the `*Hof` variants are the declarative higher-order-function
+  *    formulation (`aggregate`/`zip_with`). Spark plans those as
+  *    CodegenFallback (interpreted lambdas + an intermediate array), an
+  *    order of magnitude slower per row — kept as the readable
+  *    reference semantics and cross-checked in `VectorDistanceExprSpec`.
   *
   * All functions promote elements to double before accumulating, so
   * `array<float>` (the testdata embedding type) and `array<double>`
@@ -24,29 +32,49 @@ object VectorFunctions {
 
   /** Σ (aᵢ−bᵢ)² — rank-preserving distance, no sqrt (Hadoop.java:155-165). */
   def squaredEuclidean(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)),
-      lit(0.0),
-      (acc, v) => acc + v)
+    VectorDistanceExpr.squaredEuclidean(a, b)
 
   /** True L2 (Euclidean) distance. */
   def euclidean(a: Column, b: Column): Column = sqrt(squaredEuclidean(a, b))
 
   /** Σ aᵢ·bᵢ */
   def dotProduct(a: Column, b: Column): Column =
-    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
-
-  /** ‖a‖₂ */
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(zip_with(d(a), d(a), (x, y) => x * y), lit(0.0), (acc, v) => acc + v))
+    VectorDistanceExpr.dotProduct(a, b)
 
   /** dot(a,b) / (‖a‖·‖b‖); NaN-free for zero vectors (returns 0). */
-  def cosineSimilarity(a: Column, b: Column): Column = {
-    val denom = l2Norm(a) * l2Norm(b)
-    when(denom === 0.0, lit(0.0)).otherwise(dotProduct(a, b) / denom)
-  }
+  def cosineSimilarity(a: Column, b: Column): Column =
+    VectorDistanceExpr.cosineSimilarity(a, b)
 
   /** 1 − cosineSimilarity. */
   def cosineDistance(a: Column, b: Column): Column =
-    lit(1.0) - cosineSimilarity(a, b)
+    VectorDistanceExpr.cosineDistance(a, b)
+
+  /** ‖a‖₂ */
+  def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
+
+  // --- declarative HOF formulations (reference semantics) ---------------
+
+  /** [[squaredEuclidean]], as interpreted higher-order functions. */
+  def squaredEuclideanHof(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** [[dotProduct]], as interpreted higher-order functions. */
+  def dotProductHof(a: Column, b: Column): Column =
+    aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  /** [[l2Norm]], as interpreted higher-order functions. */
+  def l2NormHof(a: Column): Column = sqrt(dotProductHof(a, a))
+
+  /** [[cosineSimilarity]], as interpreted higher-order functions. */
+  def cosineSimilarityHof(a: Column, b: Column): Column = {
+    val denom = l2NormHof(a) * l2NormHof(b)
+    when(denom === 0.0, lit(0.0)).otherwise(dotProductHof(a, b) / denom)
+  }
+
+  /** [[cosineDistance]], as interpreted higher-order functions. */
+  def cosineDistanceHof(a: Column, b: Column): Column =
+    lit(1.0) - cosineSimilarityHof(a, b)
 }

@@ -65,7 +65,14 @@ object Dedup {
     val sets = df.select(
       col(idCol).cast("long").as("id"),
       shingleSet(col(textCol), shingleN).as("sh"))
+    // SHUFFLE_HASH: Catalyst sizes this self-join from the parquet file
+    // stats, not the post-explode row count, and happily broadcasts
+    // hundreds of thousands of exploded shingle rows (~10× slower here;
+    // impossible at corpus scale). Both sides are the same exploded
+    // relation — a partitioned hash join is the right physical plan at
+    // every scale.
     val ex = sets.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+      .hint("shuffle_hash")
     val a = ex.as("a"); val b = ex.as("b")
     a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
@@ -77,17 +84,27 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jac_micro"))
   }
 
-  /** MinHash signature: `numHashes` permutations
-    * `hᵢ(s) = ((2i+1)·s + i·1000003) mod P` over the distinct shingle
-    * hashes; element i of the result is `min hᵢ`. Pure per-row column
-    * expression (statically unrolled — no shuffle, codegen-friendly).
+  /** MinHash signature from a *precomputed* distinct-shingle-hash array
+    * column: `numHashes` permutations `hᵢ(s) = ((2i+1)·s + i·1000003)
+    * mod P`; element i of the result is `min hᵢ`. Pure per-row column
+    * expression (statically unrolled — no shuffle).
+    *
+    * Take the shingle hashes from a previous projection ([[shingleSet]]
+    * aliased to its own column), NOT inlined: each of the `numHashes`
+    * permutations references the array, and inlining would recompute
+    * the char-level shingle hashing `numHashes` times per row (Catalyst
+    * only de-duplicates attribute references, not structurally equal
+    * subtrees, and the HOF stack is interpreted).
     */
-  def minHashSignature(text: Column, numHashes: Int, shingleN: Int = 3): Column = {
-    val sh = shingleSet(text, shingleN)
+  def minHashSignatureFromHashes(shingleHashSet: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
-      array_min(transform(sh, s => (s * (2 * i + 1) + lit(i * 1000003L)) % P))
+      array_min(transform(shingleHashSet, s => (s * (2 * i + 1) + lit(i * 1000003L)) % P))
     }: _*)
-  }
+
+  /** [[minHashSignatureFromHashes]] over a text column directly — for
+    * one-off use; pipelines should stage [[shingleSet]] first. */
+  def minHashSignature(text: Column, numHashes: Int, shingleN: Int = 3): Column =
+    minHashSignatureFromHashes(shingleSet(text, shingleN), numHashes)
 
   /** LSH band keys from a MinHash signature: `bands` rolling hashes of
     * `rowsPerBand` consecutive signature slots each. */
@@ -115,11 +132,14 @@ object Dedup {
       shingleN: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val keyed = df.select(
-      col(idCol).cast("long").as("id"),
-      posexplode(lshBandKeys(
-        minHashSignature(col(textCol), numHashes, shingleN), bands, r))
-        .as(Seq("band", "bh")))
+    val keyed = df
+      .select(col(idCol).cast("long").as("id"),
+        shingleSet(col(textCol), shingleN).as("sh"))
+      .select(col("id"),
+        minHashSignatureFromHashes(col("sh"), numHashes).as("sig"))
+      .select(col("id"),
+        posexplode(lshBandKeys(col("sig"), bands, r)).as(Seq("band", "bh")))
+      .hint("shuffle_hash") // see jaccardPairs: post-explode size defeats broadcast estimates
     val a = keyed.as("a"); val b = keyed.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
         && col("a.id") < col("b.id"))
@@ -154,19 +174,28 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jac_micro"))
   }
 
-  /** `bits`-bit SimHash over the document's tokens (with multiplicity):
+  /** `bits`-bit SimHash from a *precomputed* token-hash array column:
     * bit j of the result is 1 iff more token hashes have bit j set than
     * clear. Statically unrolled per-row expression — no shuffle.
+    *
+    * As with [[minHashSignatureFromHashes]], stage the token hashes in
+    * their own projection first: all `bits` bit-sums reference the
+    * array, and inlining would redo char-level token hashing `bits`
+    * times per row.
     */
-  def simHash(text: Column, bits: Int = 32): Column = {
+  def simHashFromHashes(tokenHashes: Column, bits: Int = 32): Column = {
     require(bits >= 1 && bits <= 63, "bits must be in [1, 63]")
-    val th = transform(tokens(text), tokenHash(_))
     (0 until bits).map { j =>
-      val bitSum = aggregate(th, lit(0L),
+      val bitSum = aggregate(tokenHashes, lit(0L),
         (acc, h) => acc + when(shiftright(h, j).bitwiseAND(1L) === 1L, 1L).otherwise(-1L))
       when(bitSum > 0, lit(1L << j)).otherwise(0L)
     }.reduce(_ + _)
   }
+
+  /** [[simHashFromHashes]] over a text column directly — for one-off
+    * use; pipelines should stage the token hashes first. */
+  def simHash(text: Column, bits: Int = 32): Column =
+    simHashFromHashes(tokenHashArray(tokens(text)), bits)
 
   /** SimHash near-dup pairs with Hamming distance ≤ `maxHamming`.
     *
@@ -189,11 +218,14 @@ object Dedup {
     require(bits % bands == 0, "bits must divide into bands")
     val w = bits / bands
     val mask = (1L << w) - 1
-    val hashed = df.select(col(idCol).cast("long").as("id"),
-      simHash(col(textCol), bits).as("sh"))
+    val hashed = df
+      .select(col(idCol).cast("long").as("id"),
+        tokenHashArray(tokens(col(textCol))).as("th"))
+      .select(col("id"), simHashFromHashes(col("th"), bits).as("sh"))
     val keyed = hashed.select(col("id"), col("sh"),
       posexplode(array((0 until bands).map(b =>
         shiftright(col("sh"), b * w).bitwiseAND(mask)): _*)).as(Seq("band", "bk")))
+      .hint("shuffle_hash") // see jaccardPairs: post-explode size defeats broadcast estimates
     val a = keyed.as("a"); val b = keyed.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bk") === col("b.bk")
         && col("a.id") < col("b.id"))

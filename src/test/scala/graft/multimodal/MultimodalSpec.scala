@@ -1,0 +1,89 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.types._
+
+object MultimodalSpec {
+  val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+  object CountingDecoder extends Multimodal.Decoder {
+    override def decodeBatch(ps: Seq[Array[Byte]], dim: Int): Seq[Option[Array[Float]]] = {
+      calls.incrementAndGet()
+      Multimodal.FakeDecoder.decodeBatch(ps, dim)
+    }
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val media = Multimodal.synthetic(spark, 60, partitions = 4).cache()
+
+  test("synthetic media table matches the canonical schema shape") {
+    val s = media.schema
+    assert(s("media_id").dataType === LongType)
+    assert(s("payload").dataType === BinaryType)
+    assert(s("meta").dataType === Multimodal.metaType)
+    assert(media.count() === 60)
+  }
+
+  test("extractFeatures: deterministic, dim-sized, one row per input, partition-preserving") {
+    val f1 = Multimodal.extractFeatures(media, dim = 16, batchSize = 8)
+    assert(f1.schema("features").dataType === ArrayType(FloatType))
+    val rows = f1.collect()
+    assert(rows.length === 60)
+    assert(rows.forall(_.getSeq[Float](2).size === 16))
+    // determinism across runs (speculative-task safety)
+    val m1 = rows.map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    val m2 = Multimodal.extractFeatures(media, dim = 16, batchSize = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(m1 === m2)
+    // batch size must not change results (the vectorized boundary is
+    // purely an amortization seam)
+    val m3 = Multimodal.extractFeatures(media, dim = 16, batchSize = 1000)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(m1 === m3)
+  }
+
+  test("extractFeatures: corrupt (empty/null) payloads yield null features, not failures") {
+    val bad = Seq(
+      (1000L, "image", Array.emptyByteArray),
+      (1001L, "image", null.asInstanceOf[Array[Byte]])
+    ).toDF("media_id", "kind", "payload")
+    val out = Multimodal.extractFeatures(bad, dim = 8).collect()
+    assert(out.length === 2)
+    assert(out.forall(_.isNullAt(2)))
+  }
+
+  test("decodeBatch is called per batch, not per row") {
+    // counter lives in a singleton: task closures are serialized even in
+    // local mode, but the deserialized decoder still hits this object
+    MultimodalSpec.calls.set(0)
+    val one = Multimodal.synthetic(spark, 10, partitions = 1)
+    Multimodal.extractFeatures(one, dim = 4, batchSize = 4,
+      decoder = MultimodalSpec.CountingDecoder).collect()
+    // single partition, 10 rows, batch 4 → 3 calls
+    assert(MultimodalSpec.calls.get() === 3)
+  }
+
+  test("sampleFrames: only video rows, stride-spaced frame indices, deterministic chunks") {
+    val frames = Multimodal.sampleFrames(media, frameBytes = 64, stride = 2)
+    val rows = frames.collect()
+    assert(rows.nonEmpty)
+    val vids = media.filter($"kind" === "video").select("media_id").as[Long].collect().toSet
+    assert(rows.map(_.getLong(0)).toSet.subsetOf(vids))
+    assert(rows.forall(_.getInt(1) % 2 === 0))
+    assert(rows.forall(_.getAs[Array[Byte]](2).length <= 64))
+  }
+
+  test("resizeMeta rewrites dimensions without touching the payload column") {
+    val resized = Multimodal.resizeMeta(media, 224, 224)
+    val r = resized.select($"meta.width", $"meta.height", $"meta.codec").distinct().collect()
+    assert(r.map(x => (x.getInt(0), x.getInt(1), x.getString(2))).toSet === Set((224, 224, "fake")))
+    // column pruning: the scan must not read `payload` (the cached
+    // relation below it still lists all columns — that's its
+    // materialization plan, not what this query reads)
+    val scanLine = resized.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("InMemoryTableScan")).getOrElse("")
+    assert(scanLine.nonEmpty && !scanLine.contains("payload"), scanLine)
+  }
+}

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import java.sql.Timestamp
+
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowedEventCounts: tumbling windows with watermark, append on close") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val agg = StreamingOps.windowedEventCounts(
+      in.toDF().toDF("ts", "event_type", "value"),
+      watermarkDelay = "30 minutes")
+    val q = agg.writeStream.format("memory").queryName("win_counts")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:40:00"), "click", 2.0),
+        (ts("2024-01-01 10:45:00"), "view", 3.0))
+      q.processAllAvailable()
+      // watermark far past 11:00 closes the 10:00 window
+      in.addData((ts("2024-01-01 13:00:00"), "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select($"win_start".cast("string"), $"event_type", $"n_events", $"value_cents")
+        .as[(String, String, Long, Long)].collect().toSet
+      assert(rows === Set(
+        ("2024-01-01 10:00:00", "click", 2L, 300L),
+        ("2024-01-01 10:00:00", "view", 1L, 300L)))
+    } finally q.stop()
+  }
+
+  test("knnScoringWriter: per-batch KNN predictions against static train") {
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq(
+      (1L, Seq(0.0, 0.0), 0L), (2L, Seq(0.1, 0.1), 0L), (3L, Seq(0.2, 0.0), 0L),
+      (4L, Seq(5.0, 5.0), 1L), (5L, Seq(5.1, 5.0), 1L), (6L, Seq(5.0, 5.2), 1L)
+    ).toDF("id", "vec", "label")
+    val in = MemoryStream[(Long, Seq[Double])]
+    val collected = scala.collection.mutable.Map[Long, Long]()
+    val writer = StreamingOps.knnScoringWriter(
+      in.toDF().toDF("id", "vec"), train, k = 3,
+      "id", "vec", "id", "vec", "label") { (preds, _) =>
+      preds.collect().foreach(r => collected.synchronized {
+        collected(r.getLong(0)) = r.getLong(1)
+      })
+    }
+    val q = writer.start()
+    try {
+      in.addData((100L, Seq(0.05, 0.05)), (101L, Seq(5.05, 5.05)))
+      q.processAllAvailable()
+      in.addData((102L, Seq(0.0, 0.1)))
+      q.processAllAvailable()
+      assert(collected.toMap === Map(100L -> 0L, 101L -> 1L, 102L -> 0L))
+    } finally q.stop()
+  }
+
+  test("runningUserStats: keyed state accumulates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val stats = StreamingOps.runningUserStats(spark,
+      in.toDF().toDF("user_id", "value"))
+    val q = stats.toDF("user_id", "n", "cents").writeStream
+      .format("memory").queryName("user_stats")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData((7L, 1.0), (7L, 2.0), (8L, 10.0))
+      q.processAllAvailable()
+      in.addData((7L, 3.0))
+      q.processAllAvailable()
+      // memory sink in update mode appends updated rows; take the last
+      // emission per user
+      val last = spark.table("user_stats").as[(Long, Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+      assert(last(7L) === ((7L, 3L, 600L)))
+      assert(last(8L) === ((8L, 1L, 1000L)))
+    } finally q.stop()
+  }
+}
