@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{PolyHashArrayExpr, VectorDistanceExpr}
+
+/** SQL-surface registration for the engine's native expressions, so
+  * `spark.sql("SELECT vector_sqeuclidean(a, b) …")` works like any
+  * built-in:
+  *
+  *  - as a session extension:
+  *    `--conf spark.sql.extensions=graft.GraftExtensions`
+  *  - or at runtime on an existing session:
+  *    `GraftExtensions.register(spark)`.
+  *
+  * Functions: `vector_sqeuclidean`, `vector_dot`,
+  * `vector_cosine_distance`, `vector_cosine_sim` (array<float|double> ×2
+  * → double, fused codegen — see [[graft.functions.VectorDistanceExpr]])
+  * and `poly_hash_array` (array<string> → array<long> —
+  * [[graft.functions.PolyHashArrayExpr]]).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.all.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def vec(metric: String)(args: Seq[Expression]): Expression = {
+    require(args.length == 2, s"vector_$metric expects 2 arguments")
+    VectorDistanceExpr(args(0), args(1), metric)
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[VectorDistanceExpr].getName, null, name, usage, "")
+
+  /** (name, info, builder) triples for every SQL-exposed function. */
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("vector_sqeuclidean",
+      info("vector_sqeuclidean", "vector_sqeuclidean(a, b) - sum of squared element differences"),
+      vec("sqeuclidean") _),
+    ("vector_dot",
+      info("vector_dot", "vector_dot(a, b) - dot product"),
+      vec("dot") _),
+    ("vector_cosine_distance",
+      info("vector_cosine_distance", "vector_cosine_distance(a, b) - 1 minus cosine similarity"),
+      vec("cosine_distance") _),
+    ("vector_cosine_sim",
+      info("vector_cosine_sim", "vector_cosine_sim(a, b) - cosine similarity"),
+      vec("cosine_sim") _),
+    ("poly_hash_array",
+      new ExpressionInfo(classOf[PolyHashArrayExpr].getName, null, "poly_hash_array",
+        "poly_hash_array(arr) - polynomial rolling hash of each string element", ""),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "poly_hash_array expects 1 argument")
+        PolyHashArrayExpr(args.head)
+      }))
+
+  /** Register all functions on an already-running session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = org.apache.spark.sql.classic.ClassicConversions.castToImpl(spark)
+      .sessionState.functionRegistry
+    all.foreach { case (name, i, builder) =>
+      reg.registerFunction(FunctionIdentifier(name), i, builder)
+    }
+  }
+}

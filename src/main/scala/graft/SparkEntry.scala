@@ -300,6 +300,43 @@ object Queries {
         col("event_type"), col("n_events"), col("value_cents"))
 
   // ---------------------------------------------------------------------
+  // SQL-text surface: spark.sql over registered views + the engine's
+  // native functions exposed through GraftExtensions
+  // ---------------------------------------------------------------------
+
+  /** Multi-join revenue rollup written as SQL text (parser → Catalyst →
+    * same physical plans as the DataFrame API). */
+  def sqlJoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT n_name, l_returnflag, count(*) AS cnt,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev_cents
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name, l_returnflag""")
+  }
+
+  /** The native codegen vector functions, called from SQL text via
+    * [[GraftExtensions]] (same expressions the Column API plans). */
+  def sqlVectorTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    GraftExtensions.register(spark)
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+           CAST(floor(dist * 1000000.0) AS BIGINT) AS dist_micro
+         FROM (
+           SELECT q.vec_id AS query_id, i.vec_id AS neighbor_id,
+             vector_sqeuclidean(q.embedding, i.embedding) AS dist,
+             row_number() OVER (PARTITION BY q.vec_id
+               ORDER BY vector_sqeuclidean(q.embedding, i.embedding), i.vec_id) AS rank
+           FROM (SELECT * FROM embeddings WHERE vec_id % 50 = 0) q
+           CROSS JOIN (SELECT * FROM embeddings WHERE vec_id % 50 <> 0) i)
+         WHERE rank <= 3""")
+  }
+
+  // ---------------------------------------------------------------------
   // Registry
   // ---------------------------------------------------------------------
 
@@ -327,7 +364,9 @@ object Queries {
     "q24_set_ops" -> (setOps _),
     "q25_semi_anti" -> (semiAnti _),
     "q26_rollup" -> (rollupAgg _),
-    "q27_events_windowed" -> (eventsWindowed _))
+    "q27_events_windowed" -> (eventsWindowed _),
+    "q28_sql_join_agg" -> (sqlJoinAgg _),
+    "q29_sql_vector_topk" -> (sqlVectorTopK _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = Map(
@@ -694,5 +733,32 @@ object Queries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS win_start,
            event_type, count(*) AS n_events,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
-         FROM events GROUP BY 1, 2""")
+         FROM events GROUP BY 1, 2""",
+    "q28_sql_join_agg" ->
+      """SELECT n_name, l_returnflag, count(*) AS cnt,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name, l_returnflag""",
+    "q29_sql_vector_topk" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+         i AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0),
+         scored AS (
+           SELECT q.vec_id AS query_id, i.vec_id AS neighbor_id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, len(q.embedding)),
+                 x -> (CAST(q.embedding[x] AS DOUBLE) - CAST(i.embedding[x] AS DOUBLE))
+                    * (CAST(q.embedding[x] AS DOUBLE) - CAST(i.embedding[x] AS DOUBLE)))),
+               (a, b) -> a + b) AS dist
+           FROM q CROSS JOIN i)
+         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id,
+           CAST(floor(dist * 1000000.0) AS BIGINT) AS dist_micro
+         FROM (
+           SELECT query_id, neighbor_id, dist,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY dist, neighbor_id) AS rank
+           FROM scored)
+         WHERE rank <= 3""")
 }

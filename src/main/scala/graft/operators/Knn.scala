@@ -82,6 +82,35 @@ object Knn {
         col("n.dist").as("dist"))
   }
 
+  /** Block-nested [[knnJoin]]: the 100 TB shape for query sets too large
+    * to broadcast whole (SURVEY §7.4). The query set is split into
+    * `blocks` hash-disjoint slices; each slice is broadcast and joined
+    * against the full item table independently, and results union. Item
+    * scans repeat `blocks` times — at scale that is the right trade:
+    * the item table streams from storage partition-parallel, while
+    * executor memory only ever holds one query slice.
+    *
+    * Result is identical to `knnJoin` (each query row's neighbors come
+    * from its own slice's complete pass over the items).
+    */
+  def knnJoinBlocked(
+      queries: DataFrame,
+      items: DataFrame,
+      k: Int,
+      blocks: Int,
+      queryId: String = "query_id",
+      itemId: String = "item_id",
+      queryVec: String = "query_vec",
+      itemVec: String = "item_vec",
+      itemLabel: Option[String] = None,
+      metric: String = "squaredEuclidean"): DataFrame = {
+    require(blocks >= 1, "blocks must be >= 1")
+    (0 until blocks).map { b =>
+      val slice = queries.filter(pmod(col(queryId).cast("long"), lit(blocks)) === b)
+      knnJoin(slice, items, k, queryId, itemId, queryVec, itemVec, itemLabel, metric)
+    }.reduce(_ unionAll _)
+  }
+
   /** KNN classification: majority vote over the k nearest `train` rows.
     *
     * Correct plurality semantics by default (each neighbor = 1 vote; ties

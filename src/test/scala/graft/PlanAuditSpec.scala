@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan audit: the properties that keep these queries viable at
+  * 100 TB must hold in the *executed plan*, not just in intent —
+  * pushdown reaching the scan, pruned read schemas, broadcast only
+  * where a side is genuinely small, shuffle-hash where explode defeats
+  * size estimates.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): String = {
+    df.collect() // finalize AQE
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: filter is pushed to the parquet scan") {
+    val plan = planOf(Queries.filterPushdown(spark, sf))
+    assert(plan.contains("PushedFilters:"), plan.take(600))
+    assert("""PushedFilters: \[[^\]]*EqualTo\(o_orderstatus,F\)""".r
+      .findFirstIn(plan).isDefined, plan)
+  }
+
+  test("q01: read schema is pruned to the projected columns") {
+    val plan = planOf(Queries.scanProject(spark, sf))
+    val read = """ReadSchema: struct<([^>]*)>""".r.findFirstMatchIn(plan).map(_.group(1))
+    assert(read.isDefined, plan.take(600))
+    val cols = read.get.split(",").map(_.split(":")(0)).toSet
+    assert(cols === Set("l_orderkey", "l_linenumber", "l_quantity"), cols)
+  }
+
+  test("q04: small-dim join plans as a broadcast join") {
+    val plan = planOf(Queries.joinBroadcast(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+  }
+
+  test("q07 KNN: cross product is a broadcast nested loop; top-k is a partial+final agg") {
+    val plan = planOf(Queries.knnPredict(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1200))
+    // the bounded top-k Aggregator must run as ObjectHashAggregate with a
+    // partial pass before the exchange (map-side top-k, SURVEY §4)
+    assert(plan.contains("ObjectHashAggregate"), plan.take(1200))
+    assert("""ObjectHashAggregate.*partial_topkaggregator""".r.findFirstIn(plan).isDefined
+      || plan.contains("partial_topkaggregator"), plan)
+  }
+
+  test("q17: exploded self-join is a shuffle join, never a broadcast") {
+    val plan = planOf(Queries.jaccardPairs(spark, sf))
+    assert(plan.contains("ShuffledHashJoin"), plan.take(1200))
+  }
+
+  test("q03: aggregation has a map-side partial pass") {
+    val plan = planOf(Queries.aggSum(spark, sf))
+    assert("""HashAggregate.*partial""".r.findFirstIn(plan.toLowerCase).isDefined
+      || plan.toLowerCase.contains("partial_sum"), plan.take(1200))
+  }
+}
