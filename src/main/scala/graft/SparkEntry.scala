@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Knn, SimilaritySearch}
+import graft.operators.{AsOfJoin, Dedup, Knn, SimilaritySearch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -300,6 +300,45 @@ object Queries {
         col("event_type"), col("n_events"), col("value_cents"))
 
   // ---------------------------------------------------------------------
+  // Time-series operators over events (as-of join, sessionization)
+  // ---------------------------------------------------------------------
+
+  /** As-of join: each click matched to the user's most recent error at
+    * or before it (−1 when none) — union-window formulation, one
+    * shuffle (operators/AsOfJoin). */
+  def asofClickError(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("err_ts"))
+    AsOfJoin.asofJoin(clicks, errors, Seq("user_id"), "ts", "err_ts",
+        rightPayload = Seq("matched_err" -> col("err_id")),
+        rightTieBreak = col("err_id"))
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("matched_err"), lit(-1L)).as("matched_err"))
+  }
+
+  /** Gap-based sessionization (10-minute inactivity gap): per-user
+    * session count, total events, and largest session. */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val gapMicros = 600L * 1000000L
+    val sessions = t(spark, sfDir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapMicros, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_sess")).over(w))
+    sessions.groupBy(col("user_id"), col("sid"))
+      .agg(count(lit(1)).as("sess_events"))
+      .groupBy(col("user_id"))
+      .agg(max(col("sid")).as("n_sessions"),
+        sum(col("sess_events")).as("n_events"),
+        max(col("sess_events")).as("longest_session"))
+  }
+
+  // ---------------------------------------------------------------------
   // SQL-text surface: spark.sql over registered views + the engine's
   // native functions exposed through GraftExtensions
   // ---------------------------------------------------------------------
@@ -366,7 +405,9 @@ object Queries {
     "q26_rollup" -> (rollupAgg _),
     "q27_events_windowed" -> (eventsWindowed _),
     "q28_sql_join_agg" -> (sqlJoinAgg _),
-    "q29_sql_vector_topk" -> (sqlVectorTopK _))
+    "q29_sql_vector_topk" -> (sqlVectorTopK _),
+    "q30_asof_join" -> (asofClickError _),
+    "q31_sessionize" -> (sessionize _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = Map(
@@ -760,5 +801,33 @@ object Queries {
              row_number() OVER (PARTITION BY query_id
                ORDER BY dist, neighbor_id) AS rank
            FROM scored)
-         WHERE rank <= 3""")
+         WHERE rank <= 3""",
+    "q30_asof_join" ->
+      """SELECT l.event_id, l.user_id, coalesce(r.rid, -1) AS matched_err
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+         ASOF LEFT JOIN (SELECT event_id AS rid, user_id AS ruid, ts AS rts
+                         FROM events WHERE event_type = 'error') r
+           ON l.user_id = r.ruid AND l.ts >= r.rts""",
+    "q31_sessionize" ->
+      """WITH s AS (
+           SELECT user_id, ts, event_id,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+           FROM events),
+         flagged AS (
+           SELECT user_id,
+             CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 600000000
+                  THEN 1 ELSE 0 END AS new_sess,
+             ts, event_id
+           FROM s),
+         sid AS (
+           SELECT user_id,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+           FROM flagged),
+         per_sess AS (
+           SELECT user_id, sid, count(*) AS sess_events FROM sid GROUP BY 1, 2)
+         SELECT user_id, CAST(max(sid) AS BIGINT) AS n_sessions,
+           CAST(sum(sess_events) AS BIGINT) AS n_events,
+           CAST(max(sess_events) AS BIGINT) AS longest_session
+         FROM per_sess GROUP BY user_id""")
 }
