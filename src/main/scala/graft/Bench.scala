@@ -24,11 +24,18 @@ object Bench {
       .toSeq.sortBy(_._1)
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
+      // noop sink: forces full materialization of every output column
+      // (a bare count() would let Catalyst prune the projections away
+      // and under-measure scan/transform queries)
+      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop per-query state (broadcasts, cached relations) so later
+      // queries aren't timed under earlier queries' memory pressure
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -28,6 +28,17 @@ import graft.functions.VectorFunctions
   */
 object Dedup {
 
+  /** Explicit partition count for CPU-bound per-row stages (signature
+    * hashing). An explicit count matters: a bare `repartition(col)` is
+    * an AQE-optimizable shuffle, and AQE coalesces by *bytes* — a small
+    * corpus with heavy per-row compute gets squeezed into one task
+    * (observed: 5s → 150s swings at sf0.1). Compute cost is per ROW
+    * here, not per byte, so pin full parallelism.
+    */
+  private def computeParallelism(df: DataFrame): Int =
+    df.sparkSession.sparkContext.defaultParallelism
+
+
   /** Exact dedup: one survivor (smallest `idCol`) per identical
     * `keyCols` tuple, plus the copy count. The groupBy shuffles only
     * (key, id) after map-side partial aggregation.
@@ -62,7 +73,12 @@ object Dedup {
       textCol: String,
       shingleN: Int = 3,
       minJaccardMicro: Long = 500000L): DataFrame = {
-    val sets = df.select(
+    // repartition BEFORE the per-doc hashing: a small corpus often sits
+    // in one file split, and any plan that later broadcasts or
+    // single-partition-scans this relation would hash every document in
+    // one task; at real scale the distribute-then-compute shape is what
+    // a 1000-executor cluster runs anyway
+    val sets = df.repartition(computeParallelism(df), col(idCol)).select(
       col(idCol).cast("long").as("id"),
       shingleSet(col(textCol), shingleN).as("sh"))
     // SHUFFLE_HASH: Catalyst sizes this self-join from the parquet file
@@ -132,7 +148,7 @@ object Dedup {
       shingleN: Int = 3): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val keyed = df
+    val keyed = df.repartition(computeParallelism(df), col(idCol)) // parallelize per-doc hashing (see jaccardPairs)
       .select(col(idCol).cast("long").as("id"),
         shingleSet(col(textCol), shingleN).as("sh"))
       .select(col("id"),
@@ -160,10 +176,13 @@ object Dedup {
       shingleN: Int = 3,
       minJaccardMicro: Long = 500000L): DataFrame = {
     val cand = lshCandidates(df, idCol, textCol, numHashes, bands, shingleN)
-    val sets = df.select(
-      col(idCol).cast("long").as("id"),
-      shingleSet(col(textCol), shingleN).as("sh"))
-    cand
+    val sets = df.repartition(computeParallelism(df), col(idCol)) // parallelize per-doc hashing (see jaccardPairs)
+      .select(col(idCol).cast("long").as("id"),
+        shingleSet(col(textCol), shingleN).as("sh"))
+    // broadcast the candidate-pair side: it is the provably small relation
+    // here, and letting Catalyst instead broadcast `sets` would serialize
+    // the whole corpus' shingle hashing into one build task
+    broadcast(cand)
       .join(sets.withColumnRenamed("id", "id1").withColumnRenamed("sh", "sha"), "id1")
       .join(sets.withColumnRenamed("id", "id2").withColumnRenamed("sh", "shb"), "id2")
       .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
@@ -218,7 +237,7 @@ object Dedup {
     require(bits % bands == 0, "bits must divide into bands")
     val w = bits / bands
     val mask = (1L << w) - 1
-    val hashed = df
+    val hashed = df.repartition(computeParallelism(df), col(idCol)) // parallelize per-doc hashing (see jaccardPairs)
       .select(col(idCol).cast("long").as("id"),
         tokenHashArray(tokens(col(textCol))).as("th"))
       .select(col("id"), simHashFromHashes(col("th"), bits).as("sh"))

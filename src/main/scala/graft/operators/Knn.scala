@@ -163,6 +163,19 @@ object Knn {
     winner.select(col("query_id").as("test_id"), col("prediction"))
   }
 
+  /** Reference-parity sink (SURVEY §2 #11): `testId\tprediction` lines
+    * ascending by id, one file — the exact shape of the reference's
+    * `predictions/part-r-00000` (TextOutputFormat, single reducer,
+    * Hadoop.java:270,300,308). `coalesce(1)` is deliberate single-file
+    * parity; drop it for a partitioned write at scale.
+    */
+  def writePredictions(predictions: DataFrame, path: String): Unit =
+    predictions
+      .orderBy(col("test_id"))
+      .select(col("test_id").cast("string"), col("prediction").cast("string"))
+      .coalesce(1)
+      .write.mode("overwrite").option("sep", "\t").csv(path)
+
   /** Fraction of predictions equal to the true label — the driver-side
     * evaluation the reference does by re-reading files positionally
     * (`Hadoop.java:318-344`), here a plain join + avg.

@@ -50,6 +50,21 @@ class KnnGoldenSpec extends SparkSpec {
     assert(correct === 68)
   }
 
+  test("writePredictions emits the golden file byte-for-byte (full reference pipeline)") {
+    val out = java.nio.file.Files.createTempDirectory("preds").toString + "/preds"
+    val preds = Knn.classify(train, testDf, k = 3,
+      trainId = "id", testId = "id",
+      trainVec = "features", testVec = "features",
+      labelCol = "label", legacyVote = true)
+    Knn.writePredictions(preds, out)
+    val part = new java.io.File(out).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".csv")).get
+    val got = Using.resource(Source.fromFile(part))(_.mkString)
+    val golden = Using.resource(
+      Source.fromFile("/root/reference/predictions/part-r-00000"))(_.mkString)
+    assert(got === golden)
+  }
+
   test("correct plurality vote scores at least the legacy 0.85") {
     val got = predict(legacy = false)
     val correct = got.count { case (i, p) => truth(i) == p }
