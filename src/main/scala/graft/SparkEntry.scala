@@ -286,6 +286,16 @@ object Queries {
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         col("sum_qty"), col("cnt"))
 
+  /** Distinct aggregation (absent from the reference, SURVEY §2.1):
+    * per-flag distinct suppliers/parts + plain counts in one pass. */
+  def distinctAgg(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("cnt"))
+
   /** Tumbling 1-hour event-time windows over the events table — the
     * batch shape of the streaming windowed aggregation
     * (streaming/StreamingOps uses the same window spec on readStream). */
@@ -407,7 +417,8 @@ object Queries {
     "q28_sql_join_agg" -> (sqlJoinAgg _),
     "q29_sql_vector_topk" -> (sqlVectorTopK _),
     "q30_asof_join" -> (asofClickError _),
-    "q31_sessionize" -> (sessionize _))
+    "q31_sessionize" -> (sessionize _),
+    "q32_distinct_agg" -> (distinctAgg _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = Map(
@@ -829,5 +840,11 @@ object Queries {
          SELECT user_id, CAST(max(sid) AS BIGINT) AS n_sessions,
            CAST(sum(sess_events) AS BIGINT) AS n_events,
            CAST(max(sess_events) AS BIGINT) AS longest_session
-         FROM per_sess GROUP BY user_id""")
+         FROM per_sess GROUP BY user_id""",
+    "q32_distinct_agg" ->
+      """SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_supp,
+           count(DISTINCT l_partkey) AS n_part,
+           count(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag""")
 }
