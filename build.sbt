@@ -29,4 +29,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // local mode = driver-only JVM; the box has 128 GiB and sf0.1 bench
   // accumulates broadcasts across 28 queries — 8g thrashes GC
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // dozens of queries × whole-stage codegen classes overflow the
+  // default 240m code cache mid-benchmark; once full the JIT stops
+  // compiling and interpreted-lambda-heavy queries degrade 5-10x
+  "-XX:ReservedCodeCacheSize=1g",
 )
