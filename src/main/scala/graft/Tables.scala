@@ -17,6 +17,7 @@ object Tables {
     */
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    GraftSession.tune(spark) // top-k agg fallback threshold; see GraftSession
     val df = spark.read.parquet(s"$sfDir/$table.parquet")
     df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
       case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -49,6 +49,11 @@ object Knn {
       itemLabel: Option[String] = None,
       metric: String = "squaredEuclidean"): DataFrame = {
 
+    // the bounded top-k agg must never hit ObjectHashAggregate's
+    // 128-group sort-based fallback (4-27x measured cliff); set the
+    // threshold even on user-built sessions — see GraftSession
+    graft.GraftSession.tune(queries.sparkSession)
+
     val q = queries.select(
       col(queryId).cast("long").as("q_id"),
       col(queryVec).as("q_vec"))

@@ -90,6 +90,9 @@ object SimilaritySearch {
       planes: Int = 8,
       tables: Int = 2): DataFrame = {
 
+    // top-k agg fallback-threshold fix for user-built sessions too
+    graft.GraftSession.tune(queries.sparkSession)
+
     def signatures(df: DataFrame, id: String, vec: String, side: String): DataFrame =
       df.select(
         col(id).cast("long").as(s"${side}_id"),

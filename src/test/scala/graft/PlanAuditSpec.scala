@@ -54,7 +54,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("q03: aggregation has a map-side partial pass") {
     val plan = planOf(Queries.aggSum(spark, sf))
-    assert("""HashAggregate.*partial""".r.findFirstIn(plan.toLowerCase).isDefined
+    assert("""hashaggregate.*partial""".r.findFirstIn(plan.toLowerCase).isDefined
       || plan.toLowerCase.contains("partial_sum"), plan.take(1200))
   }
 }

@@ -23,6 +23,7 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    GraftSession.tune(s) // engine-required confs (top-k agg fallback threshold)
     s
   }
 }
