@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{PolyHashArrayExpr, VectorDistanceExpr}
+import graft.functions.{HyperplaneSignatureExpr, MinHashSignatureExpr, PolyHashArrayExpr, SimHashExpr, VectorDistanceExpr}
 
 /** SQL-surface registration for the engine's native expressions, so
   * `spark.sql("SELECT vector_sqeuclidean(a, b) …")` works like any
@@ -58,7 +58,37 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "poly_hash_array expects 1 argument")
         PolyHashArrayExpr(args.head)
+      }),
+    ("minhash_signature",
+      new ExpressionInfo(classOf[MinHashSignatureExpr].getName, null, "minhash_signature",
+        "minhash_signature(hashes, numHashes) - MinHash signature of a hash-set column", ""),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "minhash_signature expects 2 arguments")
+        MinHashSignatureExpr(args(0), intArg(args(1), "numHashes"))
+      }),
+    ("simhash",
+      new ExpressionInfo(classOf[SimHashExpr].getName, null, "simhash",
+        "simhash(hashes, bits) - SimHash of a token-hash column", ""),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "simhash expects 2 arguments")
+        SimHashExpr(args(0), intArg(args(1), "bits"))
+      }),
+    ("hyperplane_signature",
+      new ExpressionInfo(classOf[HyperplaneSignatureExpr].getName, null, "hyperplane_signature",
+        "hyperplane_signature(vec, planes, dim[, offset]) - random-hyperplane LSH signature", ""),
+      (args: Seq[Expression]) => {
+        require(args.length == 3 || args.length == 4,
+          "hyperplane_signature expects 3 or 4 arguments")
+        val off = if (args.length == 4) intArg(args(3), "offset") else 0
+        HyperplaneSignatureExpr(args(0), intArg(args(1), "planes"), intArg(args(2), "dim"), off)
       }))
+
+  /** Extract a foldable integer argument (signature widths are plan-time
+    * constants — they shape the generated code). */
+  private def intArg(e: Expression, name: String): Int = {
+    require(e.foldable, s"$name must be a literal")
+    e.eval().asInstanceOf[Number].intValue
+  }
 
   /** Register all functions on an already-running session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -816,8 +816,9 @@ object Queries {
     "q30_asof_join" ->
       """SELECT l.event_id, l.user_id, coalesce(r.rid, -1) AS matched_err
          FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
-         ASOF LEFT JOIN (SELECT event_id AS rid, user_id AS ruid, ts AS rts
-                         FROM events WHERE event_type = 'error') r
+         ASOF LEFT JOIN (SELECT max(event_id) AS rid, user_id AS ruid, ts AS rts
+                         FROM events WHERE event_type = 'error'
+                         GROUP BY user_id, ts) r
            ON l.user_id = r.ruid AND l.ts >= r.rts""",
     "q31_sessionize" ->
       """WITH s AS (

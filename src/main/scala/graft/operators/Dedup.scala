@@ -102,17 +102,20 @@ object Dedup {
 
   /** MinHash signature from a *precomputed* distinct-shingle-hash array
     * column: `numHashes` permutations `hᵢ(s) = ((2i+1)·s + i·1000003)
-    * mod P`; element i of the result is `min hᵢ`. Pure per-row column
-    * expression (statically unrolled — no shuffle).
-    *
-    * Take the shingle hashes from a previous projection ([[shingleSet]]
-    * aliased to its own column), NOT inlined: each of the `numHashes`
-    * permutations references the array, and inlining would recompute
-    * the char-level shingle hashing `numHashes` times per row (Catalyst
-    * only de-duplicates attribute references, not structurally equal
-    * subtrees, and the HOF stack is interpreted).
+    * mod P`; element i of the result is `min hᵢ`. One fused codegen
+    * loop per row ([[graft.functions.MinHashSignatureExpr]]) — the
+    * interpreted-HOF formulation ([[minHashSignatureFromHashesHof]])
+    * paid `numHashes` interpreted `transform`+`array_min` passes per
+    * row and dominated the dedup bench.
     */
   def minHashSignatureFromHashes(shingleHashSet: Column, numHashes: Int): Column =
+    graft.functions.SignatureExprs.minHashSignature(shingleHashSet, numHashes)
+
+  /** Declarative HOF twin of [[minHashSignatureFromHashes]] — kept as
+    * the executable spec of the native expression (bit-equality is
+    * test-enforced; interpreted, so never in a hot path).
+    */
+  private[graft] def minHashSignatureFromHashesHof(shingleHashSet: Column, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
       array_min(transform(shingleHashSet, s => (s * (2 * i + 1) + lit(i * 1000003L)) % P))
     }: _*)
@@ -165,6 +168,17 @@ object Dedup {
 
   /** MinHash-LSH near-dup pairs, verified: LSH candidates re-scored with
     * exact Jaccard and kept when ≥ `minJaccardMicro`.
+    *
+    * Scale shape:
+    *  - The per-doc shingle sets are staged ONCE behind a hash exchange
+    *    on id; the band self-join and both sides of the verify join all
+    *    consume that same exchange (Spark's ReuseExchange), so the
+    *    char-level shingle hashing runs exactly once over the corpus.
+    *  - The candidate-pair relation is joined back with *shuffle* hash
+    *    equi-joins, never broadcast: candidates grow with the corpus and
+    *    its near-dup density, so a driver-side broadcast bound is a
+    *    scale-killer even though it happens to fit at test scale.
+    *
     * @return (id1, id2, jac_micro)
     */
   def lshVerifiedPairs(
@@ -175,16 +189,31 @@ object Dedup {
       bands: Int = 8,
       shingleN: Int = 3,
       minJaccardMicro: Long = 500000L): DataFrame = {
-    val cand = lshCandidates(df, idCol, textCol, numHashes, bands, shingleN)
-    val sets = df.repartition(computeParallelism(df), col(idCol)) // parallelize per-doc hashing (see jaccardPairs)
-      .select(col(idCol).cast("long").as("id"),
-        shingleSet(col(textCol), shingleN).as("sh"))
-    // broadcast the candidate-pair side: it is the provably small relation
-    // here, and letting Catalyst instead broadcast `sets` would serialize
-    // the whole corpus' shingle hashing into one build task
-    broadcast(cand)
-      .join(sets.withColumnRenamed("id", "id1").withColumnRenamed("sh", "sha"), "id1")
-      .join(sets.withColumnRenamed("id", "id2").withColumnRenamed("sh", "shb"), "id2")
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val par = computeParallelism(df)
+    // first exchange distributes the raw text so the CPU-bound hashing
+    // runs partition-parallel (see the computeParallelism note); the
+    // second — keyed by id — is the materialization point every
+    // downstream branch reuses
+    val sets = df
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .repartition(par)
+      .select(col("id"), shingleSet(col("text"), shingleN).as("sh"))
+      .repartition(par, col("id"))
+    val keyed = sets
+      .select(col("id"), minHashSignatureFromHashes(col("sh"), numHashes).as("sig"))
+      .select(col("id"),
+        posexplode(lshBandKeys(col("sig"), bands, r)).as(Seq("band", "bh")))
+      .hint("shuffle_hash") // post-explode size defeats broadcast estimates
+    val a = keyed.as("a"); val b = keyed.as("b")
+    val cand = a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+        && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    cand
+      .join(sets.select(col("id").as("id1"), col("sh").as("sha")).hint("shuffle_hash"), "id1")
+      .join(sets.select(col("id").as("id2"), col("sh").as("shb")).hint("shuffle_hash"), "id2")
       .withColumn("c", size(array_intersect(col("sha"), col("shb"))))
       .withColumn("jac_micro",
         floor(col("c") * lit(1000000.0)
@@ -195,14 +224,18 @@ object Dedup {
 
   /** `bits`-bit SimHash from a *precomputed* token-hash array column:
     * bit j of the result is 1 iff more token hashes have bit j set than
-    * clear. Statically unrolled per-row expression — no shuffle.
-    *
-    * As with [[minHashSignatureFromHashes]], stage the token hashes in
-    * their own projection first: all `bits` bit-sums reference the
-    * array, and inlining would redo char-level token hashing `bits`
-    * times per row.
+    * clear. One fused codegen loop per row
+    * ([[graft.functions.SimHashExpr]]); the interpreted-HOF twin
+    * ([[simHashFromHashesHof]]) paid `bits` interpreted `aggregate`
+    * folds per row.
     */
-  def simHashFromHashes(tokenHashes: Column, bits: Int = 32): Column = {
+  def simHashFromHashes(tokenHashes: Column, bits: Int = 32): Column =
+    graft.functions.SignatureExprs.simHash(tokenHashes, bits)
+
+  /** Declarative HOF twin of [[simHashFromHashes]] — the executable
+    * spec of the native expression (bit-equality test-enforced).
+    */
+  private[graft] def simHashFromHashesHof(tokenHashes: Column, bits: Int = 32): Column = {
     require(bits >= 1 && bits <= 63, "bits must be in [1, 63]")
     (0 until bits).map { j =>
       val bitSum = aggregate(tokenHashes, lit(0L),
@@ -250,8 +283,11 @@ object Dedup {
         && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long").as("hamming"))
-      .distinct()
+      // filter BEFORE the distinct: hamming is a function of the pair, so
+      // dedup sees only surviving pairs instead of shuffling every
+      // band-collision candidate it is about to drop
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Embedding-cosine near-dup pairs: `floor(1e6·cos)` ≥ `minCosineMicro`.

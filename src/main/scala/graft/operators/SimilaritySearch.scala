@@ -37,25 +37,29 @@ object SimilaritySearch {
   /** Deterministic pseudo-random unit-ish hyperplane component: a value
     * in [−0.5, 0.5) derived from (plane, dim) by integer hashing — both
     * engines (and any re-run) regenerate the identical planes, no RNG
-    * state to ship. The inner product with the large multiplier wraps
-    * the modulus many times between adjacent dims, so components are
-    * well spread (an additive-only variant leaves all planes nearly
-    * parallel to the all-ones direction — degenerate buckets).
+    * state to ship (see
+    * [[graft.functions.HyperplaneSignatureExpr.planeComponent]]).
     */
-  private[operators] def planeComponent(plane: Int, dim: Int): Double = {
-    val h = ((plane.toLong * 6700417L + dim.toLong + 1L) * 2654435761L) % 1000000007L
-    (h.toDouble / 1000000007.0) - 0.5
-  }
+  private[operators] def planeComponent(plane: Int, dim: Int): Double =
+    graft.functions.HyperplaneSignatureExpr.planeComponent(plane, dim)
 
   /** Random-hyperplane (SRP) signature: bit p of the result is 1 iff
     * `vec · plane_(planeOffset+p) ≥ 0`. Cosine-similar vectors agree on
-    * most bits. Pure per-row expression; each plane is a literal
-    * double array folded with `zip_with`+`aggregate`, keeping the
-    * expression tree O(planes), not O(planes × dim) — a fully unrolled
-    * per-dim tree sends Catalyst optimization time through the roof.
-    * `planeOffset` selects an independent plane set per LSH table.
+    * most bits. One fused codegen loop over the vector with all plane
+    * dots accumulated per element
+    * ([[graft.functions.HyperplaneSignatureExpr]]); the interpreted
+    * `zip_with`+`aggregate` twin is kept as [[hyperplaneSignatureHof]]
+    * for the bit-equality spec. `planeOffset` selects an independent
+    * plane set per LSH table.
     */
-  def hyperplaneSignature(vec: Column, planes: Int, dim: Int, planeOffset: Int = 0): Column = {
+  def hyperplaneSignature(vec: Column, planes: Int, dim: Int, planeOffset: Int = 0): Column =
+    graft.functions.SignatureExprs.hyperplaneSignature(vec, planes, dim, planeOffset)
+
+  /** Declarative HOF twin of [[hyperplaneSignature]] — the executable
+    * spec of the native expression (bit-equality test-enforced; FP fold
+    * order per plane is element-index order in both).
+    */
+  private[graft] def hyperplaneSignatureHof(vec: Column, planes: Int, dim: Int, planeOffset: Int = 0): Column = {
     val v = vec.cast("array<double>")
     (0 until planes).map { p =>
       val plane = typedLit((0 until dim).map(d => planeComponent(planeOffset + p, d)))

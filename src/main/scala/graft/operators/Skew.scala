@@ -18,12 +18,21 @@ object Skew {
     * @param key   group key column name
     * @param salt  number of salt buckets a hot key spreads across
     * @param value numeric column to sum
-    * @return (key, cnt, sum_value) — identical to the unsalted
-    *         `groupBy(key).agg(count, sum)` result
+    * @return (key, cnt, sum_value) — same groups and totals as the
+    *         unsalted `groupBy(key).agg(count, sum)`: count/sum are
+    *         decomposable, so ANY salt assignment merges to the same
+    *         result for integral values. Caveat: for floating-point
+    *         sums the two-phase fold reorders additions, so results can
+    *         differ from the single-phase plan in the last ulps (and
+    *         across retries, since the salt below is position-derived).
     */
   def saltedCountSum(df: DataFrame, key: String, salt: Int, value: String): DataFrame = {
     require(salt >= 1)
-    // deterministic salt (row content, not rand()): retries must agree
+    // salt = hash of (value, partition-position): position-derived, NOT
+    // content-deterministic — a shuffle-retry can reorder rows and
+    // assign different salts. That is safe here because the merged
+    // result is salt-invariant (see @return); rand() is avoided only to
+    // keep the column pure within one execution.
     val s = pmod(xxhash64(col(value), monotonically_increasing_id()), lit(salt))
     df.withColumn("_salt", s)
       .groupBy(col(key), col("_salt"))

@@ -24,7 +24,8 @@ class GraftExtensionsSpec extends SparkSpec {
     // here assert it enumerates exactly the registered names
     assert(GraftExtensions.all.map(_._1).toSet === Set(
       "vector_sqeuclidean", "vector_dot", "vector_cosine_distance",
-      "vector_cosine_sim", "poly_hash_array"))
+      "vector_cosine_sim", "poly_hash_array",
+      "minhash_signature", "simhash", "hyperplane_signature"))
     new GraftExtensions() // constructible (Class.forName path)
   }
 }

@@ -52,6 +52,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("ShuffledHashJoin"), plan.take(1200))
   }
 
+  test("q18: no corpus-derived relation is broadcast (candidates join by shuffle)") {
+    val plan = planOf(Queries.minhashLsh(spark, sf))
+    // every relation in this query grows with the corpus — candidate
+    // pairs included — so nothing may plan as a broadcast
+    assert(!plan.contains("BroadcastExchange"), plan.take(1500))
+    assert(plan.contains("ShuffledHashJoin"), plan.take(1500))
+  }
+
+  test("q18: staged shingle sets are computed once and reused across branches") {
+    val df = Queries.minhashLsh(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the id-keyed exchange over the shingle projection feeds the band
+    // self-join and both verify-join sides; all but the first consumer
+    // must be exchange reuses, or the corpus is being re-shingled
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage")
+      || plan.contains("table cache"), plan.take(2000))
+  }
+
   test("q03: aggregation has a map-side partial pass") {
     val plan = planOf(Queries.aggSum(spark, sf))
     assert("""hashaggregate.*partial""".r.findFirstIn(plan.toLowerCase).isDefined
