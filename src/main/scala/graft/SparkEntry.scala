@@ -199,11 +199,29 @@ object Queries {
     Dedup.simHashPairs(t(spark, sfDir, "documents"), "doc_id", "text",
       maxHamming = 2, bits = 32, bands = 4)
 
-  /** Embedding-cosine near-dup pairs ≥ 0.35 over a 1-in-5 sample. */
+  /** Embedding-cosine near-dup pairs ≥ 0.35 over a 1-in-5 sample —
+    * the EXACT all-pairs verification path, deliberately run on a
+    * sample only (it is O(n²) by construction; discovery at scale is
+    * [[cosineLsh]]). */
   def cosinePairs(spark: SparkSession, sfDir: String): DataFrame =
     Dedup.cosinePairs(
       t(spark, sfDir, "embeddings").filter(col("vec_id") % 5 === 0),
       "vec_id", "embedding", minCosineMicro = 350000L)
+
+  /** Embedding-cosine near-dup pairs ≥ 0.35 via hyperplane-LSH
+    * discovery (12 planes × 4 tables) over the FULL embeddings table —
+    * the 100 TB path: bucketed candidate equi-join + exact verify on
+    * candidates only. */
+  def cosineLsh(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.cosinePairsLsh(t(spark, sfDir, "embeddings"), "vec_id", "embedding",
+      minCosineMicro = 350000L, dim = 64, planes = 12, tables = 4)
+
+  /** [[jaccardPairs]] with a document-frequency cap (shingles in > 5
+    * docs dropped from the universe) — bounded join fan-out on corpora
+    * with boilerplate shingles; set sizes recomputed over survivors. */
+  def jaccardCapped(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.jaccardPairs(t(spark, sfDir, "documents"), "doc_id", "text",
+      shingleN = 3, minJaccardMicro = 500000L, maxDocFreq = Some(5L))
 
   // ---------------------------------------------------------------------
   // Similarity search (operators/SimilaritySearch)
@@ -418,7 +436,9 @@ object Queries {
     "q29_sql_vector_topk" -> (sqlVectorTopK _),
     "q30_asof_join" -> (asofClickError _),
     "q31_sessionize" -> (sessionize _),
-    "q32_distinct_agg" -> (distinctAgg _))
+    "q32_distinct_agg" -> (distinctAgg _),
+    "q33_cosine_lsh" -> (cosineLsh _),
+    "q34_jaccard_capped" -> (jaccardCapped _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = Map(
@@ -847,5 +867,75 @@ object Queries {
            count(DISTINCT l_suppkey) AS n_supp,
            count(DISTINCT l_partkey) AS n_part,
            count(*) AS cnt
-         FROM lineitem GROUP BY l_returnflag""")
+         FROM lineitem GROUP BY l_returnflag""",
+    "q33_cosine_lsh" ->
+      """WITH v AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
+         sigs AS (
+           SELECT id, tbl,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(0, 11), p ->
+                 CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(generate_series(0, 63), d ->
+                     CAST(e[d+1] AS DOUBLE) *
+                     (CAST((((tbl*12+p)*6700417 + d + 1) * 2654435761) % 1000000007 AS DOUBLE)
+                       / 1000000007.0 - 0.5))), (x,y) -> x+y) >= 0
+                 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)), (a,b) -> a+b) AS sig
+           FROM v, (SELECT unnest(generate_series(0, 3)) AS tbl)),
+         cand AS (
+           SELECT DISTINCT a.id AS id1, b.id AS id2
+           FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig AND a.id < b.id),
+         p AS (
+           SELECT c.id1, c.id2, a.e AS ea, b.e AS eb
+           FROM cand c JOIN v a ON c.id1 = a.id JOIN v b ON c.id2 = b.id),
+         s AS (
+           SELECT id1, id2,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, len(ea)),
+                 i -> CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))),
+               (x, y) -> x + y) AS dot,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, len(ea)),
+                 i -> CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE))),
+               (x, y) -> x + y) AS na,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, len(eb)),
+                 i -> CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE))),
+               (x, y) -> x + y) AS nb
+           FROM p)
+         SELECT id1, id2, cos_micro FROM (
+           SELECT id1, id2,
+             CAST(floor(1000000.0 * (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0
+               ELSE dot / (sqrt(na) * sqrt(nb)) END)) AS BIGINT) AS cos_micro
+           FROM s)
+         WHERE cos_micro >= 350000""",
+    "q34_jaccard_capped" ->
+      """WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         shg AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks)-2),
+                         i -> array_to_string(toks[i:i+2], ' '))
+             END AS shingles
+           FROM tk),
+         shh AS (
+           SELECT doc_id, list_distinct(list_transform(shingles, s ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 131 + c) % 1000000007))) AS sh
+           FROM shg),
+         ex0 AS (SELECT doc_id, unnest(sh) AS s FROM shh),
+         keep AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) <= 5),
+         kept AS (SELECT doc_id, s FROM ex0 JOIN keep USING (s)),
+         n AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+         common AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS c
+           FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT id1, id2,
+           CAST(floor(c * 1000000.0 / (na.n + nb.n - c)) AS BIGINT) AS jac_micro
+         FROM common
+         JOIN n na ON common.id1 = na.doc_id
+         JOIN n nb ON common.id2 = nb.doc_id
+         WHERE floor(c * 1000000.0 / (na.n + nb.n - c)) >= 500000""")
 }

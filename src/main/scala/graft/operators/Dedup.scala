@@ -72,7 +72,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       shingleN: Int = 3,
-      minJaccardMicro: Long = 500000L): DataFrame = {
+      minJaccardMicro: Long = 500000L,
+      maxDocFreq: Option[Long] = None): DataFrame = {
     // repartition BEFORE the per-doc hashing: a small corpus often sits
     // in one file split, and any plan that later broadcasts or
     // single-partition-scans this relation would hash every document in
@@ -87,17 +88,54 @@ object Dedup {
     // impossible at corpus scale). Both sides are the same exploded
     // relation — a partitioned hash join is the right physical plan at
     // every scale.
-    val ex = sets.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
-      .hint("shuffle_hash")
-    val a = ex.as("a"); val b = ex.as("b")
-    a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
-        col("a.n").as("na"), col("b.n").as("nb"))
-      .agg(count(lit(1)).as("c"))
-      .withColumn("jac_micro",
-        floor(col("c") * lit(1000000.0) / (col("na") + col("nb") - col("c"))).cast("long"))
-      .filter(col("jac_micro") >= minJaccardMicro)
-      .select(col("id1"), col("id2"), col("jac_micro"))
+    maxDocFreq match {
+      case None =>
+        val ex = sets
+          .select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+          .hint("shuffle_hash")
+        val a = ex.as("a"); val b = ex.as("b")
+        a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+          .groupBy(col("a.id").as("id1"), col("b.id").as("id2"),
+            col("a.n").as("na"), col("b.n").as("nb"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("jac_micro",
+            floor(col("c") * lit(1000000.0) / (col("na") + col("nb") - col("c"))).cast("long"))
+          .filter(col("jac_micro") >= minJaccardMicro)
+          .select(col("id1"), col("id2"), col("jac_micro"))
+      case Some(cap) =>
+        // document-frequency cap: a shingle appearing in F docs fans out
+        // F² pairs in the self-join, so one boilerplate shingle on a
+        // web-scale corpus is one exploding task. Drop shingles with
+        // doc-freq > cap from the UNIVERSE (set sizes recomputed over
+        // survivors), so the score stays a true Jaccard on the filtered
+        // sets and the join fan-out is bounded by cap².
+        //
+        // The exploded (id, s) relation feeds several consumers (the
+        // freq groupBy, the filter join, the size recount, both pair-
+        // join sides), so it is staged behind its own exchange on s —
+        // ReuseExchange then runs the char-level shingle hashing once,
+        // not once per branch. Filtered set sizes are attached to the
+        // AGGREGATED pair relation (small) rather than widening every
+        // exploded shuffle row.
+        val ex0 = sets.select(col("id"), explode(col("sh")).as("s"))
+          .repartition(computeParallelism(df), col("s"))
+        val keep = ex0.groupBy(col("s")).agg(count(lit(1)).as("df_c"))
+          .filter(col("df_c") <= cap)
+          .select(col("s"))
+        val kept = ex0.join(keep.hint("shuffle_hash"), "s").hint("shuffle_hash")
+        val n = kept.groupBy(col("id")).agg(count(lit(1)).as("n"))
+        val a = kept.as("a"); val b = kept.as("b")
+        val common = a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+          .groupBy(col("a.id").as("id1"), col("b.id").as("id2"))
+          .agg(count(lit(1)).as("c"))
+        common
+          .join(n.select(col("id").as("id1"), col("n").as("na")).hint("shuffle_hash"), "id1")
+          .join(n.select(col("id").as("id2"), col("n").as("nb")).hint("shuffle_hash"), "id2")
+          .withColumn("jac_micro",
+            floor(col("c") * lit(1000000.0) / (col("na") + col("nb") - col("c"))).cast("long"))
+          .filter(col("jac_micro") >= minJaccardMicro)
+          .select(col("id1"), col("id2"), col("jac_micro"))
+    }
   }
 
   /** MinHash signature from a *precomputed* distinct-shingle-hash array
@@ -290,12 +328,13 @@ object Dedup {
       .distinct()
   }
 
-  /** Embedding-cosine near-dup pairs: `floor(1e6·cos)` ≥ `minCosineMicro`.
+  /** Embedding-cosine near-dup pairs, exact: `floor(1e6·cos)` ≥
+    * `minCosineMicro` over ALL pairs — an O(n²) theta-join.
     *
-    * All-pairs by construction (cosine has no exact banding); the blocked
-    * cross join is the verification-scale path — for discovery at scale
-    * use random-hyperplane LSH ([[SimilaritySearch.hyperplaneLsh]]) to
-    * generate candidates first.
+    * VERIFICATION-SCALE ONLY: this is the ground-truth path for audits
+    * and recall measurement on samples; it is a scale-killer by
+    * construction. The discovery path is [[cosinePairsLsh]] (bucketed
+    * equi-join, shuffle O(rows × tables)).
     *
     * @return (id1, id2, cos_micro) with id1 < id2
     */
@@ -309,6 +348,54 @@ object Dedup {
     a.join(b, col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"),
         floor(VectorFunctions.cosineSimilarity(col("a.vec"), col("b.vec"))
+          * 1000000.0).cast("long").as("cos_micro"))
+      .filter(col("cos_micro") >= minCosineMicro)
+  }
+
+  /** Embedding-cosine near-dup pairs via random-hyperplane LSH — the
+    * discovery path: candidate pairs are docs sharing a `planes`-bit
+    * hyperplane signature in ≥ 1 of `tables` independent plane sets;
+    * only candidates pay the exact cosine. Recall < 1 by construction
+    * (a cosine-θ pair agrees on one table's signature with probability
+    * `(1 − θ/π)^planes`, any of the tables with
+    * `1 − (1 − (1−θ/π)^planes)^tables`); raise `tables` (or lower
+    * `planes`) for recall, the reverse for candidate volume.
+    *
+    * Scale shape: signatures are one fused per-row pass
+    * ([[graft.functions.HyperplaneSignatureExpr]]); candidates come
+    * from a bucketed self-equi-join on (table, signature) — shuffle
+    * O(rows × tables), never O(rows²) — and the vector lookups are
+    * shuffle equi-joins on id (nothing corpus-derived is broadcast).
+    *
+    * @return (id1, id2, cos_micro) with id1 < id2, cos ≥ minCosineMicro
+    */
+  def cosinePairsLsh(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCosineMicro: Long,
+      dim: Int,
+      planes: Int = 10,
+      tables: Int = 4): DataFrame = {
+    import graft.functions.SignatureExprs
+    val par = computeParallelism(df)
+    val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+      .repartition(par, col("id")) // shared materialization point (see lshVerifiedPairs)
+    val keyed = v.select(col("id"),
+        posexplode(array((0 until tables).map(t =>
+          SignatureExprs.hyperplaneSignature(col("vec"), planes, dim, t * planes)): _*))
+          .as(Seq("tbl", "sig")))
+      .hint("shuffle_hash") // post-explode size defeats broadcast estimates
+    val a = keyed.as("a"); val b = keyed.as("b")
+    val cand = a.join(b, col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig")
+        && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id1"), col("b.id").as("id2"))
+      .distinct()
+    cand
+      .join(v.select(col("id").as("id1"), col("vec").as("va")).hint("shuffle_hash"), "id1")
+      .join(v.select(col("id").as("id2"), col("vec").as("vb")).hint("shuffle_hash"), "id2")
+      .select(col("id1"), col("id2"),
+        floor(VectorFunctions.cosineSimilarity(col("va"), col("vb"))
           * 1000000.0).cast("long").as("cos_micro"))
       .filter(col("cos_micro") >= minCosineMicro)
   }

@@ -71,4 +71,47 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().toSet
     assert(pairs === Set((0L, 1L, 1000000L)))
   }
+
+  test("cosinePairsLsh ⊆ exact cosinePairs; identical vectors always found") {
+    val emb = graft.Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+    val lsh = Dedup.cosinePairsLsh(emb, "vec_id", "embedding",
+        minCosineMicro = 350000L, dim = 64, planes = 12, tables = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    val exact = Dedup.cosinePairs(emb, "vec_id", "embedding", 350000L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(lsh.nonEmpty, "LSH discovery found nothing on the test corpus")
+    assert(lsh.subsetOf(exact), "LSH pair not confirmed by exact scoring")
+    // colinear duplicates agree on every plane -> always candidates
+    import org.apache.spark.sql.functions._
+    val dup = emb.limit(1).select(lit(999999L).as("vec_id"), $"embedding", $"label")
+    val withDup = emb.select($"vec_id", $"embedding", $"label").unionAll(dup)
+    val orig = emb.limit(1).select($"vec_id").as[Long].head()
+    val found = Dedup.cosinePairsLsh(withDup, "vec_id", "embedding",
+        minCosineMicro = 999999L, dim = 64, planes = 12, tables = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(found.exists(p => p._1 == orig && p._2 == 999999L),
+      s"exact duplicate must collide in every table: $found")
+  }
+
+  test("jaccardPairs maxDocFreq: boilerplate shingles excluded from universe and fan-out") {
+    // 20 docs sharing ONE boilerplate shingle + 2 true near-dups.
+    // Uncapped: boilerplate alone creates 190 candidate pairs (none
+    // survive the 0.5 threshold but all pay join fan-out). Capped at
+    // df<=5 the boilerplate shingle leaves the universe entirely.
+    val boiler = (10L until 30L).map(i => (i, s"standard legal disclaimer text u$i v$i w$i x$i"))
+    val skewed = (Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon eta")) ++ boiler)
+      .toDF("doc_id", "text")
+    val capped = Dedup.jaccardPairs(skewed, "doc_id", "text", 3, 500000L,
+      maxDocFreq = Some(5L)).as[(Long, Long, Long)].collect().toSet
+    // docs 0/1: 4 shingles each, 3 shared -> 3/5 = 0.6; no boilerplate pair survives
+    assert(capped === Set((0L, 1L, 600000L)))
+    // with the cap above the max doc-freq, results equal the uncapped path
+    val uncapped = Dedup.jaccardPairs(skewed, "doc_id", "text", 3, 500000L)
+      .as[(Long, Long, Long)].collect().toSet
+    val cappedHigh = Dedup.jaccardPairs(skewed, "doc_id", "text", 3, 500000L,
+      maxDocFreq = Some(1000L)).as[(Long, Long, Long)].collect().toSet
+    assert(cappedHigh === uncapped)
+  }
 }
