@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 
-import graft.operators.Knn
+import graft.operators.{Dedup, Knn}
 
 /** Structured Streaming surface — the reference engine is batch-only
   * (SURVEY §2.1: no watermarks, windows, or state), so this is pure
@@ -18,6 +18,12 @@ import graft.operators.Knn
   *    needs cross-batch state, so each batch is a plain batch KNN.
   *  - [[runningUserStats]]: custom keyed state with `mapGroupsWithState`
   *    — running per-user counters that survive across micro-batches.
+  *  - [[dedupDocStream]]: streaming exact dedup on content hash with
+  *    watermark-bounded state — the ingest-time gate of a training-data
+  *    pipeline.
+  *  - [[lshCandidateStream]]: streaming MinHash-LSH near-dup candidate
+  *    pairs via per-bucket keyed state — near-dup discovery at ingest
+  *    without re-scanning the corpus.
   */
 object StreamingOps {
 
@@ -65,6 +71,87 @@ object StreamingOps {
           labelCol = labelCol)
         sink(preds, batchId)
       }
+
+  /** Streaming exact dedup: keep the first-seen document per content
+    * hash, with state bounded by the event-time watermark
+    * (`dropDuplicatesWithinWatermark` evicts a hash once the watermark
+    * passes its last occurrence + delay). The batch twin is
+    * [[graft.operators.Dedup.exactSurvivors]]; at ingest scale the
+    * watermark horizon — not corpus size — bounds the state store.
+    *
+    * Hashing the text (xxhash64) rather than keying state on the full
+    * document keeps per-entry state O(1); at 64 bits the collision
+    * probability across a watermark window of n docs is ~n²/2⁶⁵ —
+    * an acceptable dedup false-positive rate for training-data ingest
+    * (a colliding doc is dropped as a "duplicate").
+    */
+  def dedupDocStream(
+      docs: DataFrame,
+      textCol: String = "text",
+      tsCol: String = "ts",
+      watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withWatermark(tsCol, watermarkDelay)
+      .withColumn("_content_hash", xxhash64(col(textCol)))
+      .dropDuplicatesWithinWatermark("_content_hash")
+      .drop("_content_hash")
+
+  /** Streaming MinHash-LSH near-dup candidates: each arriving document
+    * is banded exactly like the batch path
+    * ([[graft.operators.Dedup.lshCandidates]] — same shingle hashes,
+    * same signature permutations, same band keys), then per-bucket
+    * keyed state remembers the ids already seen in that (band, bandHash)
+    * bucket and emits a candidate pair for each new×seen collision.
+    *
+    * State per bucket is capped at `maxBucketWidth` ids: a hot bucket
+    * (boilerplate shingles) would otherwise grow state — and pair
+    * fan-out — without bound; beyond the cap new members pair only
+    * against the retained prefix (recall loss on pathological buckets,
+    * never unbounded state). Pairs may repeat across buckets; dedup
+    * downstream per batch if exact-once pairs matter.
+    *
+    * @return stream of (id1, id2) candidate pairs, id1 < id2
+    */
+  def lshCandidateStream(
+      spark: SparkSession,
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      numHashes: Int = 24,
+      bands: Int = 8,
+      shingleN: Int = 3,
+      maxBucketWidth: Int = 64): Dataset[(Long, Long)] = {
+    import spark.implicits._
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    docs
+      .select(col(idCol).cast("long").as("id"),
+        Dedup.shingleSet(col(textCol), shingleN).as("sh"))
+      .select(col("id"),
+        Dedup.minHashSignatureFromHashes(col("sh"), numHashes).as("sig"))
+      .select(col("id"),
+        posexplode(Dedup.lshBandKeys(col("sig"), bands, r)).as(Seq("band", "bh")))
+      .select(col("id"), col("band"), col("bh"))
+      .as[(Long, Int, Long)]
+      .groupByKey(t => (t._2, t._3))
+      .flatMapGroupsWithState[List[Long], (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (_, rows: Iterator[(Long, Int, Long)], state: GroupState[List[Long]]) =>
+          val seen = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer[(Long, Long)]()
+          var members = seen
+          rows.map(_._1).toSeq.distinct.foreach { id =>
+            if (!members.contains(id)) {
+              members.foreach { m =>
+                if (m != id) out += ((math.min(m, id), math.max(m, id)))
+              }
+              if (members.size < maxBucketWidth) members = id :: members
+            }
+          }
+          state.update(members)
+          out.iterator
+      }
+  }
 
   /** Running per-user event statistics carried across micro-batches in
     * the state store: (user_id, events_so_far, value_cents_so_far).

@@ -63,6 +63,62 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupDocStream: first-seen doc survives, duplicates across batches dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamingOps.dedupDocStream(
+      in.toDF().toDF("doc_id", "text", "ts"), watermarkDelay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("dedup_docs")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (1L, "alpha beta gamma", ts("2024-01-01 10:00:00")),
+        (2L, "delta epsilon zeta", ts("2024-01-01 10:00:30")),
+        (3L, "alpha beta gamma", ts("2024-01-01 10:01:00"))) // dup of 1, same batch
+      q.processAllAvailable()
+      in.addData(
+        (4L, "alpha beta gamma", ts("2024-01-01 10:02:00")), // dup of 1, later batch
+        (5L, "fresh new content", ts("2024-01-01 10:03:00")))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_docs").select($"doc_id").as[Long].collect().toSet
+      assert(ids === Set(1L, 2L, 5L), s"got $ids")
+    } finally q.stop()
+  }
+
+  test("lshCandidateStream: near-dups arriving in different batches become candidates") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val pairs = StreamingOps.lshCandidateStream(spark,
+      in.toDF().toDF("doc_id", "text"))
+    val q = pairs.toDF("id1", "id2").writeStream
+      .format("memory").queryName("lsh_cands")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (0L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "completely different words entirely here now"))
+      q.processAllAvailable()
+      in.addData(
+        (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+        (3L, "the quick brown fox jumps over the lazy dog")) // exact dup of 0
+      q.processAllAvailable()
+      val got = spark.table("lsh_cands").as[(Long, Long)].collect().toSet
+      assert(got.contains((0L, 3L)), s"exact dup collides in every band: $got")
+      assert(got.contains((0L, 1L)), s"0.75-jaccard near-dup should collide: $got")
+      assert(!got.exists(p => p._1 == 2L || p._2 == 2L),
+        s"unrelated doc must not pair: $got")
+      // matches the batch candidate generator on the same corpus
+      val batchDocs = Seq(
+        (0L, "the quick brown fox jumps over the lazy dog"),
+        (1L, "the quick brown fox jumps over the lazy cat"),
+        (2L, "completely different words entirely here now"),
+        (3L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+      val batch = graft.operators.Dedup.lshCandidates(batchDocs, "doc_id", "text")
+        .as[(Long, Long)].collect().toSet
+      assert(got === batch, s"stream $got != batch $batch")
+    } finally q.stop()
+  }
+
   test("runningUserStats: keyed state accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Double)]
