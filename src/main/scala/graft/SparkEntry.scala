@@ -366,6 +366,52 @@ object Queries {
         max(col("sess_events")).as("longest_session"))
   }
 
+  /** PIVOT: per-returnflag counts spread across linestatus columns —
+    * grouping-transpose surface (fixed value list keeps the schema
+    * static, as a scale pipeline requires). */
+  def pivotAgg(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("l_returnflag"),
+        coalesce(col("F"), lit(0L)).as("f_cnt"),
+        coalesce(col("O"), lit(0L)).as("o_cnt"),
+        coalesce(col("P"), lit(0L)).as("p_cnt"))
+
+  /** Corpus word count: explode tokens → frequency → top 100 by
+    * (count desc, token asc) — the canonical explode+agg+sort shape,
+    * and the vocabulary-head query of a text pipeline. */
+  def wordCount(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    t(spark, sfDir, "documents")
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc)
+      .limit(100)
+  }
+
+  /** Deterministic train/test split by content hash — rand()-free, so
+    * every engine/retry reproduces the identical assignment (the
+    * DuckDB oracle replicates it with plain arithmetic). */
+  def deterministicSplit(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "documents").select(
+      col("doc_id"),
+      operators.Sampling.bucket(col("doc_id"), 10).as("bucket"),
+      operators.Sampling.splitTag(col("doc_id"), 10, 8).as("split"))
+
+  /** Text normalization (training-data cleaning): lowercase, strip
+    * punctuation runs to single spaces, trim; plus the normalized
+    * token count. */
+  def normalizeDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    t(spark, sfDir, "documents").select(
+      col("doc_id"),
+      TextFunctions.normalizeText(col("text")).as("norm_text"),
+      TextFunctions.tokenCount(TextFunctions.normalizeText(col("text"))).as("norm_tokens"))
+  }
+
   // ---------------------------------------------------------------------
   // SQL-text surface: spark.sql over registered views + the engine's
   // native functions exposed through GraftExtensions
@@ -438,7 +484,11 @@ object Queries {
     "q31_sessionize" -> (sessionize _),
     "q32_distinct_agg" -> (distinctAgg _),
     "q33_cosine_lsh" -> (cosineLsh _),
-    "q34_jaccard_capped" -> (jaccardCapped _))
+    "q34_jaccard_capped" -> (jaccardCapped _),
+    "q35_pivot" -> (pivotAgg _),
+    "q36_wordcount" -> (wordCount _),
+    "q37_det_split" -> (deterministicSplit _),
+    "q38_normalize" -> (normalizeDocs _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = Map(
@@ -937,5 +987,31 @@ object Queries {
          FROM common
          JOIN n na ON common.id1 = na.doc_id
          JOIN n nb ON common.id2 = nb.doc_id
-         WHERE floor(c * 1000000.0 / (na.n + nb.n - c)) >= 500000""")
+         WHERE floor(c * 1000000.0 / (na.n + nb.n - c)) >= 500000""",
+    "q35_pivot" ->
+      """SELECT l_returnflag,
+           count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS f_cnt,
+           count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS o_cnt,
+           count(CASE WHEN l_linestatus = 'P' THEN 1 END) AS p_cnt
+         FROM lineitem GROUP BY l_returnflag""",
+    "q36_wordcount" ->
+      """SELECT token, count(*) AS cnt FROM (
+           SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+           FROM documents)
+         GROUP BY token
+         ORDER BY cnt DESC, token ASC
+         LIMIT 100""",
+    "q37_det_split" ->
+      """SELECT doc_id,
+           (((doc_id + 1) * 2654435761) % 1000000007) * 2246822519 % 1000000007 % 10 AS bucket,
+           CASE WHEN (((doc_id + 1) * 2654435761) % 1000000007) * 2246822519 % 1000000007 % 10 < 8
+                THEN 'train' ELSE 'test' END AS split
+         FROM documents""",
+    "q38_normalize" ->
+      """SELECT doc_id,
+           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm_text,
+           len(regexp_split_to_array(
+             trim(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))),
+             '\s+')) AS norm_tokens
+         FROM documents""")
 }

@@ -30,6 +30,15 @@ object TextFunctions {
   /** Whitespace tokenization: trim + split on runs of whitespace. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** Text normalization for training-data cleaning: lowercase, every
+    * non-alphanumeric run collapsed to a single space, trimmed. Pure
+    * column expression; the regex (`[^a-z0-9]+`, applied after
+    * `lower`) evaluates identically under Java regex and RE2-style
+    * engines, so oracles can replicate it.
+    */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "[^a-z0-9]+", " "))
+
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   def distinctTokenCount(text: Column): Column =

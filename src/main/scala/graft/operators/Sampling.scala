@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting for training-data pipelines.
+  *
+  * `rand()`-based sampling is unusable at scale: a retry or a re-run
+  * reassigns rows, so downstream artifacts (train/test splits, eval
+  * sets) silently shift. Everything here derives the assignment from
+  * row CONTENT via integer hashing — any engine, any retry, any day
+  * reproduces the identical split, and an external system (or the
+  * DuckDB oracle) can replicate it with plain arithmetic.
+  */
+object Sampling {
+
+  /** Deterministic bucket in [0, buckets) from an integral key: two
+    * rounds of multiply-mod over the prime 1e9+7
+    * (`(((key+1)·2654435761 mod P) · 2246822519 mod P) mod buckets`).
+    * One round leaves consecutive keys stepping by a constant modulo
+    * small bucket counts (runs of identical buckets); the second
+    * multiply breaks the lattice. All products stay < 2^63, so any
+    * engine with 64-bit integers (the DuckDB oracle included)
+    * reproduces the assignment exactly. Exact for |key| < ~3.4e9 —
+    * wider keys should be pre-hashed.
+    */
+  def bucket(key: Column, buckets: Int): Column = {
+    require(buckets >= 1, "buckets must be >= 1")
+    val p = lit(1000000007L)
+    pmod(pmod(pmod((key.cast("long") + 1L) * 2654435761L, p) * 2246822519L, p),
+      lit(buckets))
+  }
+
+  /** Tag each row `train` / `test` by deterministic key hash:
+    * `trainBuckets` of `buckets` go to train. */
+  def splitTag(key: Column, buckets: Int, trainBuckets: Int): Column = {
+    require(trainBuckets >= 0 && trainBuckets <= buckets)
+    when(bucket(key, buckets) < trainBuckets, lit("train")).otherwise(lit("test"))
+  }
+
+  /** The `fraction ≈ trainBuckets/buckets` deterministic subsample of
+    * `df` (the "train" side of [[splitTag]]). */
+  def deterministicSample(
+      df: DataFrame, keyCol: String, buckets: Int, keep: Int): DataFrame =
+    df.filter(bucket(col(keyCol), buckets) < keep)
+}

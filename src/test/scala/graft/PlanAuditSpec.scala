@@ -71,6 +71,20 @@ class PlanAuditSpec extends SparkSpec {
       || plan.contains("table cache"), plan.take(2000))
   }
 
+  test("q33: LSH cosine discovery never broadcasts a corpus-derived relation") {
+    val plan = planOf(Queries.cosineLsh(spark, sf))
+    assert(!plan.contains("BroadcastExchange"), plan.take(1500))
+    assert(plan.contains("ShuffledHashJoin"), plan.take(1500))
+  }
+
+  test("q21/q22: top-k aggregation runs as ObjectHashAggregate with a partial pass") {
+    for (q <- Seq(Queries.annExact _, Queries.annLsh _)) {
+      val plan = planOf(q(spark, sf))
+      assert(plan.contains("ObjectHashAggregate"), plan.take(1500))
+      assert(plan.toLowerCase.contains("partial_topkaggregator"), plan.take(1500))
+    }
+  }
+
   test("q03: aggregation has a map-side partial pass") {
     val plan = planOf(Queries.aggSum(spark, sf))
     assert("""hashaggregate.*partial""".r.findFirstIn(plan.toLowerCase).isDefined

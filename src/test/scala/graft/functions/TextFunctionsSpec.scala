@@ -16,6 +16,13 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[Seq[String]](tokens(lit("  a  bc\td "))) === Seq("a", "bc", "d"))
   }
 
+  test("normalizeText: lowercase, punctuation runs to one space, trimmed") {
+    assert(one[String](normalizeText(lit("  Hello,   WORLD!! 42...  ")))
+      === "hello world 42")
+    assert(one[String](normalizeText(lit("***"))) === "")
+    assert(one[String](normalizeText(lit("already clean"))) === "already clean")
+  }
+
   test("counts: tokens, distinct, chars, bpe") {
     val t = lit("the cat the hat is #1")
     assert(one[Long](tokenCount(t)) === 6L)

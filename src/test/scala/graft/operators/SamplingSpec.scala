@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = spark.range(10000).select($"id".as("k"))
+
+  test("bucket: deterministic across runs, bounded, roughly uniform") {
+    val a = df.select($"k", Sampling.bucket($"k", 10).as("b")).as[(Long, Long)].collect()
+    val b = df.select($"k", Sampling.bucket($"k", 10).as("b")).as[(Long, Long)].collect()
+    assert(a.toMap === b.toMap, "same key must always hash to the same bucket")
+    assert(a.forall { case (_, bk) => bk >= 0 && bk < 10 })
+    val counts = a.groupBy(_._2).view.mapValues(_.size)
+    // multiplicative hash over a prime: each bucket within ±30% of 1000
+    assert(counts.values.forall(c => c > 700 && c < 1300), counts.toMap)
+  }
+
+  test("splitTag: train fraction ~ trainBuckets/buckets, assignment stable") {
+    val tags = df.select($"k", Sampling.splitTag($"k", 10, 8).as("t"))
+      .as[(Long, String)].collect()
+    val train = tags.count(_._2 == "train")
+    assert(train > 7500 && train < 8500, s"train=$train of 10000")
+    // sample == the train side of the tagging, by construction
+    val sampled = Sampling.deterministicSample(df.toDF(), "k", 10, 8)
+      .as[Long].collect().toSet
+    assert(sampled === tags.filter(_._2 == "train").map(_._1).toSet)
+  }
+
+  test("consecutive ids do not land in consecutive buckets (hash, not modulo)") {
+    val firstTen = df.filter($"k" < 10)
+      .select(Sampling.bucket($"k", 10)).as[Long].collect().toSeq
+    assert(firstTen.toSet.size > 5, s"0..9 collapsed to $firstTen — looks like plain modulo")
+    assert(firstTen !== (0L to 9L), "must not be the identity assignment")
+  }
+}
