@@ -253,6 +253,21 @@ object Queries {
         floor(col("dist") * 1000000.0).cast("long").as("dist_micro"))
   }
 
+  /** IVF-flat approximate top-5 (16 deterministic sampled centroids,
+    * probe 2) — the second ANN scale path next to hyperplane LSH:
+    * broadcast codebook, per-item nearest-centroid assignment with
+    * map-side argmin, exact search only in probed inverted lists. */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    SimilaritySearch.ivfTopK(
+      emb.filter(col("vec_id") % 10 === 0), emb.filter(col("vec_id") % 10 =!= 0),
+      k = 5, "vec_id", "vec_id", "embedding", "embedding",
+      centroids = 16, probes = 2)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"),
+        floor(col("dist") * 1000000.0).cast("long").as("dist_micro"))
+  }
+
   // ---------------------------------------------------------------------
   // Relational surface beyond the reference (sorts, set ops, semi/anti,
   // grouping sets, time windows) — all built-in Catalyst
@@ -488,7 +503,8 @@ object Queries {
     "q35_pivot" -> (pivotAgg _),
     "q36_wordcount" -> (wordCount _),
     "q37_det_split" -> (deterministicSplit _),
-    "q38_normalize" -> (normalizeDocs _))
+    "q38_normalize" -> (normalizeDocs _),
+    "q39_ann_ivf" -> (annIvf _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = Map(
@@ -1013,5 +1029,48 @@ object Queries {
            len(regexp_split_to_array(
              trim(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))),
              '\s+')) AS norm_tokens
-         FROM documents""")
+         FROM documents""",
+    "q39_ann_ivf" ->
+      """WITH it AS (
+           SELECT vec_id AS iid, embedding AS ie FROM embeddings WHERE vec_id % 10 <> 0),
+         q AS (
+           SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 10 = 0),
+         cb AS (
+           SELECT iid AS cid, ie AS ce FROM it
+           ORDER BY (((iid + 1) * 2654435761) % 1000000007) * 2246822519 % 1000000007 % 1000003, iid
+           LIMIT 16),
+         assign AS (
+           SELECT iid, ie, cid FROM (
+             SELECT i.iid, i.ie, c.cid,
+               row_number() OVER (PARTITION BY i.iid ORDER BY
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(generate_series(1, len(i.ie)),
+                     x -> (CAST(i.ie[x] AS DOUBLE) - CAST(c.ce[x] AS DOUBLE))
+                        * (CAST(i.ie[x] AS DOUBLE) - CAST(c.ce[x] AS DOUBLE)))),
+                   (a, b) -> a + b), c.cid) AS rn
+             FROM it i CROSS JOIN cb c) WHERE rn = 1),
+         probe AS (
+           SELECT qid, qe, cid FROM (
+             SELECT q.qid, q.qe, c.cid,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(generate_series(1, len(q.qe)),
+                     x -> (CAST(q.qe[x] AS DOUBLE) - CAST(c.ce[x] AS DOUBLE))
+                        * (CAST(q.qe[x] AS DOUBLE) - CAST(c.ce[x] AS DOUBLE)))),
+                   (a, b) -> a + b), c.cid) AS rn
+             FROM q CROSS JOIN cb c) WHERE rn <= 2),
+         scored AS (
+           SELECT p.qid, a.iid,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, len(p.qe)),
+                 x -> (CAST(p.qe[x] AS DOUBLE) - CAST(a.ie[x] AS DOUBLE))
+                    * (CAST(p.qe[x] AS DOUBLE) - CAST(a.ie[x] AS DOUBLE)))),
+               (a2, b2) -> a2 + b2) AS dist
+           FROM probe p JOIN assign a ON p.cid = a.cid)
+         SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank, iid AS neighbor_id,
+           CAST(floor(dist * 1000000.0) AS BIGINT) AS dist_micro
+         FROM (SELECT qid, iid, dist,
+                 row_number() OVER (PARTITION BY qid ORDER BY dist, iid) AS rn
+               FROM scored)
+         WHERE rn <= 5""")
 }

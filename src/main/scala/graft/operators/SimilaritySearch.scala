@@ -69,6 +69,86 @@ object SimilaritySearch {
     }.reduce(_ + _)
   }
 
+  /** IVF-flat approximate top-k (squared-Euclidean): the second ANN
+    * scale path next to hyperplane LSH ([[approxCosineTopK]]).
+    *
+    *  - **Coarse centroids**: `centroids` item vectors picked by
+    *    deterministic content-hash order ([[Sampling.bucket]]) — no
+    *    k-means RNG, so any engine (and the DuckDB oracle) regenerates
+    *    the identical codebook. Sampled-centroid IVF trades a little
+    *    cluster balance for full reproducibility.
+    *  - **Assignment**: every item joins the broadcast codebook and
+    *    keeps its nearest centroid (argmin by (dist, centroidId) — total
+    *    order). Map-side partial `min_by` keeps the shuffle at one row
+    *    per item.
+    *  - **Probing**: each query ranks the codebook and searches the
+    *    `probes` nearest inverted lists; exact distance runs only inside
+    *    those lists (a shuffle equi-join on centroid id).
+    *
+    * Scale shape: codebook is O(centroids·dim) — genuinely broadcast-
+    * small; the only corpus-sized exchanges are the assignment shuffle
+    * and the bucketed candidate join. Recall < 1 by construction (a true
+    * neighbor assigned to an unprobed list is missed); raise `probes`
+    * for recall, `centroids` for selectivity.
+    *
+    * @return (query_id, rank, neighbor_id, dist) — dist = Σ(aᵢ−bᵢ)²
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      items: DataFrame,
+      k: Int,
+      queryId: String,
+      itemId: String,
+      queryVec: String,
+      itemVec: String,
+      centroids: Int = 16,
+      probes: Int = 2): DataFrame = {
+    require(probes >= 1 && probes <= centroids)
+    graft.GraftSession.tune(queries.sparkSession)
+
+    val it = items.select(col(itemId).cast("long").as("i_id"), col(itemVec).as("i_vec"))
+    val q = queries.select(col(queryId).cast("long").as("q_id"), col(queryVec).as("q_vec"))
+
+    // deterministic codebook: first `centroids` items in content-hash
+    // order (ties by id); tiny by construction -> broadcast everywhere
+    val codebook = broadcast(
+      it.orderBy(Sampling.bucket(col("i_id"), 1000003), col("i_id"))
+        .limit(centroids)
+        .select(col("i_id").as("c_id"), col("i_vec").as("c_vec")))
+
+    val assigned = it.crossJoin(codebook)
+      .select(col("i_id"), col("i_vec"), col("c_id"),
+        VectorFunctions.squaredEuclidean(col("i_vec"), col("c_vec")).as("c_dist"))
+      .groupBy(col("i_id"))
+      .agg(
+        min_by(col("c_id"), struct(col("c_dist"), col("c_id"))).as("c_id"),
+        first(col("i_vec")).as("i_vec"))
+
+    val probed = q.crossJoin(codebook)
+      .select(col("q_id"), col("q_vec"), col("c_id"),
+        VectorFunctions.squaredEuclidean(col("q_vec"), col("c_vec")).as("c_dist"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("c_dist"), col("c_id"))))
+      .filter(col("rn") <= probes)
+      .select(col("q_id"), col("q_vec"), col("c_id"))
+
+    val scored = probed.join(assigned.hint("shuffle_hash"), "c_id")
+      .select(col("q_id"),
+        VectorFunctions.squaredEuclidean(col("q_vec"), col("i_vec")).as("dist"),
+        col("i_id"))
+
+    scored
+      .groupBy(col("q_id"))
+      .agg(TopK.topK(k)(col("dist"), col("i_id"), col("i_id")).as("nbrs"))
+      .select(col("q_id"), posexplode(col("nbrs")).as(Seq("pos", "n")))
+      .select(
+        col("q_id").as("query_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("n.id").as("neighbor_id"),
+        col("n.dist").as("dist"))
+  }
+
   /** Approximate cosine top-k: queries and items are bucketed by their
     * `planes`-bit hyperplane signature; exact cosine runs only within a
     * bucket. Recall < 1 by construction (a true neighbor in another

@@ -53,4 +53,42 @@ class SimilaritySearchSpec extends SparkSpec {
     val recall = hits.toDouble / (exact.size * 5)
     assert(recall >= 0.2, s"recall@5 = $recall too low for planes=4, tables=8")
   }
+
+  test("IVF top-k: results ⊆ probed lists, exact within, decent recall vs brute force") {
+    val items = emb.filter($"vec_id" % 10 =!= 0)
+    val ivf = SimilaritySearch.ivfTopK(queries, items, 5,
+      "vec_id", "vec_id", "embedding", "embedding", centroids = 8, probes = 3)
+      .select("query_id", "rank", "neighbor_id", "dist")
+      .as[(Long, Int, Long, Double)].collect()
+    val byQ = ivf.groupBy(_._1)
+    assert(byQ.nonEmpty)
+    // ranks ascend by distance within each query
+    for ((_, rs) <- byQ) {
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._4).sliding(2).forall(p => p.head <= p.last))
+    }
+    val exact = Knn.knnJoin(queries, items, 5,
+      "vec_id", "vec_id", "embedding", "embedding")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = exact.keys.toSeq.map { q =>
+      byQ.getOrElse(q, Array.empty).map(_._3).toSet.intersect(exact(q)).size
+    }.sum
+    val recall = hits.toDouble / (exact.size * 5)
+    // probing 3 of 8 sampled cells on unclustered data: must beat chance
+    // (3/8 of the corpus ≈ 0.375 expected recall for random assignment)
+    assert(recall >= 0.3, s"IVF recall@5 = $recall")
+  }
+
+  test("IVF top-k: identical query finds itself when its list is probed first") {
+    val items = emb.filter($"vec_id" % 10 =!= 0)
+    // use an item AS the query: its nearest neighbor is itself at dist 0,
+    // and its own centroid list is always the first probe
+    val self = items.limit(3).select($"vec_id", $"embedding")
+    val r = SimilaritySearch.ivfTopK(self, items, 1,
+      "vec_id", "vec_id", "embedding", "embedding", centroids = 8, probes = 1)
+      .select("query_id", "neighbor_id", "dist").as[(Long, Long, Double)].collect()
+    assert(r.length === 3)
+    assert(r.forall(t => t._1 == t._2 && t._3 == 0.0), r.mkString(", "))
+  }
 }
