@@ -86,4 +86,44 @@ class MultimodalSpec extends SparkSpec {
       .linesIterator.find(_.contains("InMemoryTableScan")).getOrElse("")
     assert(scanLine.nonEmpty && !scanLine.contains("payload"), scanLine)
   }
+
+  test("parquet round-trip: metadata-only queries never read the payload column from storage") {
+    val dir = java.nio.file.Files.createTempDirectory("media_pq").toString + "/media"
+    Multimodal.synthetic(spark, 60).write.mode("overwrite").parquet(dir)
+    val fromDisk = spark.read.parquet(dir)
+    val metaOnly = Multimodal.resizeMeta(fromDisk, 128, 128)
+    metaOnly.collect()
+    val plan = metaOnly.queryExecution.executedPlan.toString
+    val read = """ReadSchema: struct<([^>]*)>""".r.findFirstMatchIn(plan).map(_.group(1))
+    assert(read.isDefined, plan.take(800))
+    // the 100 TB claim: a metadata transform must not scan media bytes
+    assert(!read.get.contains("payload"), s"payload read from storage: ${read.get}")
+  }
+
+  test("end-to-end: decode features then embedding near-dup + ANN over them") {
+    // media -> batched decode -> features feed the engine's similarity
+    // operators directly: the multimodal column is a first-class citizen
+    // of the dedup/ANN pipeline, not a dead end
+    val feats = Multimodal.extractFeatures(media, dim = 16)
+      .filter($"features".isNotNull)
+      .select($"media_id", $"features".cast("array<double>").as("vec"))
+    // planted duplicate: same payload bytes => identical features
+    val dup = Multimodal.synthetic(spark, 1)
+      .select(($"media_id" + 100000L).as("media_id"), $"kind",
+        $"payload", $"meta")
+    val dupFeats = Multimodal.extractFeatures(dup, dim = 16)
+      .select($"media_id", $"features".cast("array<double>").as("vec"))
+    val all = feats.unionAll(dupFeats)
+    val pairs = graft.operators.Dedup.cosinePairsLsh(all, "media_id", "vec",
+        minCosineMicro = 999999L, dim = 16, planes = 8, tables = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 100000L),
+      s"identical media must surface as a near-dup pair: ${pairs.mkString(", ")}")
+    val ann = graft.operators.SimilaritySearch.ivfTopK(
+      dupFeats, feats, k = 1, "media_id", "media_id", "vec", "vec",
+      centroids = 4, probes = 4)
+      .select("query_id", "neighbor_id", "dist").as[(Long, Long, Double)].collect()
+    assert(ann.length === 1 && ann.head._2 === 0L && ann.head._3 === 0.0,
+      s"full-probe IVF must retrieve the identical twin: ${ann.mkString(", ")}")
+  }
 }
