@@ -319,6 +319,31 @@ object Queries {
         coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
         col("sum_qty"), col("cnt"))
 
+  /** CUBE grouping sets: all 2² aggregation granularities of
+    * (returnflag, linestatus) in one pass. */
+  def cubeAgg(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+        count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("cnt"))
+
+  /** Nested-array aggregation: per nation, the sorted distinct set of
+    * order priorities — collection results hash-match the oracle only
+    * with a canonical (sorted, distinct) element order, which is the
+    * same discipline any deterministic pipeline needs. */
+  def collectAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = t(spark, sfDir, "orders")
+    val customer = t(spark, sfDir, "customer")
+    orders.join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+        count(lit(1)).as("n_orders"))
+  }
+
   /** Distinct aggregation (absent from the reference, SURVEY §2.1):
     * per-flag distinct suppliers/parts + plain counts in one pass. */
   def distinctAgg(spark: SparkSession, sfDir: String): DataFrame =
@@ -504,7 +529,9 @@ object Queries {
     "q36_wordcount" -> (wordCount _),
     "q37_det_split" -> (deterministicSplit _),
     "q38_normalize" -> (normalizeDocs _),
-    "q39_ann_ivf" -> (annIvf _))
+    "q39_ann_ivf" -> (annIvf _),
+    "q40_cube" -> (cubeAgg _),
+    "q41_collect" -> (collectAgg _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = Map(
@@ -1072,5 +1099,16 @@ object Queries {
          FROM (SELECT qid, iid, dist,
                  row_number() OVER (PARTITION BY qid ORDER BY dist, iid) AS rn
                FROM scored)
-         WHERE rn <= 5""")
+         WHERE rn <= 5""",
+    "q40_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty, count(*) AS cnt
+         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
+    "q41_collect" ->
+      """SELECT c_nationkey,
+           list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+           count(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_nationkey""")
 }
