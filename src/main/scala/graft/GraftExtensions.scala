@@ -22,10 +22,13 @@ import graft.functions.{HyperplaneSignatureExpr, MinHashSignatureExpr, PolyHashA
   * [[graft.functions.PolyHashArrayExpr]]).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.all.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // declarative HOF distance folds -> fused codegen VectorDistanceExpr
+    ext.injectOptimizerRule(_ => graft.plans.NativeRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -90,12 +93,14 @@ object GraftExtensions {
     e.eval().asInstanceOf[Number].intValue
   }
 
-  /** Register all functions on an already-running session. */
+  /** Register all functions (and the HOF→native optimizer rule) on an
+    * already-running session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = org.apache.spark.sql.classic.ClassicConversions.castToImpl(spark)
       .sessionState.functionRegistry
     all.foreach { case (name, i, builder) =>
       reg.registerFunction(FunctionIdentifier(name), i, builder)
     }
+    graft.plans.NativeRewrite.install(spark)
   }
 }

@@ -20,6 +20,16 @@ class SignatureExprsSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
 
+  // the HOF→native optimizer rule must NOT be active here: these specs
+  // exist to execute the declarative formulation as written and compare
+  // it against the native expression — with the rule installed (by any
+  // earlier suite touching GraftExtensions.register) the hyperplane
+  // twin would silently compare the native expression to itself
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    graft.plans.NativeRewrite.uninstall(spark)
+  }
+
   test("MinHash signature: native == HOF over the whole corpus") {
     val docs = Tables.load(spark, sf, "documents")
       .select($"doc_id", Dedup.shingleSet($"text", 3).as("sh"))

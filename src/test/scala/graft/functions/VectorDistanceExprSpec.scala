@@ -10,6 +10,14 @@ import org.apache.spark.sql.functions._
 class VectorDistanceExprSpec extends SparkSpec {
   import spark.implicits._
 
+  // the HOF→native rewrite must be OFF: these tests compare the native
+  // expression against the genuinely-interpreted HOF execution; with the
+  // rule installed both columns would plan to the same expression
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    graft.plans.NativeRewrite.uninstall(spark)
+  }
+
   private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
   private def pairs = {
