@@ -452,6 +452,20 @@ object Queries {
       TextFunctions.tokenCount(TextFunctions.normalizeText(col("text"))).as("norm_tokens"))
   }
 
+  /** Windowed range join: for each click, how many errors the same
+    * user hit in the preceding 10 minutes — bucketed equi-join
+    * (operators/RangeJoin), never an O(n²) per-key theta join. */
+  def rangeClickErrors(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("err_ts"))
+    operators.RangeJoin.rangeCount(clicks, errors, Seq("user_id"),
+      "ts", "err_ts", windowMicros = 600L * 1000000L,
+      leftId = "event_id", countCol = "n_prior_errors")
+  }
+
   // ---------------------------------------------------------------------
   // SQL-text surface: spark.sql over registered views + the engine's
   // native functions exposed through GraftExtensions
@@ -531,7 +545,8 @@ object Queries {
     "q38_normalize" -> (normalizeDocs _),
     "q39_ann_ivf" -> (annIvf _),
     "q40_cube" -> (cubeAgg _),
-    "q41_collect" -> (collectAgg _))
+    "q41_collect" -> (collectAgg _),
+    "q42_range_join" -> (rangeClickErrors _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = Map(
@@ -1110,5 +1125,13 @@ object Queries {
            list_sort(list_distinct(list(o_orderstatus))) AS statuses,
            count(*) AS n_orders
          FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY c_nationkey""")
+         GROUP BY c_nationkey""",
+    "q42_range_join" ->
+      """SELECT l.event_id, count(r.ts) AS n_prior_errors
+         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+         LEFT JOIN (SELECT user_id AS ruid, ts FROM events WHERE event_type = 'error') r
+           ON l.user_id = r.ruid
+          AND epoch_us(r.ts) >= epoch_us(l.ts) - 600000000
+          AND epoch_us(r.ts) <= epoch_us(l.ts)
+         GROUP BY l.event_id""")
 }
