@@ -24,17 +24,36 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
   * DuckDB oracles (which fold in index order too). Verified by
   * `VectorDistanceExprSpec`.
   *
-  * Semantics: both inputs must have the same length (callers guarantee
-  * it — embeddings of one table share a dimension); elements must be
-  * float/double arrays without nulls. A null array input yields null.
+  * Semantics: by default (`strict = false`) both inputs must have the
+  * same length (callers guarantee it — embeddings of one table share a
+  * dimension) and elements must be non-null; a null ARRAY input yields
+  * null. With `strict = true` the expression is total: a length
+  * mismatch or any null element yields null — exactly the result of the
+  * declarative `aggregate(zip_with(...))` fold, where `zip_with` pads
+  * the shorter array with nulls and the `acc + t` merge then propagates
+  * the null to the final value. [[graft.plans.NativeRewrite]] emits
+  * strict instances because it rewrites user-written SQL with no
+  * equal-length/no-null guarantee; the engine's own callers keep the
+  * check-free loop.
+  *
+  * `cosine_raw` (strict-rewrite only, not SQL-registered) is
+  * `dot/(√Σa²·√Σb²)` with NULL on a zero denominator — the exact
+  * semantics of Spark's legacy-mode `Divide` over the three user
+  * folds, which returns null (not IEEE NaN/Inf) on a zero divisor.
   */
 case class VectorDistanceExpr(
     left: Expression,
     right: Expression,
-    metric: String) extends BinaryExpression {
+    metric: String,
+    strict: Boolean = false) extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = s"vector_$metric"
+
+  // strict can return null on non-null inputs (length mismatch / null
+  // element), and cosine_raw on a zero denominator
+  override def nullable: Boolean =
+    strict || metric == "cosine_raw" || super.nullable
 
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
@@ -64,6 +83,14 @@ case class VectorDistanceExpr(
     val b = r.asInstanceOf[ArrayData]
     val (ta, tb) = (elemType(left), elemType(right))
     val n = a.numElements()
+    if (strict) {
+      if (n != b.numElements()) return null
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        i += 1
+      }
+    }
     metric match {
       case "sqeuclidean" =>
         var acc = 0.0; var i = 0
@@ -82,6 +109,14 @@ case class VectorDistanceExpr(
         val denom = math.sqrt(na) * math.sqrt(nb)
         val sim = if (denom == 0.0) 0.0 else dot / denom
         if (metric == "cosine_sim") sim else 1.0 - sim
+      case "cosine_raw" =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < n) {
+          val x = get(a, i, ta); val y = get(b, i, tb)
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        val denom = math.sqrt(na) * math.sqrt(nb)
+        if (denom == 0.0) null else dot / denom
     }
   }
 
@@ -96,7 +131,7 @@ case class VectorDistanceExpr(
       }
       val ea = elem(a, i, elemType(left))
       val eb = elem(b, i, elemType(right))
-      metric match {
+      val core = metric match {
         case "sqeuclidean" =>
           val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
           s"""
@@ -118,7 +153,7 @@ case class VectorDistanceExpr(
              |}
              |${ev.value} = $acc;
            """.stripMargin
-        case "cosine_distance" | "cosine_sim" =>
+        case "cosine_distance" | "cosine_sim" | "cosine_raw" =>
           val dot = ctx.freshName("dot")
           val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
           val x = ctx.freshName("x"); val y = ctx.freshName("y")
@@ -132,10 +167,41 @@ case class VectorDistanceExpr(
              |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
              |}
              |double $denom = Math.sqrt($na) * Math.sqrt($nb);
-             |${ev.value} = ${
-               if (metric == "cosine_sim") s"($denom == 0.0) ? 0.0 : ($dot / $denom)"
-               else s"($denom == 0.0) ? 1.0 : (1.0 - $dot / $denom)"};
+             |${
+               metric match {
+                 case "cosine_sim" =>
+                   s"${ev.value} = ($denom == 0.0) ? 0.0 : ($dot / $denom);"
+                 case "cosine_distance" =>
+                   s"${ev.value} = ($denom == 0.0) ? 1.0 : (1.0 - $dot / $denom);"
+                 case _ => // cosine_raw: legacy-Divide null on zero denominator
+                   s"""if ($denom == 0.0) { ${ev.isNull} = true; }
+                      |else { ${ev.value} = $dot / $denom; }""".stripMargin
+               }}
            """.stripMargin
+      }
+      if (!strict) core
+      else {
+        // strict: total function — length mismatch or any null element
+        // yields null, matching the zip_with-padded declarative fold
+        val j = ctx.freshName("j")
+        val nn = ctx.freshName("nn")
+        val hit = ctx.freshName("nullsHit")
+        s"""
+           |if ($a.numElements() != $b.numElements()) {
+           |  ${ev.isNull} = true;
+           |} else {
+           |  boolean $hit = false;
+           |  int $nn = $a.numElements();
+           |  for (int $j = 0; $j < $nn && !$hit; $j++) {
+           |    $hit = $a.isNullAt($j) || $b.isNullAt($j);
+           |  }
+           |  if ($hit) {
+           |    ${ev.isNull} = true;
+           |  } else {
+           |    $core
+           |  }
+           |}
+         """.stripMargin
       }
     })
 
@@ -145,7 +211,8 @@ case class VectorDistanceExpr(
 }
 
 object VectorDistanceExpr {
-  val Metrics: Set[String] = Set("sqeuclidean", "dot", "cosine_distance", "cosine_sim")
+  val Metrics: Set[String] =
+    Set("sqeuclidean", "dot", "cosine_distance", "cosine_sim", "cosine_raw")
 
   private def expr(c: Column): Expression = Bridge.expression(c)
   private def toCol(e: Expression): Column = Bridge.column(e)
