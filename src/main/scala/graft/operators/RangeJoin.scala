@@ -11,16 +11,22 @@ import org.apache.spark.sql.functions._
   * degenerates to an O(|L|·|R|) nested loop (Spark plans it as a
   * BroadcastNestedLoopJoin or a per-key cartesian), which is fatal at
   * event-log scale. This operator instead BUCKETIZES time by the window
-  * width: a right row matching `lts` must live in one of the two
-  * `W`-wide buckets `{⌊lts/W⌋ − 1, ⌊lts/W⌋}`, so the left side explodes
-  * ×2 onto candidate buckets, the join becomes a hash EQUI-join on
-  * (key, bucket), and the exact `[lts − W, lts]` predicate filters the
-  * two-bucket candidates. Shuffle = 2·|L| + |R| rows, partitioned by
-  * (key, bucket) — skewed keys spread over their time buckets instead
-  * of landing on one task.
+  * width: a right row at `rts` can only match left rows in the two
+  * `W`-wide buckets `{⌊rts/W⌋, ⌊rts/W⌋ + 1}` (since
+  * `lts ∈ [rts, rts + W]`), so the RIGHT side explodes ×2 onto its
+  * candidate buckets, the left keeps its single bucket `⌊lts/W⌋`, the
+  * join becomes a hash EQUI-join on (key, bucket), and the exact
+  * `[lts − W, lts]` predicate filters the candidates. Shuffle =
+  * |L| + 2·|R| rows, partitioned by (key, bucket) — skewed keys spread
+  * over their time buckets instead of landing on one task.
   *
-  * A (left, right) pair can satisfy the bucket condition only once
-  * (the right row has exactly one bucket), so no dedup is needed.
+  * Exploding the RIGHT side (not the left) is what makes `left_outer`
+  * exact: every left row enters the join exactly once, so an unmatched
+  * left row is emitted exactly once with null right columns — no
+  * bucket-copy duplicates to fold away. A (left, right) pair can
+  * satisfy the bucket condition only once (the left row has exactly
+  * one bucket; the right row's two copies carry distinct buckets), so
+  * no dedup is needed on the inner side either.
   *
   * Column contract: `left` and `right` may share ONLY the `keys`
   * column names (the join is resolved through an internal rename, so
@@ -54,12 +60,12 @@ object RangeJoin {
     require(overlap.isEmpty,
       s"left/right may only share key columns; both have: $overlap")
 
-    val lb = floor(unix_micros(col(leftTs)) / windowMicros).cast("long")
-    val l = left.withColumn("_bkt", explode(array(lb - 1L, lb)))
+    val l = left.withColumn("_bkt",
+      floor(unix_micros(col(leftTs)) / windowMicros).cast("long"))
     // disjoint naming makes the (possibly self-) join unambiguous
     val rp = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, P + c))
-    val r = rp.withColumn(P + "bkt",
-      floor(unix_micros(col(P + rightTs)) / windowMicros).cast("long"))
+    val rb = floor(unix_micros(col(P + rightTs)) / windowMicros).cast("long")
+    val r = rp.withColumn(P + "bkt", explode(array(rb, rb + 1L)))
 
     val cond = keys.map(k => col(k) === col(P + k)).reduce(_ && _) &&
       col("_bkt") === col(P + "bkt") &&
@@ -78,12 +84,8 @@ object RangeJoin {
 
   /** Per-left-row match count over the window — the common "events in
     * the preceding W" feature. Every left row appears (0 when nothing
-    * matched); `countCol` counts right rows in `[leftTs − W, leftTs]`.
-    *
-    * The left_outer bucketed join emits an unmatched left row once per
-    * candidate bucket (2×) with a null right timestamp; `count(rightTs)`
-    * ignores nulls and the groupBy folds the bucket copies, so counts
-    * are exact.
+    * matched); `countCol` counts right rows in `[leftTs − W, leftTs]`
+    * (`count(rightTs)` ignores the null of an unmatched row).
     */
   def rangeCount(
       left: DataFrame,

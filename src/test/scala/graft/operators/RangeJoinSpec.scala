@@ -49,6 +49,31 @@ class RangeJoinSpec extends SparkSpec {
     assert(naive.nonEmpty)
   }
 
+  test("rangeJoin left_outer: exact multiplicities, no bucket-copy duplicates") {
+    // the standalone outer join (not folded through rangeCount) must
+    // emit an unmatched left row EXACTLY once (null right), and a left
+    // row with matches must get its matches only — no spurious
+    // null-extended row from the other candidate bucket
+    val out = RangeJoin.rangeJoin(clicks, errors, Seq("user_id"),
+      "ts", "err_ts", W, joinType = "left_outer")
+      .select($"event_id", $"err_ts")
+      .as[(Long, Option[Timestamp])].collect().toSeq
+    val naive = clicks.as("l").join(errors.as("r"),
+        $"l.user_id" === $"r.user_id" &&
+          unix_micros($"r.err_ts") >= unix_micros($"l.ts") - W &&
+          unix_micros($"r.err_ts") <= unix_micros($"l.ts"), "left_outer")
+      .select($"event_id", $"err_ts")
+      .as[(Long, Option[Timestamp])].collect().toSeq
+    // multiset equality — duplicates matter here
+    assert(out.groupBy(identity).view.mapValues(_.size).toMap ===
+      naive.groupBy(identity).view.mapValues(_.size).toMap)
+    // click 4 (user 30, no errors): exactly one null-extended row
+    assert(out.count(_._1 == 4L) === 1)
+    assert(out.filter(_._1 == 4L).head._2.isEmpty)
+    // click 2 matches exactly one error: one row, no null extension
+    assert(out.filter(_._1 == 2L) === Seq((2L, Some(ts("2024-01-01 12:29:00")))))
+  }
+
   test("rangeJoin plans as a hash equi-join on (key, bucket), not a nested loop") {
     val j = RangeJoin.rangeJoin(clicks, errors, Seq("user_id"), "ts", "err_ts", W)
     j.collect()
