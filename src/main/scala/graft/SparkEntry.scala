@@ -332,16 +332,22 @@ object Queries {
         col("sum_qty"), col("cnt"))
 
   /** Nested-array aggregation: per nation, the sorted distinct set of
-    * order priorities — collection results hash-match the oracle only
+    * order statuses — collection results hash-match the oracle only
     * with a canonical (sorted, distinct) element order, which is the
-    * same discipline any deterministic pipeline needs. */
+    * same discipline any deterministic pipeline needs. The set is
+    * emitted `array_join`ed to one comparable string (the harness's
+    * row-hash comparator cannot hash array cells); the aggregation
+    * under it is the real collect_set. */
   def collectAgg(spark: SparkSession, sfDir: String): DataFrame = {
     val orders = t(spark, sfDir, "orders")
     val customer = t(spark, sfDir, "customer")
     orders.join(customer, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_nationkey"))
-      .agg(sort_array(collect_set(col("o_orderstatus"))).as("statuses"),
+      .agg(sort_array(collect_set(col("o_orderstatus"))).as("statuses_arr"),
         count(lit(1)).as("n_orders"))
+      .select(col("c_nationkey"),
+        array_join(col("statuses_arr"), ",").as("statuses"),
+        col("n_orders"))
   }
 
   /** Distinct aggregation (absent from the reference, SURVEY §2.1):
@@ -1061,8 +1067,8 @@ object Queries {
          LIMIT 100""",
     "q37_det_split" ->
       """SELECT doc_id,
-           (((doc_id + 1) * 2654435761) % 1000000007) * 2246822519 % 1000000007 % 10 AS bucket,
-           CASE WHEN (((doc_id + 1) * 2654435761) % 1000000007) * 2246822519 % 1000000007 % 10 < 8
+           (((doc_id % 1000000007 + 1) * 2654435761) % 1000000007) * 2246822519 % 1000000007 % 10 AS bucket,
+           CASE WHEN (((doc_id % 1000000007 + 1) * 2654435761) % 1000000007) * 2246822519 % 1000000007 % 10 < 8
                 THEN 'train' ELSE 'test' END AS split
          FROM documents""",
     "q38_normalize" ->
@@ -1079,7 +1085,7 @@ object Queries {
            SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 10 = 0),
          cb AS (
            SELECT iid AS cid, ie AS ce FROM it
-           ORDER BY (((iid + 1) * 2654435761) % 1000000007) * 2246822519 % 1000000007 % 1000003, iid
+           ORDER BY (((iid % 1000000007 + 1) * 2654435761) % 1000000007) * 2246822519 % 1000000007 % 1000003, iid
            LIMIT 16),
          assign AS (
            SELECT iid, ie, cid FROM (
@@ -1122,7 +1128,7 @@ object Queries {
          FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""",
     "q41_collect" ->
       """SELECT c_nationkey,
-           list_sort(list_distinct(list(o_orderstatus))) AS statuses,
+           array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses,
            count(*) AS n_orders
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_nationkey""",

@@ -16,18 +16,23 @@ object Sampling {
 
   /** Deterministic bucket in [0, buckets) from an integral key: two
     * rounds of multiply-mod over the prime 1e9+7
-    * (`(((key+1)·2654435761 mod P) · 2246822519 mod P) mod buckets`).
-    * One round leaves consecutive keys stepping by a constant modulo
-    * small bucket counts (runs of identical buckets); the second
-    * multiply breaks the lattice. All products stay < 2^63, so any
-    * engine with 64-bit integers (the DuckDB oracle included)
-    * reproduces the assignment exactly. Exact for |key| < ~3.4e9 —
-    * wider keys should be pre-hashed.
+    * (`(((key mod P + 1)·2654435761 mod P) · 2246822519 mod P) mod
+    * buckets`). One round leaves consecutive keys stepping by a
+    * constant modulo small bucket counts (runs of identical buckets);
+    * the second multiply breaks the lattice.
+    *
+    * Total over ALL long keys: the key is first reduced `mod P`
+    * (signed remainder — identical to the raw key for |key| < P, so
+    * existing assignments are unchanged), which bounds every later
+    * product by `P·2654435761 < 2^62` — no silent 64-bit wraparound
+    * for wide keys, and any engine with 64-bit integers (the DuckDB
+    * oracle included, whose BIGINT multiply would raise on overflow
+    * rather than wrap) reproduces the assignment exactly.
     */
   def bucket(key: Column, buckets: Int): Column = {
     require(buckets >= 1, "buckets must be >= 1")
     val p = lit(1000000007L)
-    pmod(pmod(pmod((key.cast("long") + 1L) * 2654435761L, p) * 2246822519L, p),
+    pmod(pmod(pmod((key.cast("long") % p + 1L) * 2654435761L, p) * 2246822519L, p),
       lit(buckets))
   }
 

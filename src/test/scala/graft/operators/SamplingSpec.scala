@@ -29,6 +29,22 @@ class SamplingSpec extends SparkSpec {
     assert(sampled === tags.filter(_._2 == "train").map(_._1).toSet)
   }
 
+  test("bucket is total: extreme long keys match a BigInt reference, no wraparound") {
+    val P = BigInt(1000000007L)
+    def ref(key: Long, buckets: Int): Long = {
+      def pm(x: BigInt): BigInt = ((x % P) + P) % P
+      val h = pm(pm((BigInt(key) % P + 1) * BigInt(2654435761L)) * BigInt(2246822519L))
+      (((h % buckets) + buckets) % buckets).toLong
+    }
+    val keys = Seq(Long.MaxValue, Long.MinValue, Long.MaxValue - 1,
+      -3500000000L, 3500000000L, 0L, -1L, 42L)
+    val got = keys.toDF("k")
+      .select($"k", Sampling.bucket($"k", 10).as("b")).as[(Long, Long)].collect().toMap
+    keys.foreach { k =>
+      assert(got(k) === ref(k, 10), s"key $k diverges from exact-arithmetic reference")
+    }
+  }
+
   test("consecutive ids do not land in consecutive buckets (hash, not modulo)") {
     val firstTen = df.filter($"k" < 10)
       .select(Sampling.bucket($"k", 10)).as[Long].collect().toSeq
