@@ -223,6 +223,23 @@ object Queries {
     Dedup.jaccardPairs(t(spark, sfDir, "documents"), "doc_id", "text",
       shingleN = 3, minJaccardMicro = 500000L, maxDocFreq = Some(5L))
 
+  /** Near-dup group resolution: exact-Jaccard pairs ≥ 0.5 resolved into
+    * transitive clusters (connected components by distributed min-label
+    * propagation — a–b + b–c ⇒ one cluster), emitted for EVERY document
+    * (singletons are their own cluster). cluster_id = smallest member
+    * id, the same survivor convention as exact dedup. */
+  def neardupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, minJaccardMicro = 500000L)
+    val clusters = Dedup.nearDupClusters(pairs)
+    docs.select(col("doc_id"))
+      .join(clusters.select(col("id").as("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
   // ---------------------------------------------------------------------
   // Similarity search (operators/SimilaritySearch)
   // ---------------------------------------------------------------------
@@ -266,6 +283,25 @@ object Queries {
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"),
         floor(col("dist") * 1000000.0).cast("long").as("dist_micro"))
+  }
+
+  /** ANN recall as a first-class oracle query: recall@5 of both
+    * approximate paths ([[annLsh]], [[annIvf]]) against the exact
+    * brute-force baseline [[annExact]], as integer-exact overlap
+    * counts (hits of possible) — so ANN *quality*, not just plan
+    * shape, is hash-checked per round. */
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val ex = annExact(spark, sfDir).select(col("query_id"), col("neighbor_id"))
+    def one(method: String, approx: DataFrame): DataFrame = {
+      val hits = ex.join(approx.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      val tot = ex.agg(count(lit(1)).as("possible"))
+      hits.crossJoin(tot).select(
+        lit(method).as("method"), col("hits"), col("possible"),
+        floor(col("hits") * 1000000.0 / col("possible")).cast("long").as("recall_micro"))
+    }
+    one("ivf", annIvf(spark, sfDir)).unionAll(one("lsh", annLsh(spark, sfDir)))
   }
 
   // ---------------------------------------------------------------------
@@ -552,7 +588,9 @@ object Queries {
     "q39_ann_ivf" -> (annIvf _),
     "q40_cube" -> (cubeAgg _),
     "q41_collect" -> (collectAgg _),
-    "q42_range_join" -> (rangeClickErrors _))
+    "q42_range_join" -> (rangeClickErrors _),
+    "q43_neardup_clusters" -> (neardupClusters _),
+    "q44_ann_recall" -> (annRecall _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = Map(
@@ -1139,5 +1177,166 @@ object Queries {
            ON l.user_id = r.ruid
           AND epoch_us(r.ts) >= epoch_us(l.ts) - 600000000
           AND epoch_us(r.ts) <= epoch_us(l.ts)
-         GROUP BY l.event_id""")
+         GROUP BY l.event_id""",
+    "q43_neardup_clusters" ->
+      """WITH RECURSIVE tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         shg AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks)-2),
+                         i -> array_to_string(toks[i:i+2], ' '))
+             END AS shingles
+           FROM tk),
+         shh AS (
+           SELECT doc_id, list_distinct(list_transform(shingles, s ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 131 + c) % 1000000007))) AS sh
+           FROM shg),
+         ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shh),
+         common AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS na, b.n AS nb, count(*) AS c
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         pairs AS (
+           SELECT id1, id2 FROM common
+           WHERE floor(c * 1000000.0 / (na + nb - c)) >= 500000),
+         edges AS (
+           SELECT id1 AS a, id2 AS b FROM pairs
+           UNION ALL
+           SELECT id2, id1 FROM pairs),
+         reach AS (
+           SELECT a, b AS r FROM edges
+           UNION
+           SELECT e.a, t.r FROM edges e JOIN reach t ON e.b = t.a),
+         mins AS (SELECT a, min(r) AS mr FROM reach GROUP BY a)
+         SELECT d.doc_id,
+           CAST(CASE WHEN m.a IS NULL THEN d.doc_id
+                     ELSE least(m.mr, d.doc_id) END AS BIGINT) AS cluster_id
+         FROM documents d LEFT JOIN mins m ON d.doc_id = m.a""",
+    "q44_ann_recall" ->
+      """WITH q AS (
+           SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 10 = 0),
+         it AS (
+           SELECT vec_id AS iid, embedding AS ie FROM embeddings WHERE vec_id % 10 <> 0),
+         e_scored AS (
+           SELECT qid, iid,
+             1.0 - (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0
+                    ELSE dot / (sqrt(na) * sqrt(nb)) END) AS dist
+           FROM (
+             SELECT qid, iid,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(generate_series(1, len(qe)),
+                   i -> CAST(qe[i] AS DOUBLE) * CAST(ie[i] AS DOUBLE))), (x,y) -> x+y) AS dot,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(generate_series(1, len(qe)),
+                   i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))), (x,y) -> x+y) AS na,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(generate_series(1, len(ie)),
+                   i -> CAST(ie[i] AS DOUBLE) * CAST(ie[i] AS DOUBLE))), (x,y) -> x+y) AS nb
+             FROM q CROSS JOIN it)),
+         exact AS (
+           SELECT qid AS query_id, iid AS neighbor_id
+           FROM (SELECT qid, iid,
+                   row_number() OVER (PARTITION BY qid ORDER BY dist, iid) AS rn
+                 FROM e_scored)
+           WHERE rn <= 5),
+         qs AS (
+           SELECT qid, tbl,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(0, 5), p ->
+                 CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(generate_series(0, 63), d ->
+                     CAST(qe[d+1] AS DOUBLE) *
+                     (CAST((((tbl*6+p)*6700417 + d + 1) * 2654435761) % 1000000007 AS DOUBLE)
+                       / 1000000007.0 - 0.5))), (x,y) -> x+y) >= 0
+                 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)), (a,b) -> a+b) AS sig
+           FROM q, (SELECT unnest(generate_series(0, 3)) AS tbl)),
+         its AS (
+           SELECT iid, tbl,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(0, 5), p ->
+                 CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(generate_series(0, 63), d ->
+                     CAST(ie[d+1] AS DOUBLE) *
+                     (CAST((((tbl*6+p)*6700417 + d + 1) * 2654435761) % 1000000007 AS DOUBLE)
+                       / 1000000007.0 - 0.5))), (x,y) -> x+y) >= 0
+                 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)), (a,b) -> a+b) AS sig
+           FROM it, (SELECT unnest(generate_series(0, 3)) AS tbl)),
+         l_cand AS (
+           SELECT DISTINCT qs.qid, its.iid
+           FROM qs JOIN its ON qs.tbl = its.tbl AND qs.sig = its.sig),
+         l_scored AS (
+           SELECT qid, iid,
+             1.0 - (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0
+                    ELSE dot / (sqrt(na) * sqrt(nb)) END) AS dist
+           FROM (
+             SELECT c.qid, c.iid,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(generate_series(1, len(qe)),
+                   i -> CAST(qe[i] AS DOUBLE) * CAST(ie[i] AS DOUBLE))), (x,y) -> x+y) AS dot,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(generate_series(1, len(qe)),
+                   i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))), (x,y) -> x+y) AS na,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(generate_series(1, len(ie)),
+                   i -> CAST(ie[i] AS DOUBLE) * CAST(ie[i] AS DOUBLE))), (x,y) -> x+y) AS nb
+             FROM l_cand c JOIN q ON c.qid = q.qid JOIN it ON c.iid = it.iid)),
+         lsh AS (
+           SELECT qid AS query_id, iid AS neighbor_id
+           FROM (SELECT qid, iid,
+                   row_number() OVER (PARTITION BY qid ORDER BY dist, iid) AS rn
+                 FROM l_scored)
+           WHERE rn <= 5),
+         cb AS (
+           SELECT iid AS cid, ie AS ce FROM it
+           ORDER BY (((iid % 1000000007 + 1) * 2654435761) % 1000000007) * 2246822519 % 1000000007 % 1000003, iid
+           LIMIT 16),
+         assign AS (
+           SELECT iid, ie, cid FROM (
+             SELECT i.iid, i.ie, c.cid,
+               row_number() OVER (PARTITION BY i.iid ORDER BY
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(generate_series(1, len(i.ie)),
+                     x -> (CAST(i.ie[x] AS DOUBLE) - CAST(c.ce[x] AS DOUBLE))
+                        * (CAST(i.ie[x] AS DOUBLE) - CAST(c.ce[x] AS DOUBLE)))),
+                   (a, b) -> a + b), c.cid) AS rn
+             FROM it i CROSS JOIN cb c) WHERE rn = 1),
+         probe AS (
+           SELECT qid, qe, cid FROM (
+             SELECT q.qid, q.qe, c.cid,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(generate_series(1, len(q.qe)),
+                     x -> (CAST(q.qe[x] AS DOUBLE) - CAST(c.ce[x] AS DOUBLE))
+                        * (CAST(q.qe[x] AS DOUBLE) - CAST(c.ce[x] AS DOUBLE)))),
+                   (a, b) -> a + b), c.cid) AS rn
+             FROM q CROSS JOIN cb c) WHERE rn <= 2),
+         i_scored AS (
+           SELECT p.qid, a.iid,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, len(p.qe)),
+                 x -> (CAST(p.qe[x] AS DOUBLE) - CAST(a.ie[x] AS DOUBLE))
+                    * (CAST(p.qe[x] AS DOUBLE) - CAST(a.ie[x] AS DOUBLE)))),
+               (a2, b2) -> a2 + b2) AS dist
+           FROM probe p JOIN assign a ON p.cid = a.cid),
+         ivf AS (
+           SELECT qid AS query_id, iid AS neighbor_id
+           FROM (SELECT qid, iid,
+                   row_number() OVER (PARTITION BY qid ORDER BY dist, iid) AS rn
+                 FROM i_scored)
+           WHERE rn <= 5)
+         SELECT method, hits, possible,
+           CAST(floor(hits * 1000000.0 / possible) AS BIGINT) AS recall_micro
+         FROM (
+           SELECT 'ivf' AS method,
+             (SELECT count(*) FROM exact e JOIN ivf a
+                ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id) AS hits,
+             (SELECT count(*) FROM exact) AS possible
+           UNION ALL
+           SELECT 'lsh' AS method,
+             (SELECT count(*) FROM exact e JOIN lsh a
+                ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id) AS hits,
+             (SELECT count(*) FROM exact) AS possible)""")
 }

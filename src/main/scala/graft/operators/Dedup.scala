@@ -260,6 +260,90 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jac_micro"))
   }
 
+  /** Connected components over near-dup PAIRS → (id, cluster_id), where
+    * `cluster_id` is the smallest id reachable through the pair graph
+    * (a total, deterministic cluster representative — the same
+    * "smallest id survives" convention as [[exactGroups]]).
+    *
+    * Every pair-producing operator here ([[jaccardPairs]],
+    * [[lshVerifiedPairs]], [[simHashPairs]], [[cosinePairsLsh]]) stops
+    * at pairs; a training-data pipeline needs keep/drop decisions,
+    * which requires resolving pairs into transitive groups (a–b + b–c
+    * ⇒ {a,b,c} is ONE duplicate cluster).
+    *
+    * Algorithm: iterative min-label propagation. Each iteration is one
+    * shuffle equi-join (labels onto edge endpoints) + one partial-agg
+    * min — fully distributed, nothing driver-side except the
+    * convergence counter. Label state is `localCheckpoint`ed per
+    * iteration: without the lineage cut, iteration i replans i copies
+    * of the whole join tree (at cluster deployment scale, swap in
+    * `checkpoint` on reliable storage). Converges in O(cluster
+    * diameter) iterations; near-dup clusters are shallow by
+    * construction (members are all near ONE content neighborhood), so
+    * the default bound is generous. Throws if the bound is hit without
+    * convergence rather than returning a half-merged clustering.
+    *
+    * Only ids that appear in ≥ 1 pair come back; singletons are their
+    * own cluster by definition (callers: left-join + coalesce to id).
+    *
+    * @return (id, cluster_id)
+    */
+  def nearDupClusters(
+      pairs: DataFrame,
+      id1Col: String = "id1",
+      id2Col: String = "id2",
+      maxIters: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col(id1Col).cast("long").as("src"), col(id2Col).cast("long").as("dst"))
+    val sym = edges
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var comp = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      // min label among each node's neighbors, one hop
+      val nbrMin = sym
+        .join(comp.select(col("id").as("dst"), col("comp")), Seq("dst"))
+        .groupBy(col("src"))
+        .agg(min(col("comp")).as("nmin"))
+        .select(col("src").as("id"), col("nmin"))
+      val next = comp
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("comp").as("prev"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      changed = next.filter(col("comp") < col("prev")).count()
+      comp = next.select(col("id"), col("comp"))
+      iter += 1
+    }
+    sym.unpersist()
+    require(changed == 0,
+      s"nearDupClusters did not converge in $maxIters iterations — " +
+        "component diameter exceeds the bound; raise maxIters")
+    comp.select(col("id"), col("comp").as("cluster_id"))
+  }
+
+  /** Near-dup survivors: drop every row whose id belongs to a pair
+    * cluster but is not that cluster's smallest id. The full-row
+    * analogue of [[exactSurvivors]] for NEAR duplicates: feed it the
+    * pairs from any discovery operator and the original relation.
+    */
+  def nearDupSurvivors(
+      df: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      id1Col: String = "id1",
+      id2Col: String = "id2"): DataFrame = {
+    val losers = nearDupClusters(pairs, id1Col, id2Col)
+      .filter(col("cluster_id") =!= col("id"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** `bits`-bit SimHash from a *precomputed* token-hash array column:
     * bit j of the result is 1 iff more token hashes have bit j set than
     * clear. One fused codegen loop per row

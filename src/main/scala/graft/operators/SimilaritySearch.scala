@@ -76,20 +76,28 @@ object SimilaritySearch {
     *    deterministic content-hash order ([[Sampling.bucket]]) — no
     *    k-means RNG, so any engine (and the DuckDB oracle) regenerates
     *    the identical codebook. Sampled-centroid IVF trades a little
-    *    cluster balance for full reproducibility.
-    *  - **Assignment**: every item joins the broadcast codebook and
-    *    keeps its nearest centroid (argmin by (dist, centroidId) — total
-    *    order). Map-side partial `min_by` keeps the shuffle at one row
-    *    per item.
-    *  - **Probing**: each query ranks the codebook and searches the
-    *    `probes` nearest inverted lists; exact distance runs only inside
-    *    those lists (a shuffle equi-join on centroid id).
+    *    cluster balance for full reproducibility. The codebook is
+    *    collected to the driver (O(centroids·dim) — definitionally
+    *    tiny; IVF codebook "training" is always a separate small job)
+    *    and inlined as literal expressions.
+    *  - **Assignment**: nearest centroid is a pure PER-ROW projection —
+    *    `array_min` over the (dist, centroidId) structs against the
+    *    codebook literals (argmin by lexicographic (dist, id) — total
+    *    order). Zero exchange: the corpus is scanned once and never
+    *    shuffled for assignment.
+    *  - **Probing**: each query ranks the same codebook literals
+    *    (sort + slice, again per-row) and searches the `probes`
+    *    nearest inverted lists. The probed relation (queries × probes
+    *    rows) is BROADCAST into the search join, so the corpus side
+    *    streams through unpartitioned — the join is never keyed by the
+    *    `centroids` distinct centroid ids (which would cap parallelism
+    *    at `centroids` tasks and skew-kill a 100 TB run).
     *
-    * Scale shape: codebook is O(centroids·dim) — genuinely broadcast-
-    * small; the only corpus-sized exchanges are the assignment shuffle
-    * and the bucketed candidate join. Recall < 1 by construction (a true
-    * neighbor assigned to an unprobed list is missed); raise `probes`
-    * for recall, `centroids` for selectivity.
+    * Scale shape: the only corpus-sized exchange left is the bounded
+    * top-k partial aggregation (map-side partials, O(k) per query per
+    * partition). Recall < 1 by construction (a true neighbor assigned
+    * to an unprobed list is missed); raise `probes` for recall,
+    * `centroids` for selectivity.
     *
     * @return (query_id, rank, neighbor_id, dist) — dist = Σ(aᵢ−bᵢ)²
     */
@@ -110,30 +118,37 @@ object SimilaritySearch {
     val q = queries.select(col(queryId).cast("long").as("q_id"), col(queryVec).as("q_vec"))
 
     // deterministic codebook: first `centroids` items in content-hash
-    // order (ties by id); tiny by construction -> broadcast everywhere
-    val codebook = broadcast(
+    // order (ties by id); collected — a TakeOrdered job over the items
+    // scan — and inlined below as literals
+    val codebook: Seq[(Long, Seq[Double])] =
       it.orderBy(Sampling.bucket(col("i_id"), 1000003), col("i_id"))
         .limit(centroids)
-        .select(col("i_id").as("c_id"), col("i_vec").as("c_vec")))
+        .select(col("i_id").as("c_id"), col("i_vec").cast("array<double>").as("c_vec"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .toSeq
+    val effProbes = math.min(probes, codebook.size)
 
-    val assigned = it.crossJoin(codebook)
-      .select(col("i_id"), col("i_vec"), col("c_id"),
-        VectorFunctions.squaredEuclidean(col("i_vec"), col("c_vec")).as("c_dist"))
-      .groupBy(col("i_id"))
-      .agg(
-        min_by(col("c_id"), struct(col("c_dist"), col("c_id"))).as("c_id"),
-        first(col("i_vec")).as("i_vec"))
+    // (dist, centroid id) structs against the codebook literals — a
+    // per-row expression, no join
+    def centroidScores(vec: Column): Column = array(codebook.map { case (cid, cvec) =>
+      struct(
+        VectorFunctions.squaredEuclidean(vec, typedLit(cvec)).as("d"),
+        lit(cid).as("c"))
+    }: _*)
 
-    val probed = q.crossJoin(codebook)
-      .select(col("q_id"), col("q_vec"), col("c_id"),
-        VectorFunctions.squaredEuclidean(col("q_vec"), col("c_vec")).as("c_dist"))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
-          .orderBy(col("c_dist"), col("c_id"))))
-      .filter(col("rn") <= probes)
-      .select(col("q_id"), col("q_vec"), col("c_id"))
+    // assignment: argmin by lexicographic (d, c) — pure projection
+    val assigned = it.select(col("i_id"), col("i_vec"),
+      array_min(centroidScores(col("i_vec"))).getField("c").as("c_id"))
 
-    val scored = probed.join(assigned.hint("shuffle_hash"), "c_id")
+    // probing: the `probes` nearest lists per query, same total order
+    val probed = q.select(col("q_id"), col("q_vec"),
+        explode(slice(array_sort(centroidScores(col("q_vec"))), 1, effProbes))
+          .as("cs"))
+      .select(col("q_id"), col("q_vec"), col("cs.c").as("c_id"))
+
+    // broadcast the small probed relation; the corpus streams through
+    val scored = assigned.join(broadcast(probed), "c_id")
       .select(col("q_id"),
         VectorFunctions.squaredEuclidean(col("q_vec"), col("i_vec")).as("dist"),
         col("i_id"))

@@ -114,4 +114,33 @@ class DedupSpec extends SparkSpec {
       maxDocFreq = Some(1000L)).as[(Long, Long, Long)].collect().toSet
     assert(cappedHigh === uncapped)
   }
+
+  test("nearDupClusters: multi-hop chain resolves to ONE cluster; disjoint stays apart") {
+    // 1–2, 2–3, 3–4 is a diameter-3 chain: a pairwise view never links
+    // 1 and 4, the transitive closure must (needs ≥ 3 propagation hops)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id1", "id2")
+    val got = Dedup.nearDupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("nearDupClusters: empty pair set yields empty clustering") {
+    val pairs = Seq.empty[(Long, Long)].toDF("id1", "id2")
+    assert(Dedup.nearDupClusters(pairs).count() === 0L)
+  }
+
+  test("nearDupSurvivors: one row per cluster survives (min id), singletons kept") {
+    val rows = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id1", "id2")
+    val kept = Dedup.nearDupSurvivors(rows, pairs, "doc_id")
+      .as[Long].collect().toSet
+    assert(kept === Set(1L, 5L, 10L))
+  }
+
+  test("nearDupClusters on real near-dup pairs: cluster members share the survivor") {
+    // exact dup (0,3) + near dup (0,1) chain through doc 0 ⇒ {0,1,3}
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 500000L)
+      .select("id1", "id2")
+    val got = Dedup.nearDupClusters(pairs).as[(Long, Long)].collect().toMap
+    assert(got === Map(0L -> 0L, 1L -> 0L, 3L -> 0L))
+  }
 }

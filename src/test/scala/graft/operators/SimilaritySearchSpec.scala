@@ -80,6 +80,19 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall@5 = $recall")
   }
 
+  test("q44 recall query: integer-exact counts, recall floors hold on sf0.001") {
+    val rows = graft.Queries.annRecall(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rows.keySet === Set("ivf", "lsh"))
+    for ((m, (hits, possible, recallMicro)) <- rows) {
+      assert(possible > 0 && hits >= 0 && hits <= possible, s"$m: $hits/$possible")
+      assert(recallMicro === math.floor(hits * 1000000.0 / possible).toLong)
+      // both approximate paths must beat 20% recall@5 at this SF
+      assert(recallMicro >= 200000L, s"$m recall@5 = $recallMicro micro")
+    }
+  }
+
   test("IVF top-k: identical query finds itself when its list is probed first") {
     val items = emb.filter($"vec_id" % 10 =!= 0)
     // use an item AS the query: its nearest neighbor is itself at dist 0,
