@@ -106,9 +106,20 @@ object StreamingOps {
     * State per bucket is capped at `maxBucketWidth` ids: a hot bucket
     * (boilerplate shingles) would otherwise grow state — and pair
     * fan-out — without bound; beyond the cap new members pair only
-    * against the retained prefix (recall loss on pathological buckets,
-    * never unbounded state). Pairs may repeat across buckets; dedup
-    * downstream per batch if exact-once pairs matter.
+    * against the retained prefix (recall loss on pathological buckets).
+    * Bucket *count* is bounded by event-time eviction when `tsCol` is
+    * given (the production configuration): the input gets a watermark
+    * of `watermarkDelay`, and a bucket whose last arrival is more than
+    * `bucketTtl` behind the watermark is dropped from the state store —
+    * so state holds only the buckets touched within the TTL horizon,
+    * not every band hash the stream has ever produced. Docs arriving
+    * after their twin's bucket expired no longer pair with it (the
+    * recall window IS the TTL — pick it as the dedup horizon).
+    * With `tsCol = None` (tests / bounded replays) no state is ever
+    * evicted and the stream must be finite.
+    *
+    * Pairs may repeat across buckets; dedup downstream per batch if
+    * exact-once pairs matter.
     *
     * @return stream of (id1, id2) candidate pairs, id1 < id2
     */
@@ -120,36 +131,61 @@ object StreamingOps {
       numHashes: Int = 24,
       bands: Int = 8,
       shingleN: Int = 3,
-      maxBucketWidth: Int = 64): Dataset[(Long, Long)] = {
+      maxBucketWidth: Int = 64,
+      tsCol: Option[String] = None,
+      watermarkDelay: String = "1 hour",
+      bucketTtl: String = "1 hour"): Dataset[(Long, Long)] = {
     import spark.implicits._
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    docs
-      .select(col(idCol).cast("long").as("id"),
+    val withMark = tsCol match {
+      case Some(t) => docs.withWatermark(t, watermarkDelay)
+      case None    => docs
+    }
+    // epoch-0 sentinel ts keeps one tuple shape for both modes; it is
+    // never read in NoTimeout mode
+    val tsExpr = tsCol.map(col(_).cast("timestamp"))
+      .getOrElse(lit(new java.sql.Timestamp(0L)))
+    val timeout =
+      if (tsCol.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    withMark
+      .select(col(idCol).cast("long").as("id"), tsExpr.as("ts"),
         Dedup.shingleSet(col(textCol), shingleN).as("sh"))
-      .select(col("id"),
+      .select(col("id"), col("ts"),
         Dedup.minHashSignatureFromHashes(col("sh"), numHashes).as("sig"))
-      .select(col("id"),
+      .select(col("id"), col("ts"),
         posexplode(Dedup.lshBandKeys(col("sig"), bands, r)).as(Seq("band", "bh")))
-      .select(col("id"), col("band"), col("bh"))
-      .as[(Long, Int, Long)]
+      .select(col("id"), col("band"), col("bh"), col("ts"))
+      .as[(Long, Int, Long, java.sql.Timestamp)]
       .groupByKey(t => (t._2, t._3))
       .flatMapGroupsWithState[List[Long], (Long, Long)](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        case (_, rows: Iterator[(Long, Int, Long)], state: GroupState[List[Long]]) =>
-          val seen = state.getOption.getOrElse(Nil)
-          val out = scala.collection.mutable.ListBuffer[(Long, Long)]()
-          var members = seen
-          rows.map(_._1).toSeq.distinct.foreach { id =>
-            if (!members.contains(id)) {
-              members.foreach { m =>
-                if (m != id) out += ((math.min(m, id), math.max(m, id)))
+        OutputMode.Append(), timeout) {
+        case (_, rows: Iterator[(Long, Int, Long, java.sql.Timestamp)],
+            state: GroupState[List[Long]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val seen = state.getOption.getOrElse(Nil)
+            val out = scala.collection.mutable.ListBuffer[(Long, Long)]()
+            var members = seen
+            var maxTs = Long.MinValue
+            rows.foreach { t =>
+              if (t._4 != null && t._4.getTime > maxTs) maxTs = t._4.getTime
+              val id = t._1
+              if (!members.contains(id)) {
+                members.foreach { m =>
+                  if (m != id) out += ((math.min(m, id), math.max(m, id)))
+                }
+                if (members.size < maxBucketWidth) members = id :: members
               }
-              if (members.size < maxBucketWidth) members = id :: members
             }
+            state.update(members)
+            if (timeout == GroupStateTimeout.EventTimeTimeout && maxTs != Long.MinValue)
+              state.setTimeoutTimestamp(maxTs, bucketTtl)
+            out.iterator
           }
-          state.update(members)
-          out.iterator
       }
   }
 
