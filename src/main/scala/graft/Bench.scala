@@ -22,6 +22,11 @@ package graft
   *    `_`-delimited prefixes ("q17" → "q17_…").
   *  - SPARK_GRAFT_REPEAT: passes over the list (default 2; 1 = single
   *    cold pass).
+  *  - SPARK_GRAFT_OUTLIER_SEC (default 3.0) / SPARK_GRAFT_EXTRA
+  *    (default 2): queries whose per-pass min is still above the
+  *    threshold get up to EXTRA more attempts (min kept) — a
+  *    multi-minute burst can cover both interleaved passes of one
+  *    query; the bounded re-measure rejects it.
   *  - SPARK_GRAFT_WARMUP=1: one extra untimed pass first.
   *  - SPARK_GRAFT_DEBUG=1: per-query JVM resource line on stderr.
   *
@@ -87,10 +92,31 @@ object Bench {
         name -> (dt, ok)
       }.toMap
     }
-    val results = picked.map { case (name, _) =>
+    // Outlier re-measure: pass-interleaving defends against SHORT load
+    // bursts, but a multi-minute burst can cover every attempt of one
+    // query (observed: q34 recorded 102 s over two passes; quiet-host
+    // 5.7 s). Any query whose min is still above
+    // SPARK_GRAFT_OUTLIER_SEC gets up to SPARK_GRAFT_EXTRA additional
+    // timed attempts, keeping the overall min — bounded extra cost
+    // (only the heavy tail re-runs), and a genuine slow query keeps
+    // its honest time because re-running can never increase a min.
+    val outlierSec = sys.env.get("SPARK_GRAFT_OUTLIER_SEC").map(_.trim.toDouble)
+      .getOrElse(3.0)
+    val extraMax = sys.env.get("SPARK_GRAFT_EXTRA").map(_.trim.toInt).getOrElse(2)
+    val results = picked.map { case (name, fn) =>
       val rs = passes.map(_(name))
-      val ok = rs.forall(_._2)
-      val dt = rs.map(_._1).min
+      var ok = rs.forall(_._2)
+      var dt = rs.map(_._1).min
+      var extra = 0
+      while (ok && dt > outlierSec && extra < extraMax) {
+        val t0 = System.nanoTime()
+        ok = runOnce(name, fn) && ok
+        val again = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        if (debug) System.err.println(f"[bench-debug] extra$extra $name $again%.1fs")
+        dt = math.min(dt, again)
+        extra += 1
+      }
       (name, dt, ok)
     }
     val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -v) }

@@ -10,12 +10,13 @@ import org.apache.spark.sql.types._
   * decode / feature-extraction / frame-sampling as *partition-local
   * batched* transforms.
   *
-  * The decode step itself is STUBBED — this container ships no
-  * image/audio codecs — behind [[Decoder]]: `FakeDecoder` is a
-  * deterministic stand-in (payload bytes → pseudo-features) so the
-  * Spark-side contract (schema, batching, partitioning, null
-  * discipline) is fully real and tested; swapping in a JNI/FFM codec
-  * is a one-class change.
+  * Decoding is pluggable behind [[Decoder]]. Images decode for REAL
+  * via [[ImageIoDecoder]] (the JDK's own `javax.imageio` PNG/BMP/GIF/
+  * JPEG codecs — no external library). Audio/video demux has no JDK
+  * codec, so `FakeDecoder` is its deterministic stand-in (payload
+  * bytes → pseudo-features); the Spark-side contract (schema,
+  * batching, partitioning, null discipline) is identical either way,
+  * so swapping in a JNI/FFM codec is a one-class change.
   *
   * Scale shape: payloads never shuffle — decode is `mapPartitions`
   * directly over the scan, so each executor streams its own parquet
@@ -72,6 +73,59 @@ object Multimodal {
           }
           Some(f)
         }
+      }
+  }
+
+  /** Real image decode via the JDK's built-in `javax.imageio` codecs
+    * (PNG/BMP/GIF/JPEG ship with every JVM — no external library).
+    * Feature = `dim`-bin luminance histogram, normalized by pixel
+    * count: integer BT.601 luma per pixel (`(299r+587g+114b)/1000`,
+    * integer division) binned as `lum*dim/256`, so the histogram is
+    * bit-deterministic across JVMs and task retries. Corrupt or
+    * non-image payloads decode to None (`ImageIO.read` returns null
+    * for unrecognized formats; anything thrown is caught) — a 100 TB
+    * corpus always contains corrupt members.
+    *
+    * This retires the decode stub for images; [[FakeDecoder]] remains
+    * for determinism tests and as the stand-in for codecs the JDK
+    * lacks (audio/video demux).
+    */
+  object ImageIoDecoder extends Decoder {
+    override def decodeBatch(
+        payloads: Seq[Array[Byte]], dim: Int): Seq[Option[Array[Float]]] =
+      payloads.map { p =>
+        if (p == null || p.isEmpty) None
+        else try {
+          // in-memory stream only: the default ImageIO path spills a
+          // disk cache file per read — forbidden on a hot executor
+          val img = javax.imageio.ImageIO.read(
+            new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(p)))
+          if (img == null) None
+          else {
+            val f = new Array[Float](dim)
+            val w = img.getWidth; val h = img.getHeight
+            if (w <= 0 || h <= 0) None
+            else {
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  val lum = (((rgb >> 16) & 0xff) * 299 +
+                    ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+                  f(lum * dim / 256) += 1.0f
+                  x += 1
+                }
+                y += 1
+              }
+              val n = (w.toLong * h).toFloat
+              var i = 0
+              while (i < dim) { f(i) /= n; i += 1 }
+              Some(f)
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
       }
   }
 

@@ -48,4 +48,36 @@ object Sampling {
   def deterministicSample(
       df: DataFrame, keyCol: String, buckets: Int, keep: Int): DataFrame =
     df.filter(bucket(col(keyCol), buckets) < keep)
+
+  /** Deterministic stratified sample: exactly `min(n, |group|)` rows per
+    * `groupCol` value, chosen as the `n` smallest `(hash(key), key)`
+    * pairs — a reproducible uniform draw (the hash is [[bucket]]'s
+    * two-round multiply-mod, so any engine replays the same pick).
+    *
+    * Scale shape: per-group top-n runs through the bounded-heap
+    * [[TopK]] aggregator — map-side partial heaps of size n merge in
+    * the shuffle, so the exchange carries `partitions × groups × n`
+    * rows, NOT the corpus. The tempting
+    * `row_number().over(Window.partitionBy(groupCol))` formulation is
+    * a scale-killer with few groups (10 labels = 10 sort tasks over
+    * the entire table); this shape stays balanced regardless of group
+    * cardinality. Hash collisions are broken by the key itself, so
+    * the order is total and the sample deterministic.
+    *
+    * @return (groupCol, keyCol, rn) with rn in [1, n] densely ranked by
+    *         (hash, key) within the group
+    */
+  def stratifiedSample(
+      df: DataFrame, groupCol: String, keyCol: String, n: Int,
+      hashBuckets: Int = 1000003): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    df.select(col(groupCol),
+        bucket(col(keyCol), hashBuckets).cast("double").as("_h"),
+        col(keyCol).cast("long").as("_k"))
+      .groupBy(col(groupCol))
+      .agg(TopK.topK(n)(col("_h"), col("_k"), col("_k")).as("picks"))
+      .select(col(groupCol), posexplode(col("picks")).as(Seq("pos", "p")))
+      .select(col(groupCol), col("p.id").as(keyCol),
+        (col("pos") + 1).cast("long").as("rn"))
+  }
 }

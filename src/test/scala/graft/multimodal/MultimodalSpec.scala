@@ -100,6 +100,60 @@ class MultimodalSpec extends SparkSpec {
     assert(!read.get.contains("payload"), s"payload read from storage: ${read.get}")
   }
 
+  test("ImageIoDecoder: real PNG decode via javax.imageio — histogram semantics, determinism, corrupt tolerance") {
+    import java.awt.image.BufferedImage
+    def png(w: Int, h: Int)(px: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val black = png(8, 8)((_, _) => 0x000000)
+    val white = png(8, 8)((_, _) => 0xffffff)
+    val half = png(8, 8)((x, _) => if (x < 4) 0x000000 else 0xffffff)
+    val dim = 16
+    val Seq(fb, fw, fh) =
+      Multimodal.ImageIoDecoder.decodeBatch(Seq(black, white, half), dim).map(_.get)
+    // all-black -> all mass in bin 0; all-white -> all mass in the top bin
+    assert(fb(0) === 1.0f && fb.sum === 1.0f)
+    assert(fw(dim - 1) === 1.0f && fw.sum === 1.0f)
+    // half/half -> 0.5 in each extreme bin
+    assert(fh(0) === 0.5f && fh(dim - 1) === 0.5f)
+    // PNG is lossless and the luma/binning is integer math: bit-deterministic
+    val again = Multimodal.ImageIoDecoder.decodeBatch(Seq(half), dim).head.get
+    assert(again.toSeq === fh.toSeq)
+    // corrupt members decode to None, never throw
+    val junk = Seq(Array[Byte](1, 2, 3), white.take(10), Array.emptyByteArray, null)
+    assert(Multimodal.ImageIoDecoder.decodeBatch(junk, dim).forall(_.isEmpty))
+  }
+
+  test("ImageIoDecoder: end-to-end through extractFeatures — real decode feeds the pipeline") {
+    import java.awt.image.BufferedImage
+    def greyPng(level: Int): Array[Byte] = {
+      val img = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+      val rgb = (level << 16) | (level << 8) | level
+      for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = (0 until 12).map(i => (i.toLong, "image", greyPng(i * 20)))
+    val df = rows.toDF("media_id", "kind", "payload")
+    val out = Multimodal.extractFeatures(df, dim = 8, batchSize = 5,
+        decoder = Multimodal.ImageIoDecoder)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(out.size === 12)
+    // each uniform grey image puts all mass in exactly one bin, and the
+    // hot bin index is monotone in the grey level
+    val hot = (0 until 12).map { i =>
+      val f = out(i.toLong)
+      assert(f.sum === 1.0f && f.count(_ > 0f) === 1)
+      f.indexWhere(_ > 0f)
+    }
+    assert(hot === hot.sorted, s"bin index must be monotone in luminance: $hot")
+  }
+
   test("end-to-end: decode features then embedding near-dup + ANN over them") {
     // media -> batched decode -> features feed the engine's similarity
     // operators directly: the multimodal column is a first-class citizen
