@@ -256,15 +256,15 @@ object Queries {
         floor(col("dist") * 1000000.0).cast("long").as("dist_micro"))
   }
 
-  /** Approximate cosine top-5 via random-hyperplane LSH (6 planes × 4
-    * tables) — the 100 TB discovery path; deterministic planes let the
+  /** Approximate cosine top-5 via random-hyperplane LSH (5 planes × 8
+    * tables — recall ≈ 0.35 @5 vs 0.17 for the round-2 6×4 config) — the 100 TB discovery path; deterministic planes let the
     * DuckDB oracle replicate it exactly. */
   def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = t(spark, sfDir, "embeddings")
     SimilaritySearch.approxCosineTopK(
       emb.filter(col("vec_id") % 10 === 0), emb.filter(col("vec_id") % 10 =!= 0),
       k = 5, "vec_id", "vec_id", "embedding", "embedding",
-      dim = 64, planes = 6, tables = 4)
+      dim = 64, planes = 5, tables = 8)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"),
         floor(col("dist") * 1000000.0).cast("long").as("dist_micro"))
@@ -508,6 +508,100 @@ object Queries {
       leftId = "event_id", countCol = "n_prior_errors")
   }
 
+  /** Grouped exact percentiles (p25/p50/p75 of order quantity per
+    * return flag), emitted ×100 as exact integers: quantities are
+    * integral and quartile positions interpolate at exact binary
+    * fractions, so the result is FP-portable across engines.
+    *
+    * Scale note: EXACT percentile sorts each group — fine for
+    * low-cardinality grouped stats (the shuffle carries (flag, qty)
+    * pairs, partial-aggregated); for per-row-scale quantiles at 100 TB
+    * the path is `approx_percentile` (t-digest sketch, map-side
+    * mergeable), which this query deliberately is not: it is the
+    * ground-truth twin an approx rollout is validated against.
+    */
+  def percentiles(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        floor(expr("percentile(l_quantity, 0.25)") * 100).cast("long").as("p25_x100"),
+        floor(expr("percentile(l_quantity, 0.5)") * 100).cast("long").as("p50_x100"),
+        floor(expr("percentile(l_quantity, 0.75)") * 100).cast("long").as("p75_x100"),
+        count(lit(1)).as("cnt"))
+
+  /** Running (cumulative) per-customer order totals + per-order delta —
+    * the ordered-window surface (frame-bounded running sum, lag).
+    * Integer cents keep the running sum FP-order-proof. Partitioning
+    * is by customer (high cardinality), so the window sort distributes;
+    * contrast [[stratifiedSampleQ]] for the few-groups-safe shape. */
+  def runningTotals(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+    t(spark, sfDir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+      .withColumn("run_cents",
+        sum(col("price_cents")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("delta_cents",
+        col("price_cents") - lag(col("price_cents"), 1, 0).over(w))
+  }
+
+  /** Top-100 word bigrams corpus-wide — co-occurrence head of the
+    * vocabulary (n-gram LM / tokenizer-training precursor). Bigrams
+    * are built per-row with zip_with over two shifted slices (no
+    * self-join), then explode → partial-agg count → total-order top-k. */
+  def topBigrams(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val tk = TextFunctions.tokens(col("text"))
+    val bigrams = when(size(tk) >= 2,
+      zip_with(slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    t(spark, sfDir, "documents")
+      .select(explode(bigrams).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram").asc)
+      .limit(100)
+  }
+
+  /** The composed training-data admission filter: English, quality
+    * score ≥ 300, BPE-ish token count in [10, 2000] — the realistic
+    * multi-metric document gate, all metrics from single-pass column
+    * expressions (one scan, conjunctive predicates). */
+  def qualityFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        langId(col("text")).as("lang_guess"),
+        qualityScore(col("text")).as("quality"),
+        bpeTokenCount(col("text")).as("bpe_tokens"))
+      .filter(col("lang_guess") === "en" && col("quality") >= 300 &&
+        col("bpe_tokens").between(10, 2000))
+  }
+
+  /** Near-dup SURVIVORS — the keep/drop decision a pipeline acts on:
+    * exact-Jaccard pairs ≥ 0.5 resolved to clusters
+    * ([[Dedup.nearDupClusters]]), every non-representative dropped
+    * via one left-anti join. Output = the admitted doc ids. */
+  def neardupSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, minJaccardMicro = 500000L)
+    Dedup.nearDupSurvivors(docs.select(col("doc_id")), pairs, "doc_id")
+  }
+
+  /** Deterministic stratified sample: 200 vectors per label by content
+    * hash ([[operators.Sampling.stratifiedSample]]) — balanced
+    * class subsampling through the bounded-heap top-k aggregator
+    * (map-side partial heaps; NO per-label global sort, which with ~10
+    * labels would collapse to ~10 tasks at scale). */
+  def stratifiedSampleQ(spark: SparkSession, sfDir: String): DataFrame =
+    operators.Sampling.stratifiedSample(
+        t(spark, sfDir, "embeddings")
+          .select(col("label").cast("long").as("label"), col("vec_id")),
+        "label", "vec_id", n = 200)
+
   // ---------------------------------------------------------------------
   // SQL-text surface: spark.sql over registered views + the engine's
   // native functions exposed through GraftExtensions
@@ -590,7 +684,13 @@ object Queries {
     "q41_collect" -> (collectAgg _),
     "q42_range_join" -> (rangeClickErrors _),
     "q43_neardup_clusters" -> (neardupClusters _),
-    "q44_ann_recall" -> (annRecall _))
+    "q44_ann_recall" -> (annRecall _),
+    "q45_percentiles" -> (percentiles _),
+    "q46_running_totals" -> (runningTotals _),
+    "q47_top_bigrams" -> (topBigrams _),
+    "q48_quality_filter" -> (qualityFilter _),
+    "q49_neardup_survivors" -> (neardupSurvivors _),
+    "q50_stratified_sample" -> (stratifiedSampleQ _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = Map(
@@ -879,25 +979,25 @@ object Queries {
          qs AS (
            SELECT qid, tbl,
              list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(generate_series(0, 5), p ->
+               list_transform(generate_series(0, 4), p ->
                  CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                    list_transform(generate_series(0, 63), d ->
                      CAST(qe[d+1] AS DOUBLE) *
-                     (CAST((((tbl*6+p)*6700417 + d + 1) * 2654435761) % 1000000007 AS DOUBLE)
+                     (CAST((((tbl*5+p)*6700417 + d + 1) * 2654435761) % 1000000007 AS DOUBLE)
                        / 1000000007.0 - 0.5))), (x,y) -> x+y) >= 0
                  THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)), (a,b) -> a+b) AS sig
-           FROM q, (SELECT unnest(generate_series(0, 3)) AS tbl)),
+           FROM q, (SELECT unnest(generate_series(0, 7)) AS tbl)),
          its AS (
            SELECT iid, tbl,
              list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(generate_series(0, 5), p ->
+               list_transform(generate_series(0, 4), p ->
                  CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                    list_transform(generate_series(0, 63), d ->
                      CAST(ie[d+1] AS DOUBLE) *
-                     (CAST((((tbl*6+p)*6700417 + d + 1) * 2654435761) % 1000000007 AS DOUBLE)
+                     (CAST((((tbl*5+p)*6700417 + d + 1) * 2654435761) % 1000000007 AS DOUBLE)
                        / 1000000007.0 - 0.5))), (x,y) -> x+y) >= 0
                  THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)), (a,b) -> a+b) AS sig
-           FROM it, (SELECT unnest(generate_series(0, 3)) AS tbl)),
+           FROM it, (SELECT unnest(generate_series(0, 7)) AS tbl)),
          cand AS (
            SELECT DISTINCT qs.qid, its.iid
            FROM qs JOIN its ON qs.tbl = its.tbl AND qs.sig = its.sig),
@@ -1245,25 +1345,25 @@ object Queries {
          qs AS (
            SELECT qid, tbl,
              list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(generate_series(0, 5), p ->
+               list_transform(generate_series(0, 4), p ->
                  CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                    list_transform(generate_series(0, 63), d ->
                      CAST(qe[d+1] AS DOUBLE) *
-                     (CAST((((tbl*6+p)*6700417 + d + 1) * 2654435761) % 1000000007 AS DOUBLE)
+                     (CAST((((tbl*5+p)*6700417 + d + 1) * 2654435761) % 1000000007 AS DOUBLE)
                        / 1000000007.0 - 0.5))), (x,y) -> x+y) >= 0
                  THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)), (a,b) -> a+b) AS sig
-           FROM q, (SELECT unnest(generate_series(0, 3)) AS tbl)),
+           FROM q, (SELECT unnest(generate_series(0, 7)) AS tbl)),
          its AS (
            SELECT iid, tbl,
              list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(generate_series(0, 5), p ->
+               list_transform(generate_series(0, 4), p ->
                  CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                    list_transform(generate_series(0, 63), d ->
                      CAST(ie[d+1] AS DOUBLE) *
-                     (CAST((((tbl*6+p)*6700417 + d + 1) * 2654435761) % 1000000007 AS DOUBLE)
+                     (CAST((((tbl*5+p)*6700417 + d + 1) * 2654435761) % 1000000007 AS DOUBLE)
                        / 1000000007.0 - 0.5))), (x,y) -> x+y) >= 0
                  THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)), (a,b) -> a+b) AS sig
-           FROM it, (SELECT unnest(generate_series(0, 3)) AS tbl)),
+           FROM it, (SELECT unnest(generate_series(0, 7)) AS tbl)),
          l_cand AS (
            SELECT DISTINCT qs.qid, its.iid
            FROM qs JOIN its ON qs.tbl = its.tbl AND qs.sig = its.sig),
@@ -1338,5 +1438,108 @@ object Queries {
            SELECT 'lsh' AS method,
              (SELECT count(*) FROM exact e JOIN lsh a
                 ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id) AS hits,
-             (SELECT count(*) FROM exact) AS possible)""")
+             (SELECT count(*) FROM exact) AS possible)""",
+    "q45_percentiles" ->
+      """SELECT l_returnflag,
+           CAST(floor(quantile_cont(l_quantity, 0.25) * 100) AS BIGINT) AS p25_x100,
+           CAST(floor(quantile_cont(l_quantity, 0.5) * 100) AS BIGINT) AS p50_x100,
+           CAST(floor(quantile_cont(l_quantity, 0.75) * 100) AS BIGINT) AS p75_x100,
+           count(*) AS cnt
+         FROM lineitem GROUP BY l_returnflag""",
+    "q46_running_totals" ->
+      """SELECT o_custkey, o_orderkey, price_cents,
+           CAST(sum(price_cents) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents,
+           CAST(price_cents - coalesce(lag(price_cents) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey), 0) AS BIGINT) AS delta_cents
+         FROM (SELECT o_custkey, o_orderkey,
+                 CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+               FROM orders)""",
+    "q47_top_bigrams" ->
+      """WITH tk AS (
+           SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         bg AS (
+           SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1])) AS bigram
+           FROM tk WHERE len(toks) >= 2)
+         SELECT bigram, count(*) AS cnt FROM bg
+         GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 100""",
+    "q48_quality_filter" ->
+      """WITH tk AS (
+           SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id, len(toks) AS n_tokens,
+             len(list_filter(toks, t -> t IN
+               ('the','a','an','of','and','is','in','to','it','that'))) AS stop_cnt,
+             len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht'))) AS c_de,
+             len(list_filter(toks, t -> t IN ('the','a','of','and','is','not'))) AS c_en,
+             len(list_filter(toks, t -> t IN ('el','la','de','y','es','no'))) AS c_es,
+             len(list_filter(toks, t -> t IN ('le','la','de','et','est','pas'))) AS c_fr,
+             len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS bpe_tokens
+           FROM tk),
+         m AS (
+           SELECT doc_id,
+             CASE
+               WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+               WHEN c_de = greatest(c_de, c_en, c_es, c_fr) THEN 'de'
+               WHEN c_en = greatest(c_de, c_en, c_es, c_fr) THEN 'en'
+               WHEN c_es = greatest(c_de, c_en, c_es, c_fr) THEN 'es'
+               ELSE 'fr'
+             END AS lang_guess,
+             least(n_tokens, 100) * 5
+               + CAST(floor(stop_cnt * 500.0 / n_tokens) AS BIGINT) AS quality,
+             bpe_tokens
+           FROM c)
+         SELECT doc_id, lang_guess, CAST(quality AS BIGINT) AS quality,
+           CAST(bpe_tokens AS BIGINT) AS bpe_tokens
+         FROM m
+         WHERE lang_guess = 'en' AND quality >= 300
+           AND bpe_tokens BETWEEN 10 AND 2000""",
+    "q49_neardup_survivors" ->
+      """WITH RECURSIVE tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         shg AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks)-2),
+                         i -> array_to_string(toks[i:i+2], ' '))
+             END AS shingles
+           FROM tk),
+         shh AS (
+           SELECT doc_id, list_distinct(list_transform(shingles, s ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 131 + c) % 1000000007))) AS sh
+           FROM shg),
+         ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shh),
+         common AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS na, b.n AS nb, count(*) AS c
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         pairs AS (
+           SELECT id1, id2 FROM common
+           WHERE floor(c * 1000000.0 / (na + nb - c)) >= 500000),
+         edges AS (
+           SELECT id1 AS a, id2 AS b FROM pairs
+           UNION ALL
+           SELECT id2, id1 FROM pairs),
+         reach AS (
+           SELECT a, b AS r FROM edges
+           UNION
+           SELECT e.a, t.r FROM edges e JOIN reach t ON e.b = t.a),
+         mins AS (SELECT a, min(r) AS mr FROM reach GROUP BY a)
+         SELECT d.doc_id
+         FROM documents d LEFT JOIN mins m ON d.doc_id = m.a
+         WHERE m.a IS NULL OR m.mr >= d.doc_id""",
+    "q50_stratified_sample" ->
+      """SELECT CAST(label AS BIGINT) AS label, vec_id, CAST(rn AS BIGINT) AS rn
+         FROM (
+           SELECT label, vec_id,
+             row_number() OVER (PARTITION BY label ORDER BY
+               ((((vec_id % 1000000007 + 1) * 2654435761) % 1000000007)
+                 * 2246822519) % 1000000007 % 1000003,
+               vec_id) AS rn
+           FROM embeddings)
+         WHERE rn <= 200""")
 }

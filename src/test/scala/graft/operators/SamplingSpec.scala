@@ -45,6 +45,35 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("stratifiedSample: exactly n per group, deterministic, ≡ the window formulation") {
+    val data = spark.range(5000)
+      .select(($"id" % 7).as("g"), $"id".as("k"))
+    val got = Sampling.stratifiedSample(data.toDF(), "g", "k", n = 50)
+      .as[(Long, Long, Long)].collect()
+    // exactly n rows per group, rn densely 1..n
+    val byG = got.groupBy(_._1)
+    assert(byG.keySet === (0L until 7L).toSet)
+    byG.foreach { case (g, rows) =>
+      assert(rows.length === 50, s"group $g")
+      assert(rows.map(_._3).sorted.toSeq === (1L to 50L), s"group $g ranks")
+    }
+    // deterministic across runs
+    val again = Sampling.stratifiedSample(data.toDF(), "g", "k", n = 50)
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSet === again.toSet)
+    // the bounded-heap path must equal the (scale-unsafe) window twin
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"g")
+      .orderBy(Sampling.bucket($"k", 1000003).asc, $"k".asc)
+    val twin = data.withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 50).select($"g", $"k", $"rn".cast("long"))
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSet === twin.toSet)
+    // a group smaller than n yields its full membership
+    val tiny = spark.range(30).select(lit(0L).as("g"), $"id".as("k")).toDF()
+    assert(Sampling.stratifiedSample(tiny, "g", "k", n = 50).count() === 30)
+  }
+
   test("consecutive ids do not land in consecutive buckets (hash, not modulo)") {
     val firstTen = df.filter($"k" < 10)
       .select(Sampling.bucket($"k", 10)).as[Long].collect().toSeq
