@@ -118,4 +118,37 @@ class PlanAuditSpec extends SparkSpec {
     assert("""hashaggregate.*partial""".r.findFirstIn(plan.toLowerCase).isDefined
       || plan.toLowerCase.contains("partial_sum"), plan.take(1200))
   }
+
+  test("q36/q47: top-k over a global order plans as TakeOrderedAndProject, not a full sort") {
+    // explode → count → top-100: the limit must fuse into a bounded
+    // per-partition top-k + merge (TakeOrderedAndProject); a global
+    // Sort before the limit would materialize the whole vocabulary
+    for (q <- Seq(Queries.wordCount _, Queries.topBigrams _)) {
+      val plan = planOf(q(spark, sf))
+      assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
+    }
+  }
+
+  test("q45: exact percentile aggregates with a partial (map-side) pass") {
+    val plan = planOf(Queries.percentiles(spark, sf))
+    assert(plan.toLowerCase.contains("partial_percentile"), plan.take(1200))
+  }
+
+  test("q50: stratified sample has no Window — bounded-heap partial agg only") {
+    val plan = planOf(Queries.stratifiedSampleQ(spark, sf))
+    // a row_number window over few labels collapses to ~|labels| sort
+    // tasks at scale; the bounded TopK aggregator must plan instead,
+    // with a partial pass before the exchange
+    assert(!plan.contains("Window"), plan.take(1200))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(1200))
+    assert(plan.toLowerCase.contains("partial_topkaggregator"), plan.take(1200))
+  }
+
+  test("q49: survivor resolution drops losers via an anti join") {
+    // the pair/cluster lineage is cut by the per-iteration
+    // localCheckpoint (its join shape is audited at q17), so the final
+    // plan is exactly: corpus LEFT ANTI loser-ids — no other shape
+    val plan = planOf(Queries.neardupSurvivors(spark, sf))
+    assert(plan.toLowerCase.contains("leftanti"), plan.take(1500))
+  }
 }
