@@ -189,6 +189,32 @@ object StreamingOps {
       }
   }
 
+  /** Event-time session windows via the built-in `session_window`: a
+    * session is a run of events per key with gaps < `gap`, closed by
+    * inactivity — the streaming twin of the batch sessionize query
+    * (same gap rule; q31 derives the same sessions with a lag/cumsum
+    * window). Watermark + append mode emit each session exactly once,
+    * after the watermark passes its close; state holds only sessions
+    * still open within the watermark horizon — Spark's native session
+    * state merge, no hand-rolled `mapGroupsWithState` needed.
+    *
+    * @return (key, sess_start, sess_end, sess_events) per closed session
+    */
+  def sessionWindowCounts(
+      events: DataFrame,
+      tsCol: String = "ts",
+      keyCol: String = "user_id",
+      gap: String = "10 minutes",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("sess_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("sess_events"))
+
   /** Running per-user event statistics carried across micro-batches in
     * the state store: (user_id, events_so_far, value_cents_so_far).
     * State is one small struct per user — the 100 TB concern is key

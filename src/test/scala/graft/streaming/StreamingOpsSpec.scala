@@ -119,6 +119,56 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionWindowCounts: inactivity gap closes sessions; matches the batch gap rule") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val sess = StreamingOps.sessionWindowCounts(
+      in.toDF().toDF("ts", "user_id"),
+      gap = "10 minutes", watermarkDelay = "30 minutes")
+    val q = sess.writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: 3 events within 10-min gaps = one session; then a 30-min
+      // silence; then 1 more event = a second session. user 2: 1 event.
+      in.addData(
+        (ts("2024-01-01 10:00:00"), 1L),
+        (ts("2024-01-01 10:08:00"), 1L),
+        (ts("2024-01-01 10:16:00"), 1L),
+        (ts("2024-01-01 10:50:00"), 1L),
+        (ts("2024-01-01 10:05:00"), 2L))
+      q.processAllAvailable()
+      // advance the watermark far enough to close everything
+      in.addData((ts("2024-01-01 14:00:00"), 99L))
+      q.processAllAvailable()
+      val rows = spark.table("sessions")
+        .select($"user_id", $"sess_start".cast("string"), $"sess_events")
+        .as[(Long, String, Long)].collect().toSet
+      assert(rows.contains((1L, "2024-01-01 10:00:00", 3L)), rows)
+      assert(rows.contains((1L, "2024-01-01 10:50:00", 1L)), rows)
+      assert(rows.contains((2L, "2024-01-01 10:05:00", 1L)), rows)
+      // same sessions the batch q31 gap rule derives: 600s gap, so the
+      // 10:16→10:50 silence (34 min) splits and nothing else does
+      val batch = Seq(
+        (ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:08:00"), 1L),
+        (ts("2024-01-01 10:16:00"), 1L), (ts("2024-01-01 10:50:00"), 1L),
+        (ts("2024-01-01 10:05:00"), 2L))
+        .toDF("ts", "user_id")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts")
+      val sessions = batch
+        .withColumn("prev", lag(unix_micros($"ts"), 1).over(w))
+        .withColumn("new_sess",
+          when($"prev".isNull || unix_micros($"ts") - $"prev" > 600000000L, 1L).otherwise(0L))
+        .withColumn("sid", sum($"new_sess").over(w))
+        .groupBy($"user_id", $"sid").agg(count(lit(1)).as("n"))
+        .select($"user_id", $"n").as[(Long, Long)].collect().toSeq
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+      val streamed = rows.toSeq.filter(_._1 != 99L)
+        .groupBy(_._1).view.mapValues(_.map(_._3).sorted).toMap
+      assert(streamed === sessions, s"stream $streamed vs batch $sessions")
+    } finally q.stop()
+  }
+
   test("runningUserStats: keyed state accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, Double)]
