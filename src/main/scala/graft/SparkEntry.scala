@@ -508,6 +508,20 @@ object Queries {
       leftId = "event_id", countCol = "n_prior_errors")
   }
 
+  /** Explicit GROUPING SETS — the general grouping-lattice surface
+    * (ROLLUP q26 and CUBE q40 are its fixed specializations): per
+    * (flag, status), per flag, and grand total in ONE pass — one scan,
+    * one expand, one partial-agged shuffle, vs three scans unioned. */
+  def groupingSetsAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty, count(*) AS cnt
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""")
+  }
+
   /** Grouped exact percentiles (p25/p50/p75 of order quantity per
     * return flag), emitted ×100 as exact integers: quantities are
     * integral and quartile positions interpolate at exact binary
@@ -690,7 +704,8 @@ object Queries {
     "q47_top_bigrams" -> (topBigrams _),
     "q48_quality_filter" -> (qualityFilter _),
     "q49_neardup_survivors" -> (neardupSurvivors _),
-    "q50_stratified_sample" -> (stratifiedSampleQ _))
+    "q50_stratified_sample" -> (stratifiedSampleQ _),
+    "q51_grouping_sets" -> (groupingSetsAgg _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = Map(
@@ -1541,5 +1556,11 @@ object Queries {
                  * 2246822519) % 1000000007 % 1000003,
                vec_id) AS rn
            FROM embeddings)
-         WHERE rn <= 200""")
+         WHERE rn <= 200""",
+    "q51_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+           coalesce(l_linestatus, 'ALL') AS linestatus,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty, count(*) AS cnt
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""")
 }
