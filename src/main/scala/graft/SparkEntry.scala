@@ -616,6 +616,54 @@ object Queries {
           .select(col("label").cast("long").as("label"), col("vec_id")),
         "label", "vec_id", n = 200)
 
+  /** Per-document top-3 TF-IDF terms — corpus-weighted term importance
+    * (operators/Tfidf): tf and df from two partial-agged groupBys, a
+    * term-keyed shuffle join, then the bounded-heap [[operators.TopK
+    * .topTerms]] per-doc top-k (NO per-doc Window sort). Score is the
+    * integer-portable `floor(1e6·tf/df)`; ties by term (binary asc). */
+  def tfidfTopTerms(spark: SparkSession, sfDir: String): DataFrame =
+    operators.Tfidf.topTerms(t(spark, sfDir, "documents"), "doc_id", "text", k = 3)
+
+  /** The approx sketches — the actual 100 TB aggregation path — gated
+    * against their exact twins: `approx_count_distinct` (HLL++, rsd
+    * 0.05) within 3σ = 15% of q32-style exact distincts, and
+    * `approx_percentile` (within one quantity unit of q45-style exact
+    * medians), emitted as integer pass/fail columns the oracle asserts
+    * are 1 (the sketch values themselves are not engine-portable; the
+    * bound check is). Both sketches are map-side-mergeable partial
+    * aggregates — at scale they replace the exact twins, which must
+    * shuffle (distinct) or sort (percentile) the full column. */
+  def approxSketchCheck(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        approx_count_distinct(col("l_suppkey"), 0.05).as("_acd"),
+        floor(expr("percentile(l_quantity, 0.5)") * 100).cast("long").as("p50_x100"),
+        floor(expr("approx_percentile(l_quantity, 0.5, 10000)") * 100)
+          .cast("long").as("_ap50"))
+      .select(col("l_returnflag"), col("n_supp"), col("p50_x100"),
+        when(abs(col("_acd") - col("n_supp")) * 1000 <= col("n_supp") * 150, 1L)
+          .otherwise(0L).as("acd_ok"),
+        when(abs(col("_ap50") - col("p50_x100")) <= 100, 1L)
+          .otherwise(0L).as("p50_ok"))
+
+  /** [[knnPredict]] through the block-nested query path
+    * ([[Knn.knnJoinBlocked]], blocks = 4): the 100 TB shape when the
+    * query set exceeds broadcast size — each hash-disjoint query slice
+    * broadcasts separately against the streamed item table. Same oracle
+    * as q07: the union of per-slice passes must be bit-equal. */
+  def knnPredictBlocked(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    Knn.classify(
+      train = emb.filter(col("vec_id") % 25 =!= 0),
+      test = emb.filter(col("vec_id") % 25 === 0),
+      k = 5,
+      trainId = "vec_id", testId = "vec_id",
+      trainVec = "embedding", testVec = "embedding",
+      labelCol = "label", blocks = 4)
+  }
+
   // ---------------------------------------------------------------------
   // SQL-text surface: spark.sql over registered views + the engine's
   // native functions exposed through GraftExtensions
@@ -705,7 +753,37 @@ object Queries {
     "q48_quality_filter" -> (qualityFilter _),
     "q49_neardup_survivors" -> (neardupSurvivors _),
     "q50_stratified_sample" -> (stratifiedSampleQ _),
-    "q51_grouping_sets" -> (groupingSetsAgg _))
+    "q51_grouping_sets" -> (groupingSetsAgg _),
+    "q52_tfidf" -> (tfidfTopTerms _),
+    "q53_sketch_check" -> (approxSketchCheck _),
+    "q54_knn_blocked" -> (knnPredictBlocked _))
+
+  /** q07's oracle, shared verbatim with q54 (the blocked variant must be
+    * bit-equal to the broadcast-whole path). */
+  private val knnPredictOracle: String =
+    """WITH test AS (
+           SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0),
+         train AS (
+           SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 25 <> 0),
+         scored AS (
+           SELECT t.vec_id AS test_id, tr.label, tr.vec_id AS train_id,
+             (SELECT sum((x - y) * (x - y)) FROM
+               (SELECT unnest(t.embedding)::DOUBLE AS x,
+                       unnest(tr.embedding)::DOUBLE AS y)) AS dist
+           FROM test t CROSS JOIN train tr),
+         knn AS (
+           SELECT test_id, label FROM (
+             SELECT test_id, label,
+               row_number() OVER (PARTITION BY test_id
+                 ORDER BY dist ASC, train_id ASC) AS rn
+             FROM scored) WHERE rn <= 5),
+         votes AS (
+           SELECT test_id, label, count(*) AS cnt FROM knn GROUP BY test_id, label)
+         SELECT test_id, CAST(label AS BIGINT) AS prediction FROM (
+           SELECT test_id, label,
+             row_number() OVER (PARTITION BY test_id
+               ORDER BY cnt DESC, label ASC) AS vr
+           FROM votes) WHERE vr = 1"""
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = Map(
@@ -737,30 +815,7 @@ object Queries {
              CAST(row_number() OVER (PARTITION BY o_custkey
                ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
            FROM orders) WHERE rn <= 3""",
-    "q07_knn_predict" ->
-      """WITH test AS (
-           SELECT vec_id, embedding FROM embeddings WHERE vec_id % 25 = 0),
-         train AS (
-           SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 25 <> 0),
-         scored AS (
-           SELECT t.vec_id AS test_id, tr.label, tr.vec_id AS train_id,
-             (SELECT sum((x - y) * (x - y)) FROM
-               (SELECT unnest(t.embedding)::DOUBLE AS x,
-                       unnest(tr.embedding)::DOUBLE AS y)) AS dist
-           FROM test t CROSS JOIN train tr),
-         knn AS (
-           SELECT test_id, label FROM (
-             SELECT test_id, label,
-               row_number() OVER (PARTITION BY test_id
-                 ORDER BY dist ASC, train_id ASC) AS rn
-             FROM scored) WHERE rn <= 5),
-         votes AS (
-           SELECT test_id, label, count(*) AS cnt FROM knn GROUP BY test_id, label)
-         SELECT test_id, CAST(label AS BIGINT) AS prediction FROM (
-           SELECT test_id, label,
-             row_number() OVER (PARTITION BY test_id
-               ORDER BY cnt DESC, label ASC) AS vr
-           FROM votes) WHERE vr = 1""",
+    "q07_knn_predict" -> knnPredictOracle,
     "q08_knn_accuracy" ->
       """WITH test AS (
            SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 25 = 0),
@@ -1562,5 +1617,32 @@ object Queries {
            coalesce(l_linestatus, 'ALL') AS linestatus,
            CAST(sum(l_quantity) AS BIGINT) AS sum_qty, count(*) AS cnt
          FROM lineitem
-         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""")
+         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())""",
+    "q52_tfidf" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+           FROM documents),
+         tf AS (
+           SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+         df AS (
+           SELECT term, count(*) AS df FROM tf GROUP BY term),
+         sc AS (
+           SELECT doc_id, term, tf, df,
+             CAST(floor(tf * 1000000.0 / df) AS BIGINT) AS score_micro
+           FROM tf JOIN df USING (term))
+         SELECT doc_id, CAST(rn AS BIGINT) AS rn, term, tf, df, score_micro
+         FROM (
+           SELECT doc_id, term, tf, df, score_micro,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY score_micro DESC, term ASC) AS rn
+           FROM sc)
+         WHERE rn <= 3""",
+    "q53_sketch_check" ->
+      """SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_supp,
+           CAST(floor(quantile_cont(l_quantity, 0.5) * 100) AS BIGINT) AS p50_x100,
+           CAST(1 AS BIGINT) AS acd_ok,
+           CAST(1 AS BIGINT) AS p50_ok
+         FROM lineitem GROUP BY l_returnflag""",
+    "q54_knn_blocked" -> knnPredictOracle)
 }

@@ -11,7 +11,13 @@ object Verify {
       .getOrElse(Runtime.getRuntime.availableProcessors())
     val spark = GraftSession.local(cpus, "graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=q52,q53_sketch_check: subset for local iteration
+    // (full names or `_`-delimited prefixes), same contract as Bench
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def selected(name: String): Boolean =
+      only.forall(_.exists(p => name == p || name.startsWith(p + "_")))
+    SparkEntry.queries.filter { case (n, _) => selected(n) }.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -127,6 +127,10 @@ object Knn {
     * HashMap<int,int> iterates small non-negative keys in ascending
     * order, so first-strictly-greater keeps the smallest argmax).
     *
+    * @param blocks query-side blocking factor: 1 (default) broadcasts the
+    *               whole test set ([[knnJoin]]); > 1 routes through
+    *               [[knnJoinBlocked]] — the 100 TB shape when the query
+    *               set itself exceeds broadcast size. Results identical.
     * @return (test_id, prediction)
     */
   def classify(
@@ -138,13 +142,22 @@ object Knn {
       trainVec: String,
       testVec: String,
       labelCol: String,
-      legacyVote: Boolean = false): DataFrame = {
+      legacyVote: Boolean = false,
+      blocks: Int = 1): DataFrame = {
 
-    val nbrs = knnJoin(
-      queries = test, items = train, k = k,
-      queryId = testId, itemId = trainId,
-      queryVec = testVec, itemVec = trainVec,
-      itemLabel = Some(labelCol))
+    val nbrs =
+      if (blocks <= 1)
+        knnJoin(
+          queries = test, items = train, k = k,
+          queryId = testId, itemId = trainId,
+          queryVec = testVec, itemVec = trainVec,
+          itemLabel = Some(labelCol))
+      else
+        knnJoinBlocked(
+          queries = test, items = train, k = k, blocks = blocks,
+          queryId = testId, itemId = trainId,
+          queryVec = testVec, itemVec = trainVec,
+          itemLabel = Some(labelCol))
 
     val votes = nbrs
       .groupBy(col("query_id"), col("neighbor_label").as("label"))

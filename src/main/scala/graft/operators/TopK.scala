@@ -104,4 +104,113 @@ object TopK {
     */
   def topK(k: Int): UserDefinedFunction =
     udaf(new TopKAggregator(k), Encoders.product[Neighbor])
+
+  /** DataFrame-facing UDAF for per-group top-k TERMS:
+    * `topTerms(k)(score, term, tf, df)` → `array<struct<score,term,tf,df>>`
+    * sorted by (score desc, term asc). Same bounded-heap discipline as
+    * [[topK]] — O(k) state per group, map-side partials — for string-keyed
+    * rankings (TF-IDF head terms and the like) where the winner's identity
+    * must come back with it (no hash-and-join-back round trip).
+    */
+  def topTerms(k: Int): UserDefinedFunction =
+    udaf(new TermTopKAggregator(k), Encoders.product[ScoredTerm])
+}
+
+/** One scored term flowing into a per-group top-k-terms aggregation.
+  *
+  * Ordering is total and deterministic: (score DESC, term ASC by UTF-8
+  * bytes). The byte-wise tie-break matches both Spark's `UTF8String`
+  * comparison and DuckDB's binary collation, so an oracle can replicate
+  * the pick with a plain `ORDER BY score DESC, term ASC`.
+  */
+case class ScoredTerm(score: Long, term: String, tf: Long, df: Long)
+
+/** Bounded top-k-terms accumulator: binary heap of capacity k with the
+  * current WORST candidate (lowest score, tie: byte-greatest term) at the
+  * root. O(log k) insert, O(k log k) merge, O(k) memory independent of
+  * group size — the string twin of [[TopKBuffer]].
+  */
+final class TermTopKBuffer(val k: Int) extends Serializable {
+  var size: Int = 0
+  val scores: Array[Long] = new Array[Long](k)
+  val terms: Array[String] = new Array[String](k)
+  val tfs: Array[Long] = new Array[Long](k)
+  val dfs: Array[Long] = new Array[Long](k)
+
+  // UTF-8 byte comparison = Spark UTF8String / DuckDB binary collation
+  @inline private def cmpTerm(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  // is element i worse (ranked lower) than (s, t)?
+  @inline private def worseThan(i: Int, s: Long, t: String): Boolean =
+    scores(i) < s || (scores(i) == s && cmpTerm(terms(i), t) > 0)
+
+  @inline private def worseThanIdx(i: Int, j: Int): Boolean =
+    worseThan(i, scores(j), terms(j))
+
+  private def swap(i: Int, j: Int): Unit = {
+    val ts = scores(i); scores(i) = scores(j); scores(j) = ts
+    val tt = terms(i); terms(i) = terms(j); terms(j) = tt
+    val tf = tfs(i); tfs(i) = tfs(j); tfs(j) = tf
+    val td = dfs(i); dfs(i) = dfs(j); dfs(j) = td
+  }
+
+  private def siftUp(start: Int): Unit = {
+    var i = start
+    while (i > 0 && worseThanIdx(i, (i - 1) / 2)) { swap(i, (i - 1) / 2); i = (i - 1) / 2 }
+  }
+
+  private def siftDown(): Unit = {
+    var i = 0
+    var done = false
+    while (!done) {
+      val l = 2 * i + 1; val r = 2 * i + 2
+      var m = i
+      if (l < size && worseThanIdx(l, m)) m = l
+      if (r < size && worseThanIdx(r, m)) m = r
+      if (m == i) done = true else { swap(i, m); i = m }
+    }
+  }
+
+  def insert(s: Long, t: String, tf: Long, df: Long): Unit = {
+    if (size < k) {
+      scores(size) = s; terms(size) = t; tfs(size) = tf; dfs(size) = df
+      size += 1; siftUp(size - 1)
+    } else if (k > 0 && worseThan(0, s, t)) {
+      scores(0) = s; terms(0) = t; tfs(0) = tf; dfs(0) = df
+      siftDown()
+    }
+  }
+
+  def mergeFrom(other: TermTopKBuffer): TermTopKBuffer = {
+    var i = 0
+    while (i < other.size) { insert(other.scores(i), other.terms(i), other.tfs(i), other.dfs(i)); i += 1 }
+    this
+  }
+
+  /** Descending by score, ascending by term bytes. */
+  def sorted: Seq[ScoredTerm] =
+    (0 until size).map(i => ScoredTerm(scores(i), terms(i), tfs(i), dfs(i)))
+      .sortWith { (a, b) =>
+        a.score > b.score || (a.score == b.score && cmpTerm(a.term, b.term) < 0)
+      }
+}
+
+/** Typed bounded top-k-terms Aggregator (TypedImperativeAggregate: the
+  * buffer lives as a JVM object in the hash-agg map, Kryo across the
+  * shuffle — identical physical shape to [[TopKAggregator]]).
+  */
+class TermTopKAggregator(k: Int)
+    extends Aggregator[ScoredTerm, TermTopKBuffer, Seq[ScoredTerm]] {
+  override def zero: TermTopKBuffer = new TermTopKBuffer(k)
+  override def reduce(b: TermTopKBuffer, t: ScoredTerm): TermTopKBuffer = {
+    b.insert(t.score, t.term, t.tf, t.df); b
+  }
+  override def merge(b1: TermTopKBuffer, b2: TermTopKBuffer): TermTopKBuffer =
+    b1.mergeFrom(b2)
+  override def finish(b: TermTopKBuffer): Seq[ScoredTerm] = b.sorted
+  override def bufferEncoder: Encoder[TermTopKBuffer] = Encoders.kryo[TermTopKBuffer]
+  override def outputEncoder: Encoder[Seq[ScoredTerm]] = ExpressionEncoder[Seq[ScoredTerm]]()
 }
