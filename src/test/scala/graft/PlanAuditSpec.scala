@@ -144,6 +144,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("partial_topkaggregator"), plan.take(1200))
   }
 
+  test("q52 TF-IDF: no Window; per-doc top-k is a partial-agged bounded heap") {
+    val plan = planOf(Queries.tfidfTopTerms(spark, sf))
+    // the per-doc top-k must run through the TermTopK aggregator with a
+    // map-side partial pass, never a per-doc row_number Window sort
+    assert(!plan.contains("Window"), plan.take(1500))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(1500))
+    assert(plan.toLowerCase.contains("partial_termtopkaggregator"), plan.take(1500))
+  }
+
+  test("q53: both sketches aggregate with a map-side partial pass") {
+    val plan = planOf(Queries.approxSketchCheck(spark, sf)).toLowerCase
+    assert(plan.contains("partial_approx_count_distinct")
+      || plan.contains("partial_hyperloglog"), plan.take(1500))
+    assert(plan.contains("partial_approx_percentile")
+      || plan.contains("partial_percentile_approx"), plan.take(1500))
+  }
+
+  test("q54 blocked KNN: every block's cross product is a broadcast nested loop") {
+    val plan = planOf(Queries.knnPredictBlocked(spark, sf))
+    // 4 hash-disjoint query slices, each broadcast independently — the
+    // item table itself must never be the broadcast side
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    assert(plan.toLowerCase.contains("partial_topkaggregator"), plan.take(1500))
+  }
+
   test("q49: survivor resolution drops losers via an anti join") {
     // the pair/cluster lineage is cut by the per-iteration
     // localCheckpoint (its join shape is audited at q17), so the final
