@@ -12,11 +12,13 @@ import org.apache.spark.sql.types._
   *
   * Decoding is pluggable behind [[Decoder]]. Images decode for REAL
   * via [[ImageIoDecoder]] (the JDK's own `javax.imageio` PNG/BMP/GIF/
-  * JPEG codecs — no external library). Audio/video demux has no JDK
-  * codec, so `FakeDecoder` is its deterministic stand-in (payload
-  * bytes → pseudo-features); the Spark-side contract (schema,
-  * batching, partitioning, null discipline) is identical either way,
-  * so swapping in a JNI/FFM codec is a one-class change.
+  * JPEG codecs) and audio for REAL via [[WavDecoder]] (the JDK's own
+  * `javax.sound.sampled` WAV/AIFF/AU PCM support) — no external
+  * library for either. Video demux has no JDK codec, so `FakeDecoder`
+  * is its deterministic stand-in (payload bytes → pseudo-features);
+  * the Spark-side contract (schema, batching, partitioning, null
+  * discipline) is identical either way, so swapping in a JNI/FFM
+  * codec is a one-class change.
   *
   * Scale shape: payloads never shuffle — decode is `mapPartitions`
   * directly over the scan, so each executor streams its own parquet
@@ -107,11 +109,16 @@ object Multimodal {
             val w = img.getWidth; val h = img.getHeight
             if (w <= 0 || h <= 0) None
             else {
+              // bulk row fetch: per-pixel getRGB(x, y) pays a color-model
+              // conversion call per pixel — the slow ImageIO path on the
+              // hot executor loop; one getRGB per ROW amortizes it
+              val rowBuf = new Array[Int](w)
               var y = 0
               while (y < h) {
+                img.getRGB(0, y, w, 1, rowBuf, 0, w)
                 var x = 0
                 while (x < w) {
-                  val rgb = img.getRGB(x, y)
+                  val rgb = rowBuf(x)
                   val lum = (((rgb >> 16) & 0xff) * 299 +
                     ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
                   f(lum * dim / 256) += 1.0f
@@ -125,6 +132,76 @@ object Multimodal {
               Some(f)
             }
           }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      }
+  }
+
+  /** Real audio decode via the JDK's built-in `javax.sound.sampled`
+    * (WAV/AIFF/AU containers with 8- or 16-bit integer PCM ship with
+    * every JVM — no external library, the same way [[ImageIoDecoder]]
+    * retired the image stub). Feature = `dim`-bin amplitude histogram
+    * over every sample of every channel, normalized by sample count:
+    * samples widen to signed 16-bit (8-bit payloads shift left 8), bin
+    * as `(s + 32768) * dim / 65536` — integer arithmetic end to end, so
+    * the histogram is bit-deterministic across JVMs and task retries.
+    * Corrupt / non-audio / compressed payloads decode to None
+    * (`UnsupportedAudioFileException` and friends are caught) — a
+    * 100 TB corpus always contains corrupt members.
+    *
+    * This retires the decode stub for audio; [[FakeDecoder]] remains
+    * only for video demux (no JDK codec).
+    */
+  object WavDecoder extends Decoder {
+    override def decodeBatch(
+        payloads: Seq[Array[Byte]], dim: Int): Seq[Option[Array[Float]]] =
+      payloads.map { p =>
+        if (p == null || p.isEmpty) None
+        else try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(p))
+          try {
+            val fmt = ais.getFormat
+            val bits = fmt.getSampleSizeInBits
+            val enc = fmt.getEncoding
+            val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+            val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+            if ((bits != 8 && bits != 16) || (!signed && !unsigned)) None
+            else {
+              val bytes = ais.readAllBytes()
+              val f = new Array[Float](dim)
+              var count = 0L
+              if (bits == 8) {
+                var i = 0
+                while (i < bytes.length) {
+                  // widen to 16-bit range; unsigned 8-bit centers at 128
+                  val s =
+                    if (signed) bytes(i).toInt << 8
+                    else ((bytes(i) & 0xff) - 128) << 8
+                  f((s + 32768) * dim / 65536) += 1.0f
+                  count += 1
+                  i += 1
+                }
+              } else {
+                val big = fmt.isBigEndian
+                var i = 0
+                while (i + 1 < bytes.length) {
+                  val lo = if (big) bytes(i + 1) else bytes(i)
+                  val hi = if (big) bytes(i) else bytes(i + 1)
+                  val raw = ((hi & 0xff) << 8) | (lo & 0xff)
+                  val s = if (signed) raw.toShort.toInt else raw - 32768
+                  f((s + 32768) * dim / 65536) += 1.0f
+                  count += 1
+                  i += 2
+                }
+              }
+              if (count == 0L) None
+              else {
+                var j = 0
+                while (j < dim) { f(j) /= count.toFloat; j += 1 }
+                Some(f)
+              }
+            }
+          } finally ais.close()
         } catch { case scala.util.control.NonFatal(_) => None }
       }
   }

@@ -154,6 +154,81 @@ class MultimodalSpec extends SparkSpec {
     assert(hot === hot.sorted, s"bin index must be monotone in luminance: $hot")
   }
 
+  private def wav(samples: Array[Short], sampleRate: Float = 16000f,
+      bigEndian: Boolean = false): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, bigEndian)
+    val bytes = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val s = samples(i).toInt
+      if (bigEndian) { bytes(2 * i) = (s >> 8).toByte; bytes(2 * i + 1) = s.toByte }
+      else { bytes(2 * i) = s.toByte; bytes(2 * i + 1) = (s >> 8).toByte }
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("WavDecoder: real WAV decode via javax.sound.sampled — histogram semantics, determinism, corrupt tolerance") {
+    val dim = 16
+    // silence: every sample 0 → all mass in the middle bin (32768*16/65536 = 8)
+    val silence = wav(Array.fill[Short](256)(0))
+    // full-scale square wave: half min, half max → extreme bins
+    val square = wav(Array.tabulate[Short](256)(i =>
+      if (i % 2 == 0) Short.MinValue else Short.MaxValue))
+    val Seq(fs, fq) = Multimodal.WavDecoder.decodeBatch(Seq(silence, square), dim).map(_.get)
+    assert(fs(dim / 2) === 1.0f && fs.sum === 1.0f, fs.toSeq)
+    assert(fq(0) === 0.5f && fq(dim - 1) === 0.5f, fq.toSeq)
+    // WAV is lossless PCM and the binning is integer math: bit-deterministic
+    val again = Multimodal.WavDecoder.decodeBatch(Seq(square), dim).head.get
+    assert(again.toSeq === fq.toSeq)
+    // corrupt / non-audio members decode to None, never throw
+    val junk = Seq(Array[Byte](82, 73, 70, 70), square.take(16), Array.emptyByteArray, null)
+    assert(Multimodal.WavDecoder.decodeBatch(junk, dim).forall(_.isEmpty))
+  }
+
+  test("WavDecoder: endianness of the container does not change the histogram") {
+    val samples = Array.tabulate[Short](300)(i => ((i * 2311 + 17) % 65536 - 32768).toShort)
+    val le = Multimodal.WavDecoder.decodeBatch(Seq(wav(samples, bigEndian = false)), 8).head
+    // AIFF is the JDK's big-endian container
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, true)
+    val bytes = new Array[Byte](samples.length * 2)
+    samples.indices.foreach { i =>
+      bytes(2 * i) = (samples(i) >> 8).toByte; bytes(2 * i + 1) = samples(i).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bos)
+    val be = Multimodal.WavDecoder.decodeBatch(Seq(bos.toByteArray), 8).head
+    assert(le.isDefined && be.isDefined)
+    assert(le.get.toSeq === be.get.toSeq)
+  }
+
+  test("WavDecoder: end-to-end through extractFeatures") {
+    val rows = (0 until 10).map { i =>
+      val amp = (i * 3000).toShort
+      (i.toLong, "audio", wav(Array.fill[Short](128)(amp)))
+    }
+    val df = rows.toDF("media_id", "kind", "payload")
+    val out = Multimodal.extractFeatures(df, dim = 32, batchSize = 4,
+        decoder = Multimodal.WavDecoder)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(out.size === 10)
+    // each constant-amplitude clip lands in exactly one bin, monotone in amplitude
+    val hot = (0 until 10).map { i =>
+      val f = out(i.toLong)
+      assert(f.sum === 1.0f && f.count(_ > 0f) === 1)
+      f.indexWhere(_ > 0f)
+    }
+    assert(hot === hot.sorted, s"bin index must be monotone in amplitude: $hot")
+  }
+
   test("end-to-end: decode features then embedding near-dup + ANN over them") {
     // media -> batched decode -> features feed the engine's similarity
     // operators directly: the multimodal column is a first-class citizen
