@@ -143,8 +143,11 @@ object StreamingOps {
       case None    => docs
     }
     // epoch-0 sentinel ts keeps one tuple shape for both modes; it is
-    // never read in NoTimeout mode
-    val tsExpr = tsCol.map(col(_).cast("timestamp"))
+    // never read in NoTimeout mode. NO cast on the real column: a Cast
+    // wrapper strips the watermark metadata off the attribute and
+    // EventTimeTimeout then rejects the query (withWatermark already
+    // guarantees a timestamp type)
+    val tsExpr = tsCol.map(col(_))
       .getOrElse(lit(new java.sql.Timestamp(0L)))
     val timeout =
       if (tsCol.isDefined) GroupStateTimeout.EventTimeTimeout
@@ -218,25 +221,59 @@ object StreamingOps {
   /** Running per-user event statistics carried across micro-batches in
     * the state store: (user_id, events_so_far, value_cents_so_far).
     * State is one small struct per user — the 100 TB concern is key
-    * cardinality, not event volume.
+    * CARDINALITY, so eviction is first-class: with `tsCol` given (the
+    * production configuration, same pattern as [[lshCandidateStream]])
+    * the input gets a watermark of `watermarkDelay` and a user idle for
+    * more than `idleTtl` behind the watermark is dropped from the state
+    * store — state holds only users active within the TTL horizon, not
+    * every key the stream has ever carried. A user re-appearing after
+    * eviction restarts from zero (the counters' scope IS the activity
+    * window — pick the TTL accordingly). With `tsCol = None` (tests /
+    * bounded replays) state never expires and the stream must be finite.
     */
   def runningUserStats(
       spark: SparkSession,
-      events: DataFrame): Dataset[(Long, Long, Long)] = {
+      events: DataFrame,
+      tsCol: Option[String] = None,
+      watermarkDelay: String = "1 hour",
+      idleTtl: String = "1 hour"): Dataset[(Long, Long, Long)] = {
     import spark.implicits._
-    events
+    val withMark = tsCol match {
+      case Some(t) => events.withWatermark(t, watermarkDelay)
+      case None    => events
+    }
+    // epoch-0 sentinel keeps one tuple shape; never read in NoTimeout
+    // mode. NO cast on the real column — a Cast wrapper strips the
+    // watermark metadata and EventTimeTimeout rejects the query
+    val tsExpr = tsCol.map(col(_))
+      .getOrElse(lit(new java.sql.Timestamp(0L)))
+    val timeout =
+      if (tsCol.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    withMark
       .select(col("user_id").cast("long").as("user_id"),
-        round(col("value") * 100).cast("long").as("cents"))
-      .as[(Long, Long)]
+        round(col("value") * 100).cast("long").as("cents"), tsExpr.as("ts"))
+      .as[(Long, Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .mapGroupsWithState[(Long, Long), (Long, Long, Long)](
-        GroupStateTimeout.NoTimeout) {
-        case (user: Long, rows: Iterator[(Long, Long)], state: GroupState[(Long, Long)]) =>
-          val (n0, c0) = state.getOption.getOrElse((0L, 0L))
-          var n = n0; var c = c0
-          rows.foreach { case (_, cents) => n += 1; c += cents }
-          state.update((n, c))
-          (user, n, c)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        OutputMode.Update(), timeout) {
+        case (user: Long, rows: Iterator[(Long, Long, java.sql.Timestamp)],
+            state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val (n0, c0) = state.getOption.getOrElse((0L, 0L))
+            var n = n0; var c = c0; var maxTs = Long.MinValue
+            rows.foreach { case (_, cents, ts) =>
+              n += 1; c += cents
+              if (ts != null && ts.getTime > maxTs) maxTs = ts.getTime
+            }
+            state.update((n, c))
+            if (timeout == GroupStateTimeout.EventTimeTimeout && maxTs != Long.MinValue)
+              state.setTimeoutTimestamp(maxTs, idleTtl)
+            Iterator.single((user, n, c))
+          }
       }
   }
 }

@@ -119,6 +119,37 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("lshCandidateStream: cold buckets evict via event-time TTL; fresh twins still pair") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val text = "the quick brown fox jumps over the lazy dog"
+    val pairs = StreamingOps.lshCandidateStream(spark,
+      in.toDF().toDF("doc_id", "text", "ts"),
+      tsCol = Some("ts"), watermarkDelay = "10 seconds", bucketTtl = "10 minutes")
+    val q = pairs.toDF("id1", "id2").writeStream
+      .format("memory").queryName("lsh_cands_ttl")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((0L, text, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // advance the watermark hours past the buckets' TTL; second batch
+      // lets the timeout (vs the previous batch's watermark) fire
+      in.addData((50L, "unrelated filler words one", ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      in.addData((51L, "other unrelated filler two", ts("2024-01-01 12:00:01")))
+      q.processAllAvailable()
+      // doc 0's buckets are gone: an exact dup arriving now must NOT pair
+      in.addData((1L, text, ts("2024-01-01 12:30:00")))
+      q.processAllAvailable()
+      // but it re-created the bucket: the NEXT twin pairs with it
+      in.addData((2L, text, ts("2024-01-01 12:31:00")))
+      q.processAllAvailable()
+      val got = spark.table("lsh_cands_ttl").as[(Long, Long)].collect().toSet
+      assert(!got.contains((0L, 1L)), s"expired bucket must not pair: $got")
+      assert(got.contains((1L, 2L)), s"fresh twins must pair: $got")
+    } finally q.stop()
+  }
+
   test("sessionWindowCounts: inactivity gap closes sessions; matches the batch gap rule") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]
@@ -166,6 +197,74 @@ class StreamingOpsSpec extends SparkSpec {
       val streamed = rows.toSeq.filter(_._1 != 99L)
         .groupBy(_._1).view.mapValues(_.map(_._3).sorted).toMap
       assert(streamed === sessions, s"stream $streamed vs batch $sessions")
+    } finally q.stop()
+  }
+
+  test("sessionWindowCounts: events spaced EXACTLY gap apart merge — same as the batch > rule") {
+    // the boundary case the round-5 advice flagged: batch splits only on
+    // gap STRICTLY greater than 600s (equality merges); session_window's
+    // half-open [t, t+gap) windows also merge an event landing exactly at
+    // t+gap (probed: Spark treats next.start <= current.end as overlap).
+    // Pin both so a Spark-side semantic change breaks loudly.
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long)]
+    val sess = StreamingOps.sessionWindowCounts(
+      in.toDF().toDF("ts", "user_id"),
+      gap = "10 minutes", watermarkDelay = "30 minutes")
+    val q = sess.writeStream.format("memory").queryName("sessions_boundary")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (ts("2024-01-01 10:00:00"), 1L),
+        (ts("2024-01-01 10:10:00"), 1L)) // exactly gap later
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 14:00:00"), 99L)) // close everything
+      q.processAllAvailable()
+      val streamed = spark.table("sessions_boundary")
+        .filter($"user_id" === 1L)
+        .select($"sess_events").as[Long].collect().toSeq
+      assert(streamed === Seq(2L), s"session_window must merge at exact gap: $streamed")
+      // the batch gap rule (q31's comparator: split on diff > gap) agrees
+      val batch = Seq((ts("2024-01-01 10:00:00"), 1L), (ts("2024-01-01 10:10:00"), 1L))
+        .toDF("ts", "user_id")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts")
+      val nSessions = batch
+        .withColumn("prev", lag(unix_micros($"ts"), 1).over(w))
+        .withColumn("new_sess",
+          when($"prev".isNull || unix_micros($"ts") - $"prev" > 600000000L, 1L).otherwise(0L))
+        .agg(sum($"new_sess")).as[Long].collect().head
+      assert(nSessions === 1L, "batch > comparator must also merge at exact gap")
+    } finally q.stop()
+  }
+
+  test("runningUserStats: idle users evict via event-time TTL and restart cleanly") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Double, Timestamp)]
+    val stats = StreamingOps.runningUserStats(spark,
+      in.toDF().toDF("user_id", "value", "ts"),
+      tsCol = Some("ts"), watermarkDelay = "10 seconds", idleTtl = "10 minutes")
+    val q = stats.toDF("user_id", "n", "cents").writeStream
+      .format("memory").queryName("user_stats_ttl")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData((7L, 1.0, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      // advance the watermark hours past 7's TTL; two batches so the
+      // timeout (evaluated against the PREVIOUS batch's watermark) fires
+      in.addData((99L, 0.0, ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      in.addData((99L, 0.0, ts("2024-01-01 12:00:01")))
+      q.processAllAvailable()
+      // 7 returns after eviction: counters restart from zero
+      in.addData((7L, 5.0, ts("2024-01-01 12:30:00")))
+      q.processAllAvailable()
+      val sevens = spark.table("user_stats_ttl").filter($"user_id" === 7L)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(sevens.contains((7L, 1L, 500L)),
+        s"re-appearing user must restart from zero, got $sevens")
+      assert(!sevens.exists(_._2 > 1L),
+        s"state survived past the TTL horizon: $sevens")
     } finally q.stop()
   }
 
