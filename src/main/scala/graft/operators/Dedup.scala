@@ -274,10 +274,14 @@ object Dedup {
     * Algorithm: iterative min-label propagation. Each iteration is one
     * shuffle equi-join (labels onto edge endpoints) + one partial-agg
     * min — fully distributed, nothing driver-side except the
-    * convergence counter. Label state is `localCheckpoint`ed per
-    * iteration: without the lineage cut, iteration i replans i copies
-    * of the whole join tree (at cluster deployment scale, swap in
-    * `checkpoint` on reliable storage). Converges in O(cluster
+    * convergence counter. Label state is checkpointed per iteration:
+    * without the lineage cut, iteration i replans i copies of the whole
+    * join tree. `checkpointDir = None` (default) uses executor-local
+    * `localCheckpoint` — right for single-box runs; at cluster
+    * deployment scale pass a reliable-storage directory and each
+    * iteration cuts lineage through a real `checkpoint` instead
+    * (localCheckpoint blocks survive neither executor loss nor
+    * dynamic-allocation scale-in). Converges in O(cluster
     * diameter) iterations; near-dup clusters are shallow by
     * construction (members are all near ONE content neighborhood), so
     * the default bound is generous. Throws if the bound is hit without
@@ -292,16 +296,19 @@ object Dedup {
       pairs: DataFrame,
       id1Col: String = "id1",
       id2Col: String = "id2",
-      maxIters: Int = 50): DataFrame = {
+      maxIters: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
     val spark = pairs.sparkSession
     import org.apache.spark.storage.StorageLevel
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def cut(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val edges = pairs.select(col(id1Col).cast("long").as("src"), col(id2Col).cast("long").as("dst"))
     val sym = edges
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var comp = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
-      .localCheckpoint()
+    var comp = cut(sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")))
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
@@ -311,11 +318,10 @@ object Dedup {
         .groupBy(col("src"))
         .agg(min(col("comp")).as("nmin"))
         .select(col("src").as("id"), col("nmin"))
-      val next = comp
+      val next = cut(comp
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("comp").as("prev"),
-          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"))
-        .localCheckpoint()
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp")))
       changed = next.filter(col("comp") < col("prev")).count()
       comp = next.select(col("id"), col("comp"))
       iter += 1

@@ -71,6 +71,13 @@ object Sampling {
       df: DataFrame, groupCol: String, keyCol: String, n: Int,
       hashBuckets: Int = 1000003): DataFrame = {
     require(n >= 1, "n must be >= 1")
+    // the key is hashed through integer arithmetic and carried as long:
+    // fail loudly at plan time on a non-integral key (a silent cast
+    // would truncate doubles / throw opaquely inside the encoder)
+    val keyType = df.schema(keyCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(keyType.typeName),
+      s"stratifiedSample keyCol '$keyCol' must be an integral type " +
+        s"(byte/short/int/long), got ${keyType.typeName}; hash or cast it explicitly first")
     df.select(col(groupCol),
         bucket(col(keyCol), hashBuckets).cast("double").as("_h"),
         col(keyCol).cast("long").as("_k"))

@@ -123,6 +123,20 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("nearDupClusters: reliable-checkpoint mode yields identical clusters") {
+    // the cluster-deployment configuration: lineage cut through a real
+    // checkpoint directory instead of executor-local blocks
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt").toString
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id1", "id2")
+    val got = Dedup.nearDupClusters(pairs, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // the checkpoint actually landed on storage (not localCheckpoint)
+    def anyFile(f: java.io.File): Boolean =
+      f.isFile || Option(f.listFiles()).exists(_.exists(anyFile))
+    assert(anyFile(new java.io.File(dir)), s"no checkpoint data under $dir")
+  }
+
   test("nearDupClusters: empty pair set yields empty clustering") {
     val pairs = Seq.empty[(Long, Long)].toDF("id1", "id2")
     assert(Dedup.nearDupClusters(pairs).count() === 0L)

@@ -74,6 +74,15 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.stratifiedSample(tiny, "g", "k", n = 50).count() === 30)
   }
 
+  test("stratifiedSample: non-integral key fails loudly at plan time") {
+    val data = spark.range(10)
+      .select(($"id" % 2).as("g"), ($"id" * 1.5).as("k")).toDF()
+    val e = intercept[IllegalArgumentException] {
+      Sampling.stratifiedSample(data, "g", "k", n = 3)
+    }
+    assert(e.getMessage.contains("integral"), e.getMessage)
+  }
+
   test("consecutive ids do not land in consecutive buckets (hash, not modulo)") {
     val firstTen = df.filter($"k" < 10)
       .select(Sampling.bucket($"k", 10)).as[Long].collect().toSeq
