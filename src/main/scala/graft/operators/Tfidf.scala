@@ -54,10 +54,18 @@ object Tfidf {
         explode(TextFunctions.tokens(col(textCol))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf
+    // df derives from tf, and the trivially-true filter is load-bearing:
+    // it forces the df branch to consume tf's count column, so Catalyst
+    // cannot prune the aggregate down to a bare distinct — both branches
+    // then plan the IDENTICAL (doc_id, term) partial-agg exchange and
+    // ReuseExchange collapses them: the corpus is scanned and exploded
+    // ONCE, not once per branch (measured: the pruned variant re-scans).
+    val df = tf.filter(col("tf") >= 1)
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
-    val scored = tf.join(df, "term")
+    // vocabulary is corpus-derived (unbounded at 100 TB): pin the term
+    // join to shuffle-hash rather than letting small-SF stats broadcast it
+    val scored = tf.join(df.hint("shuffle_hash"), "term")
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         floor(col("tf") * lit(1000000L) / col("df")).cast("long").as("score_micro"))
     scored

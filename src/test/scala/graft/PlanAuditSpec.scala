@@ -151,6 +151,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(1500))
     assert(plan.contains("ObjectHashAggregate"), plan.take(1500))
     assert(plan.toLowerCase.contains("partial_termtopkaggregator"), plan.take(1500))
+    // vocabulary is corpus-derived: the tf⋈df term join must be a
+    // shuffle join, never a broadcast of the df relation
+    assert(plan.contains("ShuffledHashJoin"), plan.take(1500))
+    // and the df branch must reuse tf's (doc_id, term) exchange — the
+    // corpus is scanned+exploded ONCE (the tf>=1 filter in Tfidf is the
+    // load-bearing trick; if it stops working this breaks loudly)
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage"),
+      plan.take(2500))
   }
 
   test("q53: both sketches aggregate with a map-side partial pass") {
