@@ -676,6 +676,70 @@ object Queries {
       labelCol = "label", blocks = 4)
   }
 
+  /** Repetition-based quality signals (the Gopher-rule family): per-doc
+    * duplicate-token fraction and top-bigram mass fraction, plus the
+    * composed keep/drop flag (> 0.30 dup tokens or > 0.18 top bigram =
+    * repetitive). The bigram stats are a (doc, bigram) partial-agged
+    * count folded to per-doc max/sum — the same explode shape as q47,
+    * keyed by high-cardinality doc_id so it distributes. */
+  def repetitionSignals(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = t(spark, sfDir, "documents")
+    val base = docs.select(col("doc_id"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"),
+      TextFunctions.distinctTokenCount(col("text")).as("n_distinct"))
+    val tk = TextFunctions.tokens(col("text"))
+    val bigrams = when(size(tk) >= 2,
+      zip_with(slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    val bg = docs.select(col("doc_id"), explode(bigrams).as("bigram"))
+      .groupBy(col("doc_id"), col("bigram"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_bg"), sum(col("c")).as("n_bg"))
+    base.join(bg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        floor((col("n_tokens") - col("n_distinct")) * lit(1000000L) / col("n_tokens"))
+          .cast("long").as("dup_token_frac_micro"),
+        coalesce(floor(col("top_bg") * lit(1000000L) / col("n_bg")), lit(0L))
+          .cast("long").as("top_bigram_frac_micro"))
+      .withColumn("repetitive",
+        when(col("dup_token_frac_micro") > 300000L
+          || col("top_bigram_frac_micro") > 180000L, 1L).otherwise(0L))
+  }
+
+  /** Benchmark decontamination — the pipeline gate that keeps eval data
+    * out of training corpora: every 25th doc stands in for the eval
+    * set; a training doc is contaminated when it shares ≥ 1 distinct
+    * word-4-gram with it (real pipelines use 8–13-grams for the same
+    * selectivity these synthetic docs reach at 4). The eval side is
+    * DELIBERATELY broadcast: unlike the corpus-derived relations the
+    * dedup paths must never broadcast, an eval set is small by
+    * construction (that asymmetry is the whole design — corpus
+    * streams, benchmark replicates, exactly like the KNN query side). */
+  def decontamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val benchShingles = docs.filter(col("doc_id") % 25 === 0)
+      .select(explode(Dedup.shingleSet(col("text"), 4)).as("sh"))
+      .distinct()
+    val trainShingles = docs.filter(col("doc_id") % 25 =!= 0)
+      .select(col("doc_id"), explode(Dedup.shingleSet(col("text"), 4)).as("sh"))
+    trainShingles.join(broadcast(benchShingles), "sh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+  }
+
+  /** [[operators.Skew.saltedCountSum]] under the oracle gate: two-phase
+    * salted aggregation over the 3-hot-key returnflag column must merge
+    * to exactly the plain groupBy totals (integer cents, so the fold
+    * order is irrelevant and ANY salt assignment hash-matches). */
+  def saltedAgg(spark: SparkSession, sfDir: String): DataFrame =
+    operators.Skew.saltedCountSum(
+      t(spark, sfDir, "lineitem").select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents")),
+      key = "l_returnflag", salt = 16, value = "cents")
+
   // ---------------------------------------------------------------------
   // SQL-text surface: spark.sql over registered views + the engine's
   // native functions exposed through GraftExtensions
@@ -768,7 +832,10 @@ object Queries {
     "q51_grouping_sets" -> (groupingSetsAgg _),
     "q52_tfidf" -> (tfidfTopTerms _),
     "q53_sketch_check" -> (approxSketchCheck _),
-    "q54_knn_blocked" -> (knnPredictBlocked _))
+    "q54_knn_blocked" -> (knnPredictBlocked _),
+    "q55_repetition" -> (repetitionSignals _),
+    "q56_decontam" -> (decontamination _),
+    "q57_salted_agg" -> (saltedAgg _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -1656,5 +1723,60 @@ object Queries {
            CAST(1 AS BIGINT) AS acd_ok,
            CAST(1 AS BIGINT) AS p50_ok
          FROM lineitem GROUP BY l_returnflag""",
-    "q54_knn_blocked" -> knnPredictOracle)
+    "q54_knn_blocked" -> knnPredictOracle,
+    "q55_repetition" ->
+      """WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+         base AS (
+           SELECT doc_id, len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_distinct
+           FROM tk),
+         bg AS (
+           SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1])) AS bigram
+           FROM tk WHERE len(toks) >= 2),
+         bgc AS (
+           SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram),
+         bgs AS (
+           SELECT doc_id, max(c) AS top_bg, sum(c) AS n_bg FROM bgc GROUP BY doc_id),
+         j AS (
+           SELECT b.doc_id, b.n_tokens,
+             CAST(floor((b.n_tokens - b.n_distinct) * 1000000.0 / b.n_tokens) AS BIGINT)
+               AS dup_token_frac_micro,
+             CAST(coalesce(floor(s.top_bg * 1000000.0 / s.n_bg), 0) AS BIGINT)
+               AS top_bigram_frac_micro
+           FROM base b LEFT JOIN bgs s USING (doc_id))
+         SELECT doc_id, n_tokens, dup_token_frac_micro, top_bigram_frac_micro,
+           CAST(CASE WHEN dup_token_frac_micro > 300000
+                       OR top_bigram_frac_micro > 180000
+                     THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+         FROM j""",
+    "q56_decontam" ->
+      """WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+         shg AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) <= 4 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks)-3),
+                         i -> array_to_string(toks[i:i+3], ' '))
+             END AS shingles
+           FROM tk),
+         shh AS (
+           SELECT doc_id, list_distinct(list_transform(shingles, s ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 131 + c) % 1000000007))) AS sh
+           FROM shg),
+         b AS (SELECT DISTINCT unnest(sh) AS s FROM shh WHERE doc_id % 25 = 0),
+         tr AS (SELECT doc_id, unnest(sh) AS s FROM shh WHERE doc_id % 25 <> 0)
+         SELECT doc_id, count(*) AS n_shared_ngrams
+         FROM tr JOIN b USING (s)
+         GROUP BY doc_id""",
+    "q57_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS cnt,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_value
+         FROM lineitem GROUP BY l_returnflag""")
 }

@@ -177,6 +177,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("partial_topkaggregator"), plan.take(1500))
   }
 
+  test("q55 repetition: bigram stats partial-aggregate; no Window") {
+    val plan = planOf(Queries.repetitionSignals(spark, sf))
+    assert(!plan.contains("Window"), plan.take(1500))
+    assert(plan.toLowerCase.contains("partial_count")
+      || plan.toLowerCase.contains("partial_max"), plan.take(1500))
+  }
+
+  test("q56 decontam: the EVAL side broadcasts, the corpus side streams") {
+    // the deliberate asymmetry: an eval set is small by construction, so
+    // it replicates (like the KNN query side); the training corpus must
+    // be the streamed probe side, never collected or broadcast
+    val plan = planOf(Queries.decontamination(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+  }
+
+  test("q57 salted agg: two phases — (key, salt) pre-aggregation then key merge") {
+    val plan = planOf(Queries.saltedAgg(spark, sf))
+    assert("""hashpartitioning\(l_returnflag[^)]*_salt""".r.findFirstIn(plan).isDefined,
+      plan.take(2000))
+    assert(plan.toLowerCase.contains("partial_count"), plan.take(2000))
+  }
+
   test("q49: survivor resolution drops losers via an anti join") {
     // the pair/cluster lineage is cut by the per-iteration
     // localCheckpoint (its join shape is audited at q17), so the final
