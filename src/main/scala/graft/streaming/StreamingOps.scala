@@ -218,6 +218,44 @@ object StreamingOps {
         col("session_window.end").as("sess_end"),
         col("sess_events"))
 
+  /** Stream–stream interval join — the streaming twin of the batch
+    * range join (q42's shape): each left event matched to right events
+    * of the same key whose timestamp falls in
+    * `[leftTs − window, leftTs]`. Both sides carry watermarks, and the
+    * join condition's time bound is what lets Spark EVICT buffered
+    * rows: a right row older than `watermark − window` can never match
+    * a future left row, so state is bounded by the watermark horizon ×
+    * arrival rate — the stream-side analogue of the batch
+    * bucketed-equi-join argument (state, like shuffle, must not grow
+    * with history).
+    *
+    * Inner join only here: stream–stream outer joins emit nulls at
+    * watermark expiry, which makes results arrival-order-dependent in
+    * exactly the way this engine's determinism discipline forbids;
+    * count-style "how many priors" queries belong on the batch path.
+    *
+    * @return left rows joined to qualifying right rows (one output row
+    *         per match), with both timestamps kept
+    */
+  def intervalJoinStream(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      leftTsCol: String,
+      rightTsCol: String,
+      window: String = "10 minutes",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(leftTsCol, watermarkDelay)
+    val r = right.withWatermark(rightTsCol, watermarkDelay)
+      .withColumnRenamed(keyCol, s"_r_$keyCol")
+    l.join(r,
+      col(keyCol) === col(s"_r_$keyCol") &&
+        col(rightTsCol) >= col(leftTsCol) - expr(s"INTERVAL $window") &&
+        col(rightTsCol) <= col(leftTsCol),
+      "inner")
+      .drop(s"_r_$keyCol")
+  }
+
   /** Running per-user event statistics carried across micro-batches in
     * the state store: (user_id, events_so_far, value_cents_so_far).
     * State is one small struct per user — the 100 TB concern is key

@@ -150,6 +150,52 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinStream: stream-stream join within the window; matches the batch range join") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, Timestamp)]
+    val errors = MemoryStream[(Long, Long, Timestamp)]
+    val joined = StreamingOps.intervalJoinStream(
+      clicks.toDF().toDF("click_id", "user_id", "ts"),
+      errors.toDF().toDF("err_id", "user_id", "err_ts"),
+      keyCol = "user_id", leftTsCol = "ts", rightTsCol = "err_ts",
+      window = "10 minutes", watermarkDelay = "30 minutes")
+    val q = joined.select($"click_id", $"err_id").writeStream
+      .format("memory").queryName("interval_join")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: error at 10:00; clicks at 10:05 (match), 10:10 exactly
+      // at the window edge (match), 10:11 (no match — err outside);
+      // error arrives in a LATER batch than the first click: the
+      // buffered state must still join them
+      clicks.addData((100L, 1L, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      errors.addData((900L, 1L, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
+      clicks.addData(
+        (101L, 1L, ts("2024-01-01 10:10:00")),
+        (102L, 1L, ts("2024-01-01 10:11:00")),
+        (103L, 2L, ts("2024-01-01 10:05:00"))) // other user: no match
+      q.processAllAvailable()
+      val got = spark.table("interval_join").as[(Long, Long)].collect().toSet
+      assert(got === Set((100L, 900L), (101L, 900L)), s"got $got")
+      // the batch range-join counts agree on the same data
+      val clicksB = Seq((100L, 1L, ts("2024-01-01 10:05:00")),
+        (101L, 1L, ts("2024-01-01 10:10:00")),
+        (102L, 1L, ts("2024-01-01 10:11:00")),
+        (103L, 2L, ts("2024-01-01 10:05:00"))).toDF("event_id", "user_id", "ts")
+      val errorsB = Seq((900L, 1L, ts("2024-01-01 10:00:00")))
+        .toDF("err_id", "user_id", "err_ts")
+      val batch = graft.operators.RangeJoin.rangeCount(
+        clicksB, errorsB.select($"user_id", $"err_ts"), Seq("user_id"),
+        "ts", "err_ts", windowMicros = 600L * 1000000L,
+        leftId = "event_id", countCol = "n")
+        .as[(Long, Long)].collect().toMap
+      val streamCounts = got.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      assert(batch.filter(_._2 > 0) === streamCounts,
+        s"stream $streamCounts vs batch $batch")
+    } finally q.stop()
+  }
+
   test("sessionWindowCounts: inactivity gap closes sessions; matches the batch gap rule") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long)]
