@@ -256,30 +256,37 @@ object Queries {
         floor(col("dist") * 1000000.0).cast("long").as("dist_micro"))
   }
 
-  /** Approximate cosine top-5 via random-hyperplane LSH (5 planes × 8
-    * tables — recall ≈ 0.35 @5 vs 0.17 for the round-2 6×4 config) — the 100 TB discovery path; deterministic planes let the
-    * DuckDB oracle replicate it exactly. */
+  /** Approximate cosine top-5 via random-hyperplane LSH (5 planes × 12
+    * tables — recall@5 0.54 at sf0.1 vs 0.46 for round-5's 5×8, at
+    * LOWER cost; tuning swept by `graft.TuneAnn`) — the 100 TB
+    * discovery path; deterministic planes let the DuckDB oracle
+    * replicate it exactly. Scale rule: planes grow ~log₂(corpus /
+    * target-bucket-size) so buckets stay bounded; tables buy recall
+    * linearly in cost. */
   def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = t(spark, sfDir, "embeddings")
     SimilaritySearch.approxCosineTopK(
       emb.filter(col("vec_id") % 10 === 0), emb.filter(col("vec_id") % 10 =!= 0),
       k = 5, "vec_id", "vec_id", "embedding", "embedding",
-      dim = 64, planes = 5, tables = 8)
+      dim = 64, planes = 5, tables = 12)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"),
         floor(col("dist") * 1000000.0).cast("long").as("dist_micro"))
   }
 
-  /** IVF-flat approximate top-5 (16 deterministic sampled centroids,
-    * probe 3 — recall@5 ≈ 0.36 vs 0.22 at probe 2, scan fraction still 3/16) — the second ANN scale path next to hyperplane LSH:
-    * broadcast codebook, per-item nearest-centroid assignment with
-    * map-side argmin, exact search only in probed inverted lists. */
+  /** IVF-flat approximate top-5 (32 deterministic sampled centroids,
+    * probe 8 — recall@5 0.56 at sf0.1 vs 0.41 for round-5's 16/3, scan
+    * fraction 8/32 = 0.25; swept by `graft.TuneAnn`) — the second ANN
+    * scale path next to hyperplane LSH: broadcast codebook, per-item
+    * nearest-centroid assignment with map-side argmin, exact search
+    * only in probed inverted lists. Scale rule: centroids ∝ √corpus
+    * keeps cells balanced; probes trade recall for scan fraction. */
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = t(spark, sfDir, "embeddings")
     SimilaritySearch.ivfTopK(
       emb.filter(col("vec_id") % 10 === 0), emb.filter(col("vec_id") % 10 =!= 0),
       k = 5, "vec_id", "vec_id", "embedding", "embedding",
-      centroids = 16, probes = 3)
+      centroids = 32, probes = 8)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"),
         floor(col("dist") * 1000000.0).cast("long").as("dist_micro"))
@@ -1135,7 +1142,7 @@ object Queries {
                      (CAST((((tbl*5+p)*6700417 + d + 1) * 2654435761) % 1000000007 AS DOUBLE)
                        / 1000000007.0 - 0.5))), (x,y) -> x+y) >= 0
                  THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)), (a,b) -> a+b) AS sig
-           FROM q, (SELECT unnest(generate_series(0, 7)) AS tbl)),
+           FROM q, (SELECT unnest(generate_series(0, 11)) AS tbl)),
          its AS (
            SELECT iid, tbl,
              list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -1146,7 +1153,7 @@ object Queries {
                      (CAST((((tbl*5+p)*6700417 + d + 1) * 2654435761) % 1000000007 AS DOUBLE)
                        / 1000000007.0 - 0.5))), (x,y) -> x+y) >= 0
                  THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)), (a,b) -> a+b) AS sig
-           FROM it, (SELECT unnest(generate_series(0, 7)) AS tbl)),
+           FROM it, (SELECT unnest(generate_series(0, 11)) AS tbl)),
          cand AS (
            SELECT DISTINCT qs.qid, its.iid
            FROM qs JOIN its ON qs.tbl = its.tbl AND qs.sig = its.sig),
@@ -1373,7 +1380,7 @@ object Queries {
          cb AS (
            SELECT iid AS cid, ie AS ce FROM it
            ORDER BY (((iid % 1000000007 + 1) * 2654435761) % 1000000007) * 2246822519 % 1000000007 % 1000003, iid
-           LIMIT 16),
+           LIMIT 32),
          assign AS (
            SELECT iid, ie, cid FROM (
              SELECT i.iid, i.ie, c.cid,
@@ -1393,7 +1400,7 @@ object Queries {
                      x -> (CAST(q.qe[x] AS DOUBLE) - CAST(c.ce[x] AS DOUBLE))
                         * (CAST(q.qe[x] AS DOUBLE) - CAST(c.ce[x] AS DOUBLE)))),
                    (a, b) -> a + b), c.cid) AS rn
-             FROM q CROSS JOIN cb c) WHERE rn <= 3),
+             FROM q CROSS JOIN cb c) WHERE rn <= 8),
          scored AS (
            SELECT p.qid, a.iid,
              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -1501,7 +1508,7 @@ object Queries {
                      (CAST((((tbl*5+p)*6700417 + d + 1) * 2654435761) % 1000000007 AS DOUBLE)
                        / 1000000007.0 - 0.5))), (x,y) -> x+y) >= 0
                  THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)), (a,b) -> a+b) AS sig
-           FROM q, (SELECT unnest(generate_series(0, 7)) AS tbl)),
+           FROM q, (SELECT unnest(generate_series(0, 11)) AS tbl)),
          its AS (
            SELECT iid, tbl,
              list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -1512,7 +1519,7 @@ object Queries {
                      (CAST((((tbl*5+p)*6700417 + d + 1) * 2654435761) % 1000000007 AS DOUBLE)
                        / 1000000007.0 - 0.5))), (x,y) -> x+y) >= 0
                  THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)), (a,b) -> a+b) AS sig
-           FROM it, (SELECT unnest(generate_series(0, 7)) AS tbl)),
+           FROM it, (SELECT unnest(generate_series(0, 11)) AS tbl)),
          l_cand AS (
            SELECT DISTINCT qs.qid, its.iid
            FROM qs JOIN its ON qs.tbl = its.tbl AND qs.sig = its.sig),
@@ -1541,7 +1548,7 @@ object Queries {
          cb AS (
            SELECT iid AS cid, ie AS ce FROM it
            ORDER BY (((iid % 1000000007 + 1) * 2654435761) % 1000000007) * 2246822519 % 1000000007 % 1000003, iid
-           LIMIT 16),
+           LIMIT 32),
          assign AS (
            SELECT iid, ie, cid FROM (
              SELECT i.iid, i.ie, c.cid,
@@ -1561,7 +1568,7 @@ object Queries {
                      x -> (CAST(q.qe[x] AS DOUBLE) - CAST(c.ce[x] AS DOUBLE))
                         * (CAST(q.qe[x] AS DOUBLE) - CAST(c.ce[x] AS DOUBLE)))),
                    (a, b) -> a + b), c.cid) AS rn
-             FROM q CROSS JOIN cb c) WHERE rn <= 3),
+             FROM q CROSS JOIN cb c) WHERE rn <= 8),
          i_scored AS (
            SELECT p.qid, a.iid,
              list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
