@@ -737,6 +737,27 @@ object Queries {
       .agg(count(lit(1)).as("n_shared_ngrams"))
   }
 
+  /** [[decontamination]] through the Bloom-runtime-filter scale path
+    * ([[Dedup.sharedKeyCountsBloom]]): when the eval suite outgrows
+    * broadcast, the shingle join must shuffle — this variant builds a
+    * Bloom filter over the bench shingles (one small aggregation, a
+    * few MB sketch) and evaluates `might_contain` per corpus shingle
+    * BEFORE the exchange, so the shuffle carries only (contaminated +
+    * fpp·rest) rows instead of the whole exploded corpus. The exact
+    * join then drops Bloom false positives, making the result
+    * bit-identical to q56 — they share one oracle. */
+  def decontaminationBloom(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val benchShingles = docs.filter(col("doc_id") % 25 === 0)
+      .select(explode(Dedup.shingleSet(col("text"), 4)).as("sh"))
+      .distinct()
+    val trainShingles = docs.filter(col("doc_id") % 25 =!= 0)
+      .select(col("doc_id"), explode(Dedup.shingleSet(col("text"), 4)).as("sh"))
+    Dedup.sharedKeyCountsBloom(trainShingles, benchShingles,
+      idCol = "doc_id", keyCol = "sh", expectedItems = 200000L)
+      .select(col("doc_id"), col("n_shared").as("n_shared_ngrams"))
+  }
+
   /** [[operators.Skew.saltedCountSum]] under the oracle gate: two-phase
     * salted aggregation over the 3-hot-key returnflag column must merge
     * to exactly the plain groupBy totals (integer cents, so the fold
@@ -842,7 +863,8 @@ object Queries {
     "q54_knn_blocked" -> (knnPredictBlocked _),
     "q55_repetition" -> (repetitionSignals _),
     "q56_decontam" -> (decontamination _),
-    "q57_salted_agg" -> (saltedAgg _))
+    "q57_salted_agg" -> (saltedAgg _),
+    "q58_bloom_decontam" -> (decontaminationBloom _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -872,6 +894,32 @@ object Queries {
            FROM votes) WHERE vr = 1"""
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
+  /** q56's oracle, shared verbatim with q58: the Bloom-prefiltered
+    * shuffle path must be bit-equal to the broadcast path (no false
+    * negatives; false positives die in the exact join). */
+  private val decontamOracle: String =
+    """WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+         shg AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) <= 4 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks)-3),
+                         i -> array_to_string(toks[i:i+3], ' '))
+             END AS shingles
+           FROM tk),
+         shh AS (
+           SELECT doc_id, list_distinct(list_transform(shingles, s ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 131 + c) % 1000000007))) AS sh
+           FROM shg),
+         b AS (SELECT DISTINCT unnest(sh) AS s FROM shh WHERE doc_id % 25 = 0),
+         tr AS (SELECT doc_id, unnest(sh) AS s FROM shh WHERE doc_id % 25 <> 0)
+         SELECT doc_id, count(*) AS n_shared_ngrams
+         FROM tr JOIN b USING (s)
+         GROUP BY doc_id"""
+
   val oracles: Map[String, String] = Map(
     "q01_scan_project" ->
       "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem",
@@ -1760,28 +1808,8 @@ object Queries {
                        OR top_bigram_frac_micro > 180000
                      THEN 1 ELSE 0 END AS BIGINT) AS repetitive
          FROM j""",
-    "q56_decontam" ->
-      """WITH tk AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-           FROM documents),
-         shg AS (
-           SELECT doc_id,
-             CASE WHEN len(toks) <= 4 THEN [array_to_string(toks, ' ')]
-                  ELSE list_transform(generate_series(1, len(toks)-3),
-                         i -> array_to_string(toks[i:i+3], ' '))
-             END AS shingles
-           FROM tk),
-         shh AS (
-           SELECT doc_id, list_distinct(list_transform(shingles, s ->
-             list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
-               (h, c) -> (h * 131 + c) % 1000000007))) AS sh
-           FROM shg),
-         b AS (SELECT DISTINCT unnest(sh) AS s FROM shh WHERE doc_id % 25 = 0),
-         tr AS (SELECT doc_id, unnest(sh) AS s FROM shh WHERE doc_id % 25 <> 0)
-         SELECT doc_id, count(*) AS n_shared_ngrams
-         FROM tr JOIN b USING (s)
-         GROUP BY doc_id""",
+    "q56_decontam" -> decontamOracle,
+    "q58_bloom_decontam" -> decontamOracle,
     "q57_salted_agg" ->
       """SELECT l_returnflag, count(*) AS cnt,
            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_value

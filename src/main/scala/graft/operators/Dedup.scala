@@ -442,6 +442,81 @@ object Dedup {
       .filter(col("cos_micro") >= minCosineMicro)
   }
 
+  /** Serialized Bloom filter over a key column — the build side of the
+    * runtime-filter pattern Spark itself injects for shuffle joins
+    * (`InjectRuntimeFilter`), constructed manually so a pipeline can
+    * stage it once and reuse it across queries. One partial-agged
+    * aggregation over `keys`; the merged sketch (a few MB for tens of
+    * millions of keys at the default 3% fpp) returns to the driver.
+    *
+    * `None` when `keys` is empty (no filter to build — callers treat
+    * "no bloom" as "nothing can match").
+    *
+    * The key column must be integral or string (the sketch hashes
+    * longs/binary natively); our shingle hashes are already longs.
+    */
+  def bloomBits(keys: DataFrame, keyCol: String, expectedItems: Long): Option[Array[Byte]] = {
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graft.Bridge
+    val agg = new BloomFilterAggregate(
+      Bridge.expression(col(keyCol)), expectedItems).toAggregateExpression()
+    Option(keys.select(Bridge.column(agg).as("bf")).head.getAs[Array[Byte]]("bf"))
+  }
+
+  /** `might_contain(bloom, key)` as a codegen'd Catalyst predicate —
+    * false ⇒ the key is definitely NOT in the build set (no false
+    * negatives), true ⇒ probably is. The filter evaluates per-row with
+    * zero shuffle, so placed under a join's probe-side exchange it cuts
+    * shuffled volume to (true matches + fpp·rest).
+    */
+  def mightContain(bloom: Array[Byte], key: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graft.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    Bridge.column(BloomFilterMightContain(
+      Literal(bloom, BinaryType), Bridge.expression(key)))
+  }
+
+  /** Bloom-prefiltered shared-key counts — the shuffle-scale path of
+    * benchmark decontamination. The broadcast formulation (q56) is
+    * right while the bench shingle set fits an executor; when the eval
+    * suite grows past broadcast comfort the join must shuffle, and a
+    * naive shuffle join moves EVERY corpus shingle — at 100 TB that is
+    * the whole exploded corpus through the wire to discard ~all of it.
+    * This path builds a Bloom filter over the bench keys (one small
+    * aggregation), evaluates `might_contain` per corpus row BEFORE the
+    * exchange, and shuffle-joins only the survivors: shuffled volume
+    * drops from O(corpus shingles) to O(contaminated + fpp · corpus).
+    * False positives are removed by the exact join, so the result is
+    * bit-identical to the unfiltered join — same oracle as q56.
+    *
+    * @param corpusKeys (idCol, keyCol) exploded corpus relation
+    * @param benchKeys  distinct bench keys, same keyCol
+    * @return (idCol, n_shared) — corpus ids sharing ≥ 1 key, with count
+    */
+  def sharedKeyCountsBloom(
+      corpusKeys: DataFrame,
+      benchKeys: DataFrame,
+      idCol: String,
+      keyCol: String,
+      expectedItems: Long): DataFrame = {
+    val spark = corpusKeys.sparkSession
+    bloomBits(benchKeys, keyCol, expectedItems) match {
+      case None =>
+        import org.apache.spark.sql.types.LongType
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField(idCol, corpusKeys.schema(idCol).dataType),
+            org.apache.spark.sql.types.StructField("n_shared", LongType, nullable = false))))
+      case Some(bloom) =>
+        corpusKeys
+          .filter(mightContain(bloom, col(keyCol)))
+          .join(benchKeys.hint("shuffle_hash"), keyCol) // the can't-broadcast scale case
+          .groupBy(col(idCol))
+          .agg(count(lit(1)).as("n_shared"))
+    }
+  }
+
   /** Embedding-cosine near-dup pairs via random-hyperplane LSH — the
     * discovery path: candidate pairs are docs sharing a `planes`-bit
     * hyperplane signature in ≥ 1 of `tables` independent plane sets;
