@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, Dedup, Knn, SimilaritySearch}
+import graft.operators.{AsOfJoin, Dedup, Knn, Packing, SimilaritySearch}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -758,6 +758,55 @@ object Queries {
       .select(col("doc_id"), col("n_shared").as("n_shared_ngrams"))
   }
 
+  /** Sequence packing ([[Packing.packSummary]]): assign docs to
+    * fixed-512-token pre-training context windows by concat-and-chunk
+    * order within each source shard, then summarize each window. One
+    * running-sum window partitioned by the shard key — parallelism =
+    * shard cardinality, no global sort. */
+  def packSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = t(spark, sfDir, "documents").select(
+      col("doc_id"), col("source"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    Packing.packSummary(docs, groupCol = "source", orderCol = "doc_id",
+      tokensCol = "n_tokens", capacity = 512L)
+  }
+
+  /** Semi-structured extraction: parse the `props` JSON column with an
+    * explicit schema (`from_json` — codegen'd Jackson parse, no UDF)
+    * and aggregate by event type and a derived key bucket. The parse
+    * stays inside whole-stage codegen and the aggregate partial-aggs
+    * map-side like any other groupBy. */
+  def jsonProps(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = t(spark, sfDir, "events")
+    ev.select(col("event_type"), col("value"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+          .getField("k").as("k"))
+      .groupBy(col("event_type"), (col("k") % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+  }
+
+  /** Overlapping document chunking — the retrieval/embedding prep step:
+    * cut each doc into 512-char windows every 384 chars (128 overlap)
+    * with `sequence` + `posexplode` + `substr`, all pure column
+    * expressions. Per-row fan-out only (ceil(n_chars/384) chunks), zero
+    * shuffle: chunking composes with downstream embedding/dedup without
+    * materializing the corpus twice. */
+  def chunkDocuments(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    docs
+      .select(col("doc_id"),
+        posexplode(sequence(lit(1L), greatest(col("n_chars"), lit(1L)), lit(384L)))
+          .as(Seq("pos", "chunk_start")),
+        col("text"))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("chunk_start"),
+        col("text").substr(col("chunk_start"), lit(512)).as("chunk"))
+      .withColumn("chunk_chars", length(col("chunk")).cast("long"))
+  }
+
   /** [[operators.Skew.saltedCountSum]] under the oracle gate: two-phase
     * salted aggregation over the 3-hot-key returnflag column must merge
     * to exactly the plain groupBy totals (integer cents, so the fold
@@ -864,7 +913,10 @@ object Queries {
     "q55_repetition" -> (repetitionSignals _),
     "q56_decontam" -> (decontamination _),
     "q57_salted_agg" -> (saltedAgg _),
-    "q58_bloom_decontam" -> (decontaminationBloom _))
+    "q58_bloom_decontam" -> (decontaminationBloom _),
+    "q59_pack_sequences" -> (packSequences _),
+    "q60_json_extract" -> (jsonProps _),
+    "q61_chunking" -> (chunkDocuments _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -1813,5 +1865,39 @@ object Queries {
     "q57_salted_agg" ->
       """SELECT l_returnflag, count(*) AS cnt,
            CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_value
-         FROM lineitem GROUP BY l_returnflag""")
+         FROM lineitem GROUP BY l_returnflag""",
+    "q59_pack_sequences" ->
+      """WITH tk AS (
+           SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         a AS (
+           SELECT source, doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS tok_before
+           FROM tk)
+         SELECT source, CAST(floor(tok_before / 512.0) AS BIGINT) AS pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM a GROUP BY source, pack_id""",
+    "q60_json_extract" ->
+      """SELECT event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           count(*) AS cnt,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+         FROM events GROUP BY event_type, k_bucket""",
+    "q61_chunking" ->
+      """WITH s AS (
+           SELECT doc_id, text,
+             unnest(generate_series(CAST(1 AS BIGINT),
+               CAST(greatest(n_chars, 1) AS BIGINT), CAST(384 AS BIGINT))) AS gs
+           FROM documents)
+         SELECT doc_id,
+           CAST((gs - 1) // 384 AS BIGINT) AS chunk_idx,
+           CAST(gs AS BIGINT) AS chunk_start,
+           substring(text, CAST(gs AS INT), 512) AS chunk,
+           CAST(length(substring(text, CAST(gs AS INT), 512)) AS BIGINT) AS chunk_chars
+         FROM s""")
 }
