@@ -12,10 +12,12 @@ import org.apache.spark.sql.types._
   *
   * Decoding is pluggable behind [[Decoder]]. Images decode for REAL
   * via [[ImageIoDecoder]] (the JDK's own `javax.imageio` PNG/BMP/GIF/
-  * JPEG codecs) and audio for REAL via [[WavDecoder]] (the JDK's own
-  * `javax.sound.sampled` WAV/AIFF/AU PCM support) — no external
-  * library for either. Video demux has no JDK codec, so `FakeDecoder`
-  * is its deterministic stand-in (payload bytes → pseudo-features);
+  * JPEG codecs), audio for REAL via [[WavDecoder]] (the JDK's own
+  * `javax.sound.sampled` WAV/AIFF/AU PCM support), and animated-GIF
+  * video demuxes for REAL via [[GifDemuxer]] (`javax.imageio`'s
+  * indexed multi-frame GIF reads) — no external library for any.
+  * Only containers the JDK has no codec for (MP4/MKV demux) keep a
+  * deterministic stand-in (`FakeDecoder` / chunked [[sampleFrames]]);
   * the Spark-side contract (schema, batching, partitioning, null
   * discipline) is identical either way, so swapping in a JNI/FFM
   * codec is a one-class change.
@@ -78,6 +80,40 @@ object Multimodal {
       }
   }
 
+  /** `dim`-bin normalized luminance histogram of a decoded image:
+    * integer BT.601 luma per pixel (`(299r+587g+114b)/1000`, integer
+    * division) binned as `lum*dim/256` — bit-deterministic across JVMs
+    * and task retries. Bulk row fetch (one `getRGB` per ROW, not per
+    * pixel) avoids the per-call color-model conversion on the hot
+    * executor loop. Returns None for degenerate dimensions.
+    */
+  private[multimodal] def lumaHistogram(
+      img: java.awt.image.BufferedImage, dim: Int): Option[Array[Float]] = {
+    val w = img.getWidth; val h = img.getHeight
+    if (w <= 0 || h <= 0) None
+    else {
+      val f = new Array[Float](dim)
+      val rowBuf = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, rowBuf, 0, w)
+        var x = 0
+        while (x < w) {
+          val rgb = rowBuf(x)
+          val lum = (((rgb >> 16) & 0xff) * 299 +
+            ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+          f(lum * dim / 256) += 1.0f
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toFloat
+      var i = 0
+      while (i < dim) { f(i) /= n; i += 1 }
+      Some(f)
+    }
+  }
+
   /** Real image decode via the JDK's built-in `javax.imageio` codecs
     * (PNG/BMP/GIF/JPEG ship with every JVM — no external library).
     * Feature = `dim`-bin luminance histogram, normalized by pixel
@@ -104,34 +140,7 @@ object Multimodal {
             new javax.imageio.stream.MemoryCacheImageInputStream(
               new java.io.ByteArrayInputStream(p)))
           if (img == null) None
-          else {
-            val f = new Array[Float](dim)
-            val w = img.getWidth; val h = img.getHeight
-            if (w <= 0 || h <= 0) None
-            else {
-              // bulk row fetch: per-pixel getRGB(x, y) pays a color-model
-              // conversion call per pixel — the slow ImageIO path on the
-              // hot executor loop; one getRGB per ROW amortizes it
-              val rowBuf = new Array[Int](w)
-              var y = 0
-              while (y < h) {
-                img.getRGB(0, y, w, 1, rowBuf, 0, w)
-                var x = 0
-                while (x < w) {
-                  val rgb = rowBuf(x)
-                  val lum = (((rgb >> 16) & 0xff) * 299 +
-                    ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
-                  f(lum * dim / 256) += 1.0f
-                  x += 1
-                }
-                y += 1
-              }
-              val n = (w.toLong * h).toFloat
-              var i = 0
-              while (i < dim) { f(i) /= n; i += 1 }
-              Some(f)
-            }
-          }
+          else lumaHistogram(img, dim)
         } catch { case scala.util.control.NonFatal(_) => None }
       }
   }
@@ -236,11 +245,99 @@ object Multimodal {
     spark.createDataFrame(rows, outSchema)
   }
 
+  /** The frame-demux seam: payload → sampled decoded frames. Same
+    * contract as [[Decoder]]: deterministic per payload, total (corrupt
+    * / non-matching payloads → empty, never throw).
+    */
+  trait FrameDemuxer extends Serializable {
+    /** Every `stride`-th frame of the payload, as
+      * (frame_idx, width, height, `dim`-bin luma histogram). */
+    def demux(payload: Array[Byte], stride: Int, dim: Int): Seq[(Int, Int, Int, Array[Float])]
+  }
+
+  /** REAL multi-frame demux for animated GIF via the JDK's own
+    * `javax.imageio` GIF reader (`getNumImages` + indexed `read(i)`) —
+    * no external library, the same route [[ImageIoDecoder]] and
+    * [[WavDecoder]] took to retire their stubs. Each sampled frame
+    * decodes to the same bit-deterministic luma histogram as still
+    * images.
+    *
+    * Honest scope: frames are decoded as STORED (each GIF frame's own
+    * raster, which may be a sub-rectangle of the logical screen under
+    * GIF's incremental-update encoding) — no disposal-method
+    * compositing. That keeps the per-frame cost O(frame raster) and is
+    * exactly what frame-level feature extraction wants; compositing
+    * belongs to a playback engine, not a feature pipeline. Container
+    * formats with no JDK codec (MP4/MKV) still go through
+    * [[sampleFrames]]' chunk stand-in.
+    */
+  object GifDemuxer extends FrameDemuxer {
+    override def demux(
+        payload: Array[Byte], stride: Int, dim: Int): Seq[(Int, Int, Int, Array[Float])] = {
+      if (payload == null || payload.isEmpty) return Seq.empty
+      try {
+        val in = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(payload))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(in)
+          if (!readers.hasNext) return Seq.empty
+          val reader = readers.next()
+          try {
+            reader.setInput(in, false, true)
+            // allowSearch: GIF has no frame-count directory — the reader
+            // must walk the stream once; fine, the payload is in memory
+            val n = reader.getNumImages(true)
+            (0 until n by stride).flatMap { i =>
+              val img = reader.read(i)
+              lumaHistogram(img, dim).map(h => (i, img.getWidth, img.getHeight, h))
+            }
+          } finally reader.dispose()
+        } finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    }
+  }
+
+  /** Real frame sampling: demux each video payload partition-locally and
+    * emit one row per sampled decoded frame —
+    * (media_id, frame_idx, width, height, features). Payloads never
+    * shuffle (the demux runs directly over the scan); fan-out is
+    * per-row only, so this composes with downstream per-frame dedup /
+    * similarity without re-materializing the corpus.
+    */
+  def sampleFramesDecoded(
+      media: DataFrame,
+      stride: Int = 4,
+      dim: Int = 64,
+      demuxer: FrameDemuxer = GifDemuxer): DataFrame = {
+    require(stride > 0 && dim > 0)
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("features", ArrayType(FloatType), nullable = false)))
+    val src = castToImpl(media.filter(col("kind") === "video")
+      .select(col("media_id"), col("payload")))
+    val rows = src.queryExecution.toRdd.mapPartitions { iter =>
+      iter.flatMap { ir =>
+        val id = ir.getLong(0)
+        val payload = if (ir.isNullAt(1)) null else ir.getBinary(1)
+        demuxer.demux(payload, stride, dim).map { case (idx, w, h, f) =>
+          Row(id, idx, w, h, f.toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
   /** Deterministic frame sampling for video payloads: every `stride`-th
     * fixed-size chunk becomes a frame row (media_id, frame_idx,
-    * frame binary). The chunking is the STUB — a real demuxer yields
-    * codec frames — but the explode shape (one row per sampled frame,
-    * payload never shuffled before sampling) is the production shape.
+    * frame binary). The chunking is the STAND-IN for containers with no
+    * JDK codec (MP4/MKV) — GIF demuxes for real via
+    * [[sampleFramesDecoded]] — but the explode shape (one row per
+    * sampled frame, payload never shuffled before sampling) is the
+    * production shape either way.
     */
   def sampleFrames(
       media: DataFrame,

@@ -255,4 +255,66 @@ class MultimodalSpec extends SparkSpec {
     assert(ann.length === 1 && ann.head._2 === 0L && ann.head._3 === 0.0,
       s"full-probe IVF must retrieve the identical twin: ${ann.mkString(", ")}")
   }
+
+  /** Animated GIF built with the JDK's own GIF writer: one IIOImage per
+    * frame through `prepareWriteSequence`/`writeToSequence`. */
+  private def animatedGif(levels: Seq[Int], w: Int = 8, h: Int = 8): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(out)
+    writer.prepareWriteSequence(null)
+    levels.foreach { level =>
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val rgb = (level << 16) | (level << 8) | level
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    writer.dispose(); out.close()
+    bos.toByteArray
+  }
+
+  test("GifDemuxer: real multi-frame GIF demux — stride sampling, per-frame histograms, corrupt tolerance") {
+    val dim = 16
+    // 5 frames at luma 0,64,128,192,255; stride 2 samples frames 0,2,4
+    val gif = animatedGif(Seq(0, 64, 128, 192, 255))
+    val frames = Multimodal.GifDemuxer.demux(gif, stride = 2, dim = dim)
+    assert(frames.map(_._1) === Seq(0, 2, 4))
+    assert(frames.forall { case (_, w, h, _) => w === 8 && h === 8 })
+    // each frame is a flat grey: all histogram mass in one bin, monotone
+    // in the frame's brightness (GIF palette quantization may shift the
+    // level slightly, never the ordering)
+    val bins = frames.map { case (_, _, _, f) =>
+      assert(f.sum === 1.0f && f.count(_ > 0f) === 1)
+      f.indexWhere(_ > 0f)
+    }
+    assert(bins === bins.sorted && bins.distinct.length === bins.length,
+      s"frame bins must rise with brightness: $bins")
+    // determinism across calls (retry/speculation contract)
+    assert(Multimodal.GifDemuxer.demux(gif, 2, dim).map(_._4.toSeq) ===
+      frames.map(_._4.toSeq))
+    // total: corrupt / truncated / empty / null / non-GIF all yield empty
+    assert(Multimodal.GifDemuxer.demux(Array[Byte](1, 2, 3), 1, dim).isEmpty)
+    assert(Multimodal.GifDemuxer.demux(gif.take(20), 1, dim).isEmpty)
+    assert(Multimodal.GifDemuxer.demux(Array.emptyByteArray, 1, dim).isEmpty)
+    assert(Multimodal.GifDemuxer.demux(null, 1, dim).isEmpty)
+  }
+
+  test("sampleFramesDecoded: end-to-end real GIF frame rows, payload never shuffled") {
+    val gif3 = animatedGif(Seq(0, 128, 255))
+    val gif1 = animatedGif(Seq(255))
+    val rows = Seq(
+      (1L, "video", gif3),
+      (2L, "video", gif1),
+      (3L, "video", Array[Byte](9, 9, 9)), // corrupt member: contributes 0 rows
+      (4L, "image", gif3)) // wrong kind: filtered out
+    val df = spark.createDataFrame(rows).toDF("media_id", "kind", "payload")
+    val out = Multimodal.sampleFramesDecoded(df, stride = 1, dim = 16)
+    val got = out.collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(got.toSeq === Seq((1L, 0), (1L, 1), (1L, 2), (2L, 0)))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"frame demux must not shuffle payloads:\n$plan")
+  }
 }
