@@ -311,6 +311,42 @@ object Queries {
     one("ivf", annIvf(spark, sfDir)).unionAll(one("lsh", annLsh(spark, sfDir)))
   }
 
+  /** Int8-quantized brute-force top-5 over the q21 query/item split —
+    * the memory-bandwidth ANN path: codes are 4× narrower than float32
+    * and the squared-Euclidean over codes is INTEGER-exact, so unlike
+    * the float paths the full ranked result (not a floor-micro
+    * projection) is hash-gated. Scale = one corpus-global max|x|
+    * aggregate, broadcast into the quantization projection (same
+    * "tiny separate job" shape as the IVF codebook). */
+  def quantAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    SimilaritySearch.quantizedTopK(
+      emb.filter(col("vec_id") % 10 === 0), emb.filter(col("vec_id") % 10 =!= 0),
+      k = 5, "vec_id", "vec_id", "embedding", "embedding")
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("qdist"))
+  }
+
+  /** Recall@5 of the int8-quantized sweep against the FLOAT
+    * squared-Euclidean exact top-5 on the same split — quantization
+    * loss, gated as integer-exact overlap counts per round (the
+    * [[annRecall]] discipline applied to the quantized path). */
+  def quantRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    val exact = Knn.knnJoin(
+      emb.filter(col("vec_id") % 10 === 0), emb.filter(col("vec_id") % 10 =!= 0),
+      k = 5, "vec_id", "vec_id", "embedding", "embedding",
+      metric = "squaredEuclidean")
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = quantAnn(spark, sfDir).select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val tot = exact.agg(count(lit(1)).as("possible"))
+    hits.crossJoin(tot).select(
+      lit("int8").as("method"), col("hits"), col("possible"),
+      floor(col("hits") * 1000000.0 / col("possible")).cast("long").as("recall_micro"))
+  }
+
   // ---------------------------------------------------------------------
   // Relational surface beyond the reference (sorts, set ops, semi/anti,
   // grouping sets, time windows) — all built-in Catalyst
@@ -916,7 +952,9 @@ object Queries {
     "q58_bloom_decontam" -> (decontaminationBloom _),
     "q59_pack_sequences" -> (packSequences _),
     "q60_json_extract" -> (jsonProps _),
-    "q61_chunking" -> (chunkDocuments _))
+    "q61_chunking" -> (chunkDocuments _),
+    "q62_quant_ann" -> (quantAnn _),
+    "q63_quant_recall" -> (quantRecall _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -1899,5 +1937,76 @@ object Queries {
            CAST(gs AS BIGINT) AS chunk_start,
            substring(text, CAST(gs AS INT), 512) AS chunk,
            CAST(length(substring(text, CAST(gs AS INT), 512)) AS BIGINT) AS chunk_chars
-         FROM s""")
+         FROM s""",
+    "q62_quant_ann" ->
+      """WITH mxs AS (
+           SELECT max(list_max(list_transform(embedding,
+             x -> abs(CAST(x AS DOUBLE))))) AS mx
+           FROM embeddings),
+         q AS (
+           SELECT vec_id AS qid,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / mx) AS BIGINT)) AS qa
+           FROM embeddings, mxs WHERE vec_id % 10 = 0),
+         it AS (
+           SELECT vec_id AS iid,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / mx) AS BIGINT)) AS ia
+           FROM embeddings, mxs WHERE vec_id % 10 <> 0),
+         scored AS (
+           SELECT qid, iid,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, len(qa)),
+                 i -> (qa[i] - ia[i]) * (qa[i] - ia[i]))), (a, b) -> a + b) AS qdist
+           FROM q CROSS JOIN it)
+         SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank, iid AS neighbor_id, qdist
+         FROM (SELECT qid, iid, qdist,
+                 row_number() OVER (PARTITION BY qid ORDER BY qdist, iid) AS rn
+               FROM scored)
+         WHERE rn <= 5""",
+    "q63_quant_recall" ->
+      """WITH mxs AS (
+           SELECT max(list_max(list_transform(embedding,
+             x -> abs(CAST(x AS DOUBLE))))) AS mx
+           FROM embeddings),
+         q AS (
+           SELECT vec_id AS qid, embedding AS qe,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / mx) AS BIGINT)) AS qa
+           FROM embeddings, mxs WHERE vec_id % 10 = 0),
+         it AS (
+           SELECT vec_id AS iid, embedding AS ie,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 127.0 / mx) AS BIGINT)) AS ia
+           FROM embeddings, mxs WHERE vec_id % 10 <> 0),
+         e_scored AS (
+           SELECT qid, iid,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, len(qe)),
+                 i -> (CAST(qe[i] AS DOUBLE) - CAST(ie[i] AS DOUBLE)) *
+                      (CAST(qe[i] AS DOUBLE) - CAST(ie[i] AS DOUBLE)))),
+               (x, y) -> x + y) AS dist
+           FROM q CROSS JOIN it),
+         exact AS (
+           SELECT qid, iid FROM (
+             SELECT qid, iid,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, iid) AS rn
+             FROM e_scored) WHERE rn <= 5),
+         q_scored AS (
+           SELECT qid, iid,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, len(qa)),
+                 i -> (qa[i] - ia[i]) * (qa[i] - ia[i]))), (a, b) -> a + b) AS qdist
+           FROM q CROSS JOIN it),
+         quant AS (
+           SELECT qid, iid FROM (
+             SELECT qid, iid,
+               row_number() OVER (PARTITION BY qid ORDER BY qdist, iid) AS rn
+             FROM q_scored) WHERE rn <= 5),
+         hitrow AS (
+           SELECT count(*) AS hits FROM exact e JOIN quant a USING (qid, iid)),
+         tot AS (SELECT count(*) AS possible FROM exact)
+         SELECT 'int8' AS method, hits, possible,
+           CAST(floor(hits * 1000000.0 / possible) AS BIGINT) AS recall_micro
+         FROM hitrow, tot""")
 }

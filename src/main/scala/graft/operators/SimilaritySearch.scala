@@ -221,4 +221,71 @@ object SimilaritySearch {
         col("n.id").as("neighbor_id"),
         col("n.dist").as("dist"))
   }
+
+  /** Symmetric int8 scalar quantization of a vector column against a
+    * CORPUS-GLOBAL scale: `qᵢ = round(xᵢ · 127 / maxAbs)` ∈ [−127, 127]
+    * (zeros when `maxAbs` is 0 or null). A global scale — not
+    * per-vector — is what keeps the quantized space metric-comparable
+    * ACROSS rows: squared-Euclidean over the int codes is then a
+    * monotone approximation of the true distance, so ranking needs no
+    * per-item float rescale and stays integer-exact (engine-portable).
+    *
+    * Codes are carried as integral `array<double>` so the existing
+    * fused-codegen distance kernels ([[VectorFunctions]]) apply
+    * unchanged; every distance they produce is an exact integer (the
+    * max possible 64-dim code distance, 64·254², is ≪ 2⁵³). The 4×
+    * width saving of a physical `array<byte>` is a storage-layout
+    * concern; at the operator layer the win is the integer-exact
+    * metric, which is what a rescore-free ANN sweep needs.
+    */
+  def int8Quantize(vec: Column, maxAbs: Column): Column = {
+    val v = vec.cast("array<double>")
+    when(maxAbs.isNull || maxAbs === 0.0, transform(v, _ => lit(0.0)))
+      .otherwise(transform(v, x => round(x * lit(127.0) / maxAbs)))
+  }
+
+  /** Per-vector max |xᵢ| — aggregate over a corpus to get the global
+    * quantization scale. */
+  def maxAbsElem(vec: Column): Column =
+    array_max(transform(vec.cast("array<double>"), x => abs(x)))
+
+  /** Quantized brute-force top-k: both sides int8-quantized against the
+    * shared corpus scale (computed here as a 1-row aggregate over
+    * `items` ∪ `queries`, broadcast into the quantization projection —
+    * at 100 TB the scale is a tiny separate agg job exactly like the
+    * IVF codebook), then ranked by integer squared-Euclidean over the
+    * codes. Distances are exact integers → the whole result is
+    * hash-portable, unlike float-scored ANN paths that gate on
+    * `floor(dist·1e6)`.
+    *
+    * Memory-bandwidth story at scale: int8 codes are 4× narrower than
+    * float32, so a scan-heavy sweep moves 4× less data; recall loss is
+    * bounded by the quantization step (gate it per round like
+    * [[graft.SparkEntry.annRecall]] does for LSH/IVF).
+    *
+    * @return (query_id, rank, neighbor_id, qdist) — qdist integral
+    */
+  def quantizedTopK(
+      queries: DataFrame,
+      items: DataFrame,
+      k: Int,
+      queryId: String,
+      itemId: String,
+      queryVec: String,
+      itemVec: String): DataFrame = {
+    val scale = queries.select(maxAbsElem(col(queryVec)).as("m"))
+      .unionAll(items.select(maxAbsElem(col(itemVec)).as("m")))
+      .agg(max(col("m")).as("mx"))
+    def quantized(df: DataFrame, id: String, vec: String): DataFrame =
+      df.crossJoin(broadcast(scale)).select(
+        col(id).cast("long").as(id),
+        int8Quantize(col(vec), col("mx")).as("qvec"))
+    Knn.knnJoin(
+      quantized(queries, queryId, queryVec),
+      quantized(items, itemId, itemVec),
+      k, queryId, itemId, "qvec", "qvec",
+      metric = "squaredEuclidean")
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("dist").cast("long").as("qdist"))
+  }
 }

@@ -85,6 +85,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q62 quantized ANN: scale broadcast, corpus never shuffled before the top-k agg") {
+    val plan = planOf(Queries.quantAnn(spark, sf))
+    // the 1-row global-scale agg and the query slice are the only
+    // broadcasts; the item corpus must stream through quantization into
+    // the KNN nested loop with NO exchange before the partial top-k agg
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    assert(plan.toLowerCase.contains("partial_topkaggregator"), plan.take(1500))
+    // AQE's toString repeats the tree under "== Initial Plan ==";
+    // count exchanges in the final tree only
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    val corpusShuffles = "Exchange hashpartitioning".r.findAllIn(finalTree).size
+    assert(corpusShuffles <= 1, s"expected only the top-k agg exchange:\n${finalTree.take(2000)}")
+  }
+
   test("q39 IVF: no exchange keyed by the centroid id; probed side is broadcast") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning

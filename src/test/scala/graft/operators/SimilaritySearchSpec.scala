@@ -93,6 +93,69 @@ class SimilaritySearchSpec extends SparkSpec {
     }
   }
 
+  test("int8Quantize: codes integral, bounded by ±127, zeros on zero scale") {
+    val df = Seq(
+      (1L, Seq(1.0f, -1.0f, 0.5f, 0.0f)),
+      (2L, Seq(0.25f, -0.125f, 1.0f, -0.33f))).toDF("id", "v")
+    val mx = lit(1.0)
+    val codes = df.select($"id",
+      SimilaritySearch.int8Quantize($"v", mx).as("q"))
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(codes(1L) === Seq(127.0, -127.0, 64.0, 0.0)) // round(63.5) → 64 (HALF_UP)
+    assert(codes(2L) === Seq(32.0, -16.0, 127.0, -42.0))
+    assert(codes.values.flatten.forall(c => c == math.rint(c) || c == math.floor(c) + 1))
+    assert(codes.values.flatten.forall(c => c >= -127.0 && c <= 127.0))
+    val zeroed = df.select(
+      SimilaritySearch.int8Quantize($"v", lit(0.0)).as("q"))
+      .as[Seq[Double]].collect()
+    assert(zeroed.forall(_.forall(_ == 0.0)))
+  }
+
+  test("quantizedTopK: distances are exact integers matching a hand quantization") {
+    val items = emb.filter($"vec_id" % 10 =!= 0)
+    val r = SimilaritySearch.quantizedTopK(queries.limit(4), items, 3,
+      "vec_id", "vec_id", "embedding", "embedding")
+      .select("query_id", "rank", "neighbor_id", "qdist")
+      .as[(Long, Int, Long, Long)].collect()
+    assert(r.nonEmpty && r.groupBy(_._1).values.forall(_.length == 3))
+    // recompute one (query, neighbor) distance by hand on the driver
+    val mx = emb.select(SimilaritySearch.maxAbsElem($"embedding").as("m"))
+      .agg(max($"m")).as[Double].head()
+    val vecs = emb.select($"vec_id", $"embedding").as[(Long, Seq[Float])]
+      .collect().toMap
+    def q8(v: Seq[Float]): Seq[Long] = v.map(x =>
+      BigDecimal(x * 127.0 / mx).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+    for ((qid, _, nid, qdist) <- r.take(5)) {
+      val (qa, ia) = (q8(vecs(qid)), q8(vecs(nid)))
+      val expect = qa.zip(ia).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(qdist === expect, s"($qid,$nid)")
+    }
+  }
+
+  test("quantizedTopK: near-lossless recall vs exact on sf0.001; self at distance 0") {
+    val items = emb.filter($"vec_id" % 10 =!= 0)
+    val exact = Knn.knnJoin(queries, items, 5,
+      "vec_id", "vec_id", "embedding", "embedding")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val quant = SimilaritySearch.quantizedTopK(queries, items, 5,
+      "vec_id", "vec_id", "embedding", "embedding")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val hits = exact.keys.toSeq.map { q =>
+      quant.getOrElse(q, Set.empty).intersect(exact(q)).size
+    }.sum
+    val recall = hits.toDouble / (exact.size * 5)
+    // int8 against a global scale loses little: well above any ANN floor
+    assert(recall >= 0.7, s"int8 recall@5 = $recall")
+    // an item used as its own query quantizes identically on both sides
+    val self = items.limit(3).select($"vec_id", $"embedding")
+    val s = SimilaritySearch.quantizedTopK(self, items, 1,
+      "vec_id", "vec_id", "embedding", "embedding")
+      .select("query_id", "neighbor_id", "qdist").as[(Long, Long, Long)].collect()
+    assert(s.length === 3 && s.forall(t => t._1 == t._2 && t._3 == 0L), s.mkString(", "))
+  }
+
   test("IVF top-k: identical query finds itself when its list is probed first") {
     val items = emb.filter($"vec_id" % 10 =!= 0)
     // use an item AS the query: its nearest neighbor is itself at dist 0,
