@@ -843,6 +843,26 @@ object Queries {
       .withColumn("chunk_chars", length(col("chunk")).cast("long"))
   }
 
+  /** [[operators.Dedup.chunkDedup]] under the oracle gate: per-doc
+    * chunk-dedup summary — total 256-char chunks vs chunks this doc
+    * keeps as the global first occurrence. `n_chunks` is derived
+    * ARITHMETICALLY from the pruned (doc_id, n_chars) scan — the text
+    * column is read once, by the survivor branch only; the per-doc
+    * join of the two counts is pinned shuffle-hash (the kept side is
+    * corpus-cardinality, broadcasting it would die at scale). */
+  def chunkDedupSummary(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val kept = Dedup.chunkDedup(docs, "doc_id", "text", chunkSize = 256)
+      .groupBy(col("id")).agg(count(lit(1)).as("n_kept"))
+      .select(col("id").as("doc_id"), col("n_kept"))
+    val tot = docs.select(col("doc_id"),
+      (floor((greatest(col("n_chars"), lit(1L)) - 1) / 256) + 1)
+        .cast("long").as("n_chunks"))
+    tot.join(kept.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** [[operators.Skew.saltedCountSum]] under the oracle gate: two-phase
     * salted aggregation over the 3-hot-key returnflag column must merge
     * to exactly the plain groupBy totals (integer cents, so the fold
@@ -954,7 +974,8 @@ object Queries {
     "q60_json_extract" -> (jsonProps _),
     "q61_chunking" -> (chunkDocuments _),
     "q62_quant_ann" -> (quantAnn _),
-    "q63_quant_recall" -> (quantRecall _))
+    "q63_quant_recall" -> (quantRecall _),
+    "q64_chunk_dedup" -> (chunkDedupSummary _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -2008,5 +2029,26 @@ object Queries {
          tot AS (SELECT count(*) AS possible FROM exact)
          SELECT 'int8' AS method, hits, possible,
            CAST(floor(hits * 1000000.0 / possible) AS BIGINT) AS recall_micro
-         FROM hitrow, tot""")
+         FROM hitrow, tot""",
+    "q64_chunk_dedup" ->
+      """WITH c AS (
+           SELECT doc_id,
+             CAST((gs - 1) // 256 AS BIGINT) AS chunk_idx,
+             substring(text, CAST(gs AS INT), 256) AS chunk
+           FROM (
+             SELECT doc_id, text,
+               unnest(generate_series(CAST(1 AS BIGINT),
+                 CAST(greatest(n_chars, 1) AS BIGINT), CAST(256 AS BIGINT))) AS gs
+             FROM documents)),
+         f AS (
+           SELECT chunk, min(doc_id * 1000000 + chunk_idx) AS fk
+           FROM c GROUP BY chunk),
+         k AS (
+           SELECT CAST(fk // 1000000 AS BIGINT) AS doc_id,
+             count(*) AS n_kept
+           FROM f GROUP BY 1)
+         SELECT d.doc_id,
+           CAST((greatest(n_chars, 1) - 1) // 256 + 1 AS BIGINT) AS n_chunks,
+           COALESCE(k.n_kept, CAST(0 AS BIGINT)) AS n_kept
+         FROM documents d LEFT JOIN k ON d.doc_id = k.doc_id""")
 }

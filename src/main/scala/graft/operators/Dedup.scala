@@ -53,6 +53,43 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Chunk-level exact dedup — the granularity between whole-document
+    * ([[exactGroups]]) and near-dup shingling: documents are cut into
+    * fixed non-overlapping `chunkSize`-char windows and each DISTINCT
+    * chunk keeps one global survivor, the lexicographically smallest
+    * (id, chunk_idx) occurrence. This is the pre-training-data shape
+    * (dedup the training sequences, not the documents): boilerplate
+    * shared across otherwise-distinct pages dies here while the unique
+    * remainder of each page survives.
+    *
+    * Scale shape: chunking is a pure per-row projection
+    * (`sequence` + `posexplode` + `substr`, no shuffle, total output
+    * volume ≈ input text volume), and survivor election is ONE
+    * map-side-partial `min` aggregation keyed by chunk content — the
+    * same single-exchange shape as [[exactGroups]]. Nothing is
+    * broadcast, nothing is windowed.
+    *
+    * @return (id, chunk_idx, chunk) — the surviving occurrences
+    */
+  def chunkDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkSize: Int = 256): DataFrame = {
+    val step = chunkSize.toLong
+    df.select(
+        col(idCol).cast("long").as("id"),
+        posexplode(sequence(
+          lit(1L), greatest(length(col(textCol)).cast("long"), lit(1L)), lit(step)))
+          .as(Seq("pos", "start")),
+        col(textCol))
+      .select(col("id"), col("pos").cast("long").as("chunk_idx"),
+        col(textCol).substr(col("start").cast("int"), lit(chunkSize)).as("chunk"))
+      .groupBy(col("chunk"))
+      .agg(min(struct(col("id"), col("chunk_idx"))).as("w"))
+      .select(col("w.id").as("id"), col("w.chunk_idx").as("chunk_idx"), col("chunk"))
+  }
+
   /** Distinct hashed word-`n`-gram shingles of a text column. */
   def shingleSet(text: Column, n: Int): Column =
     array_distinct(shingleHashes(text, n))

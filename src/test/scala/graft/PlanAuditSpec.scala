@@ -99,6 +99,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(corpusShuffles <= 1, s"expected only the top-k agg exchange:\n${finalTree.take(2000)}")
   }
 
+  test("q64 chunk dedup: partial min agg, no Window, per-doc join never broadcasts") {
+    val plan = planOf(Queries.chunkDedupSummary(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    // survivor election is a map-side partial min over chunk content
+    assert(finalTree.contains("partial_min"), finalTree.take(1500))
+    assert(!finalTree.contains("Window"), finalTree.take(1500))
+    // both join inputs are corpus-cardinality: a broadcast here is the
+    // q18-class scale bug
+    assert(!finalTree.contains("BroadcastExchange"), finalTree.take(1500))
+  }
+
   test("q39 IVF: no exchange keyed by the centroid id; probed side is broadcast") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning

@@ -157,4 +157,35 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.nearDupClusters(pairs).as[(Long, Long)].collect().toMap
     assert(got === Map(0L -> 0L, 1L -> 0L, 3L -> 0L))
   }
+
+  test("chunkDedup: exact window boundaries, global first occurrence survives") {
+    val d = Seq(
+      (10L, "AAAABBBBCC"), // chunks at size 4: AAAA, BBBB, CC
+      (11L, "BBBBAAAAZZ"), // BBBB/AAAA repeat doc 10's chunks at other positions
+      (12L, "CCXX")        // CC repeats doc 10's tail chunk
+    ).toDF("doc_id", "text")
+    val surv = Dedup.chunkDedup(d, "doc_id", "text", chunkSize = 4)
+      .as[(Long, Long, String)].collect().toSet
+    // every distinct chunk keeps exactly its smallest (id, idx) occurrence
+    assert(surv === Set(
+      (10L, 0L, "AAAA"), (10L, 1L, "BBBB"), (10L, 2L, "CC"),
+      (11L, 2L, "ZZ"), (12L, 0L, "CCXX")))
+  }
+
+  test("chunkDedup: within-doc repeats keep the smallest chunk_idx; empty text is one empty chunk") {
+    val d = Seq((5L, "XYXYXY"), (6L, ""), (7L, "")).toDF("doc_id", "text")
+    val surv = Dedup.chunkDedup(d, "doc_id", "text", chunkSize = 2)
+      .as[(Long, Long, String)].collect().toSet
+    // "XY" appears at idx 0,1,2 in doc 5 — only idx 0 survives; both
+    // empty docs collapse to doc 6's single empty chunk
+    assert(surv === Set((5L, 0L, "XY"), (6L, 0L, "")))
+  }
+
+  test("chunkDedup: disjoint corpora keep everything (no false merges)") {
+    val d = Seq((1L, "abcdefgh"), (2L, "ijklmnop")).toDF("doc_id", "text")
+    val surv = Dedup.chunkDedup(d, "doc_id", "text", chunkSize = 3)
+      .as[(Long, Long, String)].collect()
+    assert(surv.length === 6) // abc def gh | ijk lmn op — all distinct
+    assert(surv.map(_._3).toSet.size === 6)
+  }
 }
