@@ -863,6 +863,20 @@ object Queries {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** [[operators.Layout.zValue]] under the oracle gate: the Morton
+    * curve value the clustered-write path sorts by, as a ranked
+    * projection (top-100 by (z, key) — plans TakeOrderedAndProject,
+    * no global sort). Pure integer bit arithmetic → bit-exact in any
+    * engine; the layout operator itself ([[operators.Layout.zOrdered]],
+    * range exchange + local sort) is plan- and boundary-asserted in
+    * LayoutSpec. */
+  def zOrderKeys(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        operators.Layout.zValue(col("l_partkey"), col("l_suppkey")).as("zval"))
+      .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
+      .limit(100)
+
   /** [[operators.Skew.saltedCountSum]] under the oracle gate: two-phase
     * salted aggregation over the 3-hot-key returnflag column must merge
     * to exactly the plain groupBy totals (integer cents, so the fold
@@ -975,7 +989,8 @@ object Queries {
     "q61_chunking" -> (chunkDocuments _),
     "q62_quant_ann" -> (quantAnn _),
     "q63_quant_recall" -> (quantRecall _),
-    "q64_chunk_dedup" -> (chunkDedupSummary _))
+    "q64_chunk_dedup" -> (chunkDedupSummary _),
+    "q65_zorder" -> (zOrderKeys _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -2050,5 +2065,26 @@ object Queries {
          SELECT d.doc_id,
            CAST((greatest(n_chars, 1) - 1) // 256 + 1 AS BIGINT) AS n_chunks,
            COALESCE(k.n_kept, CAST(0 AS BIGINT)) AS n_kept
-         FROM documents d LEFT JOIN k ON d.doc_id = k.doc_id""")
+         FROM documents d LEFT JOIN k ON d.doc_id = k.doc_id""",
+    "q65_zorder" ->
+      """WITH base AS (
+           SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+             l_partkey & 65535 AS a, l_suppkey & 65535 AS b
+           FROM lineitem),
+         s1 AS (SELECT l_orderkey, l_linenumber,
+                  (a | (a << 8)) & 16711935 AS a1,
+                  (b | (b << 8)) & 16711935 AS b1 FROM base),
+         s2 AS (SELECT l_orderkey, l_linenumber,
+                  (a1 | (a1 << 4)) & 252645135 AS a2,
+                  (b1 | (b1 << 4)) & 252645135 AS b2 FROM s1),
+         s3 AS (SELECT l_orderkey, l_linenumber,
+                  (a2 | (a2 << 2)) & 858993459 AS a3,
+                  (b2 | (b2 << 2)) & 858993459 AS b3 FROM s2),
+         s4 AS (SELECT l_orderkey, l_linenumber,
+                  (a3 | (a3 << 1)) & 1431655765 AS a4,
+                  (b3 | (b3 << 1)) & 1431655765 AS b4 FROM s3)
+         SELECT l_orderkey, l_linenumber, a4 | (b4 << 1) AS zval
+         FROM s4
+         ORDER BY zval, l_orderkey, l_linenumber
+         LIMIT 100""")
 }

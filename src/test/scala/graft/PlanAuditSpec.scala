@@ -110,6 +110,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(!finalTree.contains("BroadcastExchange"), finalTree.take(1500))
   }
 
+  test("q65 z-order keys: top-100 plans TakeOrderedAndProject, not a global sort") {
+    val plan = planOf(Queries.zOrderKeys(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
+  }
+
   test("q39 IVF: no exchange keyed by the centroid id; probed side is broadcast") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
