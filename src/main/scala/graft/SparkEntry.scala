@@ -526,6 +526,27 @@ object Queries {
       operators.Sampling.bucket(col("doc_id"), 10).as("bucket"),
       operators.Sampling.splitTag(col("doc_id"), 10, 8).as("split"))
 
+  /** [[operators.Sampling.mixKeep]] under the oracle gate: per-source
+    * admission totals for a weighted data-mixing config (explicit ppm
+    * for four sources, a default for the rest). ONE scan, one
+    * partial-agged groupBy — the keep decision is a per-row predicate
+    * folded into a conditional aggregate, no join, no second pass. */
+  def sourceMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val weights = Map(
+      "src0" -> 1000000L, // keep all
+      "src1" -> 500000L,  // half
+      "src2" -> 250000L,  // quarter
+      "src3" -> 0L)       // drop entirely
+    val keep = operators.Sampling.mixKeep(
+      col("doc_id"), col("source"), weights, defaultPpm = 750000L)
+    t(spark, sfDir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(keep, lit(1L)).otherwise(lit(0L))).as("n_kept"))
+      .withColumn("kept_ppm",
+        floor(col("n_kept") * lit(1000000.0) / col("n_total")).cast("long"))
+  }
+
   /** Text normalization (training-data cleaning): lowercase, strip
     * punctuation runs to single spaces, trim; plus the normalized
     * token count. */
@@ -990,7 +1011,8 @@ object Queries {
     "q62_quant_ann" -> (quantAnn _),
     "q63_quant_recall" -> (quantRecall _),
     "q64_chunk_dedup" -> (chunkDedupSummary _),
-    "q65_zorder" -> (zOrderKeys _))
+    "q65_zorder" -> (zOrderKeys _),
+    "q66_source_mix" -> (sourceMix _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -2086,5 +2108,27 @@ object Queries {
          SELECT l_orderkey, l_linenumber, a4 | (b4 << 1) AS zval
          FROM s4
          ORDER BY zval, l_orderkey, l_linenumber
-         LIMIT 100""")
+         LIMIT 100""",
+    "q66_source_mix" ->
+      """SELECT source, count(*) AS n_total,
+           CAST(sum(CASE WHEN
+             (((doc_id % 1000000007 + 1) * 2654435761) % 1000000007)
+               * 2246822519 % 1000000007 % 1000000 <
+             (CASE source WHEN 'src0' THEN 1000000
+                          WHEN 'src1' THEN 500000
+                          WHEN 'src2' THEN 250000
+                          WHEN 'src3' THEN 0
+                          ELSE 750000 END)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(floor(CAST(sum(CASE WHEN
+             (((doc_id % 1000000007 + 1) * 2654435761) % 1000000007)
+               * 2246822519 % 1000000007 % 1000000 <
+             (CASE source WHEN 'src0' THEN 1000000
+                          WHEN 'src1' THEN 500000
+                          WHEN 'src2' THEN 250000
+                          WHEN 'src3' THEN 0
+                          ELSE 750000 END)
+             THEN 1 ELSE 0 END) AS BIGINT) * 1000000.0 / count(*)) AS BIGINT)
+             AS kept_ppm
+         FROM documents GROUP BY source""")
 }

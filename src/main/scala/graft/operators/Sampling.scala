@@ -87,4 +87,38 @@ object Sampling {
       .select(col(groupCol), col("p.id").as(keyCol),
         (col("pos") + 1).cast("long").as("rn"))
   }
+
+  /** Deterministic weighted source mixing — the data-mixing primitive
+    * of a pre-training pipeline: each group (source/domain/language)
+    * is independently downsampled to its target rate, expressed in
+    * parts-per-million. A row survives iff
+    * `bucket(id, 1e6) < weightPpm(group)`, so:
+    *  - the draw is uniform within every group (the hash ignores the
+    *    group) and exactly reproducible on any engine — reruns,
+    *    backfills, and the DuckDB oracle keep the identical rows;
+    *  - mixing is a pure per-row predicate: zero shuffle, zero join,
+    *    composable under the scan with every other filter.
+    * Weights > 1e6 keep everything (upsampling is a separate concern —
+    * repeat-epoch factors live in the training loader, not the
+    * engine); weight 0 drops the group.
+    */
+  def mixKeep(
+      id: Column,
+      group: Column,
+      weightsPpm: Map[String, Long],
+      defaultPpm: Long): Column = {
+    val w = weightsPpm.foldLeft(lit(defaultPpm)) { case (acc, (k, v)) =>
+      when(group === lit(k), lit(v)).otherwise(acc)
+    }
+    bucket(id, 1000000) < w
+  }
+
+  /** Filter `df` to the [[mixKeep]] survivors. */
+  def weightedMix(
+      df: DataFrame,
+      idCol: String,
+      groupCol: String,
+      weightsPpm: Map[String, Long],
+      defaultPpm: Long): DataFrame =
+    df.filter(mixKeep(col(idCol), col(groupCol), weightsPpm, defaultPpm))
 }

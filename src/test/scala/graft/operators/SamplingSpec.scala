@@ -89,4 +89,33 @@ class SamplingSpec extends SparkSpec {
     assert(firstTen.toSet.size > 5, s"0..9 collapsed to $firstTen — looks like plain modulo")
     assert(firstTen !== (0L to 9L), "must not be the identity assignment")
   }
+
+  test("weightedMix: weight 0 drops all, 1e6 keeps all, default for unlisted groups") {
+    val df = (0L until 3000L).map(i => (i, s"g${i % 3}")).toDF("id", "grp")
+    val weights = Map("g0" -> 1000000L, "g1" -> 0L)
+    val kept = Sampling.weightedMix(df, "id", "grp", weights, defaultPpm = 500000L)
+      .as[(Long, String)].collect()
+    val byG = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byG.getOrElse("g0", 0) === 1000) // weight 1e6: every row
+    assert(!byG.contains("g1"))             // weight 0: none
+    val g2 = byG.getOrElse("g2", 0)         // default 0.5: binomial around 500
+    assert(g2 > 350 && g2 < 650, s"default-rate group kept $g2 of 1000")
+  }
+
+  test("weightedMix: deterministic across runs and independent of group label") {
+    val df = (0L until 2000L).map(i => (i, if (i < 1000) "a" else "b")).toDF("id", "grp")
+    val w = Map("a" -> 300000L, "b" -> 300000L)
+    val once = Sampling.weightedMix(df, "id", "grp", w, 0L)
+      .select("id").as[Long].collect().toSet
+    val again = Sampling.weightedMix(df, "id", "grp", w, 0L)
+      .select("id").as[Long].collect().toSet
+    assert(once === again)
+    // the draw hashes the id only: the same id would survive under any
+    // group label at equal weight (uniformity is within-group by
+    // construction)
+    val relabeled = Sampling.weightedMix(
+      df.withColumn("grp", lit("a")), "id", "grp", w, 0L)
+      .select("id").as[Long].collect().toSet
+    assert(once === relabeled)
+  }
 }
