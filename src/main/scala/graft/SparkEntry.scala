@@ -547,6 +547,23 @@ object Queries {
         floor(col("n_kept") * lit(1000000.0) / col("n_total")).cast("long"))
   }
 
+  /** [[graft.functions.TextFunctions.redact]] under the oracle gate:
+    * PII-style scrubbing of the events payload — digit runs masked to
+    * a fixed token, with the per-row match count as the audit column.
+    * A pure map-only projection (no shuffle at any scale); the regex
+    * subset is the engine-portable one (character classes + repetition,
+    * no lookaround), so Java and RE2 engines agree match-for-match. */
+  def redactEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    t(spark, sfDir, "events").select(
+      col("event_id"),
+      TextFunctions.redact(col("props"),
+        Seq(TextFunctions.EmailRe, TextFunctions.UrlRe, TextFunctions.DigitRunRe),
+        "<X>").as("clean"),
+      TextFunctions.matchCount(col("props"), TextFunctions.DigitRunRe)
+        .as("n_digit_runs"))
+  }
+
   /** Text normalization (training-data cleaning): lowercase, strip
     * punctuation runs to single spaces, trim; plus the normalized
     * token count. */
@@ -1012,7 +1029,8 @@ object Queries {
     "q63_quant_recall" -> (quantRecall _),
     "q64_chunk_dedup" -> (chunkDedupSummary _),
     "q65_zorder" -> (zOrderKeys _),
-    "q66_source_mix" -> (sourceMix _))
+    "q66_source_mix" -> (sourceMix _),
+    "q67_redact" -> (redactEvents _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -2130,5 +2148,15 @@ object Queries {
                           ELSE 750000 END)
              THEN 1 ELSE 0 END) AS BIGINT) * 1000000.0 / count(*)) AS BIGINT)
              AS kept_ppm
-         FROM documents GROUP BY source""")
+         FROM documents GROUP BY source""",
+    "q67_redact" ->
+      """SELECT event_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(props,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<X>', 'g'),
+               'https?://[^\s]+', '<X>', 'g'),
+             '[0-9]+', '<X>', 'g') AS clean,
+           CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_digit_runs
+         FROM events""")
 }

@@ -136,4 +136,30 @@ object TextFunctions {
     * via [[tokenHashArray]]. */
   def shingleHashes(text: Column, n: Int): Column =
     tokenHashArray(shingles(text, n))
+
+  // --- PII / pattern scrubbing -----------------------------------------
+
+  /** Scrub patterns, engine-portable subset: character classes,
+    * alternation, bounded/unbounded repetition only — no lookaround,
+    * no backreferences — so Java regex (Spark codegen) and RE2-family
+    * engines (DuckDB, Go, Rust) agree match-for-match. Order matters
+    * when composed: URLs before bare digit runs, emails before bare
+    * domains. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val DigitRunRe = "[0-9]+"
+
+  /** Redact every match of each pattern (applied in order) with
+    * `token`. Pure per-row projection — composes under the scan with
+    * filters and stays inside whole-stage codegen; at 100 TB scrubbing
+    * is a map-only pass, exactly this. */
+  def redact(text: Column, patterns: Seq[String], token: String): Column =
+    patterns.foldLeft(text)((c, p) => regexp_replace(c, p, token))
+
+  /** Count of non-overlapping matches (left-to-right, the shared
+    * regex-engine convention) — the audit column next to [[redact]]:
+    * how much was scrubbed, per row. */
+  def matchCount(text: Column, pattern: String): Column =
+    regexp_count(text, lit(pattern)).cast("long")
 }

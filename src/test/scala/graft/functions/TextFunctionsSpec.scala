@@ -58,4 +58,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[Seq[String]](shingles(lit("a b"), 3)) === Seq("a b"))
     assert(one[Seq[Long]](shingleHashes(lit("a b c d"), 2)).size === 3)
   }
+
+  test("redact: scrubs emails, URLs, IPs, digit runs; order shields URL innards") {
+    def r(s: String, ps: Seq[String]): String =
+      one[String](redact(lit(s), ps, "<X>"))
+    assert(r("mail bob.smith+x@corp.example.com now", Seq(EmailRe)) ===
+      "mail <X> now")
+    assert(r("see https://a.example.com/p?q=1 ok", Seq(UrlRe)) === "see <X> ok")
+    assert(r("host 10.0.255.1 up", Seq(Ipv4Re)) === "host <X> up")
+    assert(r("card 4111222233334444!", Seq(DigitRunRe)) === "card <X>!")
+    // URL first: its digits vanish inside ONE token instead of leaving
+    // a half-masked URL behind
+    assert(r("go https://ex.com/a/99 code 7",
+      Seq(UrlRe, DigitRunRe)) === "go <X> code <X>")
+    // untouched text passes through byte-identical
+    assert(r("no pii here", Seq(EmailRe, UrlRe, DigitRunRe)) === "no pii here")
+  }
+
+  test("matchCount: non-overlapping left-to-right matches") {
+    assert(one[Long](matchCount(lit("a1b22c333"), DigitRunRe)) === 3L)
+    assert(one[Long](matchCount(lit("no digits"), DigitRunRe)) === 0L)
+    assert(one[Long](matchCount(lit("x@y.com and z@w.org"), EmailRe)) === 2L)
+  }
 }
