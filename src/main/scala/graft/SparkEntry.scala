@@ -564,6 +564,32 @@ object Queries {
         .as("n_digit_runs"))
   }
 
+  /** [[operators.FrequentItems.misraGries]] under the oracle gate: the
+    * token stream's top-10 with sketch estimates joined against the
+    * exact counts. k=64 exceeds this corpus's vocabulary, so every
+    * stage (per-partition updates, shuffle merge of 32 partial
+    * sketches, final reduction) must reproduce the EXACT counts —
+    * hash-gated; the eviction regime's n/(k+1) bounds are spec-pinned
+    * on adversarial streams. The sketch agg itself ships O(k) state
+    * per partition: at 100 TB the exchange carries 64 pairs per
+    * partition, never the token stream. */
+  def freqItems(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val toks = t(spark, sfDir, "documents")
+      .select(explode(TextFunctions.tokens(col("text"))).as("token"))
+    val sketch = toks
+      .agg(operators.FrequentItems.misraGries(64)(col("token")).as("s"))
+      .select(explode(col("s")).as("fi"))
+      .select(col("fi.item").as("token"), col("fi.est").as("est_n"))
+    val top = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("token"))
+      .limit(10)
+    top.join(sketch, Seq("token"), "left")
+      .select(col("token"), col("exact_n"),
+        coalesce(col("est_n"), lit(0L)).as("est_n"))
+  }
+
   /** Text normalization (training-data cleaning): lowercase, strip
     * punctuation runs to single spaces, trim; plus the normalized
     * token count. */
@@ -915,6 +941,21 @@ object Queries {
       .orderBy(col("zval"), col("l_orderkey"), col("l_linenumber"))
       .limit(100)
 
+  /** Fixed-width histogram as integer binning: prices to cents (the
+    * q23 rounding discipline), bin = cents ÷ 50000 (500.00-wide bins
+    * from origin 0) — pure integer arithmetic end to end, one
+    * partial-agged groupBy on the bin id. The declarative twin of an
+    * `approx_percentile`-style distribution sketch: at 100 TB this is
+    * the one-pass shape dashboards bin with. */
+  def priceHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .select(floor(col("cents") / 50000L).cast("long").as("bin"), col("cents"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+
   /** [[operators.Skew.saltedCountSum]] under the oracle gate: two-phase
     * salted aggregation over the 3-hot-key returnflag column must merge
     * to exactly the plain groupBy totals (integer cents, so the fold
@@ -1030,7 +1071,9 @@ object Queries {
     "q64_chunk_dedup" -> (chunkDedupSummary _),
     "q65_zorder" -> (zOrderKeys _),
     "q66_source_mix" -> (sourceMix _),
-    "q67_redact" -> (redactEvents _))
+    "q67_redact" -> (redactEvents _),
+    "q68_histogram" -> (priceHistogram _),
+    "q69_freq_items" -> (freqItems _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -2158,5 +2201,21 @@ object Queries {
                'https?://[^\s]+', '<X>', 'g'),
              '[0-9]+', '<X>', 'g') AS clean,
            CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_digit_runs
-         FROM events""")
+         FROM events""",
+    "q68_histogram" ->
+      """WITH c AS (
+           SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem)
+         SELECT CAST(cents // 50000 AS BIGINT) AS bin,
+           count(*) AS n,
+           min(cents) AS min_cents,
+           max(cents) AS max_cents
+         FROM c GROUP BY 1""",
+    "q69_freq_items" ->
+      """WITH t AS (
+           SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+           FROM documents),
+         e AS (SELECT token, count(*) AS exact_n FROM t GROUP BY token)
+         SELECT token, exact_n, exact_n AS est_n
+         FROM e ORDER BY exact_n DESC, token LIMIT 10""")
 }
