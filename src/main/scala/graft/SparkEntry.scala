@@ -590,6 +590,39 @@ object Queries {
         coalesce(col("est_n"), lit(0L)).as("est_n"))
   }
 
+  /** The END-TO-END pre-training pipeline under ONE hash gate:
+    * admission filter (q48's lang/quality/token thresholds) → exact
+    * dedup survivors (q16's min-id election) → weighted source mixing
+    * (q66's ppm config) → fixed-capacity sequence packing (q59's
+    * concat-and-chunk windows). Each stage keeps its own scale shape —
+    * conjunctive scan predicates, one content-keyed partial agg + semi
+    * join, a per-row hash predicate, a shard-partitioned running sum —
+    * so the composition adds NO new exchange beyond its parts. The
+    * oracle replays the whole chain in SQL: any drift in any stage
+    * (or in how they compose) moves the final pack summary and fails
+    * the hash. */
+  def pipelineE2E(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = t(spark, sfDir, "documents")
+    val admitted = docs.select(
+        col("doc_id"), col("source"), col("text"),
+        TextFunctions.langId(col("text")).as("lang_guess"),
+        TextFunctions.qualityScore(col("text")).as("quality"),
+        TextFunctions.bpeTokenCount(col("text")).as("bpe_tokens"))
+      .filter(col("lang_guess") === "en" && col("quality") >= 300 &&
+        col("bpe_tokens").between(10, 2000))
+    val survivors = Dedup.exactSurvivors(admitted, Seq("text"), "doc_id")
+    val mixed = operators.Sampling.weightedMix(
+      survivors, "doc_id", "source",
+      Map("src0" -> 1000000L, "src1" -> 500000L,
+        "src2" -> 250000L, "src3" -> 0L),
+      defaultPpm = 750000L)
+    val sized = mixed.select(col("doc_id"), col("source"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    Packing.packSummary(sized, groupCol = "source", orderCol = "doc_id",
+      tokensCol = "n_tokens", capacity = 512L)
+  }
+
   /** Text normalization (training-data cleaning): lowercase, strip
     * punctuation runs to single spaces, trim; plus the normalized
     * token count. */
@@ -1073,7 +1106,8 @@ object Queries {
     "q66_source_mix" -> (sourceMix _),
     "q67_redact" -> (redactEvents _),
     "q68_histogram" -> (priceHistogram _),
-    "q69_freq_items" -> (freqItems _))
+    "q69_freq_items" -> (freqItems _),
+    "q70_pipeline" -> (pipelineE2E _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -2217,5 +2251,61 @@ object Queries {
            FROM documents),
          e AS (SELECT token, count(*) AS exact_n FROM t GROUP BY token)
          SELECT token, exact_n, exact_n AS est_n
-         FROM e ORDER BY exact_n DESC, token LIMIT 10""")
+         FROM e ORDER BY exact_n DESC, token LIMIT 10""",
+    "q70_pipeline" ->
+      """WITH tk AS (
+           SELECT doc_id, source, text,
+             regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+         c AS (
+           SELECT doc_id, source, text, len(toks) AS n_tokens,
+             len(list_filter(toks, t -> t IN
+               ('the','a','an','of','and','is','in','to','it','that'))) AS stop_cnt,
+             len(list_filter(toks, t -> t IN ('der','die','das','und','ist','nicht'))) AS c_de,
+             len(list_filter(toks, t -> t IN ('the','a','of','and','is','not'))) AS c_en,
+             len(list_filter(toks, t -> t IN ('el','la','de','y','es','no'))) AS c_es,
+             len(list_filter(toks, t -> t IN ('le','la','de','et','est','pas'))) AS c_fr,
+             len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS bpe_tokens
+           FROM tk),
+         adm AS (
+           SELECT doc_id, source, text, n_tokens FROM (
+             SELECT doc_id, source, text, n_tokens,
+               CASE
+                 WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+                 WHEN c_de = greatest(c_de, c_en, c_es, c_fr) THEN 'de'
+                 WHEN c_en = greatest(c_de, c_en, c_es, c_fr) THEN 'en'
+                 WHEN c_es = greatest(c_de, c_en, c_es, c_fr) THEN 'es'
+                 ELSE 'fr'
+               END AS lang_guess,
+               least(n_tokens, 100) * 5
+                 + CAST(floor(stop_cnt * 500.0 / n_tokens) AS BIGINT) AS quality,
+               bpe_tokens
+             FROM c)
+           WHERE lang_guess = 'en' AND quality >= 300
+             AND bpe_tokens BETWEEN 10 AND 2000),
+         surv AS (
+           SELECT a.doc_id, a.source, a.n_tokens
+           FROM adm a
+           JOIN (SELECT text, min(doc_id) AS keep_id FROM adm GROUP BY text) g
+             ON a.doc_id = g.keep_id),
+         mixed AS (
+           SELECT doc_id, source, n_tokens FROM surv
+           WHERE (((doc_id % 1000000007 + 1) * 2654435761) % 1000000007)
+               * 2246822519 % 1000000007 % 1000000 <
+             (CASE source WHEN 'src0' THEN 1000000
+                          WHEN 'src1' THEN 500000
+                          WHEN 'src2' THEN 250000
+                          WHEN 'src3' THEN 0
+                          ELSE 750000 END)),
+         a AS (
+           SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS tok_before
+           FROM mixed)
+         SELECT source, CAST(floor(tok_before / 512.0) AS BIGINT) AS pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM a GROUP BY source, pack_id""")
 }

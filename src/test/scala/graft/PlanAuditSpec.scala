@@ -115,6 +115,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
   }
 
+  test("q70 pipeline: packing window partitions by source; no nested-loop anywhere") {
+    val plan = planOf(Queries.pipelineE2E(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    // the composed pipeline must not plan any all-pairs shape — every
+    // stage is scan-predicate / agg / semi-join / window
+    assert(!finalTree.contains("BroadcastNestedLoopJoin"), finalTree.take(1500))
+    assert(!finalTree.contains("CartesianProduct"), finalTree.take(1500))
+    // dedup election partial-aggs map-side; the packing running sum
+    // partitions by the shard key, never a single-partition window
+    assert(finalTree.contains("partial_min"), finalTree.take(1500))
+    assert(finalTree.contains("Window"), finalTree.take(1500))
+    assert(!finalTree.contains("SinglePartition"),
+      "packing window collapsed to one partition:\n" + finalTree.take(1500))
+  }
+
   test("q39 IVF: no exchange keyed by the centroid id; probed side is broadcast") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
