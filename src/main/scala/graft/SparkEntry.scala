@@ -700,6 +700,37 @@ object Queries {
         col("price_cents") - lag(col("price_cents"), 1, 0).over(w))
   }
 
+  /** Sliding TIME-window aggregate (RANGE frame): per user, the sum
+    * and count of event value-cents within the trailing hour of each
+    * event — the rate/quota/rolling-metric shape. The frame is a
+    * `rangeBetween` on integer epoch seconds (not `rowsBetween`:
+    * irregular event spacing means N rows ≠ a time horizon), the
+    * window partitions by the HIGH-cardinality user key so the sort is
+    * per-user-slice and distributes; integer cents keep the fold
+    * order irrelevant and the oracle hash-exact. */
+  def slidingUserWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    // exact integer microseconds: no floor-vs-round drift across
+    // engines, and no artificial peer ties from second-truncation
+    val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_us"))
+      .rangeBetween(-3600L * 1000000L, 0L)
+    t(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("epoch_us"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("hour_cents", sum(col("cents")).over(w))
+      .withColumn("hour_events", count(lit(1)).over(w))
+  }
+
+  /** [[operators.Profile.profile]] under the oracle gate: per-column
+    * row/null/exact-distinct counts over the events table in one scan
+    * (Expand-planned multi-distinct). The HLL variant
+    * ([[operators.Profile.approxProfile]] — the 100 TB default, no
+    * Expand) is spec-gated within its error bound against this exact
+    * twin. */
+  def profileEvents(spark: SparkSession, sfDir: String): DataFrame =
+    operators.Profile.profile(t(spark, sfDir, "events"),
+      Seq("event_id", "user_id", "event_type", "value", "props"))
+
   /** Top-100 word bigrams corpus-wide — co-occurrence head of the
     * vocabulary (n-gram LM / tokenizer-training precursor). Bigrams
     * are built per-row with zip_with over two shifted slices (no
@@ -1107,7 +1138,9 @@ object Queries {
     "q67_redact" -> (redactEvents _),
     "q68_histogram" -> (priceHistogram _),
     "q69_freq_items" -> (freqItems _),
-    "q70_pipeline" -> (pipelineE2E _))
+    "q70_pipeline" -> (pipelineE2E _),
+    "q71_sliding_window" -> (slidingUserWindow _),
+    "q72_profile" -> (profileEvents _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -2307,5 +2340,37 @@ object Queries {
            count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
-         FROM a GROUP BY source, pack_id""")
+         FROM a GROUP BY source, pack_id""",
+    "q71_sliding_window" ->
+      """WITH e AS (
+           SELECT event_id, user_id,
+             epoch_us(ts) AS epoch_us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events)
+         SELECT event_id, user_id, epoch_us, cents,
+           CAST(sum(cents) OVER w AS BIGINT) AS hour_cents,
+           CAST(count(*) OVER w AS BIGINT) AS hour_events
+         FROM e
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us
+           RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""",
+    "q72_profile" ->
+      """SELECT 'event_id' AS col_name, count(*) AS n_rows,
+           CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT event_id) AS BIGINT) AS n_distinct FROM events
+         UNION ALL
+         SELECT 'user_id', count(*),
+           CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+         UNION ALL
+         SELECT 'event_type', count(*),
+           CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT event_type) AS BIGINT) FROM events
+         UNION ALL
+         SELECT 'value', count(*),
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT value) AS BIGINT) FROM events
+         UNION ALL
+         SELECT 'props', count(*),
+           CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(count(DISTINCT props) AS BIGINT) FROM events""")
 }

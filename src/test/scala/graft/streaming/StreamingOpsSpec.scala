@@ -335,4 +335,39 @@ class StreamingOpsSpec extends SparkSpec {
       assert(last(8L) === ((8L, 1L, 1000L)))
     } finally q.stop()
   }
+
+  test("stateless pipeline stages (redact + weighted mix) apply identically on a stream") {
+    // the admission stages are pure per-row projections/predicates, so
+    // the SAME Column expressions run under readStream with no state,
+    // no watermark, and per-micro-batch output equal to the batch run
+    import graft.functions.TextFunctions
+    import graft.operators.Sampling
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0L until 200L).map(i =>
+      (i, if (i % 2 == 0) "keepsrc" else "dropsrc", s"id $i mail u$i@x.io"))
+    val weights = Map("keepsrc" -> 600000L, "dropsrc" -> 0L)
+    def stage(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.filter(Sampling.mixKeep($"id", $"src", weights, 0L))
+        .select($"id",
+          TextFunctions.redact($"text",
+            Seq(TextFunctions.EmailRe, TextFunctions.DigitRunRe), "<X>").as("clean"))
+
+    val batch = stage(rows.toDF("id", "src", "text"))
+      .as[(Long, String)].collect().toSet
+    val in = MemoryStream[(Long, String, String)]
+    val q = stage(in.toDF().toDF("id", "src", "text"))
+      .writeStream.format("memory").queryName("stateless_stage")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(rows.take(120): _*)
+      q.processAllAvailable()
+      in.addData(rows.drop(120): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("stateless_stage")
+        .as[(Long, String)].collect().toSet
+      assert(streamed === batch)
+      assert(batch.nonEmpty && batch.forall(_._2.contains("<X>")))
+      assert(batch.forall { case (id, _) => id % 2 == 0 })
+    } finally q.stop()
+  }
 }
