@@ -84,13 +84,89 @@ object GraftExtensions {
           "hyperplane_signature expects 3 or 4 arguments")
         val off = if (args.length == 4) intArg(args(3), "offset") else 0
         HyperplaneSignatureExpr(args(0), intArg(args(1), "planes"), intArg(args(2), "dim"), off)
+      }),
+    // composite builders: Column-level operators re-exposed to SQL text
+    // as directly-composed catalyst trees (a Column→Expression bridge
+    // round-trip leaves unresolved nodes inside a registry builder).
+    // SQL ≡ Column-API equality is spec-enforced, so the two
+    // formulations can't drift silently.
+    ("z_value",
+      new ExpressionInfo("graft.operators.Layout", null, "z_value",
+        "z_value(a, b) - Morton interleave of the low 16 bits of two integer keys", ""),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "z_value expects 2 arguments")
+        Composite.zValue(args(0), args(1))
+      }),
+    ("det_bucket",
+      new ExpressionInfo("graft.operators.Sampling", null, "det_bucket",
+        "det_bucket(key, n) - deterministic rand-free bucket in [0, n) by integer hash", ""),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "det_bucket expects 2 arguments")
+        Composite.detBucket(args(0), intArg(args(1), "n"))
+      }),
+    ("redact_pii",
+      new ExpressionInfo("graft.functions.TextFunctions", null, "redact_pii",
+        "redact_pii(text[, token]) - scrub emails, URLs, and digit runs (default token '<X>')", ""),
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2,
+          "redact_pii expects 1 or 2 arguments")
+        val token = if (args.length == 2) strArg(args(1), "token") else "<X>"
+        Composite.redactPii(args(0), token)
       }))
+
+  /** Catalyst formulations of the composite Column operators (same
+    * arithmetic as [[graft.operators.Layout.zValue]],
+    * [[graft.operators.Sampling.bucket]],
+    * [[graft.functions.TextFunctions.redact]] — equality
+    * spec-enforced in GraftExtensionsSpec). */
+  private object Composite {
+    import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseAnd, BitwiseOr, Cast, Literal, Multiply, Pmod, RegExpReplace, Remainder, ShiftLeft}
+    import org.apache.spark.sql.types.LongType
+
+    private def spread16(x: Expression): Expression = {
+      val m0 = BitwiseAnd(Cast(x, LongType), Literal(0xFFFFL))
+      val m1 = BitwiseAnd(BitwiseOr(m0, ShiftLeft(m0, Literal(8))), Literal(0x00FF00FFL))
+      val m2 = BitwiseAnd(BitwiseOr(m1, ShiftLeft(m1, Literal(4))), Literal(0x0F0F0F0FL))
+      val m3 = BitwiseAnd(BitwiseOr(m2, ShiftLeft(m2, Literal(2))), Literal(0x33333333L))
+      BitwiseAnd(BitwiseOr(m3, ShiftLeft(m3, Literal(1))), Literal(0x55555555L))
+    }
+
+    def zValue(a: Expression, b: Expression): Expression =
+      BitwiseOr(spread16(a), ShiftLeft(spread16(b), Literal(1)))
+
+    def detBucket(key: Expression, n: Int): Expression = {
+      val p = Literal(1000000007L)
+      Pmod(
+        Pmod(
+          Multiply(
+            Pmod(
+              Multiply(
+                Add(Remainder(Cast(key, LongType), p), Literal(1L)),
+                Literal(2654435761L)),
+              p),
+            Literal(2246822519L)),
+          p),
+        Literal(n.toLong))
+    }
+
+    def redactPii(text: Expression, token: String): Expression = {
+      import graft.functions.TextFunctions.{DigitRunRe, EmailRe, UrlRe}
+      Seq(EmailRe, UrlRe, DigitRunRe).foldLeft(text)((e, pat) =>
+        RegExpReplace(e, Literal(pat), Literal(token)))
+    }
+  }
 
   /** Extract a foldable integer argument (signature widths are plan-time
     * constants — they shape the generated code). */
   private def intArg(e: Expression, name: String): Int = {
     require(e.foldable, s"$name must be a literal")
     e.eval().asInstanceOf[Number].intValue
+  }
+
+  /** Extract a foldable string argument. */
+  private def strArg(e: Expression, name: String): String = {
+    require(e.foldable, s"$name must be a literal")
+    e.eval().toString
   }
 
   /** Register all functions (and the HOF→native optimizer rule) on an

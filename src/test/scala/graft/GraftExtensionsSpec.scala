@@ -25,7 +25,34 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(GraftExtensions.all.map(_._1).toSet === Set(
       "vector_sqeuclidean", "vector_dot", "vector_cosine_distance",
       "vector_cosine_sim", "poly_hash_array",
-      "minhash_signature", "simhash", "hyperplane_signature"))
+      "minhash_signature", "simhash", "hyperplane_signature",
+      "z_value", "det_bucket", "redact_pii"))
     new GraftExtensions() // constructible (Class.forName path)
+  }
+
+  test("composite SQL functions equal their Column-API originals") {
+    GraftExtensions.register(spark)
+    Seq((12345L, 54321L, "ping 10.0.0.1 from bob@x.io"))
+      .toDF("a", "b", "text").createOrReplaceTempView("comp")
+    val sqlRow = spark.sql(
+      """SELECT z_value(a, b) AS z, det_bucket(a, 10) AS bk,
+         redact_pii(text) AS red, redact_pii(text, '#') AS red2
+         FROM comp""").head()
+    val apiRow = spark.table("comp").select(
+      operators.Layout.zValue($"a", $"b"),
+      operators.Sampling.bucket($"a", 10),
+      graft.functions.TextFunctions.redact($"text",
+        Seq(graft.functions.TextFunctions.EmailRe,
+          graft.functions.TextFunctions.UrlRe,
+          graft.functions.TextFunctions.DigitRunRe), "<X>"),
+      graft.functions.TextFunctions.redact($"text",
+        Seq(graft.functions.TextFunctions.EmailRe,
+          graft.functions.TextFunctions.UrlRe,
+          graft.functions.TextFunctions.DigitRunRe), "#")).head()
+    assert(sqlRow.getLong(0) === apiRow.getLong(0))
+    assert(sqlRow.getLong(1) === apiRow.getLong(1))
+    assert(sqlRow.getString(2) === apiRow.getString(2))
+    assert(sqlRow.getString(3) === apiRow.getString(3))
+    assert(sqlRow.getString(2) === "ping <X>.<X>.<X>.<X> from <X>")
   }
 }

@@ -130,6 +130,25 @@ class PlanAuditSpec extends SparkSpec {
       "packing window collapsed to one partition:\n" + finalTree.take(1500))
   }
 
+  test("q66/q68: mixing and binning are single partial-agged scans — no join, no Window") {
+    for (q <- Seq(Queries.sourceMix _, Queries.priceHistogram _)) {
+      val plan = planOf(q(spark, sf))
+      val finalTree = plan.split("== Initial Plan ==")(0)
+      assert(finalTree.contains("partial_"), finalTree.take(1200))
+      assert(!finalTree.contains("Join"), finalTree.take(1200))
+      assert(!finalTree.contains("Window"), finalTree.take(1200))
+    }
+  }
+
+  test("q71 sliding window: partitions by the user key, never a single-partition sort") {
+    val plan = planOf(Queries.slidingUserWindow(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    assert(finalTree.contains("Window"), finalTree.take(1200))
+    assert("hashpartitioning\\(user_id".r.findFirstIn(finalTree).isDefined,
+      finalTree.take(1200))
+    assert(!finalTree.contains("SinglePartition"), finalTree.take(1200))
+  }
+
   test("q39 IVF: no exchange keyed by the centroid id; probed side is broadcast") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
