@@ -1035,6 +1035,52 @@ object Queries {
   // native functions exposed through GraftExtensions
   // ---------------------------------------------------------------------
 
+  /** Correlated EXISTS / NOT EXISTS in SQL text — the subquery
+    * DECORRELATION path: Catalyst's RewritePredicateSubquery must turn
+    * both predicates into semi/anti joins (a per-row subquery execution
+    * would be O(n²) death at scale; the rewrite is what makes the SQL
+    * shape safe to ship). Same SQL runs verbatim in DuckDB. */
+  def sqlExists(spark: SparkSession, sfDir: String): DataFrame = {
+    Tables.registerAll(spark, sfDir)
+    spark.sql(
+      """SELECT n_nationkey, n_name,
+           (SELECT count(*) FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+               AND EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_totalprice > 150000.0)) AS big_spenders,
+           (SELECT count(*) FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+               AND NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_custkey = c.c_custkey)) AS no_orders
+         FROM nation n""")
+  }
+
+  /** ntile decile ranking: customers cut into 10 balance deciles with
+    * per-decile stats. The ORDER BY carries an explicit unique
+    * tie-break (cents, custkey) — ntile assigns by position, so a
+    * nondeterministic tie order would shuffle boundary rows between
+    * deciles on every run (and against the oracle).
+    *
+    * Scale scoping: position-based ntile NEEDS a global order (one
+    * sort task) — a REPORTING shape for small or pre-aggregated
+    * relations, exactly as used here. Corpus-scale decile assignment
+    * goes value-based instead: percentile boundaries (exact q45 /
+    * sketch q53) broadcast into a per-row bin projection (q68's
+    * shape), which distributes but differs from ntile on ties by
+    * design. */
+  def balanceDeciles(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy(col("cents"), col("c_custkey"))
+    t(spark, sfDir, "customer")
+      .select(col("c_custkey"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+      .withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        min(col("cents")).as("lo_cents"),
+        max(col("cents")).as("hi_cents"))
+  }
+
   /** Multi-join revenue rollup written as SQL text (parser → Catalyst →
     * same physical plans as the DataFrame API). */
   def sqlJoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1140,7 +1186,9 @@ object Queries {
     "q69_freq_items" -> (freqItems _),
     "q70_pipeline" -> (pipelineE2E _),
     "q71_sliding_window" -> (slidingUserWindow _),
-    "q72_profile" -> (profileEvents _))
+    "q72_profile" -> (profileEvents _),
+    "q73_sql_exists" -> (sqlExists _),
+    "q74_ntile" -> (balanceDeciles _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -2372,5 +2420,29 @@ object Queries {
          UNION ALL
          SELECT 'props', count(*),
            CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
-           CAST(count(DISTINCT props) AS BIGINT) FROM events""")
+           CAST(count(DISTINCT props) AS BIGINT) FROM events""",
+    "q73_sql_exists" ->
+      """SELECT n_nationkey, n_name,
+           (SELECT count(*) FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+               AND EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_custkey = c.c_custkey
+                               AND o.o_totalprice > 150000.0)) AS big_spenders,
+           (SELECT count(*) FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+               AND NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_custkey = c.c_custkey)) AS no_orders
+         FROM nation n""",
+    "q74_ntile" ->
+      """WITH c AS (
+           SELECT c_custkey,
+             CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+           FROM customer),
+         d AS (
+           SELECT cents,
+             CAST(ntile(10) OVER (ORDER BY cents, c_custkey) AS BIGINT) AS decile
+           FROM c)
+         SELECT decile, count(*) AS n,
+           min(cents) AS lo_cents, max(cents) AS hi_cents
+         FROM d GROUP BY decile""")
 }

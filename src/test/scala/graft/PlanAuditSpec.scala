@@ -149,6 +149,12 @@ class PlanAuditSpec extends SparkSpec {
     assert(!finalTree.contains("SinglePartition"), finalTree.take(1200))
   }
 
+  test("q73 EXISTS subqueries decorrelate to semi/anti joins (no per-row subquery)") {
+    val plan = planOf(Queries.sqlExists(spark, sf))
+    assert(plan.contains("LeftSemi"), plan.take(1500))
+    assert(plan.contains("LeftAnti"), plan.take(1500))
+  }
+
   test("q39 IVF: no exchange keyed by the centroid id; probed side is broadcast") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
