@@ -160,58 +160,70 @@ object Multimodal {
     * This retires the decode stub for audio; [[FakeDecoder]] remains
     * only for video demux (no JDK codec).
     */
+  /** Decode a WAV/AIFF/AU payload to signed 16-bit-range PCM samples
+    * (8-bit widened `<< 8`; unsigned re-centered) — the shared sample
+    * extraction under [[WavDecoder]]'s histogram and
+    * [[audioEnergyFrames]]' windowed energies. Total: corrupt or
+    * unsupported payloads → None, never throw. */
+  private[multimodal] def pcmSamples(p: Array[Byte]): Option[Array[Int]] = {
+    if (p == null || p.isEmpty) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(p))
+      try {
+        val fmt = ais.getFormat
+        val bits = fmt.getSampleSizeInBits
+        val enc = fmt.getEncoding
+        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        if ((bits != 8 && bits != 16) || (!signed && !unsigned)) None
+        else {
+          val bytes = ais.readAllBytes()
+          if (bits == 8) {
+            val out = new Array[Int](bytes.length)
+            var i = 0
+            while (i < bytes.length) {
+              // widen to 16-bit range; unsigned 8-bit centers at 128
+              out(i) =
+                if (signed) bytes(i).toInt << 8
+                else ((bytes(i) & 0xff) - 128) << 8
+              i += 1
+            }
+            Some(out)
+          } else {
+            val big = fmt.isBigEndian
+            val n = bytes.length / 2
+            val out = new Array[Int](n)
+            var i = 0
+            while (i + 1 < bytes.length) {
+              val lo = if (big) bytes(i + 1) else bytes(i)
+              val hi = if (big) bytes(i) else bytes(i + 1)
+              val raw = ((hi & 0xff) << 8) | (lo & 0xff)
+              out(i / 2) = if (signed) raw.toShort.toInt else raw - 32768
+              i += 2
+            }
+            Some(out)
+          }
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
   object WavDecoder extends Decoder {
     override def decodeBatch(
         payloads: Seq[Array[Byte]], dim: Int): Seq[Option[Array[Float]]] =
       payloads.map { p =>
-        if (p == null || p.isEmpty) None
-        else try {
-          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-            new java.io.ByteArrayInputStream(p))
-          try {
-            val fmt = ais.getFormat
-            val bits = fmt.getSampleSizeInBits
-            val enc = fmt.getEncoding
-            val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
-            val unsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
-            if ((bits != 8 && bits != 16) || (!signed && !unsigned)) None
-            else {
-              val bytes = ais.readAllBytes()
-              val f = new Array[Float](dim)
-              var count = 0L
-              if (bits == 8) {
-                var i = 0
-                while (i < bytes.length) {
-                  // widen to 16-bit range; unsigned 8-bit centers at 128
-                  val s =
-                    if (signed) bytes(i).toInt << 8
-                    else ((bytes(i) & 0xff) - 128) << 8
-                  f((s + 32768) * dim / 65536) += 1.0f
-                  count += 1
-                  i += 1
-                }
-              } else {
-                val big = fmt.isBigEndian
-                var i = 0
-                while (i + 1 < bytes.length) {
-                  val lo = if (big) bytes(i + 1) else bytes(i)
-                  val hi = if (big) bytes(i) else bytes(i + 1)
-                  val raw = ((hi & 0xff) << 8) | (lo & 0xff)
-                  val s = if (signed) raw.toShort.toInt else raw - 32768
-                  f((s + 32768) * dim / 65536) += 1.0f
-                  count += 1
-                  i += 2
-                }
-              }
-              if (count == 0L) None
-              else {
-                var j = 0
-                while (j < dim) { f(j) /= count.toFloat; j += 1 }
-                Some(f)
-              }
-            }
-          } finally ais.close()
-        } catch { case scala.util.control.NonFatal(_) => None }
+        pcmSamples(p).filter(_.nonEmpty).map { samples =>
+          val f = new Array[Float](dim)
+          var i = 0
+          while (i < samples.length) {
+            f((samples(i) + 32768) * dim / 65536) += 1.0f
+            i += 1
+          }
+          var j = 0
+          while (j < dim) { f(j) /= samples.length.toFloat; j += 1 }
+          f
+        }
       }
   }
 
@@ -325,6 +337,48 @@ object Multimodal {
         val payload = if (ir.isNullAt(1)) null else ir.getBinary(1)
         demuxer.demux(payload, stride, dim).map { case (idx, w, h, f) =>
           Row(id, idx, w, h, f.toSeq)
+        }
+      }
+    }
+    spark.createDataFrame(rows, outSchema)
+  }
+
+  /** Windowed audio energy — frame-level features over REAL decoded
+    * PCM ([[pcmSamples]], the WAV/AIFF/AU route): the sample stream
+    * splits into `nFrames` equal windows and each emits its
+    * mean-square amplitude as an EXACT integer (`Σ s² / count`,
+    * integer division — no FP anywhere, so any engine or rerun
+    * reproduces it bit-for-bit). Same partition-local explode shape as
+    * [[sampleFramesDecoded]]: payloads never shuffle, one output row
+    * per (media_id, frame_idx), empty/corrupt payloads vanish.
+    */
+  def audioEnergyFrames(media: DataFrame, nFrames: Int = 16): DataFrame = {
+    require(nFrames > 0)
+    val spark = media.sparkSession
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("n_samples", LongType, nullable = false),
+      StructField("energy_ms", LongType, nullable = false)))
+    val src = castToImpl(media.filter(col("kind") === "audio")
+      .select(col("media_id"), col("payload")))
+    val rows = src.queryExecution.toRdd.mapPartitions { iter =>
+      iter.flatMap { ir =>
+        val id = ir.getLong(0)
+        val payload = if (ir.isNullAt(1)) null else ir.getBinary(1)
+        pcmSamples(payload).toSeq.flatMap { s =>
+          val n = s.length
+          (0 until nFrames).flatMap { w =>
+            val from = (w.toLong * n / nFrames).toInt
+            val until = ((w + 1).toLong * n / nFrames).toInt
+            if (until <= from) None
+            else {
+              var sum = 0L
+              var i = from
+              while (i < until) { val v = s(i).toLong; sum += v * v; i += 1 }
+              Some(Row(id, w, (until - from).toLong, sum / (until - from)))
+            }
+          }
         }
       }
     }

@@ -317,4 +317,46 @@ class MultimodalSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"frame demux must not shuffle payloads:\n$plan")
   }
+
+  test("audioEnergyFrames: exact integer mean-square per window over real PCM") {
+    import spark.implicits._
+    // 8 samples in 4 windows of 2: silence, then constant amplitude 100,
+    // then constant 1000, then a -200/200 pair (sign dies in the square)
+    val samples = Array[Short](0, 0, 100, 100, 1000, 1000, -200, 200)
+    val silence = Array.fill[Short](64)(0)
+    val media = Seq(
+      (1L, "audio", wav(samples)),
+      (2L, "audio", wav(silence)),
+      (3L, "video", wav(samples)),          // wrong kind: filtered out
+      (4L, "audio", Array[Byte](1, 2, 3))) // corrupt: vanishes
+      .toDF("media_id", "kind", "payload")
+    val out = Multimodal.audioEnergyFrames(media, nFrames = 4)
+    val rows = out.select("media_id", "frame_idx", "n_samples", "energy_ms")
+      .as[(Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    val m1 = rows.filter(_._1 == 1L).map(r => (r._2, r._3, r._4))
+    assert(m1.toSeq === Seq(
+      (0, 2L, 0L), (1, 2L, 10000L), (2, 2L, 1000000L), (3, 2L, 40000L)))
+    val m2 = rows.filter(_._1 == 2L)
+    assert(m2.length === 4 && m2.forall(r => r._3 == 16L && r._4 == 0L))
+    assert(!rows.exists(r => r._1 == 3L || r._1 == 4L))
+    // determinism + no payload shuffle
+    val again = Multimodal.audioEnergyFrames(media, nFrames = 4)
+      .select("media_id", "frame_idx", "n_samples", "energy_ms")
+      .as[(Long, Int, Long, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(again.toSeq === rows.toSeq)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"energy framing must not shuffle payloads:\n$plan")
+  }
+
+  test("audioEnergyFrames: fewer samples than frames emits only non-empty windows") {
+    import spark.implicits._
+    val media = Seq((9L, "audio", wav(Array[Short](32767, 32767))))
+      .toDF("media_id", "kind", "payload")
+    val rows = Multimodal.audioEnergyFrames(media, nFrames = 8)
+      .select("frame_idx", "n_samples", "energy_ms")
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    // 2 samples over 8 windows: exactly 2 singleton windows, rest empty
+    assert(rows.length === 2)
+    assert(rows.forall(r => r._2 == 1L && r._3 == 32767L * 32767L))
+  }
 }
