@@ -1081,6 +1081,35 @@ object Queries {
         max(col("cents")).as("hi_cents"))
   }
 
+  /** Calendar rollup: monthly order revenue as INTEGER (year, month)
+    * keys — timestamp truncation expressed as integer field extraction
+    * so the hash gate never depends on engine timestamp formatting;
+    * one partial-agged groupBy. */
+  def monthlyRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("rev_cents"))
+
+  /** Order→ship lag: calendar-day difference between each lineitem's
+    * ship date and its order's date, aggregated by order priority —
+    * integer day arithmetic (both engines diff on DATE-truncated
+    * values), one shuffle join keyed by orderkey + one partial agg. */
+  def shipLag(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders").select(col("o_orderkey"),
+      col("o_orderpriority"), col("o_orderdate"))
+    val l = t(spark, sfDir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("lag_days"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("lag_days")).as("sum_lag_days"),
+        min(col("lag_days")).as("min_lag_days"),
+        max(col("lag_days")).as("max_lag_days"))
+  }
+
   /** Multi-join revenue rollup written as SQL text (parser → Catalyst →
     * same physical plans as the DataFrame API). */
   def sqlJoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1188,7 +1217,9 @@ object Queries {
     "q71_sliding_window" -> (slidingUserWindow _),
     "q72_profile" -> (profileEvents _),
     "q73_sql_exists" -> (sqlExists _),
-    "q74_ntile" -> (balanceDeciles _))
+    "q74_ntile" -> (balanceDeciles _),
+    "q75_monthly" -> (monthlyRevenue _),
+    "q76_ship_lag" -> (shipLag _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -2444,5 +2475,23 @@ object Queries {
            FROM c)
          SELECT decile, count(*) AS n,
            min(cents) AS lo_cents, max(cents) AS hi_cents
-         FROM d GROUP BY decile""")
+         FROM d GROUP BY decile""",
+    "q75_monthly" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS rev_cents
+         FROM orders GROUP BY 1, 2""",
+    "q76_ship_lag" ->
+      """WITH j AS (
+           SELECT o.o_orderpriority,
+             date_diff('day', CAST(o.o_orderdate AS DATE),
+               CAST(l.l_shipdate AS DATE)) AS lag_days
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+         SELECT o_orderpriority, count(*) AS n,
+           CAST(sum(lag_days) AS BIGINT) AS sum_lag_days,
+           CAST(min(lag_days) AS BIGINT) AS min_lag_days,
+           CAST(max(lag_days) AS BIGINT) AS max_lag_days
+         FROM j GROUP BY o_orderpriority""")
 }
