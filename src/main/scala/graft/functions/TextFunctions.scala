@@ -131,10 +131,22 @@ object TextFunctions {
           i => array_join(slice(toks, i + 1, lit(n)), " ")))
   }
 
-  /** Hashed shingles: [[shingles]] → [[tokenHash]]-style polynomial hash
-    * per shingle (over its characters, spaces included); fused codegen
-    * via [[tokenHashArray]]. */
+  /** Hashed shingles: [[tokenHash]]-style polynomial hash of every
+    * word n-gram (over its characters, the joining spaces included) —
+    * ONE fused codegen pass via [[ShingleHashExpr]]: per-token hashes
+    * and length-powers precomputed once, each window combined in O(n)
+    * modular multiplications, no shingle string ever materialized
+    * (the string-building declarative path, kept below as
+    * [[shingleHashesHof]], was the measured dominant cost of the
+    * Jaccard dedup family). Bit-equality of the two paths is
+    * spec-enforced. */
   def shingleHashes(text: Column, n: Int): Column =
+    ShingleHashExpr(tokens(text), n)
+
+  /** Declarative twin of [[shingleHashes]] — materializes the shingle
+    * strings ([[shingles]]) and hashes them ([[tokenHashArray]]). The
+    * executable spec of the fused expression. */
+  private[graft] def shingleHashesHof(text: Column, n: Int): Column =
     tokenHashArray(shingles(text, n))
 
   // --- PII / pattern scrubbing -----------------------------------------

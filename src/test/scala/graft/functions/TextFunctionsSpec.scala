@@ -59,6 +59,40 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[Seq[Long]](shingleHashes(lit("a b c d"), 2)).size === 3)
   }
 
+  test("shingleHashes: fused rolling-hash expr bit-equals the string-building HOF twin") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (n <- Seq(1, 3, 4)) {
+      val mismatches = docs.select(
+          shingleHashes(org.apache.spark.sql.functions.col("text"), n).as("fused"),
+          shingleHashesHof(org.apache.spark.sql.functions.col("text"), n).as("hof"))
+        .filter(org.apache.spark.sql.functions.col("fused") =!=
+          org.apache.spark.sql.functions.col("hof"))
+        .count()
+      assert(mismatches === 0L, s"n=$n fused != HOF")
+    }
+    // edges: empty text, 1 token, exactly n tokens, internal multi-space
+    def longs(c: Column): Seq[Long] = {
+      import spark.implicits._
+      Seq(1).toDF("x").select(c.as("v")).head().getSeq[Long](0).toList
+    }
+    for (s <- Seq("", "solo", "a b c", "x  y", "one two three four five")) {
+      assert(longs(shingleHashes(lit(s), 3)) ===
+        longs(shingleHashesHof(lit(s), 3)), s"'$s'")
+    }
+  }
+
+  test("ShingleHashExpr: null tokens skip like array_join (token and separator)") {
+    def longs(c: Column): Seq[Long] = {
+      import spark.implicits._
+      Seq(1).toDF("x").select(c.as("v")).head().getSeq[Long](0).toList
+    }
+    val arr = array(lit("a"), lit(null).cast("string"), lit("b"))
+    // windows: ["a", null] → "a"; [null, "b"] → "b"
+    assert(longs(ShingleHashExpr(arr, 2)) ===
+      Seq(PolyHashArrayExpr.hash("a"), PolyHashArrayExpr.hash("b")))
+    assert(longs(ShingleHashExpr(arr, 5)) === Seq(PolyHashArrayExpr.hash("a b")))
+  }
+
   test("redact: scrubs emails, URLs, IPs, digit runs; order shields URL innards") {
     def r(s: String, ps: Seq[String]): String =
       one[String](redact(lit(s), ps, "<X>"))
