@@ -85,6 +85,13 @@ object GraftExtensions {
         val off = if (args.length == 4) intArg(args(3), "offset") else 0
         HyperplaneSignatureExpr(args(0), intArg(args(1), "planes"), intArg(args(2), "dim"), off)
       }),
+    ("shingle_hash",
+      new ExpressionInfo(classOf[graft.functions.ShingleHashExpr].getName, null, "shingle_hash",
+        "shingle_hash(tokens, n) - fused polynomial hashes of word n-gram shingles", ""),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "shingle_hash expects 2 arguments")
+        graft.functions.ShingleHashExpr(args(0), intArg(args(1), "n"))
+      }),
     // composite builders: Column-level operators re-exposed to SQL text
     // as directly-composed catalyst trees (a Column→Expression bridge
     // round-trip leaves unresolved nodes inside a registry builder).

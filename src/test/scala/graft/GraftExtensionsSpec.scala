@@ -26,8 +26,18 @@ class GraftExtensionsSpec extends SparkSpec {
       "vector_sqeuclidean", "vector_dot", "vector_cosine_distance",
       "vector_cosine_sim", "poly_hash_array",
       "minhash_signature", "simhash", "hyperplane_signature",
-      "z_value", "det_bucket", "redact_pii"))
+      "z_value", "det_bucket", "redact_pii", "shingle_hash"))
     new GraftExtensions() // constructible (Class.forName path)
+  }
+
+  test("shingle_hash in SQL equals the Column API") {
+    GraftExtensions.register(spark)
+    val sqlV = spark.sql(
+      "SELECT shingle_hash(array('a','b','c','d'), 3) AS s").head().getSeq[Long](0)
+    val apiV = Seq("x").toDF("x").select(
+      graft.functions.ShingleHashExpr(array(lit("a"), lit("b"), lit("c"), lit("d")), 3)
+        .as("s")).head().getSeq[Long](0)
+    assert(sqlV.toList === apiV.toList && sqlV.length === 2)
   }
 
   test("composite SQL functions equal their Column-API originals") {
