@@ -216,6 +216,35 @@ object Queries {
     Dedup.cosinePairsLsh(t(spark, sfDir, "embeddings"), "vec_id", "embedding",
       minCosineMicro = 350000L, dim = 64, planes = 12, tables = 4)
 
+  /** MinHash ESTIMATION quality under the gate (the q53 discipline
+    * applied to similarity sketches): for every exact near-dup pair,
+    * the Jaccard estimate read off 24 MinHash signature components
+    * (fraction of agreeing slots) next to the exact score. Both are
+    * deterministic integers — the signatures are hash-derived, so any
+    * engine regenerates them bit-for-bit and the ESTIMATE itself is
+    * oracle-portable, pinning sketch quality per round, not just
+    * plan shape. Signatures join to the (tiny) pair relation
+    * shuffle-hash; at corpus scale the signature relation is the
+    * already-staged LSH input, so the estimate is a free column. */
+  def minhashEstimate(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, minJaccardMicro = 500000L)
+      .select(col("id1"), col("id2"), col("jac_micro").as("exact_micro"))
+    val sigs = docs.select(col("doc_id"),
+      Dedup.minHashSignature(col("text"), numHashes = 24).as("sig"))
+    val matches = aggregate(
+      zip_with(col("s1"), col("s2"), (a, b) => when(a === b, 1L).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
+    pairs
+      .join(sigs.select(col("doc_id").as("id1"), col("sig").as("s1"))
+        .hint("shuffle_hash"), Seq("id1"))
+      .join(sigs.select(col("doc_id").as("id2"), col("sig").as("s2"))
+        .hint("shuffle_hash"), Seq("id2"))
+      .select(col("id1"), col("id2"), col("exact_micro"),
+        floor(matches * lit(1000000.0) / lit(24)).cast("long").as("est_micro"))
+  }
+
   /** [[jaccardPairs]] with a document-frequency cap (shingles in > 5
     * docs dropped from the universe) — bounded join fan-out on corpora
     * with boilerplate shingles; set sizes recomputed over survivors. */
@@ -1219,7 +1248,8 @@ object Queries {
     "q73_sql_exists" -> (sqlExists _),
     "q74_ntile" -> (balanceDeciles _),
     "q75_monthly" -> (monthlyRevenue _),
-    "q76_ship_lag" -> (shipLag _))
+    "q76_ship_lag" -> (shipLag _),
+    "q77_minhash_est" -> (minhashEstimate _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -2493,5 +2523,41 @@ object Queries {
            CAST(sum(lag_days) AS BIGINT) AS sum_lag_days,
            CAST(min(lag_days) AS BIGINT) AS min_lag_days,
            CAST(max(lag_days) AS BIGINT) AS max_lag_days
-         FROM j GROUP BY o_orderpriority""")
+         FROM j GROUP BY o_orderpriority""",
+    "q77_minhash_est" ->
+      """WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         shg AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks)-2),
+                         i -> array_to_string(toks[i:i+2], ' '))
+             END AS shingles
+           FROM tk),
+         shh AS (
+           SELECT doc_id, list_distinct(list_transform(shingles, s ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 131 + c) % 1000000007))) AS sh
+           FROM shg),
+         ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shh),
+         pairs AS (
+           SELECT id1, id2,
+             CAST(floor(c * 1000000.0 / (na + nb - c)) AS BIGINT) AS exact_micro
+           FROM (
+             SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS na, b.n AS nb,
+               count(*) AS c
+             FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+             GROUP BY 1, 2, 3, 4)
+           WHERE floor(c * 1000000.0 / (na + nb - c)) >= 500000),
+         sig AS (
+           SELECT doc_id, list_transform(generate_series(0, 23), i ->
+             list_min(list_transform(sh, s -> ((2*i+1)*s + i*1000003) % 1000000007))) AS sig
+           FROM shh)
+         SELECT p.id1, p.id2, p.exact_micro,
+           CAST(floor(len(list_filter(generate_series(1, 24),
+             i -> s1.sig[i] = s2.sig[i])) * 1000000.0 / 24) AS BIGINT) AS est_micro
+         FROM pairs p
+         JOIN sig s1 ON p.id1 = s1.doc_id
+         JOIN sig s2 ON p.id2 = s2.doc_id""")
 }
