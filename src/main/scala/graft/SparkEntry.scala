@@ -216,6 +216,25 @@ object Queries {
     Dedup.cosinePairsLsh(t(spark, sfDir, "embeddings"), "vec_id", "embedding",
       minCosineMicro = 350000L, dim = 64, planes = 12, tables = 4)
 
+  /** Embedding mean-pooling per group (chunk→document pooling, class
+    * centroids): every vector element is first quantized to an exact
+    * integer micro value — floats summed in shuffle order are NOT
+    * reproducible, floor-micro longs are — then one partial-agged
+    * groupBy per (label, dim position) emits the pooled mean. The
+    * explode is positional (`posexplode`), so the shuffle carries
+    * (label, pos, micro) longs, never vectors. */
+  def meanPoolEmbeddings(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "embeddings")
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "x")))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        floor(col("x") * 1000000.0).cast("long").as("micro"))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("micro")).as("sum_micro"))
+      .withColumn("mean_micro",
+        floor(col("sum_micro").cast("double") / col("n")).cast("long"))
+
   /** MinHash ESTIMATION quality under the gate (the q53 discipline
     * applied to similarity sketches): for every exact near-dup pair,
     * the Jaccard estimate read off 24 MinHash signature components
@@ -1249,7 +1268,8 @@ object Queries {
     "q74_ntile" -> (balanceDeciles _),
     "q75_monthly" -> (monthlyRevenue _),
     "q76_ship_lag" -> (shipLag _),
-    "q77_minhash_est" -> (minhashEstimate _))
+    "q77_minhash_est" -> (minhashEstimate _),
+    "q78_mean_pool" -> (meanPoolEmbeddings _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -2559,5 +2579,21 @@ object Queries {
              i -> s1.sig[i] = s2.sig[i])) * 1000000.0 / 24) AS BIGINT) AS est_micro
          FROM pairs p
          JOIN sig s1 ON p.id1 = s1.doc_id
-         JOIN sig s2 ON p.id2 = s2.doc_id""")
+         JOIN sig s2 ON p.id2 = s2.doc_id""",
+    "q78_mean_pool" ->
+      """WITH s AS (
+           SELECT label, embedding,
+             unnest(generate_series(CAST(1 AS BIGINT),
+               CAST(len(embedding) AS BIGINT), CAST(1 AS BIGINT))) AS i
+           FROM embeddings),
+         m AS (
+           SELECT CAST(label AS BIGINT) AS label, CAST(i - 1 AS BIGINT) AS pos,
+             CAST(floor(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000000.0)
+               AS BIGINT) AS micro
+           FROM s)
+         SELECT label, pos, count(*) AS n,
+           CAST(sum(micro) AS BIGINT) AS sum_micro,
+           CAST(floor(CAST(sum(micro) AS DOUBLE) / count(*)) AS BIGINT)
+             AS mean_micro
+         FROM m GROUP BY label, pos""")
 }

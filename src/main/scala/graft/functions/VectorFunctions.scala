@@ -52,6 +52,14 @@ object VectorFunctions {
   /** ‖a‖₂ */
   def l2Norm(a: Column): Column = sqrt(dotProduct(a, a))
 
+  /** a / ‖a‖₂ — unit-normalized copy (zero vectors pass through as
+    * zeros rather than NaN). Normalize once at ingest and cosine
+    * becomes a bare dot product for every downstream ANN/dedup pass. */
+  def l2Normalize(a: Column): Column = {
+    val n = l2Norm(a)
+    when(n === 0.0 || n.isNull, d(a)).otherwise(transform(d(a), x => x / n))
+  }
+
   // --- declarative HOF formulations (reference semantics) ---------------
 
   /** [[squaredEuclidean]], as interpreted higher-order functions. */

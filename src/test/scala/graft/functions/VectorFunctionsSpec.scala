@@ -39,4 +39,18 @@ class VectorFunctionsSpec extends SparkSpec {
     val af = array(lit(1.0f), lit(2.0f), lit(3.0f))
     assert(eval1(squaredEuclidean(af, a)) === 0.0)
   }
+
+  test("l2Normalize: unit norm, direction preserved, zero vector passes through") {
+    import spark.implicits._
+    def vec(c: org.apache.spark.sql.Column): Seq[Double] =
+      Seq(1).toDF("x").select(c.as("v")).head().getSeq[Double](0).toList
+    val n = vec(l2Normalize(array(lit(3.0), lit(4.0))))
+    assert(math.abs(math.sqrt(n.map(x => x * x).sum) - 1.0) < 1e-12)
+    assert(n === Seq(0.6, 0.8))
+    val z = vec(l2Normalize(array(lit(0.0), lit(0.0))))
+    assert(z === Seq(0.0, 0.0)) // no NaN
+    // normalized-then-dot equals cosine similarity of the originals
+    val cs = eval1(dotProduct(l2Normalize(a), l2Normalize(b)))
+    assert(math.abs(cs - eval1(cosineSimilarity(a, b))) < 1e-12)
+  }
 }
