@@ -235,6 +235,43 @@ object Queries {
       .withColumn("mean_micro",
         floor(col("sum_micro").cast("double") / col("n")).cast("long"))
 
+  /** Inverted-index retrieval — search as a first-class pipeline op:
+    * the q56 eval split becomes a QUERY set and every query ranks the
+    * corpus by token overlap weighted inverse-document-frequency,
+    * `score = Σ_{t ∈ q∩d} ⌊1e6 / df(t)⌋` (pure integer — rare shared
+    * terms dominate, boilerplate terms contribute ~nothing). Shapes:
+    * df is one partial-agged groupBy; candidate generation is a
+    * token-keyed shuffle join (never all-pairs — only docs SHARING a
+    * term pair up); per-query top-3 goes through the bounded-heap
+    * aggregator, no Window. Scale lever for web corpora: cap/drop
+    * ultra-high-df terms before the join (q34's doc-freq-cap pattern)
+    * — fan-out per term is q_count·doc_count. */
+  def retrieval(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    graft.GraftSession.tune(spark)
+    val docs = t(spark, sfDir, "documents")
+    def distinctToks(df: DataFrame, idAs: String): DataFrame =
+      df.select(col("doc_id").as(idAs),
+        explode(array_distinct(TextFunctions.tokens(col("text")))).as("tok"))
+    val corpus = distinctToks(docs.filter(col("doc_id") % 25 =!= 0), "doc_id")
+    val dfreq = corpus.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val qtoks = distinctToks(docs.filter(col("doc_id") % 25 === 0), "query_id")
+    val scored = qtoks
+      .join(corpus.hint("shuffle_hash"), Seq("tok"))
+      .join(dfreq.hint("shuffle_hash"), Seq("tok"))
+      .select(col("query_id"), col("doc_id"),
+        floor(lit(1000000L) / col("df")).cast("long").as("w"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w")).as("score"))
+    scored
+      .groupBy(col("query_id"))
+      .agg(operators.TopK.topK(3)(
+        -col("score").cast("double"), col("doc_id"), col("doc_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "n")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("n.id").as("doc_id"), (-col("n.dist")).cast("long").as("score"))
+  }
+
   /** MinHash ESTIMATION quality under the gate (the q53 discipline
     * applied to similarity sketches): for every exact near-dup pair,
     * the Jaccard estimate read off 24 MinHash signature components
@@ -1269,7 +1306,8 @@ object Queries {
     "q75_monthly" -> (monthlyRevenue _),
     "q76_ship_lag" -> (shipLag _),
     "q77_minhash_est" -> (minhashEstimate _),
-    "q78_mean_pool" -> (meanPoolEmbeddings _))
+    "q78_mean_pool" -> (meanPoolEmbeddings _),
+    "q79_retrieval" -> (retrieval _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -2595,5 +2633,27 @@ object Queries {
            CAST(sum(micro) AS BIGINT) AS sum_micro,
            CAST(floor(CAST(sum(micro) AS DOUBLE) / count(*)) AS BIGINT)
              AS mean_micro
-         FROM m GROUP BY label, pos""")
+         FROM m GROUP BY label, pos""",
+    "q79_retrieval" ->
+      """WITH ct AS (
+           SELECT doc_id,
+             unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS tok
+           FROM documents WHERE doc_id % 25 <> 0),
+         dfreq AS (SELECT tok, count(*) AS df FROM ct GROUP BY tok),
+         qt AS (
+           SELECT doc_id AS query_id,
+             unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS tok
+           FROM documents WHERE doc_id % 25 = 0),
+         sc AS (
+           SELECT q.query_id, c.doc_id,
+             CAST(sum(1000000 // d.df) AS BIGINT) AS score
+           FROM qt q
+           JOIN ct c ON q.tok = c.tok
+           JOIN dfreq d ON c.tok = d.tok
+           GROUP BY 1, 2)
+         SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id) AS rn
+           FROM sc) WHERE rn <= 3""")
 }

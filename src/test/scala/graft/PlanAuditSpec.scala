@@ -155,6 +155,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("LeftAnti"), plan.take(1500))
   }
 
+  test("q79 retrieval: token-keyed shuffle joins, bounded-heap top-k, no Window") {
+    val plan = planOf(Queries.retrieval(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    // both join inputs grow with the corpus — candidate generation and
+    // df attachment must be shuffle joins, never a corpus broadcast
+    assert(finalTree.contains("ShuffledHashJoin"), finalTree.take(1500))
+    assert(!finalTree.contains("BroadcastExchange"), finalTree.take(1500))
+    assert(finalTree.toLowerCase.contains("partial_topkaggregator"), finalTree.take(1500))
+    assert(!finalTree.contains("Window"), finalTree.take(1500))
+  }
+
   test("q39 IVF: no exchange keyed by the centroid id; probed side is broadcast") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
