@@ -272,6 +272,43 @@ object Queries {
         col("n.id").as("doc_id"), (-col("n.dist")).cast("long").as("score"))
   }
 
+  /** Substring-level duplicate detection — the CONTAINMENT complement
+    * to doc-level Jaccard (q17 asks "are these docs similar?"; this
+    * asks "do they share any long run of text?", catching a quoted
+    * paragraph inside an otherwise-unrelated page, the classic
+    * eval-contamination / boilerplate vector). Every doc emits
+    * polynomial fingerprints of its 64-char windows at stride 32;
+    * pairs sharing ≥ 1 fingerprint surface with their shared-window
+    * count. Detection semantics, stated exactly: a shared run is
+    * caught iff its offsets in the two docs differ by ≡ 0 (mod 32)
+    * and it spans a full window — always true for whole-doc and
+    * shared-prefix duplication, a 1-in-32 alignment lottery per run
+    * otherwise; stride 1 buys the exact guarantee at 32× the
+    * fingerprint volume (the knob to turn when auditing, not when
+    * sweeping). Same scale shape as q17: per-row
+    * fingerprinting (codegen'd substr + poly hash, no strings kept),
+    * one fingerprint-keyed shuffle self-join bounded by real
+    * collisions, never all-pairs. */
+  def substringDups(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.PolyHashArrayExpr
+    val docs = t(spark, sfDir, "documents")
+    val win = docs
+      .select(col("doc_id"),
+        posexplode(sequence(lit(1L),
+          greatest(col("n_chars") - 63L, lit(1L)), lit(32L)))
+          .as(Seq("pos", "start")),
+        col("text"))
+      .select(col("doc_id"),
+        element_at(PolyHashArrayExpr(
+          array(col("text").substr(col("start").cast("int"), lit(64)))), 1).as("fp"))
+      .distinct()
+    val a = win.as("a"); val b = win.as("b")
+    a.join(b.hint("shuffle_hash"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("n_shared_windows"))
+  }
+
   /** MinHash ESTIMATION quality under the gate (the q53 discipline
     * applied to similarity sketches): for every exact near-dup pair,
     * the Jaccard estimate read off 24 MinHash signature components
@@ -1307,7 +1344,8 @@ object Queries {
     "q76_ship_lag" -> (shipLag _),
     "q77_minhash_est" -> (minhashEstimate _),
     "q78_mean_pool" -> (meanPoolEmbeddings _),
-    "q79_retrieval" -> (retrieval _))
+    "q79_retrieval" -> (retrieval _),
+    "q80_substring_dups" -> (substringDups _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -2655,5 +2693,21 @@ object Queries {
            SELECT query_id, doc_id, score,
              row_number() OVER (PARTITION BY query_id
                ORDER BY score DESC, doc_id) AS rn
-           FROM sc) WHERE rn <= 3""")
+           FROM sc) WHERE rn <= 3""",
+    "q80_substring_dups" ->
+      """WITH w AS (
+           SELECT doc_id, text,
+             unnest(generate_series(CAST(1 AS BIGINT),
+               CAST(greatest(n_chars - 63, 1) AS BIGINT), CAST(32 AS BIGINT))) AS gs
+           FROM documents),
+         fp AS (
+           SELECT DISTINCT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(substring(text, CAST(gs AS INT), 64), ''),
+                 c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 131 + c) % 1000000007) AS fp
+           FROM w)
+         SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared_windows
+         FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2""")
 }
