@@ -309,6 +309,34 @@ object Queries {
       .agg(count(lit(1)).as("n_shared_windows"))
   }
 
+  /** Exact sufficient statistics for correlation/covariance, per
+    * group: (n, Σx, Σy, Σxy, Σx², Σy²) over integer-cast measures —
+    * every FP statistical aggregate (`corr`, `covar_pop`, stddev)
+    * composes from these six, but unlike the FP aggregates the sums
+    * are EXACT integers, hash-portable, partial-agged map-side, and
+    * mergeable across any partitioning (the same reason the mean-pool
+    * and salted-agg queries integerize first: float accumulation
+    * order is not reproducible; integer sums are). Compose
+    * driver-side: corr = (n·Σxy − ΣxΣy) / √((n·Σx²−Σx²ᵗ)(n·Σy²−Σy²ᵗ)).
+    *
+    * Overflow headroom is a UNIT choice: y is integer DOLLARS
+    * (Σy² ≈ 7·10¹⁵ at sf0.1 — 3 decimal orders of long headroom);
+    * cents would overflow Σy² at this very scale. When row counts ×
+    * squared magnitudes approach 2⁶³, move the sums to decimal(38,0)
+    * — same plan shape, wider accumulator.
+    */
+  def corrSums(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice")).cast("long").as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+
   /** MinHash ESTIMATION quality under the gate (the q53 discipline
     * applied to similarity sketches): for every exact near-dup pair,
     * the Jaccard estimate read off 24 MinHash signature components
@@ -1345,7 +1373,8 @@ object Queries {
     "q77_minhash_est" -> (minhashEstimate _),
     "q78_mean_pool" -> (meanPoolEmbeddings _),
     "q79_retrieval" -> (retrieval _),
-    "q80_substring_dups" -> (substringDups _))
+    "q80_substring_dups" -> (substringDups _),
+    "q81_corr_sums" -> (corrSums _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -2709,5 +2738,17 @@ object Queries {
            FROM w)
          SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared_windows
          FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
-         GROUP BY 1, 2""")
+         GROUP BY 1, 2""",
+    "q81_corr_sums" ->
+      """WITH m AS (
+           SELECT l_returnflag,
+             CAST(l_quantity AS BIGINT) AS x,
+             CAST(round(l_extendedprice) AS BIGINT) AS y
+           FROM lineitem)
+         SELECT l_returnflag, count(*) AS n,
+           CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx,
+           CAST(sum(y * y) AS BIGINT) AS syy
+         FROM m GROUP BY l_returnflag""")
 }
