@@ -245,7 +245,11 @@ object Queries {
     * term pair up); per-query top-3 goes through the bounded-heap
     * aggregator, no Window. Scale lever for web corpora: cap/drop
     * ultra-high-df terms before the join (q34's doc-freq-cap pattern)
-    * — fan-out per term is q_count·doc_count. */
+    * — fan-out per term is q_count·doc_count. Bench note: THIS
+    * synthetic corpus has a ~31-token vocabulary, so every query
+    * shares terms with nearly every doc and the candidate matrix is
+    * fully dense — the worst case by construction; real corpora are
+    * sparse in exactly the way the join shape exploits. */
   def retrieval(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.TextFunctions
     graft.GraftSession.tune(spark)
@@ -254,13 +258,13 @@ object Queries {
       df.select(col("doc_id").as(idAs),
         explode(array_distinct(TextFunctions.tokens(col("text")))).as("tok"))
     val corpus = distinctToks(docs.filter(col("doc_id") % 25 =!= 0), "doc_id")
+    // weight computed once per TERM (tiny relation), not per joined row
     val dfreq = corpus.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .select(col("tok"), floor(lit(1000000L) / col("df")).cast("long").as("w"))
     val qtoks = distinctToks(docs.filter(col("doc_id") % 25 === 0), "query_id")
     val scored = qtoks
       .join(corpus.hint("shuffle_hash"), Seq("tok"))
       .join(dfreq.hint("shuffle_hash"), Seq("tok"))
-      .select(col("query_id"), col("doc_id"),
-        floor(lit(1000000L) / col("df")).cast("long").as("w"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("w")).as("score"))
     scored
