@@ -166,6 +166,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!finalTree.contains("Window"), finalTree.take(1500))
   }
 
+  test("q77/q78: signature joins stay shuffle-hash; pooling partial-aggs without joins") {
+    val est = planOf(Queries.minhashEstimate(spark, sf))
+    assert(est.split("== Initial Plan ==")(0).contains("ShuffledHashJoin"),
+      est.take(1200))
+    val pool = planOf(Queries.meanPoolEmbeddings(spark, sf))
+    val finalTree = pool.split("== Initial Plan ==")(0)
+    assert(finalTree.contains("partial_"), finalTree.take(1200))
+    assert(!finalTree.contains("Join") && !finalTree.contains("Window"),
+      finalTree.take(1200))
+  }
+
   test("q39 IVF: no exchange keyed by the centroid id; probed side is broadcast") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
