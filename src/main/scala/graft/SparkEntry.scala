@@ -341,6 +341,19 @@ object Queries {
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"))
 
+  /** [[operators.TimeSeries]] under the oracle gate: every user's
+    * event-value series reduces to a 4-segment PAA sketch (integer
+    * segment sums over the first 16 events in (ts, id) order) and the
+    * top-3 most-similar users surface by exact integer sketch
+    * distance — the sketch-then-refine data-series search pattern,
+    * deterministic end to end. */
+  def seriesSimilarity(spark: SparkSession, sfDir: String): DataFrame = {
+    val sketch = operators.TimeSeries.paaSketch(
+      t(spark, sfDir, "events"), "user_id", "ts", "event_id",
+      round(col("value") * 100).cast("long"), take = 16, segments = 4)
+    operators.TimeSeries.similarSeries(sketch, "user_id", k = 3)
+  }
+
   /** MinHash ESTIMATION quality under the gate (the q53 discipline
     * applied to similarity sketches): for every exact near-dup pair,
     * the Jaccard estimate read off 24 MinHash signature components
@@ -1378,7 +1391,8 @@ object Queries {
     "q78_mean_pool" -> (meanPoolEmbeddings _),
     "q79_retrieval" -> (retrieval _),
     "q80_substring_dups" -> (substringDups _),
-    "q81_corr_sums" -> (corrSums _))
+    "q81_corr_sums" -> (corrSums _),
+    "q82_series_sim" -> (seriesSimilarity _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -2754,5 +2768,31 @@ object Queries {
            CAST(sum(x * y) AS BIGINT) AS sxy,
            CAST(sum(x * x) AS BIGINT) AS sxx,
            CAST(sum(y * y) AS BIGINT) AS syy
-         FROM m GROUP BY l_returnflag""")
+         FROM m GROUP BY l_returnflag""",
+    "q82_series_sim" ->
+      """WITH r AS (
+           SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         p AS (
+           SELECT user_id, CAST((rn - 1) // 4 AS BIGINT) AS seg,
+             CAST(sum(cents) AS BIGINT) AS seg_sum
+           FROM r WHERE rn <= 16 GROUP BY 1, 2),
+         fullk AS (
+           SELECT user_id FROM (
+             SELECT user_id, count(*) AS n FROM r WHERE rn <= 16 GROUP BY 1)
+           WHERE n = 16),
+         pf AS (SELECT p.* FROM p JOIN fullk USING (user_id)),
+         d AS (
+           SELECT a.user_id AS ka, b.user_id AS kb,
+             CAST(sum((a.seg_sum - b.seg_sum) * (a.seg_sum - b.seg_sum))
+               AS BIGINT) AS dist
+           FROM pf a JOIN pf b ON a.seg = b.seg AND a.user_id <> b.user_id
+           GROUP BY 1, 2)
+         SELECT ka AS user_id, CAST(rn2 AS BIGINT) AS rank, kb AS other, dist
+         FROM (
+           SELECT ka, kb, dist,
+             row_number() OVER (PARTITION BY ka ORDER BY dist, kb) AS rn2
+           FROM d)
+         WHERE rn2 <= 3""")
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+  // three users with 4-event series (take=4, segments=2 → 2-sum sketches):
+  //   u1: 10,20,30,40 → (30, 70)
+  //   u2: 10,20,31,41 → (30, 72)   (close to u1)
+  //   u3: 90,90,90,90 → (180, 180) (far)
+  //   u4: only 3 events → excluded by the completeness filter
+  private lazy val events = Seq(
+    (1L, ts(0), 1L, 10L), (1L, ts(1), 2L, 20L), (1L, ts(2), 3L, 30L), (1L, ts(3), 4L, 40L),
+    (2L, ts(0), 5L, 10L), (2L, ts(1), 6L, 20L), (2L, ts(2), 7L, 31L), (2L, ts(3), 8L, 41L),
+    (3L, ts(0), 9L, 90L), (3L, ts(1), 10L, 90L), (3L, ts(2), 11L, 90L), (3L, ts(3), 12L, 90L),
+    (4L, ts(0), 13L, 50L), (4L, ts(1), 14L, 50L), (4L, ts(2), 15L, 50L)
+  ).toDF("user_id", "ts", "event_id", "cents")
+
+  test("paaSketch: hand-computed segment sums; short series excluded") {
+    val sk = TimeSeries.paaSketch(events, "user_id", "ts", "event_id",
+        $"cents", take = 4, segments = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(sk === Set(
+      (1L, 0L, 30L), (1L, 1L, 70L),
+      (2L, 0L, 30L), (2L, 1L, 72L),
+      (3L, 0L, 180L), (3L, 1L, 180L)))
+  }
+
+  test("similarSeries: exact integer distances, self excluded, nearest first") {
+    val sk = TimeSeries.paaSketch(events, "user_id", "ts", "event_id",
+      $"cents", take = 4, segments = 2)
+    val sim = TimeSeries.similarSeries(sk, "user_id", k = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+    // d(u1,u2) = 0 + 2² = 4; d(u1,u3) = 150² + 110² = 34600
+    assert(sim(1L) === Seq((2L, 4L), (3L, 34600L)))
+    assert(sim(2L) === Seq((1L, 4L), (3L, 150L * 150L + 108L * 108L)))
+    assert(sim(3L).head._1 != 3L) // never itself
+    assert(!sim.contains(4L))     // incomplete series has no sketch
+  }
+
+  test("sketching is order-insensitive to input row order (total order comes from ts, id)") {
+    val shuffled = events.orderBy(rand(42))
+    val a = TimeSeries.paaSketch(events, "user_id", "ts", "event_id",
+      $"cents", 4, 2).as[(Long, Long, Long)].collect().toSet
+    val b = TimeSeries.paaSketch(shuffled, "user_id", "ts", "event_id",
+      $"cents", 4, 2).as[(Long, Long, Long)].collect().toSet
+    assert(a === b)
+  }
+}
