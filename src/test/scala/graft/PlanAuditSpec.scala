@@ -177,6 +177,15 @@ class PlanAuditSpec extends SparkSpec {
       finalTree.take(1200))
   }
 
+  test("q82 series similarity: prefix rank partitions by the key, never a single-partition sort") {
+    val plan = planOf(Queries.seriesSimilarity(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    assert(finalTree.contains("Window"), finalTree.take(1200))
+    assert("hashpartitioning\\(user_id".r.findFirstIn(finalTree).isDefined,
+      finalTree.take(1200))
+    assert(!finalTree.contains("SinglePartition"), finalTree.take(1200))
+  }
+
   test("q39 IVF: no exchange keyed by the centroid id; probed side is broadcast") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
