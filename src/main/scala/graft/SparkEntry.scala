@@ -1232,9 +1232,9 @@ object Queries {
     * Scale scoping: position-based ntile NEEDS a global order (one
     * sort task) — a REPORTING shape for small or pre-aggregated
     * relations, exactly as used here. Corpus-scale decile assignment
-    * goes value-based instead: percentile boundaries (exact q45 /
-    * sketch q53) broadcast into a per-row bin projection (q68's
-    * shape), which distributes but differs from ntile on ties by
+    * goes value-based instead — implemented as [[valueDeciles]]
+    * (q83): percentile boundaries broadcast into a per-row bin
+    * projection, which distributes but differs from ntile on ties by
     * design. */
   def balanceDeciles(spark: SparkSession, sfDir: String): DataFrame = {
     val w = Window.orderBy(col("cents"), col("c_custkey"))
@@ -1275,6 +1275,38 @@ object Queries {
         sum(col("lag_days")).as("sum_lag_days"),
         min(col("lag_days")).as("min_lag_days"),
         max(col("lag_days")).as("max_lag_days"))
+  }
+
+  /** VALUE-based decile binning — the distributed decile path that
+    * [[balanceDeciles]]' scaladoc promises: nine exact percentile
+    * boundaries (one tiny aggregate, floored to integers — the q45
+    * portability discipline) broadcast into a per-row bin projection,
+    * `bin = Σᵢ [cents > bᵢ]`. No global sort anywhere: the boundary
+    * agg partial-aggregates, the binning is a map-only projection,
+    * and the final histogram is one partial-agged groupBy. Differs
+    * from position-based ntile on ties by design (equal values always
+    * share a bin here). */
+  def valueDeciles(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = t(spark, sfDir, "customer")
+      .select(round(col("c_acctbal") * 100).cast("long").as("cents"))
+    val bounds = cents.agg(
+      floor(expr("percentile(cents, 0.1)")).cast("long").as("b1"),
+      floor(expr("percentile(cents, 0.2)")).cast("long").as("b2"),
+      floor(expr("percentile(cents, 0.3)")).cast("long").as("b3"),
+      floor(expr("percentile(cents, 0.4)")).cast("long").as("b4"),
+      floor(expr("percentile(cents, 0.5)")).cast("long").as("b5"),
+      floor(expr("percentile(cents, 0.6)")).cast("long").as("b6"),
+      floor(expr("percentile(cents, 0.7)")).cast("long").as("b7"),
+      floor(expr("percentile(cents, 0.8)")).cast("long").as("b8"),
+      floor(expr("percentile(cents, 0.9)")).cast("long").as("b9"))
+    val bin = (1 to 9).map(i =>
+      when(col("cents") > col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
+    cents.crossJoin(broadcast(bounds))
+      .select(col("cents"), bin.cast("long").as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("cents")).as("lo_cents"),
+        max(col("cents")).as("hi_cents"))
   }
 
   /** Multi-join revenue rollup written as SQL text (parser → Catalyst →
@@ -1392,7 +1424,8 @@ object Queries {
     "q79_retrieval" -> (retrieval _),
     "q80_substring_dups" -> (substringDups _),
     "q81_corr_sums" -> (corrSums _),
-    "q82_series_sim" -> (seriesSimilarity _))
+    "q82_series_sim" -> (seriesSimilarity _),
+    "q83_value_deciles" -> (valueDeciles _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -2794,5 +2827,35 @@ object Queries {
            SELECT ka, kb, dist,
              row_number() OVER (PARTITION BY ka ORDER BY dist, kb) AS rn2
            FROM d)
-         WHERE rn2 <= 3""")
+         WHERE rn2 <= 3""",
+    "q83_value_deciles" ->
+      """WITH c AS (
+           SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+         b AS (
+           SELECT
+             CAST(floor(quantile_cont(cents, 0.1)) AS BIGINT) AS b1,
+             CAST(floor(quantile_cont(cents, 0.2)) AS BIGINT) AS b2,
+             CAST(floor(quantile_cont(cents, 0.3)) AS BIGINT) AS b3,
+             CAST(floor(quantile_cont(cents, 0.4)) AS BIGINT) AS b4,
+             CAST(floor(quantile_cont(cents, 0.5)) AS BIGINT) AS b5,
+             CAST(floor(quantile_cont(cents, 0.6)) AS BIGINT) AS b6,
+             CAST(floor(quantile_cont(cents, 0.7)) AS BIGINT) AS b7,
+             CAST(floor(quantile_cont(cents, 0.8)) AS BIGINT) AS b8,
+             CAST(floor(quantile_cont(cents, 0.9)) AS BIGINT) AS b9
+           FROM c),
+         x AS (
+           SELECT cents,
+             (CASE WHEN cents > b1 THEN 1 ELSE 0 END) +
+             (CASE WHEN cents > b2 THEN 1 ELSE 0 END) +
+             (CASE WHEN cents > b3 THEN 1 ELSE 0 END) +
+             (CASE WHEN cents > b4 THEN 1 ELSE 0 END) +
+             (CASE WHEN cents > b5 THEN 1 ELSE 0 END) +
+             (CASE WHEN cents > b6 THEN 1 ELSE 0 END) +
+             (CASE WHEN cents > b7 THEN 1 ELSE 0 END) +
+             (CASE WHEN cents > b8 THEN 1 ELSE 0 END) +
+             (CASE WHEN cents > b9 THEN 1 ELSE 0 END) AS bin
+           FROM c, b)
+         SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n,
+           min(cents) AS lo_cents, max(cents) AS hi_cents
+         FROM x GROUP BY 1""")
 }
