@@ -539,6 +539,25 @@ object Queries {
     both.unionAll(onlyLow)
   }
 
+  /** BAG-semantics set operations — the multiset twins of q24's
+    * set-semantics ops: `EXCEPT ALL` keeps multiplicity differences
+    * (a customer with 5 orders, 2 of them high-value, survives 3
+    * times) and `INTERSECT ALL` keeps the minimum multiplicity. Both
+    * plan as aggregate-and-replicate under Catalyst (no distinct
+    * collapse), and the result is aggregated to (tag, custkey, n) so
+    * multiplicities — the whole point — are what the oracle hashes. */
+  def bagSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = t(spark, sfDir, "orders")
+    val all = orders.select(col("o_custkey").as("custkey"))
+    val high = orders.filter(col("o_totalprice") > 200000.0)
+      .select(col("o_custkey").as("custkey"))
+    def counted(tag: String, df: DataFrame): DataFrame =
+      df.groupBy(col("custkey")).agg(count(lit(1)).as("n"))
+        .select(lit(tag).as("tag"), col("custkey"), col("n"))
+    counted("except_all", all.exceptAll(high))
+      .unionAll(counted("intersect_all", all.intersectAll(high)))
+  }
+
   /** Left-semi and left-anti joins: per-nation counts of customers with
     * and without orders. */
   def semiAnti(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1425,7 +1444,8 @@ object Queries {
     "q80_substring_dups" -> (substringDups _),
     "q81_corr_sums" -> (corrSums _),
     "q82_series_sim" -> (seriesSimilarity _),
-    "q83_value_deciles" -> (valueDeciles _))
+    "q83_value_deciles" -> (valueDeciles _),
+    "q84_bag_set_ops" -> (bagSetOps _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -2857,5 +2877,15 @@ object Queries {
            FROM c, b)
          SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n,
            min(cents) AS lo_cents, max(cents) AS hi_cents
-         FROM x GROUP BY 1""")
+         FROM x GROUP BY 1""",
+    "q84_bag_set_ops" ->
+      """WITH a AS (SELECT o_custkey AS custkey FROM orders),
+         h AS (SELECT o_custkey AS custkey FROM orders
+               WHERE o_totalprice > 200000.0),
+         ea AS (SELECT custkey FROM a EXCEPT ALL SELECT custkey FROM h),
+         ia AS (SELECT custkey FROM a INTERSECT ALL SELECT custkey FROM h)
+         SELECT 'except_all' AS tag, custkey, count(*) AS n
+         FROM ea GROUP BY custkey
+         UNION ALL
+         SELECT 'intersect_all', custkey, count(*) FROM ia GROUP BY custkey""")
 }
