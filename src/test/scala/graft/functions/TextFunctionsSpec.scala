@@ -81,6 +81,29 @@ class TextFunctionsSpec extends SparkSpec {
     }
   }
 
+  test("ShingleHashExpr: generated adversarial token arrays equal the HOF path") {
+    import spark.implicits._
+    // empty tokens, unicode (BMP), single chars, long runs — one batch,
+    // both paths, bit equality; HOF twin needs TEXT, so compare against
+    // tokenHashArray over the string-built windows directly
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab φλ9".toCharArray
+    def tok(): String =
+      (0 until rnd.nextInt(6)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val rows = Seq.fill(300)((0 until (1 + rnd.nextInt(9))).map(_ => tok()))
+    for (n <- Seq(1, 2, 4)) {
+      val got = rows.toDF("toks")
+        .select(ShingleHashExpr($"toks", n).as("fused"),
+          tokenHashArray(
+            when(size($"toks") <= n, array(array_join($"toks", " ")))
+              .otherwise(org.apache.spark.sql.functions.transform(
+                sequence(lit(0), size($"toks") - n),
+                i => array_join(slice($"toks", i + 1, lit(n)), " ")))).as("hof"))
+        .as[(Seq[Long], Seq[Long])].collect()
+      assert(got.forall { case (f, h) => f == h }, s"n=$n mismatch")
+    }
+  }
+
   test("ShingleHashExpr: null tokens skip like array_join (token and separator)") {
     def longs(c: Column): Seq[Long] = {
       import spark.implicits._
