@@ -238,7 +238,14 @@ object SimilaritySearch {
     * concern; at the operator layer the win is the integer-exact
     * metric, which is what a rescore-free ANN sweep needs.
     */
-  def int8Quantize(vec: Column, maxAbs: Column): Column = {
+  def int8Quantize(vec: Column, maxAbs: Column): Column =
+    graft.functions.QuantizeExpr(vec, maxAbs)
+
+  /** Declarative HOF twin of [[int8Quantize]] — the executable spec of
+    * the native expression (bit-equality test-enforced; the HOF path
+    * evaluates its lambda per element through the interpreter, so the
+    * native loop is what a corpus-scan quantization projection runs). */
+  private[graft] def int8QuantizeHof(vec: Column, maxAbs: Column): Column = {
     val v = vec.cast("array<double>")
     when(maxAbs.isNull || maxAbs === 0.0, transform(v, _ => lit(0.0)))
       .otherwise(transform(v, x => round(x * lit(127.0) / maxAbs)))

@@ -111,6 +111,32 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(zeroed.forall(_.forall(_ == 0.0)))
   }
 
+  test("int8Quantize native expr bit-equals the HOF twin on the corpus and edge cases") {
+    // whole corpus, real scale
+    val mx = emb.agg(max(SimilaritySearch.maxAbsElem($"embedding"))).as[Double].head()
+    val mismatch = emb.select(
+        SimilaritySearch.int8Quantize($"embedding", lit(mx)).as("native"),
+        SimilaritySearch.int8QuantizeHof($"embedding", lit(mx)).as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(mismatch === 0L)
+    // edges: zero scale (zeros, nulls included), null scale, null element
+    val arr = array(lit(1.0), lit(null).cast("double"), lit(-0.5))
+    def row(n: org.apache.spark.sql.Column, h: org.apache.spark.sql.Column) =
+      Seq(1).toDF("x").select(n.as("n"), h.as("h")).head()
+    val z = row(SimilaritySearch.int8Quantize(arr, lit(0.0)),
+      SimilaritySearch.int8QuantizeHof(arr, lit(0.0)))
+    assert(z.getSeq[java.lang.Double](0) === z.getSeq[java.lang.Double](1))
+    val nl = row(SimilaritySearch.int8Quantize(arr, lit(null).cast("double")),
+      SimilaritySearch.int8QuantizeHof(arr, lit(null).cast("double")))
+    assert(nl.getSeq[java.lang.Double](0) === nl.getSeq[java.lang.Double](1))
+    val real = row(SimilaritySearch.int8Quantize(arr, lit(2.0)),
+      SimilaritySearch.int8QuantizeHof(arr, lit(2.0)))
+    assert(real.getSeq[java.lang.Double](0) === real.getSeq[java.lang.Double](1))
+    // 1.0·127/2 = 63.5 → 64 (HALF_UP); −0.5·127/2 = −31.75 → −32
+    assert(real.getSeq[java.lang.Double](0).toList === List[java.lang.Double](
+      java.lang.Double.valueOf(64.0), null, java.lang.Double.valueOf(-32.0)))
+  }
+
   test("quantizedTopK: distances are exact integers matching a hand quantization") {
     val items = emb.filter($"vec_id" % 10 =!= 0)
     val r = SimilaritySearch.quantizedTopK(queries.limit(4), items, 3,
