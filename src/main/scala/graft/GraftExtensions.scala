@@ -85,6 +85,17 @@ object GraftExtensions {
         val off = if (args.length == 4) intArg(args(3), "offset") else 0
         HyperplaneSignatureExpr(args(0), intArg(args(1), "planes"), intArg(args(2), "dim"), off)
       }),
+    ("int8_quantize",
+      new ExpressionInfo(classOf[graft.functions.QuantizeExpr].getName, null, "int8_quantize",
+        "int8_quantize(vec, max_abs) - symmetric int8 codes round(x*127/max_abs) as integral doubles", ""),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "int8_quantize expects 2 arguments")
+        graft.functions.QuantizeExpr(
+          org.apache.spark.sql.catalyst.expressions.Cast(args(0),
+            org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+          org.apache.spark.sql.catalyst.expressions.Cast(args(1),
+            org.apache.spark.sql.types.DoubleType))
+      }),
     ("shingle_hash",
       new ExpressionInfo(classOf[graft.functions.ShingleHashExpr].getName, null, "shingle_hash",
         "shingle_hash(tokens, n) - fused polynomial hashes of word n-gram shingles", ""),

@@ -26,8 +26,18 @@ class GraftExtensionsSpec extends SparkSpec {
       "vector_sqeuclidean", "vector_dot", "vector_cosine_distance",
       "vector_cosine_sim", "poly_hash_array",
       "minhash_signature", "simhash", "hyperplane_signature",
-      "z_value", "det_bucket", "redact_pii", "shingle_hash"))
+      "z_value", "det_bucket", "redact_pii", "shingle_hash", "int8_quantize"))
     new GraftExtensions() // constructible (Class.forName path)
+  }
+
+  test("int8_quantize in SQL equals the Column API") {
+    GraftExtensions.register(spark)
+    val sqlV = spark.sql(
+      "SELECT int8_quantize(array(1.0D, -0.5D), 2.0D) AS q").head().getSeq[Double](0)
+    val apiV = Seq("x").toDF("x").select(
+      operators.SimilaritySearch.int8Quantize(
+        array(lit(1.0), lit(-0.5)), lit(2.0)).as("q")).head().getSeq[Double](0)
+    assert(sqlV.toList === apiV.toList && sqlV.toList === List(64.0, -32.0))
   }
 
   test("shingle_hash in SQL equals the Column API") {
