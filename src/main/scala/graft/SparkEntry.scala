@@ -354,6 +354,21 @@ object Queries {
     operators.TimeSeries.similarSeries(sketch, "user_id", k = 3)
   }
 
+  /** [[Dedup.dedupAgainst]] under the oracle gate: the incremental
+    * ingest shape — docs arriving as the "new batch" (doc_id % 5 = 0)
+    * survive only if first-in-batch by text AND absent from the
+    * standing corpus (the rest). One within-batch survivor election +
+    * one left-anti probe of the corpus, both key-partitioned, nothing
+    * broadcast. */
+  def incrementalDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    Dedup.dedupAgainst(
+      docs.filter(col("doc_id") % 5 === 0),
+      docs.filter(col("doc_id") % 5 =!= 0),
+      keyCols = Seq("text"), idCol = "doc_id")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
   /** MinHash ESTIMATION quality under the gate (the q53 discipline
     * applied to similarity sketches): for every exact near-dup pair,
     * the Jaccard estimate read off 24 MinHash signature components
@@ -1445,7 +1460,8 @@ object Queries {
     "q81_corr_sums" -> (corrSums _),
     "q82_series_sim" -> (seriesSimilarity _),
     "q83_value_deciles" -> (valueDeciles _),
-    "q84_bag_set_ops" -> (bagSetOps _))
+    "q84_bag_set_ops" -> (bagSetOps _),
+    "q85_incr_dedup" -> (incrementalDedup _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -2887,5 +2903,15 @@ object Queries {
          SELECT 'except_all' AS tag, custkey, count(*) AS n
          FROM ea GROUP BY custkey
          UNION ALL
-         SELECT 'intersect_all', custkey, count(*) FROM ia GROUP BY custkey""")
+         SELECT 'intersect_all', custkey, count(*) FROM ia GROUP BY custkey""",
+    "q85_incr_dedup" ->
+      """WITH inc AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+         ex AS (SELECT text FROM documents WHERE doc_id % 5 <> 0),
+         surv AS (
+           SELECT i.* FROM inc i
+           JOIN (SELECT text, min(doc_id) AS keep_id FROM inc GROUP BY text) g
+             ON i.doc_id = g.keep_id)
+         SELECT s.doc_id, s.source, s.n_chars
+         FROM surv s
+         WHERE NOT EXISTS (SELECT 1 FROM ex e WHERE e.text = s.text)""")
 }

@@ -53,6 +53,25 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Incremental ingest dedup — the "new crawl against the standing
+    * corpus" shape: a survivor from `incoming` must be (a) the first
+    * occurrence of its key WITHIN the batch ([[exactSurvivors]]) and
+    * (b) absent from `existing` (one left-anti join on the key). Both
+    * legs are key-partitioned shuffles; nothing is broadcast (the
+    * standing corpus is by definition the big side, and the anti join
+    * probes it hash-partitioned). At deployment scale the existing
+    * side is the content-keyed dedup INDEX (key + survivor id), not
+    * the full corpus — pass that projection in.
+    */
+  def dedupAgainst(
+      incoming: DataFrame,
+      existing: DataFrame,
+      keyCols: Seq[String],
+      idCol: String): DataFrame =
+    exactSurvivors(incoming, keyCols, idCol)
+      .join(existing.select(keyCols.map(col): _*).hint("shuffle_hash"),
+        keyCols, "left_anti")
+
   /** Chunk-level exact dedup — the granularity between whole-document
     * ([[exactGroups]]) and near-dup shingling: documents are cut into
     * fixed non-overlapping `chunkSize`-char windows and each DISTINCT

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.lit
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -156,6 +157,26 @@ class DedupSpec extends SparkSpec {
       .select("id1", "id2")
     val got = Dedup.nearDupClusters(pairs).as[(Long, Long)].collect().toMap
     assert(got === Map(0L -> 0L, 1L -> 0L, 3L -> 0L))
+  }
+
+  test("dedupAgainst: within-batch election AND cross-corpus anti both drop") {
+    val existing = Seq(
+      (100L, "standing corpus text one"),
+      (101L, "standing corpus text two")).toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "fresh text alpha"),
+      (2L, "fresh text alpha"),          // within-batch dup: loses to 1
+      (3L, "standing corpus text two"),  // already in corpus: dropped
+      (4L, "fresh text beta")
+    ).toDF("doc_id", "text")
+    val surv = Dedup.dedupAgainst(incoming, existing, Seq("text"), "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(surv === Set(1L, 4L))
+    // empty corpus: only the within-batch election applies
+    val none = existing.filter(lit(false))
+    val survAll = Dedup.dedupAgainst(incoming, none, Seq("text"), "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(survAll === Set(1L, 3L, 4L))
   }
 
   test("chunkDedup: exact window boundaries, global first occurrence survives") {
