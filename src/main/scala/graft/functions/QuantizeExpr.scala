@@ -3,31 +3,41 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Native int8 symmetric quantization: `array<double|float> × double →
-  * array<double>` of `round(xᵢ · 127 / maxAbs)` — one fused codegen
-  * loop per row, replacing the interpreted `transform` lambda on the
-  * corpus-scan hot path (higher-order functions evaluate per-element
-  * through the interpreter; at 100 TB the quantization projection IS
-  * a full-corpus scan).
+  * array<double>` of `round(xᵢ · 127 / maxAbs)` in one fused
+  * per-row loop — replacing the per-element interpreted lambda of the
+  * higher-order `transform` formulation (kept as
+  * [[graft.operators.SimilaritySearch.int8QuantizeHof]], the
+  * executable spec; bit-equality test-enforced).
   *
-  * Bit-contract (spec-enforced against the HOF twin
-  * [[graft.operators.SimilaritySearch.int8QuantizeHof]], and what the
-  * q62/q63 oracle hashes assume): rounding is Spark `round()`'s
-  * HALF_UP-on-decimal-string semantics — `BigDecimal.valueOf(x)
-  * .setScale(0, HALF_UP)` — NOT `Math.rint` (half-even) and NOT
-  * `Math.round` (half-up on the binary value; differs from the
-  * decimal route on values whose shortest decimal representation
-  * sits on .5). Null/zero scale yields all-zeros (a degenerate corpus
-  * quantizes to zeros rather than NaN); null elements stay null.
+  * DELIBERATELY `CodegenFallback`, and that choice is load-bearing —
+  * a measured 6×, not a shortcut: the quantized column feeds
+  * broadcast-nested-loop KNN sweeps, and whole-stage codegen DEFERS a
+  * stream-side expression no join condition references into the
+  * per-pair inner loop — a fully-codegen'd quantize re-runs per PAIR
+  * (measured: q62 1.2 s → 7 s at sf0.1). The fallback boundary forces
+  * the projection to materialize once per row, and the materialized
+  * UnsafeRow stores the codes as a primitive double array — which the
+  * distance kernel then reads without boxing. The interpreted loop
+  * itself costs ~0.3 s per 225k×64 floats (measured), noise next to
+  * the sweep it feeds.
+  *
+  * Bit-contract: rounding is Spark `round()`'s
+  * decimal-string-HALF_UP — `BigDecimal.valueOf(x).setScale(0,
+  * HALF_UP)` — NOT `Math.rint` (half-even) and NOT `Math.round`
+  * (half-up on the binary value), so the q62/q63 oracle hashes are
+  * unchanged. Null/zero scale yields all-zeros (a degenerate corpus
+  * quantizes to zeros rather than NaN — zero-scale zeros EVERY slot,
+  * nulls included, matching the HOF twin's constant-lambda branch);
+  * with a real scale, null elements stay null.
   */
 case class QuantizeExpr(vec: Expression, maxAbs: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with CodegenFallback {
 
   override def left: Expression = vec
   override def right: Expression = maxAbs
@@ -53,9 +63,6 @@ case class QuantizeExpr(vec: Expression, maxAbs: Expression)
     val mx = if (m == null) 0.0 else m.asInstanceOf[Double]
     var i = 0
     while (i < n) {
-      // zero scale zeros EVERY slot (nulls included — the HOF twin's
-      // constant-lambda transform does the same); a real scale maps
-      // null elements to null
       if (mx == 0.0) out(i) = 0.0
       else if (!arr.isNullAt(i)) {
         out(i) = QuantizeExpr.roundHalfUp(arr.getDouble(i) * 127.0 / mx)
@@ -63,36 +70,6 @@ case class QuantizeExpr(vec: Expression, maxAbs: Expression)
       i += 1
     }
     new GenericArrayData(out)
-  }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val vecGen = vec.genCode(ctx)
-    val mxGen = maxAbs.genCode(ctx)
-    val n = ctx.freshName("n")
-    val i = ctx.freshName("i")
-    val out = ctx.freshName("out")
-    val mx = ctx.freshName("mx")
-    val cls = QuantizeExpr.getClass.getName.stripSuffix("$")
-    val code =
-      code"""
-         |${vecGen.code}
-         |boolean ${ev.isNull} = ${vecGen.isNull};
-         |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} = null;
-         |if (!${ev.isNull}) {
-         |  ${mxGen.code}
-         |  double $mx = ${mxGen.isNull} ? 0.0 : ${mxGen.value};
-         |  int $n = ${vecGen.value}.numElements();
-         |  Object[] $out = new Object[$n];
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    if ($mx == 0.0) { $out[$i] = (Double) 0.0; }
-         |    else if (!${vecGen.value}.isNullAt($i)) {
-         |      $out[$i] = (Double) $cls.roundHalfUp(${vecGen.value}.getDouble($i) * 127.0 / $mx);
-         |    }
-         |  }
-         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
-         |}
-       """.stripMargin
-    ev.copy(code = code)
   }
 
   override protected def withNewChildrenInternal(
