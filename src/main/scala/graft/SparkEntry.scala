@@ -1343,6 +1343,152 @@ object Queries {
         max(col("cents")).as("hi_cents"))
   }
 
+  /** Gap-filled densification: nation × month revenue with EMPTY cells
+    * materialized as explicit zero rows — the reporting/feature-store
+    * shape where "no orders that month" must be a row, not an absence
+    * (time-series models and SLA dashboards both break on missing
+    * periods). The fact table aggregates FIRST (partial-agged shuffle,
+    * the only fact-scale exchange), then densifies against a GENERATED
+    * calendar dimension: the month spine comes from `sequence(min,max)`
+    * exploded from a 1-row aggregate (never collected to the driver,
+    * never a stored table), cross-joined with the nation dim — both
+    * sides tiny and broadcast, so the grid costs nothing at any scale.
+    * The left-outer fill join probes the aggregated relation, whose
+    * cardinality is bounded by the grid itself (≤ nations × months no
+    * matter how many fact rows), so broadcasting it is safe at 100 TB. */
+  def gapFillMonthly(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = t(spark, sfDir, "orders").select(col("o_custkey"),
+      (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1)
+        .cast("long").as("mi"),
+      round(col("o_totalprice") * 100).cast("long").as("cents"))
+    val c = t(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("nationkey"))
+    val m = o.join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("nationkey"), col("mi"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("cents")).as("rev_cents"))
+    val months = o.agg(min(col("mi")).as("mn"), max(col("mi")).as("mx"))
+      .select(explode(sequence(col("mn"), col("mx"))).as("mi"))
+    val nations = t(spark, sfDir, "nation")
+      .select(col("n_nationkey").cast("long").as("nationkey"))
+    broadcast(nations).crossJoin(broadcast(months))
+      .join(broadcast(m), Seq("nationkey", "mi"), "left")
+      .select(col("nationkey"), col("mi"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("rev_cents"), lit(0L)).as("rev_cents"))
+  }
+
+  /** First-touch funnel: per user, the first `view` and first `purchase`
+    * timestamps and whether the view preceded the purchase — conversion
+    * attribution as ONE conditional partial-agged groupBy over the raw
+    * event stream (no self-join, no window: `min(CASE WHEN …)` folds
+    * each funnel stage into the same aggregate pass, so adding stages
+    * adds columns, not scans). Timestamps emit as exact integer epoch
+    * microseconds (the q71 portability discipline). */
+  def funnelConversion(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", unix_micros(col("ts"))))
+          .as("first_view_us"),
+        min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+          .as("first_purchase_us"))
+      .select(col("user_id"), col("first_view_us"), col("first_purchase_us"),
+        when(col("first_view_us").isNotNull
+          && col("first_purchase_us").isNotNull
+          && col("first_view_us") < col("first_purchase_us"), 1L)
+          .otherwise(0L).as("converted"))
+
+  /** Wide→long melt via native `unpivot`: the four lineitem money/ratio
+    * measures become (measure, cents) rows, then one partial-agged
+    * groupBy per (flag, measure). Unpivot plans as a map-side `Expand`
+    * — each input row emits its 4 long rows in place, so the only
+    * exchange is the final aggregation's, and the 4× row inflation
+    * never hits the shuffle unreduced (partial aggs absorb it). The
+    * portable twin of q35's pivot. */
+  def unpivotMeasures(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_quantity") * 100).cast("long").as("quantity"),
+        round(col("l_extendedprice") * 100).cast("long").as("extendedprice"),
+        round(col("l_discount") * 100).cast("long").as("discount"),
+        round(col("l_tax") * 100).cast("long").as("tax"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("quantity"), col("extendedprice"), col("discount"), col("tax")),
+        "measure", "cents")
+      .groupBy(col("l_returnflag"), col("measure"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+
+  /** Market-basket co-occurrence: for every unordered pair of event
+    * types, how many users exhibit both — the association-mining
+    * primitive (and, on documents, the tag/domain co-occurrence shape).
+    * Distinct (user, type) first — collapsing repeat events BEFORE the
+    * pair join is the scale move: fan-out per user is then ≤ T² over
+    * the distinct-type count T, not the raw event count² — and the
+    * self-join keys on the user id (shuffle-hash, co-partitioned both
+    * sides, nothing broadcast). For large item domains the per-user
+    * item list gets capped first (the q34 doc-freq-cap pattern). */
+  def typeCooccurrence(spark: SparkSession, sfDir: String): DataFrame = {
+    val ut = t(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+    // SHUFFLE_HASH pin: both sides are the same corpus-derived relation,
+    // so Catalyst's post-agg size estimate would broadcast it at test
+    // scale — the q18-class bug at deployment scale
+    ut.as("a").join(ut.as("b").hint("shuffle_hash"),
+        col("a.user_id") === col("b.user_id")
+          && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
+  /** IQR outlier screen: per-group Tukey fences (Q1/Q3 ± 1.5·IQR, all
+    * integer arithmetic via `DIV`) computed in one tiny partial-agged
+    * percentile pass, broadcast back onto the fact scan, outlier counts
+    * in a second partial agg — the standard numeric-cleaning pass
+    * before training-data admission. The boundary relation is bounded
+    * by the group count (not the row count), so the broadcast is safe
+    * at any fact scale; the fences stay exact integers (`floor` on the
+    * percentile, truncating `DIV` on the non-negative IQR) so the gate
+    * hash can't drift on FP. */
+  def iqrOutliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = t(spark, sfDir, "lineitem").select(col("l_returnflag").as("flag"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val bounds = l.groupBy(col("flag")).agg(
+        floor(expr("percentile(cents, 0.25)")).cast("long").as("q1"),
+        floor(expr("percentile(cents, 0.75)")).cast("long").as("q3"))
+      .select(col("flag"),
+        expr("q1 - (q3 - q1) * 3 DIV 2").as("lo"),
+        expr("q3 + (q3 - q1) * 3 DIV 2").as("hi"))
+    l.join(broadcast(bounds), "flag")
+      .groupBy(col("flag"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("cents") < col("lo") || col("cents") > col("hi"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        min(col("lo")).as("lo_cents"),
+        max(col("hi")).as("hi_cents"))
+  }
+
+  /** CDC-style latest-record compaction: the newest event per user —
+    * with its full payload — as ONE mergeable argmax aggregate:
+    * `max(struct(ts_us, event_id, payload…))` orders on the unique
+    * (ts_us, event_id) prefix, so the payload rides along and the
+    * election is a partial-agged groupBy with map-side combine. No
+    * Window (the naive latest-per-key sorts every key's history), no
+    * join-back (the usual max-then-rejoin needs a second exchange);
+    * state per key is one struct at every stage, which is why this is
+    * the shape log-compaction and CDC snapshotting actually use. */
+  def latestEvents(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .select(col("user_id"), struct(
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id"),
+        col("event_type"),
+        round(col("value") * 100).cast("long").as("cents")).as("rec"))
+      .groupBy(col("user_id"))
+      .agg(max(col("rec")).as("m"))
+      .select(col("user_id"), col("m.ts_us").as("ts_us"),
+        col("m.event_id").as("event_id"), col("m.event_type").as("event_type"),
+        col("m.cents").as("cents"))
+
   /** Multi-join revenue rollup written as SQL text (parser → Catalyst →
     * same physical plans as the DataFrame API). */
   def sqlJoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1461,7 +1607,13 @@ object Queries {
     "q82_series_sim" -> (seriesSimilarity _),
     "q83_value_deciles" -> (valueDeciles _),
     "q84_bag_set_ops" -> (bagSetOps _),
-    "q85_incr_dedup" -> (incrementalDedup _))
+    "q85_incr_dedup" -> (incrementalDedup _),
+    "q86_gap_fill" -> (gapFillMonthly _),
+    "q87_funnel" -> (funnelConversion _),
+    "q88_unpivot" -> (unpivotMeasures _),
+    "q89_cooccur" -> (typeCooccurrence _),
+    "q90_iqr_outliers" -> (iqrOutliers _),
+    "q91_latest_record" -> (latestEvents _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -2913,5 +3065,91 @@ object Queries {
              ON i.doc_id = g.keep_id)
          SELECT s.doc_id, s.source, s.n_chars
          FROM surv s
-         WHERE NOT EXISTS (SELECT 1 FROM ex e WHERE e.text = s.text)""")
+         WHERE NOT EXISTS (SELECT 1 FROM ex e WHERE e.text = s.text)""",
+    "q86_gap_fill" ->
+      """WITH RECURSIVE o AS (
+           SELECT o_custkey,
+             CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS mi,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders),
+         m AS (
+           SELECT CAST(c_nationkey AS BIGINT) AS nationkey, mi,
+             count(*) AS n_orders, CAST(sum(cents) AS BIGINT) AS rev_cents
+           FROM o JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+         months(mi) AS (
+           SELECT (SELECT min(mi) FROM o)
+           UNION ALL
+           SELECT mi + 1 FROM months WHERE mi < (SELECT max(mi) FROM o)),
+         grid AS (SELECT CAST(n_nationkey AS BIGINT) AS nationkey,
+                    CAST(mi AS BIGINT) AS mi
+                  FROM nation, months)
+         SELECT g.nationkey, g.mi,
+           COALESCE(m.n_orders, 0) AS n_orders,
+           COALESCE(m.rev_cents, 0) AS rev_cents
+         FROM grid g LEFT JOIN m ON g.nationkey = m.nationkey AND g.mi = m.mi""",
+    "q87_funnel" ->
+      """WITH f AS (
+           SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+               AS first_view_us,
+             min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+               AS first_purchase_us
+           FROM events GROUP BY user_id)
+         SELECT user_id, first_view_us, first_purchase_us,
+           CAST(CASE WHEN first_view_us IS NOT NULL
+                  AND first_purchase_us IS NOT NULL
+                  AND first_view_us < first_purchase_us
+                THEN 1 ELSE 0 END AS BIGINT) AS converted
+         FROM f""",
+    "q88_unpivot" ->
+      """WITH l AS (
+           SELECT l_returnflag,
+             CAST(round(l_quantity * 100) AS BIGINT) AS quantity,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS extendedprice,
+             CAST(round(l_discount * 100) AS BIGINT) AS discount,
+             CAST(round(l_tax * 100) AS BIGINT) AS tax
+           FROM lineitem),
+         u AS (
+           SELECT l_returnflag, 'quantity' AS measure, quantity AS cents FROM l
+           UNION ALL SELECT l_returnflag, 'extendedprice', extendedprice FROM l
+           UNION ALL SELECT l_returnflag, 'discount', discount FROM l
+           UNION ALL SELECT l_returnflag, 'tax', tax FROM l)
+         SELECT l_returnflag, measure, count(*) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents
+         FROM u GROUP BY 1, 2""",
+    "q89_cooccur" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+         SELECT a.event_type AS type_a, b.event_type AS type_b,
+           count(*) AS n_users
+         FROM ut a JOIN ut b
+           ON a.user_id = b.user_id AND a.event_type < b.event_type
+         GROUP BY 1, 2""",
+    "q90_iqr_outliers" ->
+      """WITH l AS (
+           SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem),
+         b AS (
+           SELECT flag,
+             CAST(floor(quantile_cont(cents, 0.25)) AS BIGINT) AS q1,
+             CAST(floor(quantile_cont(cents, 0.75)) AS BIGINT) AS q3
+           FROM l GROUP BY flag),
+         f AS (
+           SELECT flag, q1 - (q3 - q1) * 3 // 2 AS lo,
+             q3 + (q3 - q1) * 3 // 2 AS hi
+           FROM b)
+         SELECT l.flag, count(*) AS n,
+           CAST(sum(CASE WHEN cents < lo OR cents > hi THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_outliers,
+           min(lo) AS lo_cents, max(hi) AS hi_cents
+         FROM l JOIN f ON l.flag = f.flag
+         GROUP BY l.flag""",
+    "q91_latest_record" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+           CAST(round(value * 100) AS BIGINT) AS cents
+         FROM (
+           SELECT *, row_number() OVER (PARTITION BY user_id
+             ORDER BY ts DESC, event_id DESC) AS rn
+           FROM events)
+         WHERE rn = 1""")
 }

@@ -300,6 +300,61 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("partial_count"), plan.take(2000))
   }
 
+  test("q86 gap fill: fact side partial-aggs before a broadcast fill join") {
+    val plan = planOf(Queries.gapFillMonthly(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    // the only fact-scale exchange is the (nation, month) aggregation's,
+    // with a map-side partial pass before it
+    assert(finalTree.toLowerCase.contains("partial_count"), finalTree.take(1500))
+    // the densification join probes a relation bounded by the grid
+    // (≤ nations × months regardless of fact rows) — broadcast is the
+    // correct plan at any scale, a sort-merge here would be a regression
+    assert(finalTree.contains("BroadcastHashJoin"), finalTree.take(1500))
+    assert(!finalTree.contains("SortMergeJoin"), finalTree.take(1500))
+  }
+
+  test("q87 funnel: one conditional partial-agged scan — no join, no Window") {
+    val plan = planOf(Queries.funnelConversion(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    assert(finalTree.toLowerCase.contains("partial_min"), finalTree.take(1200))
+    assert(!finalTree.contains("Join"), finalTree.take(1200))
+    assert(!finalTree.contains("Window"), finalTree.take(1200))
+  }
+
+  test("q88 unpivot: melt plans as a map-side Expand; partial aggs absorb the 4× rows") {
+    val plan = planOf(Queries.unpivotMeasures(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    assert(finalTree.contains("Expand"), finalTree.take(1200))
+    assert(finalTree.toLowerCase.contains("partial_count"), finalTree.take(1200))
+    assert(!finalTree.contains("Join"), finalTree.take(1200))
+    assert(!finalTree.contains("Window"), finalTree.take(1200))
+  }
+
+  test("q89 co-occurrence: self-join stays shuffle-hash, nothing corpus-derived broadcast") {
+    val plan = planOf(Queries.typeCooccurrence(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    assert(finalTree.contains("ShuffledHashJoin"), finalTree.take(1500))
+    assert(!finalTree.contains("BroadcastExchange"), finalTree.take(1500))
+  }
+
+  test("q90 IQR outliers: fences partial-agg then broadcast; no Window") {
+    val plan = planOf(Queries.iqrOutliers(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    assert(finalTree.toLowerCase.contains("partial_percentile"), finalTree.take(1500))
+    // the fence relation is bounded by the group count — broadcast is
+    // the correct plan at any fact scale
+    assert(finalTree.contains("BroadcastHashJoin"), finalTree.take(1500))
+    assert(!finalTree.contains("Window"), finalTree.take(1500))
+  }
+
+  test("q91 latest-record compaction: one partial-agged argmax — no Window, no join") {
+    val plan = planOf(Queries.latestEvents(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    assert(finalTree.toLowerCase.contains("partial_max"), finalTree.take(1200))
+    assert(!finalTree.contains("Window"), finalTree.take(1200))
+    assert(!finalTree.contains("Join"), finalTree.take(1200))
+  }
+
   test("q49: survivor resolution drops losers via an anti join") {
     // the pair/cluster lineage is cut by the per-iteration
     // localCheckpoint (its join shape is audited at q17), so the final
