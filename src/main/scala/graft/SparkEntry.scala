@@ -1489,6 +1489,58 @@ object Queries {
         col("m.event_id").as("event_id"), col("m.event_type").as("event_type"),
         col("m.cents").as("cents"))
 
+  /** Cohort retention matrix: users bucketed by first-activity DAY
+    * (the synthetic event stream spans one month, so day is the
+    * granularity with signal; epoch-day integers via `datediff` keep
+    * the keys engine-portable), counted per days-since-cohort offset —
+    * the standard retention triangle. The cohort assignment is one
+    * partial-agged min per user; the activity join keys on the user id
+    * (shuffle-hash pinned: the cohort relation is one row per user,
+    * corpus-derived, so test-scale stats would wrongly broadcast it);
+    * the distinct-user count per (cohort, offset) cell plans as
+    * Spark's two-phase distinct agg. */
+  def cohortRetention(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = t(spark, sfDir, "events").select(col("user_id"),
+      datediff(col("ts"), lit("1970-01-01")).cast("long").as("di"))
+    val cohort = e.groupBy(col("user_id")).agg(min(col("di")).as("cohort_day"))
+    e.join(cohort.hint("shuffle_hash"), "user_id")
+      .groupBy(col("cohort_day"), (col("di") - col("cohort_day")).as("offset_days"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
+  /** Association-rule mining over the q89 co-occurrence pairs: support,
+    * directional confidence, and lift per unordered type pair, all as
+    * exact ppm integers (`(n_ab·1e6) DIV n_a`,
+    * `(n_ab·N·1e6) DIV (n_a·n_b)`) so the gate hash is FP-proof. The
+    * per-item totals and the 1-row user count are item-domain-bounded
+    * — broadcast onto the pair relation costs nothing at any corpus
+    * scale; the only corpus-scale work is the distinct + pair join
+    * audited at q89. Overflow headroom is a stated choice: ppm on
+    * BIGINT keeps `n_ab·N·1e6` under 2⁶³ up to ~3 M users per item
+    * pair; beyond that the ratio moves to decimal(38). */
+  def associationRules(spark: SparkSession, sfDir: String): DataFrame = {
+    val ut = t(spark, sfDir, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+    val totals = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val nUsers = ut.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_total"))
+    val pairs = ut.as("a").join(ut.as("b").hint("shuffle_hash"),
+        col("a.user_id") === col("b.user_id")
+          && col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(totals.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))), "type_a")
+      .join(broadcast(totals.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))), "type_b")
+      .crossJoin(broadcast(nUsers))
+      .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"),
+        col("n_b"), col("n_total"),
+        expr("(n_ab * 1000000) DIV n_a").as("conf_a_to_b_ppm"),
+        expr("(n_ab * n_total * 1000000) DIV (n_a * n_b)").as("lift_ppm"))
+  }
+
   /** Multi-join revenue rollup written as SQL text (parser → Catalyst →
     * same physical plans as the DataFrame API). */
   def sqlJoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1613,7 +1665,9 @@ object Queries {
     "q88_unpivot" -> (unpivotMeasures _),
     "q89_cooccur" -> (typeCooccurrence _),
     "q90_iqr_outliers" -> (iqrOutliers _),
-    "q91_latest_record" -> (latestEvents _))
+    "q91_latest_record" -> (latestEvents _),
+    "q92_cohort_retention" -> (cohortRetention _),
+    "q93_assoc_rules" -> (associationRules _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -3151,5 +3205,33 @@ object Queries {
            SELECT *, row_number() OVER (PARTITION BY user_id
              ORDER BY ts DESC, event_id DESC) AS rn
            FROM events)
-         WHERE rn = 1""")
+         WHERE rn = 1""",
+    "q92_cohort_retention" ->
+      """WITH e AS (
+           SELECT user_id,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS di
+           FROM events),
+         c AS (SELECT user_id, min(di) AS cohort_day FROM e GROUP BY user_id)
+         SELECT c.cohort_day, e.di - c.cohort_day AS offset_days,
+           count(DISTINCT e.user_id) AS n_users
+         FROM e JOIN c ON e.user_id = c.user_id
+         GROUP BY 1, 2""",
+    "q93_assoc_rules" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+         tot AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+         nu AS (SELECT count(DISTINCT user_id) AS n_total FROM ut),
+         p AS (
+           SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_ab
+           FROM ut a JOIN ut b
+             ON a.user_id = b.user_id AND a.event_type < b.event_type
+           GROUP BY 1, 2)
+         SELECT type_a, type_b, n_ab, ta.n AS n_a, tb.n AS n_b, n_total,
+           (n_ab * 1000000) // ta.n AS conf_a_to_b_ppm,
+           (n_ab * n_total * 1000000) // (ta.n * tb.n) AS lift_ppm
+         FROM p
+         JOIN tot ta ON p.type_a = ta.event_type
+         JOIN tot tb ON p.type_b = tb.event_type
+         CROSS JOIN nu""")
 }

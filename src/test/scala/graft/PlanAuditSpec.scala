@@ -355,6 +355,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!finalTree.contains("Join"), finalTree.take(1200))
   }
 
+  test("q92 cohort retention: user-keyed shuffle join, nothing corpus-derived broadcast") {
+    val plan = planOf(Queries.cohortRetention(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    // the cohort relation is one row per user — corpus-derived, so it
+    // must join by shuffle on the user key, never broadcast
+    assert(finalTree.contains("ShuffledHashJoin"), finalTree.take(1500))
+    assert(!finalTree.contains("BroadcastExchange"), finalTree.take(1500))
+    assert(!finalTree.contains("Window"), finalTree.take(1500))
+  }
+
+  test("q93 association rules: only item-domain-bounded relations broadcast") {
+    val plan = planOf(Queries.associationRules(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    // the user-keyed pair join stays shuffle-hash (q89's audit); the
+    // per-item totals and 1-row user count broadcast — their size is
+    // bounded by the item domain, not the corpus
+    assert(finalTree.contains("ShuffledHashJoin"), finalTree.take(2000))
+    assert(finalTree.contains("BroadcastHashJoin"), finalTree.take(2000))
+  }
+
   test("q49: survivor resolution drops losers via an anti join") {
     // the pair/cluster lineage is cut by the per-iteration
     // localCheckpoint (its join shape is audited at q17), so the final
