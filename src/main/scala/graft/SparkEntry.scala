@@ -1541,6 +1541,40 @@ object Queries {
         expr("(n_ab * n_total * 1000000) DIV (n_a * n_b)").as("lift_ppm"))
   }
 
+  /** Ratio-to-report / share-of-total: each nation's share of global
+    * order revenue as exact ppm integers — computed WITHOUT the naive
+    * `sum() OVER ()` (an unpartitioned window collapses the relation
+    * to one task at scale). Instead the global total is a second
+    * 1-row branch of the same aggregated relation, broadcast into a
+    * map-only projection; the group aggregation partial-aggs and the
+    * grand total reuses its exchange. */
+  def revenueShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val byNation = joinAgg(spark, sfDir) // n_name, n_orders, total_cents
+    val total = byNation.agg(sum(col("total_cents")).as("grand_cents"))
+    byNation.crossJoin(broadcast(total))
+      .select(col("n_name"), col("n_orders"), col("total_cents"),
+        col("grand_cents"),
+        expr("(total_cents * 1000000) DIV grand_cents").as("share_ppm"))
+  }
+
+  /** Period-over-period delta: each day's event revenue next to the
+    * previous day's, as a self-join on the SHIFTED integer day key —
+    * the scale-safe `lag`: a global-order window needs a total sort
+    * (one partition at the limit), while the shifted-key equi-join of
+    * the already-aggregated per-period relation stays hash-partitioned
+    * and, being period-domain-bounded, broadcastable. Missing previous
+    * days surface as NULL (first day) by the left join, exactly like
+    * `lag`'s boundary. */
+  def dailyDelta(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = t(spark, sfDir, "events")
+      .groupBy(datediff(col("ts"), lit("1970-01-01")).cast("long").as("di"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+    val prev = d.select((col("di") + 1).as("di"), col("cents").as("prev_cents"))
+    d.join(broadcast(prev), Seq("di"), "left")
+      .select(col("di"), col("cents"), col("prev_cents"),
+        (col("cents") - coalesce(col("prev_cents"), lit(0L))).as("delta_cents"))
+  }
+
   /** Multi-join revenue rollup written as SQL text (parser → Catalyst →
     * same physical plans as the DataFrame API). */
   def sqlJoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1667,7 +1701,9 @@ object Queries {
     "q90_iqr_outliers" -> (iqrOutliers _),
     "q91_latest_record" -> (latestEvents _),
     "q92_cohort_retention" -> (cohortRetention _),
-    "q93_assoc_rules" -> (associationRules _))
+    "q93_assoc_rules" -> (associationRules _),
+    "q94_revenue_share" -> (revenueShare _),
+    "q95_daily_delta" -> (dailyDelta _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -3233,5 +3269,27 @@ object Queries {
          FROM p
          JOIN tot ta ON p.type_a = ta.event_type
          JOIN tot tb ON p.type_b = tb.event_type
-         CROSS JOIN nu""")
+         CROSS JOIN nu""",
+    "q94_revenue_share" ->
+      """WITH bn AS (
+           SELECT n_name, count(*) AS n_orders,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+           FROM orders
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           GROUP BY n_name),
+         g AS (SELECT CAST(sum(total_cents) AS BIGINT) AS grand_cents FROM bn)
+         SELECT n_name, n_orders, total_cents, grand_cents,
+           (total_cents * 1000000) // grand_cents AS share_ppm
+         FROM bn CROSS JOIN g""",
+    "q95_daily_delta" ->
+      """WITH d AS (
+           SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS di,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+           FROM events GROUP BY 1)
+         SELECT d.di, d.cents, p.cents AS prev_cents,
+           d.cents - COALESCE(p.cents, 0) AS delta_cents
+         FROM d LEFT JOIN d p ON d.di = p.di + 1""")
 }

@@ -375,6 +375,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(finalTree.contains("BroadcastHashJoin"), finalTree.take(2000))
   }
 
+  test("q94 revenue share: no unpartitioned window — 1-row total broadcast instead") {
+    val plan = planOf(Queries.revenueShare(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    // sum() OVER () would collapse the relation to one task; the grand
+    // total must be a broadcast 1-row branch
+    assert(!finalTree.contains("Window"), finalTree.take(1500))
+    assert(finalTree.contains("BroadcastNestedLoopJoin"), finalTree.take(1500))
+    assert(finalTree.toLowerCase.contains("partial_sum"), finalTree.take(1500))
+  }
+
+  test("q95 daily delta: lag as a broadcast shifted-key join, no Window sort") {
+    val plan = planOf(Queries.dailyDelta(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    assert(!finalTree.contains("Window"), finalTree.take(1500))
+    // the per-period relation is period-domain-bounded — broadcast is
+    // correct at any fact scale
+    assert(finalTree.contains("BroadcastHashJoin"), finalTree.take(1500))
+    assert(finalTree.toLowerCase.contains("partial_sum"), finalTree.take(1500))
+  }
+
   test("q49: survivor resolution drops losers via an anti join") {
     // the pair/cluster lineage is cut by the per-iteration
     // localCheckpoint (its join shape is audited at q17), so the final
