@@ -1575,6 +1575,47 @@ object Queries {
         (col("cents") - coalesce(col("prev_cents"), lit(0L))).as("delta_cents"))
   }
 
+  /** Rolling 7-day active users per day (the WAU curve) — window-free:
+    * Spark (and SQL generally) can't do COUNT(DISTINCT) over a sliding
+    * RANGE frame, and buffering per-day user sets in a window would be
+    * quadratic anyway. Instead each distinct (user, active-day) row
+    * explodes onto the 7 window-end days it contributes to (a
+    * broadcast 7-row offset dim), de-dups, and partial-agg-counts per
+    * end day — shuffle volume is 7× the distinct activity relation
+    * (already collapsed from raw events), not events × window. Window
+    * ends past the last observed day are dropped; early partial
+    * windows keep standard trailing semantics. */
+  def rollingActives(spark: SparkSession, sfDir: String): DataFrame = {
+    val ud = t(spark, sfDir, "events").select(col("user_id"),
+      datediff(col("ts"), lit("1970-01-01")).cast("long").as("di")).distinct()
+    val offsets = spark.range(0, 7).select(col("id").as("off"))
+    val maxd = ud.agg(max(col("di")).as("maxd"))
+    ud.crossJoin(broadcast(offsets))
+      .select(col("user_id"), (col("di") + col("off")).as("wend"))
+      .distinct()
+      .crossJoin(broadcast(maxd))
+      .filter(col("wend") <= col("maxd"))
+      .groupBy(col("wend"))
+      .agg(count(lit(1)).as("actives_7d"))
+  }
+
+  /** Event-type transition matrix: counts of consecutive (from → to)
+    * event pairs per user timeline — the Markov-chain / next-action
+    * preprocessing op. The ordering window partitions by the
+    * high-cardinality user key (each task sorts only its users'
+    * short histories — the q46 argument), ties broken by the unique
+    * event id; the matrix itself is one partial-agged groupBy bounded
+    * by the type domain squared. */
+  def eventTransitions(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    t(spark, sfDir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Multi-join revenue rollup written as SQL text (parser → Catalyst →
     * same physical plans as the DataFrame API). */
   def sqlJoinAgg(spark: SparkSession, sfDir: String): DataFrame = {
@@ -1703,7 +1744,9 @@ object Queries {
     "q92_cohort_retention" -> (cohortRetention _),
     "q93_assoc_rules" -> (associationRules _),
     "q94_revenue_share" -> (revenueShare _),
-    "q95_daily_delta" -> (dailyDelta _))
+    "q95_daily_delta" -> (dailyDelta _),
+    "q96_rolling_actives" -> (rollingActives _),
+    "q97_transitions" -> (eventTransitions _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -3291,5 +3334,30 @@ object Queries {
            FROM events GROUP BY 1)
          SELECT d.di, d.cents, p.cents AS prev_cents,
            d.cents - COALESCE(p.cents, 0) AS delta_cents
-         FROM d LEFT JOIN d p ON d.di = p.di + 1""")
+         FROM d LEFT JOIN d p ON d.di = p.di + 1""",
+    "q96_rolling_actives" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+               AS BIGINT) AS di
+           FROM events),
+         o AS (SELECT CAST(gs AS BIGINT) AS off
+               FROM generate_series(0, 6) AS t(gs)),
+         w AS (SELECT DISTINCT user_id, di + off AS wend
+               FROM ud CROSS JOIN o),
+         mx AS (SELECT max(di) AS maxd FROM ud)
+         SELECT wend, count(*) AS actives_7d
+         FROM w CROSS JOIN mx
+         WHERE wend <= maxd
+         GROUP BY wend""",
+    "q97_transitions" ->
+      """WITH s AS (
+           SELECT event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS next_type
+           FROM events)
+         SELECT event_type AS from_type, next_type AS to_type,
+           count(*) AS n
+         FROM s WHERE next_type IS NOT NULL
+         GROUP BY 1, 2""")
 }

@@ -395,6 +395,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(finalTree.toLowerCase.contains("partial_sum"), finalTree.take(1500))
   }
 
+  test("q96 rolling actives: no Window — offset explode + partial-agged distinct count") {
+    val plan = planOf(Queries.rollingActives(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    assert(!finalTree.contains("Window"), finalTree.take(1500))
+    // only the 7-row offset dim and the 1-row max-day broadcast; the
+    // activity relation itself must never be a broadcast side
+    assert(finalTree.contains("BroadcastNestedLoopJoin"), finalTree.take(1500))
+    assert(finalTree.toLowerCase.contains("partial_count"), finalTree.take(1500))
+  }
+
+  test("q97 transitions: ordering window partitions by the user key; matrix partial-aggs") {
+    val plan = planOf(Queries.eventTransitions(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    assert(finalTree.contains("Window"), finalTree.take(1500))
+    assert("hashpartitioning\\(user_id".r.findFirstIn(finalTree).isDefined,
+      finalTree.take(1500))
+    assert(!finalTree.contains("SinglePartition"), finalTree.take(1500))
+    assert(finalTree.toLowerCase.contains("partial_count"), finalTree.take(1500))
+  }
+
   test("q49: survivor resolution drops losers via an anti join") {
     // the pair/cluster lineage is cut by the per-iteration
     // localCheckpoint (its join shape is audited at q17), so the final
