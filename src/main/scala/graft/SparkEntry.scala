@@ -354,6 +354,38 @@ object Queries {
     operators.TimeSeries.similarSeries(sketch, "user_id", k = 3)
   }
 
+  /** [[operators.TimeSeries.similarSeriesLsh]] under the oracle gate —
+    * q82's 100 TB path with its QUALITY pinned per round (the q44
+    * discipline): recall@3 of the multi-probe quantized-projection LSH
+    * path against the exact all-pairs sketch baseline, PLUS the directed
+    * candidate-pair count the LSH actually verified — so the recall
+    * floor and the pruning factor (candidates ≪ keys·(keys−1)) are both
+    * integer-exact under the hash. Deterministic plane grids mean the
+    * DuckDB oracle replays bucketing, probing, verification, and the
+    * recall number itself. */
+  def seriesLshRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val sketch = operators.TimeSeries.paaSketch(
+      t(spark, sfDir, "events"), "user_id", "ts", "event_id",
+      round(col("value") * 100).cast("long"), take = 16, segments = 4)
+    val exact = operators.TimeSeries.similarSeries(sketch, "user_id", k = 3)
+      .select(col("user_id"), col("other"))
+    val lsh = operators.TimeSeries
+      .similarSeriesLsh(sketch, "user_id", k = 3, segments = 4)
+      .select(col("user_id"), col("other"))
+    val cand = operators.TimeSeries.lshCandidatePairs(
+      operators.TimeSeries.sketchVectors(sketch, "user_id"),
+      segments = 4, planes = 4, tables = 8, widthCents = 6000L)
+    val hits = exact.join(lsh, Seq("user_id", "other"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val tot = exact.agg(count(lit(1)).as("possible"))
+    val nc = cand.agg(count(lit(1)).as("n_candidates"))
+    hits.crossJoin(tot).crossJoin(nc).select(
+      lit("paa_lsh").as("method"), col("hits"), col("possible"),
+      col("n_candidates"),
+      floor(col("hits") * 1000000.0 / col("possible")).cast("long")
+        .as("recall_micro"))
+  }
+
   /** [[Dedup.dedupAgainst]] under the oracle gate: the incremental
     * ingest shape — docs arriving as the "new batch" (doc_id % 5 = 0)
     * survive only if first-in-batch by text AND absent from the
@@ -1746,7 +1778,8 @@ object Queries {
     "q94_revenue_share" -> (revenueShare _),
     "q95_daily_delta" -> (dailyDelta _),
     "q96_rolling_actives" -> (rollingActives _),
-    "q97_transitions" -> (eventTransitions _))
+    "q97_transitions" -> (eventTransitions _),
+    "q98_series_lsh_recall" -> (seriesLshRecall _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -3359,5 +3392,80 @@ object Queries {
          SELECT event_type AS from_type, next_type AS to_type,
            count(*) AS n
          FROM s WHERE next_type IS NOT NULL
-         GROUP BY 1, 2""")
+         GROUP BY 1, 2""",
+    "q98_series_lsh_recall" ->
+      """WITH r AS (
+           SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         p AS (
+           SELECT user_id, CAST((rn - 1) // 4 AS BIGINT) AS seg,
+             CAST(sum(cents) AS BIGINT) AS seg_sum
+           FROM r WHERE rn <= 16 GROUP BY 1, 2),
+         fullk AS (
+           SELECT user_id FROM (
+             SELECT user_id, count(*) AS n FROM r WHERE rn <= 16 GROUP BY 1)
+           WHERE n = 16),
+         pf AS (SELECT p.* FROM p JOIN fullk USING (user_id)),
+         v AS (SELECT user_id, list(seg_sum ORDER BY seg) AS vec
+               FROM pf GROUP BY 1),
+         dx AS (
+           SELECT a.user_id AS ka, b.user_id AS kb,
+             CAST(sum((a.seg_sum - b.seg_sum) * (a.seg_sum - b.seg_sum))
+               AS BIGINT) AS dist
+           FROM pf a JOIN pf b ON a.seg = b.seg AND a.user_id <> b.user_id
+           GROUP BY 1, 2),
+         ex AS (
+           SELECT ka, kb FROM (
+             SELECT ka, kb,
+               row_number() OVER (PARTITION BY ka ORDER BY dist, kb) AS rn2
+             FROM dx)
+           WHERE rn2 <= 3),
+         cells AS (
+           SELECT user_id, tbl,
+             list_transform(generate_series(0, 3), p ->
+               CAST(floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(generate_series(0, 3), d ->
+                   CAST(vec[d+1] AS DOUBLE) *
+                   (CAST((((tbl*4+p)*6700417 + d + 1) * 2654435761)
+                     % 1000000007 AS DOUBLE) / 1000000007.0 - 0.5))),
+                 (x,y) -> x+y) / 6000.0) AS BIGINT)) AS f
+           FROM v, (SELECT unnest(generate_series(0, 7)) AS tbl)),
+         ctr AS (
+           SELECT user_id, tbl, array_to_string(f, ',') AS sig FROM cells),
+         spine(ax, dl) AS (
+           VALUES (0,-1),(0,1),(1,-1),(1,1),(2,-1),(2,1),(3,-1),(3,1)),
+         pr AS (
+           SELECT user_id, tbl, sig FROM ctr
+           UNION ALL
+           SELECT user_id, tbl,
+             array_to_string(list_transform(generate_series(0, 3), i ->
+               CASE WHEN i = ax THEN f[i+1] + dl ELSE f[i+1] END), ',') AS sig
+           FROM cells, spine),
+         cand AS (
+           SELECT DISTINCT a.user_id AS ka, b.user_id AS kb
+           FROM pr a JOIN ctr b
+           ON a.tbl = b.tbl AND a.sig = b.sig AND a.user_id <> b.user_id),
+         dcand AS (
+           SELECT c.ka, c.kb,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, 4), i ->
+                 (va.vec[i] - vb.vec[i]) * (va.vec[i] - vb.vec[i]))),
+               (x,y) -> x+y) AS BIGINT) AS dist
+           FROM cand c
+           JOIN v va ON c.ka = va.user_id
+           JOIN v vb ON c.kb = vb.user_id),
+         lsh AS (
+           SELECT ka, kb FROM (
+             SELECT ka, kb,
+               row_number() OVER (PARTITION BY ka ORDER BY dist, kb) AS rn2
+             FROM dcand)
+           WHERE rn2 <= 3),
+         h AS (SELECT count(*) AS hits
+               FROM ex JOIN lsh ON ex.ka = lsh.ka AND ex.kb = lsh.kb),
+         t_ AS (SELECT count(*) AS possible FROM ex),
+         nc AS (SELECT count(*) AS n_candidates FROM cand)
+         SELECT 'paa_lsh' AS method, hits, possible, n_candidates,
+           CAST(floor(hits * 1000000.0 / possible) AS BIGINT) AS recall_micro
+         FROM h, t_, nc""")
 }

@@ -40,6 +40,19 @@ object SignatureExprs {
     * all planes accumulated per element. */
   def hyperplaneSignature(vec: Column, planes: Int, dim: Int, planeOffset: Int = 0): Column =
     Bridge.column(HyperplaneSignatureExpr(Bridge.expression(vec), planes, dim, planeOffset))
+
+  /** Quantized-projection signature (the p-stable / E2LSH family, for
+    * EUCLIDEAN neighborhoods): element p of the result is
+    * `floor((vec · plane_(planeOffset+p)) / width)` — the cell index of
+    * the vector along deterministic direction p at grid width `width`.
+    * Same fused-loop shape and the same deterministic plane matrix as
+    * [[hyperplaneSignature]]; hyperplane bits capture DIRECTION (cosine),
+    * these cells capture POSITION, which is what a squared-Euclidean
+    * search needs. */
+  def quantizedProjection(
+      vec: Column, planes: Int, dim: Int, planeOffset: Int, width: Long): Column =
+    Bridge.column(QuantizedProjectionExpr(
+      Bridge.expression(vec), planes, dim, planeOffset, width))
 }
 
 /** `array<long> → array<long>` of length `numHashes`: slot i holds
@@ -322,4 +335,123 @@ object HyperplaneSignatureExpr {
     val h = ((plane.toLong * 6700417L + dim.toLong + 1L) * 2654435761L) % 1000000007L
     (h.toDouble / 1000000007.0) - 0.5
   }
+}
+
+/** `array<bigint|float|double> → array<bigint>` of length `planes`:
+  * element p is `floor((Σ_d vec[d] · plane_(planeOffset+p)[d]) / width)`
+  * — the E2LSH-style grid cell of the vector's projection onto
+  * deterministic direction `planeOffset+p` (cf. Datar et al., SoCG'04:
+  * locality-sensitive hashing with p-stable projections). Two vectors at
+  * Euclidean distance ≪ width land in the same cell on most directions;
+  * a multi-probe reader additionally visits the ±1 cells to catch
+  * boundary splits.
+  *
+  * Planes come from [[HyperplaneSignatureExpr.planeComponent]] — no RNG
+  * state, so any engine (including the DuckDB oracle) regenerates
+  * identical grids.
+  *
+  * FP contract: each projection accumulates in element-index order from
+  * a 0.0 seed; the cell is `floor(acc / (double) width)` — bit-identical
+  * to the HOF `aggregate(zip_with(...))` twin
+  * ([[graft.operators.TimeSeries.quantizedProjectionHof]]),
+  * spec-enforced. Elements must be non-null; vectors shorter than `dim`
+  * use the available prefix, extra elements are ignored.
+  */
+case class QuantizedProjectionExpr(
+    child: Expression,
+    planes: Int,
+    dim: Int,
+    planeOffset: Int,
+    width: Long) extends UnaryExpression {
+
+  require(planes >= 1 && planes <= 64, "planes must be in [1, 64]")
+  require(dim >= 1, "dim must be >= 1")
+  require(width >= 1L, "width must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "quantized_projection"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType | FloatType | DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint|float|double>, got ${t.sql}")
+  }
+
+  private def elemType: DataType = child.dataType.asInstanceOf[ArrayType].elementType
+
+  /** Flat [planes × dim] matrix, row-major — same grid any engine can
+    * regenerate from (planeOffset, dim). */
+  @transient private lazy val planeMatrix: Array[Double] = {
+    val m = new Array[Double](planes * dim)
+    var p = 0
+    while (p < planes) {
+      var d = 0
+      while (d < dim) {
+        m(p * dim + d) = HyperplaneSignatureExpr.planeComponent(planeOffset + p, d)
+        d += 1
+      }
+      p += 1
+    }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = math.min(arr.numElements(), dim)
+    val t = elemType
+    val accs = new Array[Double](planes)
+    var d = 0
+    while (d < n) {
+      val x = t match {
+        case DoubleType => arr.getDouble(d)
+        case FloatType => arr.getFloat(d).toDouble
+        case _ => arr.getLong(d).toDouble
+      }
+      var p = 0
+      while (p < planes) { accs(p) += x * planeMatrix(p * dim + d); p += 1 }
+      d += 1
+    }
+    val out = new Array[Long](planes)
+    var p = 0
+    while (p < planes) {
+      out(p) = math.floor(accs(p) / width.toDouble).toLong
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val mat = ctx.addReferenceObj("planeMatrix", planeMatrix, "double[]")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val p = ctx.freshName("p")
+      val x = ctx.freshName("x")
+      val accs = ctx.freshName("accs")
+      val out = ctx.freshName("out")
+      val getX = elemType match {
+        case DoubleType => s"$a.getDouble($d)"
+        case FloatType => s"(double) $a.getFloat($d)"
+        case _ => s"(double) $a.getLong($d)"
+      }
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $dim);
+         |double[] $accs = new double[$planes];
+         |for (int $d = 0; $d < $n; $d++) {
+         |  double $x = $getX;
+         |  for (int $p = 0; $p < $planes; $p++) {
+         |    $accs[$p] += $x * $mat[$p * $dim + $d];
+         |  }
+         |}
+         |long[] $out = new long[$planes];
+         |for (int $p = 0; $p < $planes; $p++) {
+         |  $out[$p] = (long) java.lang.Math.floor($accs[$p] / (double) ${width}L);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

@@ -186,6 +186,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(!finalTree.contains("SinglePartition"), finalTree.take(1200))
   }
 
+  test("q98 series LSH: candidate join keys on (tbl, sig) cells, never on seg alone") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val sketch = graft.operators.TimeSeries.paaSketch(
+      Tables.load(spark, sf, "events"), "user_id", "ts", "event_id",
+      org.apache.spark.sql.functions.round(
+        org.apache.spark.sql.functions.col("value") * 100).cast("long"),
+      take = 16, segments = 4)
+    val df = graft.operators.TimeSeries
+      .similarSeriesLsh(sketch, "user_id", k = 3, segments = 4)
+    df.collect()
+    val root = df.queryExecution.executedPlan
+    val finalPlan = root.collectFirst {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+    }.getOrElse(root)
+    // q82's named scale-killer was a join keyed on the `segments`-value
+    // seg column — keys² rows per seg at scale. The LSH path must never
+    // exchange on seg alone; candidate generation keys on (tbl, sig).
+    val segOnly = finalPlan.collect {
+      case s: ShuffleExchangeExec => s.outputPartitioning
+    }.collect {
+      case h: HashPartitioning
+          if h.expressions.nonEmpty &&
+            h.expressions.forall(_.references.toSeq.map(_.name).forall(_ == "seg")) => h
+    }
+    assert(segOnly.isEmpty, s"exchange keyed only by seg: $segOnly")
+    val planStr = finalPlan.toString
+    assert(!planStr.contains("CartesianProduct"), planStr.take(1500))
+    assert(!planStr.contains("BroadcastNestedLoopJoin"), planStr.take(1500))
+    assert(planStr.toLowerCase.contains("partial_topkaggregator"), planStr.take(1500))
+  }
+
   test("q39 IVF: no exchange keyed by the centroid id; probed side is broadcast") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning

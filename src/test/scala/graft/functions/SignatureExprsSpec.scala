@@ -100,6 +100,43 @@ class SignatureExprsSpec extends SparkSpec {
     assert(n > 16, s"only $n distinct buckets")
   }
 
+  test("quantized projection: native == HOF over embeddings and over long vectors") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    (0 until 3).foreach { tbl =>
+      val both = emb.select(
+        $"vec_id",
+        graft.functions.SignatureExprs
+          .quantizedProjection($"embedding", 4, 64, tbl * 4, 2L).as("nat"),
+        graft.operators.TimeSeries
+          .quantizedProjectionHof($"embedding", 4, 64, tbl * 4, 2L).as("hof"))
+      assert(both.filter(not($"nat" <=> $"hof")).count() === 0, s"table $tbl")
+    }
+    // integer (array<long>) input — the PAA sketch shape
+    val longs = Seq((1L, Seq(30L, 70L, -10L, 4L)), (2L, Seq(0L, 0L, 0L, 0L)))
+      .toDF("id", "vec")
+    val both = longs.select(
+      graft.functions.SignatureExprs
+        .quantizedProjection($"vec", 4, 4, 8, 7L).as("nat"),
+      graft.operators.TimeSeries
+        .quantizedProjectionHof($"vec", 4, 4, 8, 7L).as("hof"))
+    assert(both.filter(not($"nat" <=> $"hof")).count() === 0)
+  }
+
+  test("quantized projection: cells move with the grid width and are non-degenerate") {
+    // integer-scale vectors (the PAA shape: projections span many width
+    // units) — a fine grid must resolve many more cells than a coarse one
+    val emb = Tables.load(spark, sf, "embeddings")
+      .select(transform($"embedding", x => x * 1000.0).as("v"))
+    val coarse = emb.select(graft.functions.SignatureExprs
+      .quantizedProjection($"v", 4, 64, 0, 100000L).as("c"))
+      .distinct().count()
+    val fine = emb.select(graft.functions.SignatureExprs
+      .quantizedProjection($"v", 4, 64, 0, 100L).as("c"))
+      .distinct().count()
+    assert(fine > coarse, s"fine=$fine coarse=$coarse")
+    assert(fine > 16, s"only $fine distinct cells at width 100")
+  }
+
   test("SQL surface: minhash_signature / simhash / hyperplane_signature registered") {
     graft.GraftExtensions.register(spark)
     Tables.registerAll(spark, sf)

@@ -46,6 +46,64 @@ class TimeSeriesSpec extends SparkSpec {
     assert(!sim.contains(4L))     // incomplete series has no sketch
   }
 
+  test("sketchVectors: seg-ordered integer vectors, shuffle-order-proof") {
+    val sk = TimeSeries.paaSketch(events, "user_id", "ts", "event_id",
+      $"cents", take = 4, segments = 2)
+    val vecs = TimeSeries.sketchVectors(sk, "user_id")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(vecs === Map(1L -> Seq(30L, 70L), 2L -> Seq(30L, 72L),
+      3L -> Seq(180L, 180L)))
+    val shuffled = TimeSeries.sketchVectors(sk.orderBy(rand(7)), "user_id")
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(shuffled === vecs)
+  }
+
+  test("lshCandidatePairs: directed, self-free, and complete at a coarse grid") {
+    val sk = TimeSeries.paaSketch(events, "user_id", "ts", "event_id",
+      $"cents", take = 4, segments = 2)
+    val vecs = TimeSeries.sketchVectors(sk, "user_id")
+    // width far above the value range -> every key in cell 0 or -1 on
+    // each axis, and the ±1 probes bridge those -> all directed pairs
+    val all = TimeSeries.lshCandidatePairs(vecs, segments = 2,
+        planes = 2, tables = 2, widthCents = 1000000L)
+      .as[(Long, Long)].collect().toSet
+    assert(all === Set((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L),
+      (2L, 3L), (3L, 2L)))
+    assert(all.forall { case (a, b) => a != b })
+  }
+
+  test("similarSeriesLsh == similarSeries when the grid degenerates to one bucket") {
+    val sk = TimeSeries.paaSketch(events, "user_id", "ts", "event_id",
+      $"cents", take = 4, segments = 2)
+    val exact = TimeSeries.similarSeries(sk, "user_id", k = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val lsh = TimeSeries.similarSeriesLsh(sk, "user_id", k = 2, segments = 2,
+        planes = 2, tables = 2, widthCents = 1000000L)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(lsh === exact)
+  }
+
+  test("similarSeriesLsh at a fine grid returns a subset with exact distances") {
+    val sk = TimeSeries.paaSketch(events, "user_id", "ts", "event_id",
+      $"cents", take = 4, segments = 2)
+    val exactDists = TimeSeries.similarSeries(sk, "user_id", k = 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._3) -> r._4).toMap
+    // width 50: u1/u2 (dist 4) collide or probe-bridge; u3 is 150+ cells
+    // away on some axis — whatever comes back must carry EXACT distances
+    val lsh = TimeSeries.similarSeriesLsh(sk, "user_id", k = 2, segments = 2,
+        planes = 2, tables = 2, widthCents = 50L)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (ka, _, kb, dist) =>
+      assert(exactDists((ka, kb)) === dist, s"pair ($ka,$kb)")
+    }
+    // ranks are contiguous from 1 per key
+    lsh.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._2).sorted === (1L to rows.length).toSeq)
+    }
+  }
+
   test("sketching is order-insensitive to input row order (total order comes from ts, id)") {
     val shuffled = events.orderBy(rand(42))
     val a = TimeSeries.paaSketch(events, "user_id", "ts", "event_id",
