@@ -4,6 +4,13 @@ package graft
   * SPARK_GRAFT_SF_DIR, prints one JSON line
   * `{"metric":"total","value":…,"queries":{…},"failed":[…],"runs":N,"sf":…}`.
   *
+  * Output discipline: the round driver keeps only the last ~2 KB of
+  * combined output, so the stdout line uses COMPACT keys (`"q43"`, the
+  * `_`-stripped prefix) and 3-decimal seconds, and is printed LAST
+  * (after `spark.stop()`, so no log line can land behind it). The
+  * full-precision record with full query names goes to
+  * SPARK_GRAFT_BENCH_OUT (default `./BENCH_LOCAL.json`).
+  *
   * Noise discipline: the host is shared (the round driver runs its own
   * jobs), and multi-minute load bursts hit random spans of the query
   * list — the same query swings 3 s ↔ 34 s between runs with zero JVM
@@ -123,7 +130,9 @@ object Bench {
     val prev: Map[String, Double] = prevBenchTimes()
     def suspect(name: String, dt: Double): Boolean =
       dt > outlierSec ||
-        prev.get(name).exists(p => p > 0.0 && dt > relFactor * p)
+        // records before r7 key by full name, later ones by qNN prefix
+        prev.get(name).orElse(prev.get(name.takeWhile(_ != '_')))
+          .exists(p => p > 0.0 && dt > relFactor * p)
     val extraFailed = scala.collection.mutable.ListBuffer[String]()
     val results = picked.map { case (name, fn) =>
       val rs = passes.map(_(name))
@@ -145,13 +154,40 @@ object Bench {
       }
       (name, dt, ok)
     }
-    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -v) }
-      .mkString("{", ",", "}")
+    // Two records (the driver captures only the LAST ~2000 chars of
+    // combined output — rounds 1–6 all came back `parsed: null` because
+    // the full-precision line with every long query name outgrew that
+    // window and lost its head):
+    //  - FULL precision + full names → a file (SPARK_GRAFT_BENCH_OUT,
+    //    default ./BENCH_LOCAL.json) for the per-round record;
+    //  - a COMPACT stdout line (qNN keys, 3-decimal seconds, ≤ ~1.5 KB
+    //    for ~100 queries) printed LAST, after spark.stop(), so the
+    //    tail window always holds the complete parseable line.
+    def fmt(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    def shortName(n: String): String = n.takeWhile(_ != '_')
+    val total = results.filter(_._3).map(_._2).sum
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val extraF = extraFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"extra_failed":$extraF,"runs":$repeat,"sf":"$sfDir"}""")
+    val fullQs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -v) }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failed":$failed,"extra_failed":$extraF,"runs":$repeat,"sf":"$sfDir"}"""
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(benchOut),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $benchOut: ${e.getMessage}") }
+    val compactQs = results.map { case (k, v, ok) =>
+      "\"" + shortName(k) + "\":" + (if (ok) fmt(v) else "-" + fmt(v)) }
+      .mkString("{", ",", "}")
+    val compactFailed = results.filterNot(_._3)
+      .map(r => "\"" + shortName(r._1) + "\"").mkString("[", ",", "]")
+    val compactExtraF = extraFailed.map(n => "\"" + shortName(n) + "\"")
+      .mkString("[", ",", "]")
     spark.stop()
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compactQs,"failed":$compactFailed,"extra_failed":$compactExtraF,"runs":$repeat,"sf":"$sfDir"}""")
+    System.out.flush()
   }
 
   /** Per-query times from the previous round's bench record, the anchor

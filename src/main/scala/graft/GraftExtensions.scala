@@ -184,7 +184,11 @@ object GraftExtensions {
   /** Extract a foldable string argument. */
   private def strArg(e: Expression, name: String): String = {
     require(e.foldable, s"$name must be a literal")
-    e.eval().toString
+    val v = e.eval()
+    // a foldable NULL literal passes the foldable check; fail with the
+    // argument's name, not an opaque NPE from toString
+    require(v != null, s"$name must be a non-null literal")
+    v.toString
   }
 
   /** Register all functions (and the HOF→native optimizer rule) on an

@@ -782,10 +782,14 @@ object Queries {
 
   /** [[graft.functions.TextFunctions.redact]] under the oracle gate:
     * PII-style scrubbing of the events payload — digit runs masked to
-    * a fixed token, with the per-row match count as the audit column.
-    * A pure map-only projection (no shuffle at any scale); the regex
-    * subset is the engine-portable one (character classes + repetition,
-    * no lookaround), so Java and RE2 engines agree match-for-match. */
+    * a fixed token, with `n_digit_runs` = digit runs present in the
+    * RAW pre-redaction text as the audit column (it can exceed the
+    * digit pass's replacement count, since the email/URL passes may
+    * consume digits first — a prevalence signal, not a replacement
+    * tally). A pure map-only projection (no shuffle at any scale); the
+    * regex subset is the engine-portable one (character classes +
+    * repetition, no lookaround), so Java and RE2 engines agree
+    * match-for-match. */
   def redactEvents(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.TextFunctions
     t(spark, sfDir, "events").select(
@@ -1344,27 +1348,25 @@ object Queries {
   }
 
   /** VALUE-based decile binning — the distributed decile path that
-    * [[balanceDeciles]]' scaladoc promises: nine exact percentile
-    * boundaries (one tiny aggregate, floored to integers — the q45
-    * portability discipline) broadcast into a per-row bin projection,
-    * `bin = Σᵢ [cents > bᵢ]`. No global sort anywhere: the boundary
-    * agg partial-aggregates, the binning is a map-only projection,
-    * and the final histogram is one partial-agged groupBy. Differs
-    * from position-based ntile on ties by design (equal values always
-    * share a bin here). */
+    * [[balanceDeciles]]' scaladoc promises: nine DISCRETE percentile
+    * boundaries (one tiny aggregate) broadcast into a per-row bin
+    * projection, `bin = Σᵢ [cents > bᵢ]`. Discrete (ANSI
+    * `percentile_disc`: smallest value with cume_dist ≥ p), not
+    * interpolated: each boundary is an actual member of the integer
+    * cents domain, so no float interpolation exists whose 1-ULP drift
+    * at an integer boundary could flip a floor() between engines —
+    * the round-6 advice hardening. No global sort anywhere: the
+    * boundary agg partial-aggregates, the binning is a map-only
+    * projection, and the final histogram is one partial-agged groupBy.
+    * Differs from position-based ntile on ties by design (equal values
+    * always share a bin here). */
   def valueDeciles(spark: SparkSession, sfDir: String): DataFrame = {
     val cents = t(spark, sfDir, "customer")
       .select(round(col("c_acctbal") * 100).cast("long").as("cents"))
-    val bounds = cents.agg(
-      floor(expr("percentile(cents, 0.1)")).cast("long").as("b1"),
-      floor(expr("percentile(cents, 0.2)")).cast("long").as("b2"),
-      floor(expr("percentile(cents, 0.3)")).cast("long").as("b3"),
-      floor(expr("percentile(cents, 0.4)")).cast("long").as("b4"),
-      floor(expr("percentile(cents, 0.5)")).cast("long").as("b5"),
-      floor(expr("percentile(cents, 0.6)")).cast("long").as("b6"),
-      floor(expr("percentile(cents, 0.7)")).cast("long").as("b7"),
-      floor(expr("percentile(cents, 0.8)")).cast("long").as("b8"),
-      floor(expr("percentile(cents, 0.9)")).cast("long").as("b9"))
+    val bs = (1 to 9).map(i =>
+      expr(s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY cents)")
+        .cast("long").as(s"b$i"))
+    val bounds = cents.agg(bs.head, bs.tail: _*)
     val bin = (1 to 9).map(i =>
       when(col("cents") > col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
     cents.crossJoin(broadcast(bounds))
@@ -1478,15 +1480,20 @@ object Queries {
     * in a second partial agg — the standard numeric-cleaning pass
     * before training-data admission. The boundary relation is bounded
     * by the group count (not the row count), so the broadcast is safe
-    * at any fact scale; the fences stay exact integers (`floor` on the
-    * percentile, truncating `DIV` on the non-negative IQR) so the gate
-    * hash can't drift on FP. */
+    * at any fact scale; the fences stay exact integers — DISCRETE
+    * quartiles (ANSI `percentile_disc`: an actual member of the cents
+    * domain, so no interpolated float whose 1-ULP drift could flip a
+    * floor() between engines — the round-6 advice hardening) and
+    * truncating `DIV` on the non-negative IQR — so the gate hash can't
+    * drift on FP. */
   def iqrOutliers(spark: SparkSession, sfDir: String): DataFrame = {
     val l = t(spark, sfDir, "lineitem").select(col("l_returnflag").as("flag"),
       round(col("l_extendedprice") * 100).cast("long").as("cents"))
     val bounds = l.groupBy(col("flag")).agg(
-        floor(expr("percentile(cents, 0.25)")).cast("long").as("q1"),
-        floor(expr("percentile(cents, 0.75)")).cast("long").as("q3"))
+        expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)")
+          .cast("long").as("q1"),
+        expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)")
+          .cast("long").as("q3"))
       .select(col("flag"),
         expr("q1 - (q3 - q1) * 3 DIV 2").as("lo"),
         expr("q3 + (q3 - q1) * 3 DIV 2").as("hi"))
@@ -2845,10 +2852,10 @@ object Queries {
                  CAST(greatest(n_chars, 1) AS BIGINT), CAST(256 AS BIGINT))) AS gs
              FROM documents)),
          f AS (
-           SELECT chunk, min(doc_id * 1000000 + chunk_idx) AS fk
+           SELECT chunk, min({'d': doc_id, 'c': chunk_idx}) AS m
            FROM c GROUP BY chunk),
          k AS (
-           SELECT CAST(fk // 1000000 AS BIGINT) AS doc_id,
+           SELECT CAST(m.d AS BIGINT) AS doc_id,
              count(*) AS n_kept
            FROM f GROUP BY 1)
          SELECT d.doc_id,
@@ -3187,15 +3194,15 @@ object Queries {
            SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
          b AS (
            SELECT
-             CAST(floor(quantile_cont(cents, 0.1)) AS BIGINT) AS b1,
-             CAST(floor(quantile_cont(cents, 0.2)) AS BIGINT) AS b2,
-             CAST(floor(quantile_cont(cents, 0.3)) AS BIGINT) AS b3,
-             CAST(floor(quantile_cont(cents, 0.4)) AS BIGINT) AS b4,
-             CAST(floor(quantile_cont(cents, 0.5)) AS BIGINT) AS b5,
-             CAST(floor(quantile_cont(cents, 0.6)) AS BIGINT) AS b6,
-             CAST(floor(quantile_cont(cents, 0.7)) AS BIGINT) AS b7,
-             CAST(floor(quantile_cont(cents, 0.8)) AS BIGINT) AS b8,
-             CAST(floor(quantile_cont(cents, 0.9)) AS BIGINT) AS b9
+             CAST(quantile_disc(cents, 0.1) AS BIGINT) AS b1,
+             CAST(quantile_disc(cents, 0.2) AS BIGINT) AS b2,
+             CAST(quantile_disc(cents, 0.3) AS BIGINT) AS b3,
+             CAST(quantile_disc(cents, 0.4) AS BIGINT) AS b4,
+             CAST(quantile_disc(cents, 0.5) AS BIGINT) AS b5,
+             CAST(quantile_disc(cents, 0.6) AS BIGINT) AS b6,
+             CAST(quantile_disc(cents, 0.7) AS BIGINT) AS b7,
+             CAST(quantile_disc(cents, 0.8) AS BIGINT) AS b8,
+             CAST(quantile_disc(cents, 0.9) AS BIGINT) AS b9
            FROM c),
          x AS (
            SELECT cents,
@@ -3297,8 +3304,8 @@ object Queries {
            FROM lineitem),
          b AS (
            SELECT flag,
-             CAST(floor(quantile_cont(cents, 0.25)) AS BIGINT) AS q1,
-             CAST(floor(quantile_cont(cents, 0.75)) AS BIGINT) AS q3
+             CAST(quantile_disc(cents, 0.25) AS BIGINT) AS q1,
+             CAST(quantile_disc(cents, 0.75) AS BIGINT) AS q3
            FROM l GROUP BY flag),
          f AS (
            SELECT flag, q1 - (q3 - q1) * 3 // 2 AS lo,

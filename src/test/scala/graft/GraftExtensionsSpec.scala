@@ -75,4 +75,17 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sqlRow.getString(3) === apiRow.getString(3))
     assert(sqlRow.getString(2) === "ping <X>.<X>.<X>.<X> from <X>")
   }
+
+  test("a foldable NULL literal argument fails with the argument's name, not an NPE") {
+    GraftExtensions.register(spark)
+    Seq(("a 42 b")).toDF("text").createOrReplaceTempView("nulltok")
+    val e = intercept[Exception] {
+      spark.sql("SELECT redact_pii(text, NULL) FROM nulltok").collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("token must be a non-null literal"))),
+      s"got: $e")
+  }
 }
