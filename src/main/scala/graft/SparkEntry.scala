@@ -470,37 +470,47 @@ object Queries {
         floor(col("dist") * 1000000.0).cast("long").as("dist_micro"))
   }
 
-  /** Approximate cosine top-5 via random-hyperplane LSH (5 planes × 12
-    * tables — recall@5 0.54 at sf0.1 vs 0.46 for round-5's 5×8, at
-    * LOWER cost; tuning swept by `graft.TuneAnn`) — the 100 TB
-    * discovery path; deterministic planes let the DuckDB oracle
-    * replicate it exactly. Scale rule: planes grow ~log₂(corpus /
-    * target-bucket-size) so buckets stay bounded; tables buy recall
-    * linearly in cost. */
+  /** Approximate cosine top-5 via MULTI-PROBE random-hyperplane LSH
+    * (5 planes × 12 tables, 5 one-bit probe flips — recall@5 0.90 at
+    * sf0.1 vs 0.54 for round-6's unprobed 5×12, at the SAME corpus
+    * cost; swept by `graft.TuneAnn`). Each query probes its own bucket
+    * plus the 5 buckets one hyperplane-vote away, so only the QUERY
+    * side fans out ×6 — the corpus (100 TB) side still emits exactly
+    * `tables` rows per item. Deterministic planes let the DuckDB
+    * oracle replicate it exactly. Scale rule: planes grow
+    * ~log₂(corpus / target-bucket-size) so buckets stay bounded;
+    * tables buy recall at corpus-shuffle cost, probe flips buy it at
+    * query-shuffle cost — spend flips first. */
   def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = t(spark, sfDir, "embeddings")
     SimilaritySearch.approxCosineTopK(
       emb.filter(col("vec_id") % 10 === 0), emb.filter(col("vec_id") % 10 =!= 0),
       k = 5, "vec_id", "vec_id", "embedding", "embedding",
-      dim = 64, planes = 5, tables = 12)
+      dim = 64, planes = 5, tables = 12, probeFlips = 5)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"),
         floor(col("dist") * 1000000.0).cast("long").as("dist_micro"))
   }
 
-  /** IVF-flat approximate top-5 (32 deterministic sampled centroids,
-    * probe 8 — recall@5 0.56 at sf0.1 vs 0.41 for round-5's 16/3, scan
-    * fraction 8/32 = 0.25; swept by `graft.TuneAnn`) — the second ANN
-    * scale path next to hyperplane LSH: broadcast codebook, per-item
-    * nearest-centroid assignment with map-side argmin, exact search
-    * only in probed inverted lists. Scale rule: centroids ∝ √corpus
-    * keeps cells balanced; probes trade recall for scan fraction. */
+  /** IVF-flat approximate top-5 (64 deterministic sampled centroids,
+    * probe 16, MULTI-ASSIGN 2 — recall@5 0.80 at sf0.1 vs 0.56 for
+    * round-6's 32/8/1, scan fraction 16·2/64 = 0.5; swept by
+    * `graft.TuneAnn`) — the second ANN scale path next to hyperplane
+    * LSH: broadcast codebook, per-item nearest-centroid assignment
+    * with map-side sort+slice, exact search only in probed inverted
+    * lists. Multi-assignment replicates each item into its 2 nearest
+    * cells, the recall lever for lossy cell boundaries (index ×2, a
+    * candidate de-dup pays one extra candidate-sized exchange). Scale
+    * rule: centroids ∝ √corpus keeps cells balanced (the coarse 64
+    * here is the test-scale value — at 100 TB the fraction falls as
+    * centroids grow); probes × assignments trade recall for scan
+    * fraction. */
   def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = t(spark, sfDir, "embeddings")
     SimilaritySearch.ivfTopK(
       emb.filter(col("vec_id") % 10 === 0), emb.filter(col("vec_id") % 10 =!= 0),
       k = 5, "vec_id", "vec_id", "embedding", "embedding",
-      centroids = 32, probes = 8)
+      centroids = 64, probes = 16, assignments = 2)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"),
         floor(col("dist") * 1000000.0).cast("long").as("dist_micro"))
@@ -2102,7 +2112,7 @@ object Queries {
            SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id % 10 = 0),
          it AS (
            SELECT vec_id AS iid, embedding AS ie FROM embeddings WHERE vec_id % 10 <> 0),
-         qs AS (
+         qs0 AS (
            SELECT qid, tbl,
              list_reduce(list_prepend(CAST(0 AS BIGINT),
                list_transform(generate_series(0, 4), p ->
@@ -2113,6 +2123,11 @@ object Queries {
                        / 1000000007.0 - 0.5))), (x,y) -> x+y) >= 0
                  THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)), (a,b) -> a+b) AS sig
            FROM q, (SELECT unnest(generate_series(0, 11)) AS tbl)),
+         qs AS (
+           SELECT qid, tbl,
+             CASE WHEN pb < 0 THEN sig
+                  ELSE xor(sig, CAST(1 AS BIGINT) << pb) END AS sig
+           FROM qs0, (SELECT unnest(generate_series(-1, 4)) AS pb)),
          its AS (
            SELECT iid, tbl,
              list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -2350,7 +2365,7 @@ object Queries {
          cb AS (
            SELECT iid AS cid, ie AS ce FROM it
            ORDER BY (((iid % 1000000007 + 1) * 2654435761) % 1000000007) * 2246822519 % 1000000007 % 1000003, iid
-           LIMIT 32),
+           LIMIT 64),
          assign AS (
            SELECT iid, ie, cid FROM (
              SELECT i.iid, i.ie, c.cid,
@@ -2360,7 +2375,7 @@ object Queries {
                      x -> (CAST(i.ie[x] AS DOUBLE) - CAST(c.ce[x] AS DOUBLE))
                         * (CAST(i.ie[x] AS DOUBLE) - CAST(c.ce[x] AS DOUBLE)))),
                    (a, b) -> a + b), c.cid) AS rn
-             FROM it i CROSS JOIN cb c) WHERE rn = 1),
+             FROM it i CROSS JOIN cb c) WHERE rn <= 2),
          probe AS (
            SELECT qid, qe, cid FROM (
              SELECT q.qid, q.qe, c.cid,
@@ -2370,15 +2385,16 @@ object Queries {
                      x -> (CAST(q.qe[x] AS DOUBLE) - CAST(c.ce[x] AS DOUBLE))
                         * (CAST(q.qe[x] AS DOUBLE) - CAST(c.ce[x] AS DOUBLE)))),
                    (a, b) -> a + b), c.cid) AS rn
-             FROM q CROSS JOIN cb c) WHERE rn <= 8),
+             FROM q CROSS JOIN cb c) WHERE rn <= 16),
          scored AS (
            SELECT p.qid, a.iid,
-             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             min(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                list_transform(generate_series(1, len(p.qe)),
                  x -> (CAST(p.qe[x] AS DOUBLE) - CAST(a.ie[x] AS DOUBLE))
                     * (CAST(p.qe[x] AS DOUBLE) - CAST(a.ie[x] AS DOUBLE)))),
-               (a2, b2) -> a2 + b2) AS dist
-           FROM probe p JOIN assign a ON p.cid = a.cid)
+               (a2, b2) -> a2 + b2)) AS dist
+           FROM probe p JOIN assign a ON p.cid = a.cid
+           GROUP BY p.qid, a.iid)
          SELECT qid AS query_id, CAST(rn AS BIGINT) AS rank, iid AS neighbor_id,
            CAST(floor(dist * 1000000.0) AS BIGINT) AS dist_micro
          FROM (SELECT qid, iid, dist,
@@ -2468,7 +2484,7 @@ object Queries {
                    row_number() OVER (PARTITION BY qid ORDER BY dist, iid) AS rn
                  FROM e_scored)
            WHERE rn <= 5),
-         qs AS (
+         qs0 AS (
            SELECT qid, tbl,
              list_reduce(list_prepend(CAST(0 AS BIGINT),
                list_transform(generate_series(0, 4), p ->
@@ -2479,6 +2495,11 @@ object Queries {
                        / 1000000007.0 - 0.5))), (x,y) -> x+y) >= 0
                  THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)), (a,b) -> a+b) AS sig
            FROM q, (SELECT unnest(generate_series(0, 11)) AS tbl)),
+         qs AS (
+           SELECT qid, tbl,
+             CASE WHEN pb < 0 THEN sig
+                  ELSE xor(sig, CAST(1 AS BIGINT) << pb) END AS sig
+           FROM qs0, (SELECT unnest(generate_series(-1, 4)) AS pb)),
          its AS (
            SELECT iid, tbl,
              list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -2518,7 +2539,7 @@ object Queries {
          cb AS (
            SELECT iid AS cid, ie AS ce FROM it
            ORDER BY (((iid % 1000000007 + 1) * 2654435761) % 1000000007) * 2246822519 % 1000000007 % 1000003, iid
-           LIMIT 32),
+           LIMIT 64),
          assign AS (
            SELECT iid, ie, cid FROM (
              SELECT i.iid, i.ie, c.cid,
@@ -2528,7 +2549,7 @@ object Queries {
                      x -> (CAST(i.ie[x] AS DOUBLE) - CAST(c.ce[x] AS DOUBLE))
                         * (CAST(i.ie[x] AS DOUBLE) - CAST(c.ce[x] AS DOUBLE)))),
                    (a, b) -> a + b), c.cid) AS rn
-             FROM it i CROSS JOIN cb c) WHERE rn = 1),
+             FROM it i CROSS JOIN cb c) WHERE rn <= 2),
          probe AS (
            SELECT qid, qe, cid FROM (
              SELECT q.qid, q.qe, c.cid,
@@ -2538,15 +2559,16 @@ object Queries {
                      x -> (CAST(q.qe[x] AS DOUBLE) - CAST(c.ce[x] AS DOUBLE))
                         * (CAST(q.qe[x] AS DOUBLE) - CAST(c.ce[x] AS DOUBLE)))),
                    (a, b) -> a + b), c.cid) AS rn
-             FROM q CROSS JOIN cb c) WHERE rn <= 8),
+             FROM q CROSS JOIN cb c) WHERE rn <= 16),
          i_scored AS (
            SELECT p.qid, a.iid,
-             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             min(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                list_transform(generate_series(1, len(p.qe)),
                  x -> (CAST(p.qe[x] AS DOUBLE) - CAST(a.ie[x] AS DOUBLE))
                     * (CAST(p.qe[x] AS DOUBLE) - CAST(a.ie[x] AS DOUBLE)))),
-               (a2, b2) -> a2 + b2) AS dist
-           FROM probe p JOIN assign a ON p.cid = a.cid),
+               (a2, b2) -> a2 + b2)) AS dist
+           FROM probe p JOIN assign a ON p.cid = a.cid
+           GROUP BY p.qid, a.iid),
          ivf AS (
            SELECT qid AS query_id, iid AS neighbor_id
            FROM (SELECT qid, iid,

@@ -29,17 +29,21 @@ object TuneAnn {
       ((System.nanoTime() - t0) / 1e9, hits.toDouble / possible)
     }
 
-    for ((planes, tables) <- Seq((5, 8), (4, 12), (4, 16), (5, 12), (6, 12), (4, 24))) {
+    for ((planes, tables, flips) <- Seq(
+        (5, 12, 0), (5, 12, 5), (5, 8, 5), (6, 8, 6), (6, 12, 6), (7, 8, 7),
+        (6, 16, 6), (7, 12, 7))) {
       val (dt, r) = recall(SimilaritySearch.approxCosineTopK(
         q, it, 5, "vec_id", "vec_id", "embedding", "embedding",
-        dim = 64, planes = planes, tables = tables))
-      println(f"TUNE lsh planes=$planes tables=$tables recall@5=$r%.3f time=$dt%.1fs")
+        dim = 64, planes = planes, tables = tables, probeFlips = flips))
+      println(f"TUNE lsh planes=$planes tables=$tables flips=$flips recall@5=$r%.3f time=$dt%.1fs")
     }
-    for ((c, p) <- Seq((16, 3), (32, 6), (32, 8), (64, 12), (64, 16))) {
+    for ((c, p, a) <- Seq(
+        (32, 8, 1), (32, 8, 2), (32, 10, 2), (32, 12, 2), (64, 12, 2),
+        (64, 16, 2), (64, 16, 3), (32, 10, 3))) {
       val (dt, r) = recall(SimilaritySearch.ivfTopK(
         q, it, 5, "vec_id", "vec_id", "embedding", "embedding",
-        centroids = c, probes = p))
-      println(f"TUNE ivf centroids=$c probes=$p recall@5=$r%.3f time=$dt%.1fs")
+        centroids = c, probes = p, assignments = a))
+      println(f"TUNE ivf centroids=$c probes=$p assign=$a recall@5=$r%.3f time=$dt%.1fs")
     }
     spark.stop()
   }

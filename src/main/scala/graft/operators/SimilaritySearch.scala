@@ -92,12 +92,22 @@ object SimilaritySearch {
     *    streams through unpartitioned — the join is never keyed by the
     *    `centroids` distinct centroid ids (which would cap parallelism
     *    at `centroids` tasks and skew-kill a 100 TB run).
+    *  - **Multi-assignment** (`assignments` > 1): each item is
+    *    replicated into its `assignments` nearest inverted lists, the
+    *    standard recall lever for lossy cell boundaries (a true
+    *    neighbor straddling two cells is findable through either).
+    *    Index size and corpus-side scan both grow ×`assignments`; the
+    *    scan fraction is `probes·assignments / centroids`. A pair can
+    *    then meet in up to min(assignments, probes) cells, so the
+    *    candidate relation is de-duplicated (one extra
+    *    candidate-sized exchange, only paid when `assignments` > 1).
     *
-    * Scale shape: the only corpus-sized exchange left is the bounded
+    * Scale shape: the only corpus-sized exchanges are the bounded
     * top-k partial aggregation (map-side partials, O(k) per query per
-    * partition). Recall < 1 by construction (a true neighbor assigned
-    * to an unprobed list is missed); raise `probes` for recall,
-    * `centroids` for selectivity.
+    * partition) and — under multi-assignment — the candidate de-dup.
+    * Recall < 1 by construction (a true neighbor assigned only to
+    * unprobed lists is missed); raise `probes` or `assignments` for
+    * recall, `centroids` for selectivity.
     *
     * @return (query_id, rank, neighbor_id, dist) — dist = Σ(aᵢ−bᵢ)²
     */
@@ -110,8 +120,10 @@ object SimilaritySearch {
       queryVec: String,
       itemVec: String,
       centroids: Int = 16,
-      probes: Int = 2): DataFrame = {
+      probes: Int = 2,
+      assignments: Int = 1): DataFrame = {
     require(probes >= 1 && probes <= centroids)
+    require(assignments >= 1 && assignments <= centroids)
     graft.GraftSession.tune(queries.sparkSession)
 
     val it = items.select(col(itemId).cast("long").as("i_id"), col(itemVec).as("i_vec"))
@@ -137,9 +149,19 @@ object SimilaritySearch {
         lit(cid).as("c"))
     }: _*)
 
-    // assignment: argmin by lexicographic (d, c) — pure projection
-    val assigned = it.select(col("i_id"), col("i_vec"),
-      array_min(centroidScores(col("i_vec"))).getField("c").as("c_id"))
+    // assignment: argmin by lexicographic (d, c) — pure projection;
+    // multi-assignment replicates each item into its `assignments`
+    // nearest lists (same total order, sort + slice per row)
+    val effAssign = math.min(assignments, codebook.size)
+    val assigned =
+      if (effAssign == 1)
+        it.select(col("i_id"), col("i_vec"),
+          array_min(centroidScores(col("i_vec"))).getField("c").as("c_id"))
+      else
+        it.select(col("i_id"), col("i_vec"),
+            explode(slice(array_sort(centroidScores(col("i_vec"))), 1, effAssign))
+              .as("cs"))
+          .select(col("i_id"), col("i_vec"), col("cs.c").as("c_id"))
 
     // probing: the `probes` nearest lists per query, same total order
     val probed = q.select(col("q_id"), col("q_vec"),
@@ -148,10 +170,14 @@ object SimilaritySearch {
       .select(col("q_id"), col("q_vec"), col("cs.c").as("c_id"))
 
     // broadcast the small probed relation; the corpus streams through
-    val scored = assigned.join(broadcast(probed), "c_id")
+    val scored0 = assigned.join(broadcast(probed), "c_id")
       .select(col("q_id"),
         VectorFunctions.squaredEuclidean(col("q_vec"), col("i_vec")).as("dist"),
         col("i_id"))
+    // under multi-assignment a pair can meet in several cells — keep one
+    val scored =
+      if (effAssign == 1) scored0
+      else scored0.groupBy(col("q_id"), col("i_id")).agg(min(col("dist")).as("dist"))
 
     scored
       .groupBy(col("q_id"))
@@ -168,12 +194,23 @@ object SimilaritySearch {
     * `planes`-bit hyperplane signature; exact cosine runs only within a
     * bucket. Recall < 1 by construction (a true neighbor in another
     * bucket is missed); raise recall by probing more buckets (smaller
-    * `planes`) or unioning several independent signature sets
-    * (`tables`).
+    * `planes`), unioning several independent signature sets
+    * (`tables`), or multi-probing (`probeFlips`).
+    *
+    * **Multi-probe** (`probeFlips` > 0): each QUERY additionally
+    * probes the buckets whose signature differs from its own in one of
+    * the first `probeFlips` bits — the nearest-miss buckets, since one
+    * flipped bit is exactly one hyperplane voting the other way
+    * (Lv et al., "Multi-Probe LSH", VLDB 2007). Recall rises like
+    * adding ~`probeFlips` tables but only the QUERY side fans out
+    * (×(1+probeFlips) rows); the corpus side — the 100 TB side — still
+    * emits exactly `tables` rows per item. That asymmetry is the whole
+    * point at scale: tables cost corpus shuffle, probes cost query
+    * shuffle.
     *
     * Scale shape: the signature is per-row compute; the bucket join is a
-    * hash equi-join on (table, signature) — shuffle O(rows × tables),
-    * never O(rows²).
+    * hash equi-join on (table, signature) — corpus shuffle
+    * O(rows × tables), never O(rows²).
     *
     * @return (query_id, rank, neighbor_id, dist) — dist = 1 − cosine
     */
@@ -187,7 +224,9 @@ object SimilaritySearch {
       itemVec: String,
       dim: Int,
       planes: Int = 8,
-      tables: Int = 2): DataFrame = {
+      tables: Int = 2,
+      probeFlips: Int = 0): DataFrame = {
+    require(probeFlips >= 0 && probeFlips <= planes)
 
     // top-k agg fallback-threshold fix for user-built sessions too
     graft.GraftSession.tune(queries.sparkSession)
@@ -200,7 +239,13 @@ object SimilaritySearch {
           hyperplaneSignature(col(vec), planes, dim, planeOffset = t * planes)): _*))
           .as(Seq("tbl", "sig")))
 
-    val q = signatures(queries, queryId, queryVec, "q")
+    val q0 = signatures(queries, queryId, queryVec, "q")
+    // query-side probe fan-out: own bucket + each 1-bit-flipped bucket
+    val q =
+      if (probeFlips == 0) q0
+      else q0.select(col("q_id"), col("q_vec"), col("tbl"),
+        explode(array(col("sig") +: (0 until probeFlips).map(b =>
+          col("sig").bitwiseXOR(lit(1L << b))): _*)).as("sig"))
     val it = signatures(items, itemId, itemVec, "i")
 
     val scored = q.join(it, Seq("tbl", "sig"))

@@ -80,6 +80,57 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall@5 = $recall")
   }
 
+  test("multi-probe LSH: recall@5 never below the unprobed config's") {
+    val items = emb.filter($"vec_id" % 10 =!= 0)
+    val exact = SimilaritySearch.cosineTopK(queries, items, 5,
+      "vec_id", "vec_id", "embedding", "embedding")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(flips: Int): Double = {
+      val a = SimilaritySearch.approxCosineTopK(queries, items, 5,
+        "vec_id", "vec_id", "embedding", "embedding",
+        dim = 64, planes = 5, tables = 8, probeFlips = flips)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.keys.toSeq.map(q =>
+        a.getOrElse(q, Set.empty).intersect(exact(q)).size).sum.toDouble /
+        (exact.size * 5)
+    }
+    // probing only ADDS candidate buckets per query: the candidate set is
+    // a superset, so top-5-vs-exact overlap cannot fall
+    val (r0, rp) = (recall(0), recall(5))
+    assert(rp >= r0, s"multi-probe recall $rp < unprobed $r0")
+    // and at full 1-bit probing the lift on this SF is material, not noise
+    assert(rp >= r0 + 0.1 || rp >= 0.9, s"probed=$rp unprobed=$r0")
+  }
+
+  test("IVF multi-assignment: recall@5 never below single-assignment's") {
+    val items = emb.filter($"vec_id" % 10 =!= 0)
+    val exact = Knn.knnJoin(queries, items, 5,
+      "vec_id", "vec_id", "embedding", "embedding")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(assign: Int): Double = {
+      val a = SimilaritySearch.ivfTopK(queries, items, 5,
+        "vec_id", "vec_id", "embedding", "embedding",
+        centroids = 8, probes = 3, assignments = assign)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.keys.toSeq.map(q =>
+        a.getOrElse(q, Set.empty).intersect(exact(q)).size).sum.toDouble /
+        (exact.size * 5)
+    }
+    // replicating items into more lists only ADDS candidates per query
+    val (r1, r2) = (recall(1), recall(2))
+    assert(r2 >= r1, s"multi-assign recall $r2 < single $r1")
+    // de-dup invariant: no neighbor may appear twice for one query
+    val dup = SimilaritySearch.ivfTopK(queries, items, 5,
+      "vec_id", "vec_id", "embedding", "embedding",
+      centroids = 8, probes = 3, assignments = 3)
+      .groupBy($"query_id", $"neighbor_id").count().filter($"count" > 1).count()
+    assert(dup === 0L)
+  }
+
   test("q44 recall query: integer-exact counts, recall floors hold on sf0.001") {
     val rows = graft.Queries.annRecall(spark, "/root/testdata/sf0.001")
       .as[(String, Long, Long, Long)].collect()
