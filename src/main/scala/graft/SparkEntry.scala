@@ -1516,6 +1516,38 @@ object Queries {
         max(col("hi")).as("hi_cents"))
   }
 
+  /** [[iqrOutliers]]' APPROX twin under the q53 gate discipline —
+    * closing q90's scale note: exact per-group `percentile` holds an
+    * OpenHashMap of every distinct value per group (bounded here by
+    * the cents domain and 3 groups, unbounded if a caller swaps in a
+    * high-cardinality value column), while `approx_percentile`'s
+    * t-digest is O(accuracy) state per group forever and map-side
+    * mergeable — the quartile path a 100 TB cleaning pass actually
+    * runs. The sketch values themselves are not engine-portable, so
+    * the query emits the EXACT discrete quartiles (portable) plus
+    * integer pass/fail columns asserting each t-digest quartile lands
+    * within 1% of the group's IQR of its exact twin — the oracle
+    * asserts the flags are 1, making sketch QUALITY (not just plan
+    * shape) hash-gated per round, exactly like q53/q77. */
+  def iqrApproxCheck(spark: SparkSession, sfDir: String): DataFrame = {
+    val l = t(spark, sfDir, "lineitem").select(col("l_returnflag").as("flag"),
+      round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val exact = l.groupBy(col("flag")).agg(
+      expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY cents)")
+        .cast("long").as("q1"),
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY cents)")
+        .cast("long").as("q3"))
+    val approx = l.groupBy(col("flag")).agg(
+      floor(expr("approx_percentile(cents, 0.25, 10000)")).cast("long").as("_a1"),
+      floor(expr("approx_percentile(cents, 0.75, 10000)")).cast("long").as("_a3"))
+    approx.join(exact, "flag")
+      .select(col("flag"), col("q1"), col("q3"),
+        when(abs(col("_a1") - col("q1")) * 100 <= (col("q3") - col("q1")), 1L)
+          .otherwise(0L).as("ap_q1_ok"),
+        when(abs(col("_a3") - col("q3")) * 100 <= (col("q3") - col("q1")), 1L)
+          .otherwise(0L).as("ap_q3_ok"))
+  }
+
   /** CDC-style latest-record compaction: the newest event per user —
     * with its full payload — as ONE mergeable argmax aggregate:
     * `max(struct(ts_us, event_id, payload…))` orders on the unique
@@ -1796,7 +1828,8 @@ object Queries {
     "q95_daily_delta" -> (dailyDelta _),
     "q96_rolling_actives" -> (rollingActives _),
     "q97_transitions" -> (eventTransitions _),
-    "q98_series_lsh_recall" -> (seriesLshRecall _))
+    "q98_series_lsh_recall" -> (seriesLshRecall _),
+    "q99_iqr_approx_check" -> (iqrApproxCheck _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -3496,5 +3529,16 @@ object Queries {
          nc AS (SELECT count(*) AS n_candidates FROM cand)
          SELECT 'paa_lsh' AS method, hits, possible, n_candidates,
            CAST(floor(hits * 1000000.0 / possible) AS BIGINT) AS recall_micro
-         FROM h, t_, nc""")
+         FROM h, t_, nc""",
+    "q99_iqr_approx_check" ->
+      """WITH l AS (
+           SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem)
+         SELECT flag,
+           CAST(quantile_disc(cents, 0.25) AS BIGINT) AS q1,
+           CAST(quantile_disc(cents, 0.75) AS BIGINT) AS q3,
+           CAST(1 AS BIGINT) AS ap_q1_ok,
+           CAST(1 AS BIGINT) AS ap_q3_ok
+         FROM l GROUP BY flag""")
 }
