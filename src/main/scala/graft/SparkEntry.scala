@@ -313,6 +313,28 @@ object Queries {
       .agg(count(lit(1)).as("n_shared_windows"))
   }
 
+  /** [[operators.Dedup.dupPassageExcision]] under the oracle gate —
+    * the cleaning ACTION q80 only detects: shared ≥64-char runs are
+    * cut from every lower-priority doc (fingerprint owned by the
+    * smallest containing doc id; the owner's text is untouched, so one
+    * copy of every passage survives) and the kept segments are spliced
+    * back in offset order. The gate hashes every doc's surviving
+    * length AND the polynomial fingerprint of the surviving TEXT —
+    * the splice itself is what's pinned per round, not just how much
+    * was cut. Same detection semantics as q80 (stride-32 window
+    * alignment lottery for unaligned runs, stated there); the splice
+    * is a per-row bounded fold over the sorted cut starts — no Window,
+    * no all-pairs, owner/cut relations shuffle-hash pinned (corpus-
+    * derived, never broadcast). */
+  def dupExcision(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.PolyHashArrayExpr
+    val docs = t(spark, sfDir, "documents")
+    operators.Dedup.dupPassageExcision(docs, "doc_id", "text")
+      .select(col("doc_id"), col("orig_chars"),
+        length(col("kept_text")).cast("long").as("kept_chars"),
+        element_at(PolyHashArrayExpr(array(col("kept_text"))), 1).as("kept_fp"))
+  }
+
   /** Exact sufficient statistics for correlation/covariance, per
     * group: (n, Σx, Σy, Σxy, Σx², Σy²) over integer-cast measures —
     * every FP statistical aggregate (`corr`, `covar_pop`, stddev)
@@ -1829,7 +1851,8 @@ object Queries {
     "q96_rolling_actives" -> (rollingActives _),
     "q97_transitions" -> (eventTransitions _),
     "q98_series_lsh_recall" -> (seriesLshRecall _),
-    "q99_iqr_approx_check" -> (iqrApproxCheck _))
+    "q99_iqr_approx_check" -> (iqrApproxCheck _),
+    "q100_dup_excision" -> (dupExcision _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -3540,5 +3563,71 @@ object Queries {
            CAST(quantile_disc(cents, 0.75) AS BIGINT) AS q3,
            CAST(1 AS BIGINT) AS ap_q1_ok,
            CAST(1 AS BIGINT) AS ap_q3_ok
-         FROM l GROUP BY flag""")
+         FROM l GROUP BY flag""",
+    "q100_dup_excision" ->
+      """WITH w AS (
+           SELECT doc_id, text, n_chars,
+             unnest(generate_series(CAST(1 AS BIGINT),
+               CAST(greatest(n_chars - 63, 1) AS BIGINT),
+               CAST(32 AS BIGINT))) AS s
+           FROM documents),
+         fp AS (
+           SELECT doc_id, s,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(substring(text, CAST(s AS INT), 64), ''),
+                 c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 131 + c) % 1000000007) AS fp
+           FROM w),
+         own AS (SELECT fp, min(doc_id) AS owner FROM fp GROUP BY 1),
+         dup AS (
+           SELECT DISTINCT f.doc_id, f.s
+           FROM fp f JOIN own o ON f.fp = o.fp
+           WHERE o.owner < f.doc_id),
+         isl AS (
+           SELECT doc_id, s,
+             CASE WHEN s > coalesce(lag(s) OVER (PARTITION BY doc_id ORDER BY s),
+               CAST(-100 AS BIGINT)) + 63 THEN 1 ELSE 0 END AS brk
+           FROM dup),
+         grp AS (
+           SELECT doc_id, s,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY s) AS g
+           FROM isl),
+         merged AS (
+           SELECT doc_id, min(s) AS lo, max(s) + 63 AS hi
+           FROM grp GROUP BY doc_id, g),
+         segs AS (
+           SELECT doc_id,
+             coalesce(lag(hi) OVER (PARTITION BY doc_id ORDER BY lo),
+               CAST(0 AS BIGINT)) + 1 AS klo,
+             lo - 1 AS khi
+           FROM merged
+           UNION ALL
+           SELECT doc_id, max(hi) + 1 AS klo, CAST(NULL AS BIGINT) AS khi
+           FROM merged GROUP BY doc_id),
+         kept AS (
+           SELECT sg.doc_id,
+             string_agg(
+               CASE
+                 WHEN sg.khi IS NULL THEN
+                   CASE WHEN sg.klo <= d.n_chars
+                     THEN substring(d.text, CAST(sg.klo AS INT),
+                       CAST(d.n_chars - sg.klo + 1 AS INT))
+                     ELSE '' END
+                 WHEN sg.khi >= sg.klo THEN
+                   substring(d.text, CAST(sg.klo AS INT),
+                     CAST(sg.khi - sg.klo + 1 AS INT))
+                 ELSE '' END, '' ORDER BY sg.klo) AS kept_text
+           FROM segs sg JOIN documents d USING (doc_id)
+           GROUP BY sg.doc_id),
+         res AS (
+           SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS orig_chars,
+             coalesce(k.kept_text, d.text) AS kt
+           FROM documents d LEFT JOIN kept k USING (doc_id))
+         SELECT doc_id, orig_chars,
+           CAST(length(kt) AS BIGINT) AS kept_chars,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(kt, ''),
+               c -> CAST(ascii(c) AS BIGINT))),
+             (h, c) -> (h * 131 + c) % 1000000007) AS kept_fp
+         FROM res""")
 }

@@ -620,4 +620,97 @@ object Dedup {
           * 1000000.0).cast("long").as("cos_micro"))
       .filter(col("cos_micro") >= minCosineMicro)
   }
+
+  /** Duplicate-passage EXCISION — the cleaning *action* that
+    * substring-level detection (q80's window fingerprints) only
+    * reports: shared ≥`window`-char runs are REMOVED from every
+    * lower-priority document and the surviving text is reassembled,
+    * the boilerplate/contamination-stripping op an LLM data pipeline
+    * runs after detection flags a quoted passage.
+    *
+    * Semantics, stated exactly:
+    *  1. Every doc emits polynomial fingerprints of its `window`-char
+    *     windows at stride `stride` (same family as the q80 detector —
+    *     a shared run is caught iff it spans a full window at matching
+    *     `mod stride` alignment; stride 1 buys the exact guarantee at
+    *     `stride`× the fingerprint volume).
+    *  2. A fingerprint is OWNED by the smallest doc id that contains
+    *     it (priority = id order, the deterministic convention every
+    *     dedup op here uses). Windows whose fingerprint is owned by a
+    *     *different, earlier* doc are duplicate passages; the owner
+    *     keeps its text untouched (so one copy of every passage always
+    *     survives the corpus).
+    *  3. Per doc, the duplicate windows `[start, start+window)` are
+    *     merged (overlapping/adjacent cuts coalesce) and the kept
+    *     complement segments are spliced back IN OFFSET ORDER — the
+    *     deterministic reassembly: a single fold over the sorted cut
+    *     starts tracks a cursor; each cut emits the text between the
+    *     cursor and the cut, then advances the cursor past the cut
+    *     (`max(cursor, start+window)` — overlap merging for free).
+    *
+    * Scale shape: fingerprinting is one codegen pass per row (no
+    * strings retained — `window` chars hashed to one long); ownership
+    * is a partial-agged `min` groupBy on the fingerprint key; the
+    * duplicate-window probe is one fingerprint-keyed equi-join
+    * (shuffle-hash pinned — the owner relation is corpus-derived,
+    * never broadcast); the splice is per-row bounded work over the
+    * collected cut-start array (≤ `n_chars/stride` longs per doc —
+    * document-bounded state, the q61 chunking discipline). Never
+    * all-pairs, no Window, no driver collect.
+    *
+    * @return one row per input doc: (`idCol`, orig_chars, kept_text)
+    *         — kept_text == original text when nothing was excised.
+    */
+  def dupPassageExcision(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      window: Int = 64,
+      stride: Int = 32): DataFrame = {
+    import graft.functions.PolyHashArrayExpr
+    val base = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val win = base.select(col("id"),
+        explode(sequence(lit(1L),
+          greatest(col("n_chars") - (window - 1).toLong, lit(1L)),
+          lit(stride.toLong))).as("start"),
+        col("text"))
+      .select(col("id"), col("start"),
+        element_at(PolyHashArrayExpr(
+          array(col("text").substr(col("start").cast("int"), lit(window)))), 1).as("fp"))
+    val owner = win.groupBy(col("fp")).agg(min(col("id")).as("owner"))
+    val cutStarts = win
+      .join(owner.hint("shuffle_hash"), Seq("fp"))
+      .filter(col("owner") < col("id"))
+      .groupBy(col("id"))
+      .agg(array_sort(collect_set(col("start"))).as("starts"))
+    base.join(cutStarts.hint("shuffle_hash"), Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_chars").as("orig_chars"),
+        when(col("starts").isNull, col("text"))
+          .otherwise(spliceOut(col("text"), col("starts"), col("n_chars"), window))
+          .as("kept_text"))
+  }
+
+  /** The offset-ordered splice of [[dupPassageExcision]]: fold the
+    * sorted cut starts with a (kept-so-far, cursor) state; emits only
+    * inter-cut segments, coalescing overlaps via the cursor max. Kept
+    * as a composition of codegen'd built-ins (`aggregate`/`substr`/
+    * `concat`) — per-row bounded, no UDF. */
+  private[graft] def spliceOut(
+      text: Column, starts: Column, nChars: Column, window: Int): Column =
+    aggregate(
+      starts,
+      struct(lit("").as("acc"), lit(1L).as("cur")),
+      (st, s) => struct(
+        concat(st.getField("acc"),
+          when(s > st.getField("cur"),
+            text.substr(st.getField("cur").cast("int"),
+              (s - st.getField("cur")).cast("int")))
+            .otherwise(lit(""))).as("acc"),
+        greatest(st.getField("cur"), s + window.toLong).as("cur")),
+      st => concat(st.getField("acc"),
+        when(st.getField("cur") <= nChars,
+          text.substr(st.getField("cur").cast("int"),
+            (nChars - st.getField("cur") + 1L).cast("int")))
+          .otherwise(lit(""))))
 }

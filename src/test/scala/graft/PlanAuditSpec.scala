@@ -448,6 +448,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(finalTree.toLowerCase.contains("partial_count"), finalTree.take(1500))
   }
 
+  test("q100 dup excision: fingerprint joins shuffle (corpus-derived sides), " +
+    "ownership partial-aggs, no all-pairs, no Window") {
+    val plan = planOf(Queries.dupExcision(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    // ownership election is a map-side partial min on the fingerprint key
+    assert(finalTree.contains("partial_min"), finalTree.take(1500))
+    // owner + cut-start relations are corpus-derived: a broadcast here
+    // is the q18-class scale bug (test-scale stats would allow it)
+    assert(!finalTree.contains("BroadcastExchange"), finalTree.take(1500))
+    assert(!finalTree.contains("BroadcastNestedLoopJoin"), finalTree.take(1500))
+    assert(!finalTree.contains("CartesianProduct"), finalTree.take(1500))
+    // the splice is a per-row fold, never a Window sort
+    assert(!finalTree.contains("Window"), finalTree.take(1500))
+  }
+
   test("q49: survivor resolution drops losers via an anti join") {
     // the pair/cluster lineage is cut by the per-iteration
     // localCheckpoint (its join shape is audited at q17), so the final
