@@ -335,6 +335,105 @@ object Queries {
         element_at(PolyHashArrayExpr(array(col("kept_text"))), 1).as("kept_fp"))
   }
 
+  /** [[operators.Sampling.rebalanceRatiosPpm]] under the oracle gate —
+    * language-REBALANCED corpus mixing with DATA-DERIVED ratios (q66's
+    * weighted mix uses hand-picked constants; a real multilingual mix
+    * derives them from the crawl): every language is hash-admitted
+    * down to the smallest language's count. Two-phase plan: a
+    * partial-agged stats pass (|langs| rows), then a pure per-row
+    * admission predicate — the 100 TB corpus is never shuffled; the
+    * ratio table is group-domain-bounded and deliberately broadcast.
+    * The gate pins the achieved per-language kept counts, so the
+    * admission hash AND the ratio arithmetic are both checked. */
+  def langRebalance(spark: SparkSession, sfDir: String): DataFrame = {
+    import operators.Sampling
+    val docs = t(spark, sfDir, "documents")
+    val ratios = Sampling.rebalanceRatiosPpm(docs, "lang")
+    val kept = docs.join(broadcast(ratios), "lang")
+      .filter(Sampling.bucket(col("doc_id"), 1000000) < col("keep_ppm"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_kept"))
+    ratios.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_total"), col("keep_ppm"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
+  /** Tokenizer-vocabulary coverage — the OOV audit a pipeline runs
+    * before committing to a vocabulary: the top-V corpus tokens by
+    * frequency (deterministic (count desc, token asc) tie-break)
+    * become the vocab, and every document reports its token count,
+    * OOV count, and OOV rate in ppm. V=10 here so the synthetic
+    * ~31-token corpus yields real OOV spread (27%–85%).
+    *
+    * Scale shape: the vocab election is a partial-agged wordcount into
+    * a bounded global top-V (TakeOrderedAndProject — V rows cross the
+    * driver, nothing else); the per-doc join probes the V-row vocab as
+    * a broadcast (domain-bounded by construction, the q93 discipline);
+    * OOV counting partial-aggs on the doc key. */
+  def vocabCoverage(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = t(spark, sfDir, "documents")
+    val tok = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("tok"))
+    val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok").asc).limit(10)
+      .select(col("tok"), lit(1L).as("inv"))
+    tok.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("inv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        floor(col("n_oov") * 1000000.0 / col("n_tokens")).cast("long").as("oov_ppm"))
+  }
+
+  /** SCD2-style validity intervals from an event stream — the
+    * warehouse history-build that q91's latest-record compaction is
+    * the endpoint of: per user, each run of consecutive equal
+    * event_type values collapses to one interval row with
+    * [valid_from, valid_to) micros (open interval → NULL valid_to,
+    * the current state). Change detection and interval closing are
+    * lag/lead windows partitioned by the HIGH-CARDINALITY user key
+    * (the q97 discipline — each task sorts short per-user histories;
+    * never a global or low-cardinality sort), and the change filter
+    * runs between them so the lead window sorts only change points. */
+  def scdIntervals(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = t(spark, sfDir, "events").select(col("user_id"),
+      unix_micros(col("ts")).as("ts_us"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    e.withColumn("prev", lag(col("event_type"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      .withColumn("valid_to_us", lead(col("ts_us"), 1).over(w))
+      .select(col("user_id"), col("event_type"),
+        col("ts_us").as("valid_from_us"), col("valid_to_us"))
+  }
+
+  /** Budget-capped quality selection — keep each language's best ~25%
+    * of documents by the q13 quality score, THRESHOLD-based: the
+    * per-language 75th percentile (discrete — an actual member of the
+    * bounded [0,1000] score domain, the q83/q90 portability rule)
+    * becomes an admission threshold, and selection is a pure per-row
+    * predicate against the broadcast |langs|-row threshold table.
+    * This is the shape a 100 TB curriculum pass actually runs: the
+    * tempting sort-by-quality-and-take-prefix is a global (or
+    * per-lang, = low-cardinality-partition) sort — a scale-killer;
+    * the threshold plan costs one stats agg + one filter, no corpus
+    * sort, no corpus shuffle. Docs tying the threshold are kept
+    * (≥ thr), so kept counts can exceed the exact quartile — stated
+    * semantics, deterministic on both engines. */
+  def qualityBudget(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val sc = t(spark, sfDir, "documents").select(col("doc_id"), col("lang"),
+      tokenCount(col("text")).as("n_tokens"),
+      qualityScore(col("text")).as("quality"))
+    val thr = sc.groupBy(col("lang")).agg(
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY quality)")
+        .cast("long").as("thr"))
+    sc.join(broadcast(thr), "lang")
+      .filter(col("quality") >= col("thr"))
+      .groupBy(col("lang"), col("thr"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("tokens_kept"))
+      .select(col("lang"), col("thr"), col("n_kept"), col("tokens_kept"))
+  }
+
   /** Exact sufficient statistics for correlation/covariance, per
     * group: (n, Σx, Σy, Σxy, Σx², Σy²) over integer-cast measures —
     * every FP statistical aggregate (`corr`, `covar_pop`, stddev)
@@ -1852,7 +1951,11 @@ object Queries {
     "q97_transitions" -> (eventTransitions _),
     "q98_series_lsh_recall" -> (seriesLshRecall _),
     "q99_iqr_approx_check" -> (iqrApproxCheck _),
-    "q100_dup_excision" -> (dupExcision _))
+    "q100_dup_excision" -> (dupExcision _),
+    "q101_lang_rebalance" -> (langRebalance _),
+    "q102_vocab_coverage" -> (vocabCoverage _),
+    "q103_scd_intervals" -> (scdIntervals _),
+    "q104_quality_budget" -> (qualityBudget _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -3629,5 +3732,69 @@ object Queries {
              list_transform(string_split(kt, ''),
                c -> CAST(ascii(c) AS BIGINT))),
              (h, c) -> (h * 131 + c) % 1000000007) AS kept_fp
-         FROM res""")
+         FROM res""",
+    "q101_lang_rebalance" ->
+      """WITH stats AS (
+           SELECT lang, count(*) AS n_total FROM documents GROUP BY 1),
+         m AS (SELECT min(n_total) AS m FROM stats),
+         ratios AS (
+           SELECT lang, CAST(n_total AS BIGINT) AS n_total,
+             CAST((m * 1000000) // n_total AS BIGINT) AS keep_ppm
+           FROM stats, m),
+         kept AS (
+           SELECT d.lang, count(*) AS n_kept
+           FROM documents d JOIN ratios r ON d.lang = r.lang
+           WHERE (((d.doc_id % 1000000007 + 1) * 2654435761) % 1000000007)
+                 * 2246822519 % 1000000007 % 1000000 < r.keep_ppm
+           GROUP BY 1)
+         SELECT r.lang, r.n_total, r.keep_ppm,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+         FROM ratios r LEFT JOIN kept k ON r.lang = k.lang""",
+    "q102_vocab_coverage" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+           FROM documents),
+         cnt AS (SELECT tok, count(*) AS n FROM tok GROUP BY 1),
+         vocab AS (SELECT tok FROM cnt ORDER BY n DESC, tok ASC LIMIT 10),
+         per_doc AS (
+           SELECT t.doc_id, count(*) AS n_tokens,
+             sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+           FROM tok t LEFT JOIN vocab v ON t.tok = v.tok
+           GROUP BY 1)
+         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_oov AS BIGINT) AS n_oov,
+           CAST(floor(n_oov * 1000000.0 / n_tokens) AS BIGINT) AS oov_ppm
+         FROM per_doc""",
+    "q103_scd_intervals" ->
+      """WITH e AS (
+           SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS prev
+           FROM events),
+         ch AS (
+           SELECT user_id, ts_us, event_id, event_type FROM e
+           WHERE prev IS NULL OR prev <> event_type)
+         SELECT user_id, event_type,
+           CAST(ts_us AS BIGINT) AS valid_from_us,
+           CAST(lead(ts_us) OVER (PARTITION BY user_id
+             ORDER BY ts_us, event_id) AS BIGINT) AS valid_to_us
+         FROM ch""",
+    "q104_quality_budget" ->
+      """WITH sc AS (
+           SELECT doc_id, lang,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             CAST(least(len(regexp_split_to_array(trim(text), '\s+')), 100) * 5
+               + floor(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                   t -> t IN ('the','a','an','of','and','is','in','to','it','that')))
+                 * 500.0 / len(regexp_split_to_array(trim(text), '\s+')))
+               AS BIGINT) AS quality
+           FROM documents),
+         thr AS (
+           SELECT lang, CAST(quantile_disc(quality, 0.75) AS BIGINT) AS thr
+           FROM sc GROUP BY 1)
+         SELECT s.lang, t.thr, count(*) AS n_kept,
+           CAST(sum(s.n_tokens) AS BIGINT) AS tokens_kept
+         FROM sc s JOIN thr t ON s.lang = t.lang
+         WHERE s.quality >= t.thr
+         GROUP BY 1, 2""")
 }

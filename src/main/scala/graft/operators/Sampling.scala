@@ -121,4 +121,29 @@ object Sampling {
       weightsPpm: Map[String, Long],
       defaultPpm: Long): DataFrame =
     df.filter(mixKeep(col(idCol), col(groupCol), weightsPpm, defaultPpm))
+
+  /** DATA-DERIVED mix ratios — [[mixKeep]]'s weights computed from the
+    * corpus itself instead of hand-picked constants: every group's
+    * keep-ppm downsamples it to the size of the SMALLEST group
+    * (`keep_ppm = ⌊min_count·1e6 / n_total⌋`, pure integer), the
+    * balanced-corpus rebalance a multilingual pre-training mix runs
+    * when one language dominates the crawl.
+    *
+    * Scale shape: one partial-agged count per group, one 1-row global
+    * min broadcast back over the group-domain-bounded stats relation —
+    * the ratio table is |groups| rows, broadcastable at any corpus
+    * size. Admission stays [[bucket]]'s per-row predicate: the
+    * two-phase plan (stats pass, then filter pass) is how a 100 TB
+    * rebalance actually runs — the stats relation is tiny, the corpus
+    * is never shuffled at all.
+    *
+    * @return (groupCol, n_total, keep_ppm) — one row per group
+    */
+  def rebalanceRatiosPpm(df: DataFrame, groupCol: String): DataFrame = {
+    val stats = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_total"))
+    val m = stats.agg(min(col("n_total")).as("m"))
+    stats.crossJoin(broadcast(m))
+      .select(col(groupCol), col("n_total"),
+        expr("m * 1000000 div n_total").as("keep_ppm"))
+  }
 }

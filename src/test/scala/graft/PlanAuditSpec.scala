@@ -463,6 +463,45 @@ class PlanAuditSpec extends SparkSpec {
     assert(!finalTree.contains("Window"), finalTree.take(1500))
   }
 
+  test("q101 rebalance: ratio table broadcasts; admission is a filter, " +
+    "corpus never shuffled on a corpus key") {
+    val plan = planOf(Queries.langRebalance(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    // the |langs|-row ratio relation rides a broadcast join — the corpus
+    // side is admission-filtered in place, never exchanged pre-filter
+    assert(finalTree.contains("BroadcastHashJoin"), finalTree.take(1500))
+    assert(!finalTree.contains("SortMergeJoin"), finalTree.take(1500))
+    assert(!finalTree.contains("CartesianProduct"), finalTree.take(1500))
+  }
+
+  test("q102 vocab: top-V election is TakeOrderedAndProject; vocab probe broadcasts") {
+    val plan = planOf(Queries.vocabCoverage(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    assert(finalTree.contains("TakeOrderedAndProject"), finalTree.take(1500))
+    assert(finalTree.contains("BroadcastHashJoin"), finalTree.take(1500))
+    assert(finalTree.toLowerCase.contains("partial_count"), finalTree.take(1500))
+  }
+
+  test("q103 SCD2: both windows partition by the high-cardinality user key") {
+    val plan = planOf(Queries.scdIntervals(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    assert(finalTree.contains("Window"), finalTree.take(1500))
+    assert("hashpartitioning\\(user_id".r.findFirstIn(finalTree).isDefined,
+      finalTree.take(1500))
+    assert(!finalTree.contains("SinglePartition"), finalTree.take(1500))
+  }
+
+  test("q104 quality budget: threshold broadcasts; no corpus sort anywhere") {
+    val plan = planOf(Queries.qualityBudget(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    assert(finalTree.contains("BroadcastHashJoin"), finalTree.take(1500))
+    // the whole point vs sort-and-take-prefix: selection must not plan a
+    // per-lang (low-cardinality) or global sort over the corpus
+    assert(!finalTree.contains("SortMergeJoin"), finalTree.take(1500))
+    assert(!finalTree.contains("TakeOrderedAndProject"), finalTree.take(1500))
+    assert(!finalTree.contains("Window"), finalTree.take(1500))
+  }
+
   test("q49: survivor resolution drops losers via an anti join") {
     // the pair/cluster lineage is cut by the per-iteration
     // localCheckpoint (its join shape is audited at q17), so the final

@@ -118,4 +118,34 @@ class SamplingSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     assert(once === relabeled)
   }
+
+  test("rebalanceRatiosPpm: every group's ppm targets the smallest group's count") {
+    // groups of 100 / 200 / 400 → min 100 → ppm 1e6 / 500000 / 250000
+    val df = ((0L until 100L).map((_, "small")) ++
+      (100L until 300L).map((_, "mid")) ++
+      (300L until 700L).map((_, "big"))).toDF("id", "grp")
+    val r = Sampling.rebalanceRatiosPpm(df, "grp")
+      .as[(String, Long, Long)].collect()
+      .map { case (g, n, p) => g -> ((n, p)) }.toMap
+    assert(r === Map("small" -> ((100L, 1000000L)),
+      "mid" -> ((200L, 500000L)), "big" -> ((400L, 250000L))))
+    // composing with weightedMix-style admission lands near the target
+    val ratios = Sampling.rebalanceRatiosPpm(df, "grp")
+    val kept = df.join(ratios, "grp")
+      .filter(Sampling.bucket(col("id"), 1000000) < col("keep_ppm"))
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(kept("small") === 100L) // ppm 1e6 keeps everything
+    assert(kept("mid") > 60L && kept("mid") < 140L, kept.toString)
+    assert(kept("big") > 60L && kept("big") < 140L, kept.toString)
+  }
+
+  test("rebalanceRatiosPpm: floor arithmetic is exact integer (no FP drift)") {
+    // 3 / 7 groups: ppm = floor(3e6/7) = 428571
+    val df = ((0L until 3L).map((_, "a")) ++ (3L until 10L).map((_, "b")))
+      .toDF("id", "grp")
+    val r = Sampling.rebalanceRatiosPpm(df, "grp")
+      .as[(String, Long, Long)].collect()
+      .map { case (g, _, p) => g -> p }.toMap
+    assert(r === Map("a" -> 1000000L, "b" -> 428571L))
+  }
 }
