@@ -450,17 +450,46 @@ object Dedup {
       maxHamming: Int = 2,
       bits: Int = 32,
       bands: Int = 4): DataFrame = {
-    require(maxHamming < bands, s"banding is only complete for maxHamming < bands")
-    require(bits % bands == 0, "bits must divide into bands")
-    val w = bits / bands
-    val mask = (1L << w) - 1
     val hashed = df.repartition(computeParallelism(df), col(idCol)) // parallelize per-doc hashing (see jaccardPairs)
       .select(col(idCol).cast("long").as("id"),
         tokenHashArray(tokens(col(textCol))).as("th"))
       .select(col("id"), simHashFromHashes(col("th"), bits).as("sh"))
-    val keyed = hashed.select(col("id"), col("sh"),
-      posexplode(array((0 until bands).map(b =>
-        shiftright(col("sh"), b * w).bitwiseAND(mask)): _*)).as(Seq("band", "bk")))
+    hammingPairs(hashed, "id", "sh", maxHamming, bits, bands)
+  }
+
+  /** Hamming-distance pairs over ANY precomputed fixed-width hash
+    * signature column (SimHash, image dHash, …): pigeonhole banding
+    * candidate equi-join + exact popcount verification — the shared
+    * tail under [[simHashPairs]] and
+    * [[graft.multimodal.ImageHash.imageNearDupPairs]].
+    *
+    * Completeness: two hashes within `maxHamming` must agree exactly on
+    * ≥ 1 of the `bands` contiguous slices whenever `maxHamming < bands`.
+    * Top-band keys sign-extend for `bits = 64` (`shiftright` is
+    * arithmetic) — consistent on both join sides, so correctness is
+    * unaffected.
+    *
+    * @param hashed (idCol, hashCol) — hashCol a long holding the low
+    *               `bits` bits of the signature
+    * @return (id1, id2, hamming) with id1 < id2
+    */
+  def hammingPairs(
+      hashed: DataFrame,
+      idCol: String,
+      hashCol: String,
+      maxHamming: Int,
+      bits: Int,
+      bands: Int): DataFrame = {
+    require(maxHamming < bands, s"banding is only complete for maxHamming < bands")
+    require(bits % bands == 0, "bits must divide into bands")
+    require(bits >= bands && bits <= 64, "bits must be in [bands, 64]")
+    val w = bits / bands
+    val mask = if (w == 64) -1L else (1L << w) - 1
+    val keyed = hashed
+      .select(col(idCol).cast("long").as("id"), col(hashCol).as("sh"))
+      .select(col("id"), col("sh"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("sh"), b * w).bitwiseAND(mask)): _*)).as(Seq("band", "bk")))
       .hint("shuffle_hash") // see jaccardPairs: post-explode size defeats broadcast estimates
     val a = keyed.as("a"); val b = keyed.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bk") === col("b.bk")
