@@ -434,6 +434,102 @@ object Queries {
       .select(col("lang"), col("thr"), col("n_kept"), col("tokens_kept"))
   }
 
+  /** Token-rarity document scoring — the integer-exact stand-in for
+    * the unigram-LM perplexity filter a curation pipeline runs (rare
+    * tokens ⇒ higher information ⇒ the doc is unusual for the corpus):
+    * per token, `idf_int = ⌊log₂(N_docs / df)⌋` computed WITHOUT
+    * floating point as `length(bin(N DIV df)) − 1` (identical in both
+    * engines — no log() ULP drift can flip a floor); per doc, the
+    * occurrence-summed idf and its per-token mean in milli-units.
+    *
+    * Scale shape: token df is a partial-agged distinct count on the
+    * token key; N_docs is a 1-row aggregate deliberately broadcast
+    * over the VOCAB relation (Heaps-law bounded — millions of rows at
+    * 100 TB, never corpus-sized); the per-occurrence probe joins token
+    * rows to the vocab relation SHUFFLE-HASH (corpus-derived sides are
+    * never broadcast, the q79 discipline); the final agg partial-aggs
+    * on the doc key. The corpus is scanned once for the df pass and
+    * once for the probe — no Window, no sort, no driver loop. */
+  def tokenRarity(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = t(spark, sfDir, "documents")
+    val tok = docs.select(col("doc_id"),
+      explode(TextFunctions.tokens(col("text"))).as("tok"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = tok.select(col("tok"), col("doc_id")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok"),
+        (length(bin(expr("n_docs DIV df"))) - 1).cast("long").as("idf"))
+    tok.join(idf.hint("shuffle_hash"), "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("idf")).as("sum_idf"))
+      .select(col("doc_id"), col("n_tokens"), col("sum_idf"),
+        floor(col("sum_idf") * 1000.0 / col("n_tokens")).cast("long")
+          .as("rarity_milli"))
+  }
+
+  /** Vocabulary-drift monitor between a standing corpus and an
+    * incoming batch (q85's ingest split: `doc_id % 5 == 0` is the new
+    * batch) — the distribution-shift check a pipeline runs at ingest
+    * before the batch can poison downstream token statistics: per
+    * token, document frequency and per-document rate (ppm) on both
+    * sides, the rate delta, and a new-token flag. All integer (floor
+    * on ratio-derived values).
+    *
+    * Scale shape: ONE corpus scan — the side tag is a per-row
+    * predicate folded into two conditional distinct-counts on the
+    * token key (partial-agged; the expand for the two distincts is
+    * vocab×2, not corpus×2 after the per-(token,doc) dedup); the two
+    * side totals are a 1-row aggregate deliberately broadcast over the
+    * vocab-bounded stats relation. No join against the corpus, no
+    * Window, no sort. */
+  def vocabDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = t(spark, sfDir, "documents")
+    val isBatch = col("doc_id") % 5 === 0
+    val tok = docs.select(col("doc_id"), isBatch.as("b"),
+      explode(array_distinct(TextFunctions.tokens(col("text")))).as("tok"))
+    val totals = docs.agg(
+      sum(when(isBatch, 1L).otherwise(0L)).as("n_new"),
+      sum(when(isBatch, 0L).otherwise(1L)).as("n_old"))
+    tok.groupBy(col("tok"))
+      .agg(count(when(!col("b"), 1L)).as("df_old"),
+        count(when(col("b"), 1L)).as("df_new"))
+      .crossJoin(broadcast(totals))
+      .select(col("tok"), col("df_old"), col("df_new"),
+        floor(col("df_old") * 1000000.0 / col("n_old")).cast("long").as("rate_old_ppm"),
+        floor(col("df_new") * 1000000.0 / col("n_new")).cast("long").as("rate_new_ppm"),
+        (floor(col("df_new") * 1000000.0 / col("n_new")) -
+          floor(col("df_old") * 1000000.0 / col("n_old"))).cast("long").as("delta_ppm"),
+        when(col("df_old") === 0L, 1L).otherwise(0L).as("is_new_token"))
+  }
+
+  /** Train/test split-leakage audit — the eval-hygiene composition a
+    * pipeline runs after splitting (q37) and near-dup discovery (q17):
+    * near-dup pairs (exact 3-gram Jaccard ≥ 0.5) cross-tabulated by
+    * the split membership of their two members. A pair straddling
+    * train and test is LEAKED eval signal (its test member is
+    * effectively memorizable), flagged `is_leak`. Split tags are
+    * computed ARITHMETICALLY from the pair ids (the split is a pure
+    * hash of the key — no join back to the corpus at all), so the
+    * audit costs one projection + a 4-row aggregate on top of the pair
+    * discovery it reuses. */
+  def splitLeakage(spark: SparkSession, sfDir: String): DataFrame = {
+    import operators.{Dedup, Sampling}
+    val pairs = Dedup.jaccardPairs(t(spark, sfDir, "documents"), "doc_id", "text",
+      shingleN = 3, minJaccardMicro = 500000L)
+    pairs.select(
+        least(Sampling.splitTag(col("id1"), 10, 8),
+          Sampling.splitTag(col("id2"), 10, 8)).as("split_a"),
+        greatest(Sampling.splitTag(col("id1"), 10, 8),
+          Sampling.splitTag(col("id2"), 10, 8)).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("split_a"), col("split_b"), col("n_pairs"),
+        when(col("split_a") =!= col("split_b"), 1L).otherwise(0L).as("is_leak"))
+  }
+
   /** Exact sufficient statistics for correlation/covariance, per
     * group: (n, Σx, Σy, Σxy, Σx², Σy²) over integer-cast measures —
     * every FP statistical aggregate (`corr`, `covar_pop`, stddev)
@@ -1955,7 +2051,10 @@ object Queries {
     "q101_lang_rebalance" -> (langRebalance _),
     "q102_vocab_coverage" -> (vocabCoverage _),
     "q103_scd_intervals" -> (scdIntervals _),
-    "q104_quality_budget" -> (qualityBudget _))
+    "q104_quality_budget" -> (qualityBudget _),
+    "q105_token_rarity" -> (tokenRarity _),
+    "q106_vocab_drift" -> (vocabDrift _),
+    "q107_split_leakage" -> (splitLeakage _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -3796,5 +3895,78 @@ object Queries {
            CAST(sum(s.n_tokens) AS BIGINT) AS tokens_kept
          FROM sc s JOIN thr t ON s.lang = t.lang
          WHERE s.quality >= t.thr
-         GROUP BY 1, 2""")
+         GROUP BY 1, 2""",
+    "q105_token_rarity" ->
+      """WITH tok AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+           FROM documents),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+         idf AS (
+           SELECT tok, CAST(length(bin(n_docs // df)) - 1 AS BIGINT) AS idf
+           FROM df, n)
+         SELECT t.doc_id, count(*) AS n_tokens,
+           CAST(sum(i.idf) AS BIGINT) AS sum_idf,
+           CAST(floor(sum(i.idf) * 1000.0 / count(*)) AS BIGINT) AS rarity_milli
+         FROM tok t JOIN idf i ON t.tok = i.tok
+         GROUP BY 1""",
+    "q106_vocab_drift" ->
+      """WITH tok AS (
+           SELECT DISTINCT doc_id, doc_id % 5 = 0 AS b,
+             unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+           FROM documents),
+         totals AS (
+           SELECT CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+             CAST(sum(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_old
+           FROM documents),
+         df AS (
+           SELECT tok,
+             CAST(count(CASE WHEN NOT b THEN 1 END) AS BIGINT) AS df_old,
+             CAST(count(CASE WHEN b THEN 1 END) AS BIGINT) AS df_new
+           FROM tok GROUP BY 1)
+         SELECT tok, df_old, df_new,
+           CAST(floor(df_old * 1000000.0 / n_old) AS BIGINT) AS rate_old_ppm,
+           CAST(floor(df_new * 1000000.0 / n_new) AS BIGINT) AS rate_new_ppm,
+           CAST(floor(df_new * 1000000.0 / n_new)
+             - floor(df_old * 1000000.0 / n_old) AS BIGINT) AS delta_ppm,
+           CAST(CASE WHEN df_old = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_new_token
+         FROM df, totals""",
+    "q107_split_leakage" ->
+      """WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         shg AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks)-2),
+                         i -> array_to_string(toks[i:i+2], ' '))
+             END AS shingles
+           FROM tk),
+         shh AS (
+           SELECT doc_id, list_distinct(list_transform(shingles, s ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 131 + c) % 1000000007))) AS sh
+           FROM shg),
+         ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shh),
+         common AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS na, b.n AS nb, count(*) AS c
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         pairs AS (
+           SELECT id1, id2 FROM common
+           WHERE floor(c * 1000000.0 / (na + nb - c)) >= 500000),
+         tagged AS (
+           SELECT
+             CASE WHEN (((id1 % 1000000007 + 1) * 2654435761) % 1000000007)
+                       * 2246822519 % 1000000007 % 10 < 8
+                  THEN 'train' ELSE 'test' END AS t1,
+             CASE WHEN (((id2 % 1000000007 + 1) * 2654435761) % 1000000007)
+                       * 2246822519 % 1000000007 % 10 < 8
+                  THEN 'train' ELSE 'test' END AS t2
+           FROM pairs)
+         SELECT least(t1, t2) AS split_a, greatest(t1, t2) AS split_b,
+           count(*) AS n_pairs,
+           CAST(CASE WHEN least(t1, t2) <> greatest(t1, t2) THEN 1 ELSE 0 END
+             AS BIGINT) AS is_leak
+         FROM tagged GROUP BY 1, 2""")
 }

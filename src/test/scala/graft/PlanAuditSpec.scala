@@ -502,6 +502,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!finalTree.contains("Window"), finalTree.take(1500))
   }
 
+  test("q105 rarity: vocab probe joins shuffle-hash; no corpus sort or window") {
+    val plan = planOf(Queries.tokenRarity(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    // the corpus-derived vocab relation must ride a shuffle-hash join
+    // (never broadcast, never sort-merge — the q79 discipline); the only
+    // broadcast is the 1-row doc count over the vocab relation
+    assert(finalTree.contains("ShuffledHashJoin"), finalTree.take(1500))
+    assert(!finalTree.contains("SortMergeJoin"), finalTree.take(1500))
+    assert(!finalTree.contains("Window"), finalTree.take(1500))
+    assert(!finalTree.contains("CartesianProduct"), finalTree.take(1500))
+  }
+
   test("q49: survivor resolution drops losers via an anti join") {
     // the pair/cluster lineage is cut by the per-iteration
     // localCheckpoint (its join shape is audited at q17), so the final
