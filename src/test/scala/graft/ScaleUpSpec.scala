@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** [[ScaleUp]] — the sf1 spot-bench generator. The properties that make
+  * the scaled corpus a FAIR reps× (and not an artificially easy or
+  * quadratically hard one) are pinned here: replica-0 identity, key
+  * disjointness, the permutation invariants (token multiset preserved;
+  * within-replica exact-dup and prefix-aligned near-dup structure
+  * intact; cross-replica clone shingle overlap destroyed — including
+  * for pure-tail docs shorter than one 13-block), order-invariant
+  * per-doc statistics (quality / langId / token count) preserved
+  * bit-for-bit, and embedding rotation preserving within-replica dot
+  * products.
+  */
+class ScaleUpSpec extends SparkSpec {
+  import spark.implicits._
+
+  // word 3-gram Jaccard — the dedup family's similarity measure
+  private def jac(a: String, b: String): Double = {
+    def sh(s: String) = s.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val (sa, sb) = (sh(a), sh(b))
+    sa.intersect(sb).size.toDouble / sa.union(sb).size
+  }
+
+  private val long26 = (1 to 26).map(i => f"a$i%02d").mkString(" ")
+  private val short10 = (1 to 10).map(i => f"b$i%02d").mkString(" ")
+  private val prefix26 = (1 to 26).map(i => f"c$i%02d").mkString(" ")
+  private val stoppy = "the cat sat on the mat and it is that good stuff here now ok yes"
+  private val docs = Seq(
+    (0L, long26, "en", "src0"),
+    (1L, long26, "en", "src1"), // exact dup of 0
+    (2L, short10, "de", "src0"), // pure-tail doc (< one 13-block)
+    (3L, prefix26 + " c27", "fr", "src2"), // prefix-aligned near-dup pair
+    (4L, prefix26 + " c27 c28", "fr", "src2"),
+    (5L, stoppy, "en", "src3"))
+    .toDF("doc_id", "text", "lang", "source")
+    .withColumn("n_chars", length(col("text")).cast("long"))
+
+  private def textsOf(out: org.apache.spark.sql.DataFrame, orig: Long, reps: Int): Seq[String] =
+    (0 until reps).map { r =>
+      out.filter(col("doc_id") === orig + r * 10000000L)
+        .select("text").as[String].head()
+    }
+
+  test("reps× rows, disjoint keys, replica 0 bit-identical") {
+    val out = ScaleUp.scaleDocuments(spark, docs, 3).cache()
+    assert(out.count() === 18L)
+    assert(out.select("doc_id").distinct().count() === 18L)
+    val rep0 = out.filter(col("doc_id") < 10000000L)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._1)
+    val src = docs.select("doc_id", "text", "lang", "source", "n_chars")
+      .as[(Long, String, String, String, Long)].collect().sortBy(_._1)
+    assert(rep0 === src)
+  }
+
+  test("permutation: token multiset preserved, n_chars recomputed") {
+    val out = ScaleUp.scaleDocuments(spark, docs, 3)
+    val bad = out.select(
+        sort_array(split(col("text"), " ")).as("sorted"),
+        pmod(col("doc_id"), lit(10000000L)).as("orig"),
+        col("n_chars"), length(col("text")).as("len"))
+      .join(docs.select(col("doc_id").as("orig"),
+        sort_array(split(col("text"), " ")).as("src_sorted")), "orig")
+      .filter(col("sorted") =!= col("src_sorted") || col("n_chars") =!= col("len"))
+    assert(bad.count() === 0L)
+  }
+
+  test("within-replica exact dups survive; cross-replica clones never collide") {
+    val out = ScaleUp.scaleDocuments(spark, docs, 3).cache()
+    // docs 0 and 1 are exact dups (same text, same length → same perm):
+    // each replica holds exactly one dup group, never cross-replica
+    val dupGroups = out.groupBy(col("text")).count().filter(col("count") >= 2)
+    assert(dupGroups.count() === 3L)
+  }
+
+  test("cross-replica clone 3-gram overlap destroyed — full-block and pure-tail docs") {
+    val out = ScaleUp.scaleDocuments(spark, docs, 3).cache()
+    for (orig <- Seq(0L, 2L)) { // 26-token (2 full blocks) and 10-token (pure tail)
+      val ts = textsOf(out, orig, 3)
+      for (i <- 0 until 3; j <- i + 1 until 3)
+        assert(jac(ts(i), ts(j)) <= 0.15,
+          s"doc $orig reps $i/$j too similar: ${ts(i)} | ${ts(j)}")
+    }
+  }
+
+  test("prefix-aligned near-dup pairs keep their within-replica Jaccard") {
+    val out = ScaleUp.scaleDocuments(spark, docs, 3).cache()
+    val t3 = textsOf(out, 3L, 3)
+    val t4 = textsOf(out, 4L, 3)
+    val base = jac(t3(0), t4(0)) // rep 0 = the source pair: ≈ 0.96
+    assert(base >= 0.9)
+    for (r <- 1 until 3)
+      assert(jac(t3(r), t4(r)) >= 0.8, // shared full blocks exact; only tails drift
+        s"rep $r near-dup pair decorrelated: ${jac(t3(r), t4(r))}")
+  }
+
+  test("order-invariant per-doc statistics identical across replicas") {
+    import graft.functions.TextFunctions
+    val out = ScaleUp.scaleDocuments(spark, docs, 3)
+    val distinctStats = out.select(
+        pmod(col("doc_id"), lit(10000000L)).as("orig"),
+        TextFunctions.qualityScore(col("text")).as("q"),
+        TextFunctions.langId(col("text")).as("lg"),
+        TextFunctions.tokenCount(col("text")).as("nt"))
+      .groupBy("orig").agg(countDistinct(col("q"), col("lg"), col("nt")).as("n"))
+      .filter(col("n") =!= 1L)
+    assert(distinctStats.count() === 0L)
+  }
+
+  private val embs = Seq(
+    (0L, Seq(1.0f, 2.0f, 3.0f, 4.0f), 0),
+    (1L, Seq(4.0f, 3.0f, 2.0f, 1.0f), 1),
+    (2L, Seq(0.0f, 1.0f, 0.0f, -1.0f), 0))
+    .toDF("vec_id", "embedding", "label")
+
+  test("embeddings: cyclic rotation preserves within-replica pairwise dot products") {
+    val out = ScaleUp.scaleEmbeddings(spark, embs, 3).cache()
+    assert(out.count() === 9L)
+    assert(out.select("vec_id").distinct().count() === 9L)
+    def dots(rep: Long): Map[(Long, Long), Double] = {
+      val v = out.filter(col("vec_id") >= rep * 10000000L &&
+          col("vec_id") < (rep + 1) * 10000000L)
+        .select(pmod(col("vec_id"), lit(10000000L)).as("id"), col("embedding"))
+      v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id"),
+          aggregate(zip_with(col("a.embedding"), col("b.embedding"),
+            (x, y) => x * y), lit(0.0d), (acc, x) => acc + x).as("dot"))
+        .as[(Long, Long, Double)].collect()
+        .map { case (i, j, d) => (i, j) -> d }.toMap
+    }
+    val d0 = dots(0)
+    assert(dots(1) === d0)
+    assert(dots(2) === d0)
+    // and the rotation actually moved values for rep 1 (dim 4, off 1)
+    val v0 = out.filter(col("vec_id") === 0L).select("embedding").as[Seq[Float]].head()
+    val v1 = out.filter(col("vec_id") === 10000000L).select("embedding").as[Seq[Float]].head()
+    assert(v0 != v1 && v0.sorted === v1.sorted)
+  }
+
+  test("events/lineitem: key shifts only — payloads untouched, counts scale") {
+    val ev = Seq((1L, java.sql.Timestamp.valueOf("2024-01-05 10:00:00"),
+      7L, "click", 1.5d, "{}")).toDF(
+      "event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = ScaleUp.scaleEvents(spark, ev, 4).cache()
+    assert(out.count() === 4L)
+    assert(out.select("event_id").distinct().count() === 4L)
+    assert(out.select("user_id").distinct().count() === 4L)
+    assert(out.select("ts", "event_type", "value", "props").distinct().count() === 1L)
+    val li = Seq((1L, 2L, 3L, 1, 5.0d, 100.0d, 0.1d, 0.02d, "N", "O",
+      java.sql.Timestamp.valueOf("2024-01-05 00:00:00"))).toDF(
+      "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+      "l_shipdate")
+    val lo = ScaleUp.scaleLineitem(spark, li, 4).cache()
+    assert(lo.count() === 4L)
+    assert(lo.select("l_orderkey").distinct().count() === 4L)
+    assert(lo.drop("l_orderkey").distinct().count() === 1L)
+  }
+}
