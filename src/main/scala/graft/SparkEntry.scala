@@ -530,6 +530,99 @@ object Queries {
         when(col("split_a") =!= col("split_b"), 1L).otherwise(0L).as("is_leak"))
   }
 
+  /** Per-source trigram diversity — the template/boilerplate-source
+    * detector: a source whose docs are stamped from a shared template
+    * repeats the same word trigrams across documents, so its
+    * distinct-trigram share of total trigram occurrences collapses.
+    * Emits per source the doc count, total trigram occurrences,
+    * distinct trigrams, diversity ppm (floor(distinct·10⁶/total)) and
+    * the `is_template` flag (< 450000 ppm = worse than ~2.2×
+    * average repetition per trigram).
+    *
+    * Scale shape: trigrams build per-row with zip_with over shifted
+    * slices (the q47 bigram idiom — no self-join); the distinct count
+    * is a TWO-LEVEL aggregate — partial-agged count on the
+    * (source, trigram) key (high cardinality, distributes), then a
+    * per-source fold — never a count(DISTINCT) Expand over the corpus.
+    * One scan, two shuffles, the second on the tiny source key. */
+  def sourceDiversity(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val tk = TextFunctions.tokens(col("text"))
+    val trigrams = when(size(tk) >= 3,
+      zip_with(
+        zip_with(slice(tk, lit(1), size(tk) - 2), slice(tk, lit(2), size(tk) - 2),
+          (a, b) => concat(a, lit(" "), b)),
+        slice(tk, lit(3), size(tk) - 2),
+        (ab, c) => concat(ab, lit(" "), c)))
+      .otherwise(array().cast("array<string>"))
+    t(spark, sfDir, "documents")
+      .select(col("source"), explode(trigrams).as("tg"))
+      .groupBy(col("source"), col("tg"))
+      .agg(count(lit(1)).as("occ"))
+      .groupBy(col("source"))
+      .agg(sum(col("occ")).as("n_trigrams"),
+        count(lit(1)).as("n_distinct"))
+      .select(col("source"), col("n_trigrams"), col("n_distinct"),
+        floor(col("n_distinct") * 1000000.0 / col("n_trigrams")).cast("long")
+          .as("diversity_ppm"))
+      .withColumn("is_template",
+        when(col("diversity_ppm") < 450000L, 1L).otherwise(0L))
+  }
+
+  /** Source-vs-corpus token-distribution divergence — the ingest
+    * anomaly detector: per source, the exact TOTAL VARIATION distance
+    * between the source's token-occurrence distribution and the whole
+    * corpus's, in ppm. A source whose docs are machine-generated,
+    * mis-languaged, or boilerplate sits far from the corpus
+    * distribution; TVD (unlike KL) is bounded, symmetric-enough, and
+    * computable in EXACT integer arithmetic: with obs_t = source
+    * occurrences, c_t = corpus occurrences, S/T the totals,
+    * `tvd = Σ_t |obs_t·T − c_t·S| / (2·S·T)`. Tokens ABSENT from the
+    * source contribute c_t·S each; their sum is recovered WITHOUT
+    * scanning the absent set as `S·T − Σ_present c_t·S` (Σ_t c_t = T),
+    * so only present (source, token) pairs are ever materialized.
+    * Products ride DECIMAL(38,0) (Spark) / HUGEINT (DuckDB): at
+    * trillion-token scale c_t·S overflows a long, and the two engines
+    * must agree bit-for-bit.
+    *
+    * Scale shape: one corpus scan → (source, token) partial-agged
+    * counts; corpus per-token counts fold from that same relation
+    * (vocab-sized, Heaps-bounded) — the probe back is a SHUFFLE-HASH
+    * join on the token key between two vocab-bounded relations, never
+    * a corpus broadcast; per-source totals (handful of rows) broadcast
+    * onto the final fold. */
+  def sourceDivergence(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val st = t(spark, sfDir, "documents")
+      .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("obs"))
+    val corpus = st.groupBy(col("tok")).agg(sum(col("obs")).as("c_t"))
+    val totals = st.groupBy(col("source")).agg(sum(col("obs")).as("s_total"))
+    val grand = corpus.agg(sum(col("c_t")).as("t_total"))
+    val dec = "decimal(38,0)"
+    st.join(corpus.hint("shuffle_hash"), "tok")
+      .join(broadcast(totals), "source")
+      .crossJoin(broadcast(grand))
+      .groupBy(col("source"))
+      .agg(
+        max(col("s_total")).as("s_total"),
+        max(col("t_total")).as("t_total"),
+        sum(abs(col("obs").cast(dec) * col("t_total").cast(dec) -
+          col("c_t").cast(dec) * col("s_total").cast(dec))).as("present_num"),
+        sum(col("c_t").cast(dec) * col("s_total").cast(dec)).as("present_ct"))
+      .select(col("source"), col("s_total"),
+        ((col("present_num") +
+          (col("t_total").cast(dec) * col("s_total").cast(dec) - col("present_ct"))) *
+          lit(1000000).cast(dec)).as("num"),
+        (lit(2).cast(dec) * col("s_total").cast(dec) * col("t_total").cast(dec))
+          .as("den"))
+      // integral divide, never decimal FP division: decimal `/` rounds
+      // to a derived scale before floor() could run — `div` is exact
+      .select(col("source"), col("s_total"),
+        expr("CAST(num div den AS LONG)").as("tvd_ppm"))
+  }
+
   /** Exact sufficient statistics for correlation/covariance, per
     * group: (n, Σx, Σy, Σxy, Σx², Σy²) over integer-cast measures —
     * every FP statistical aggregate (`corr`, `covar_pop`, stddev)
@@ -2054,7 +2147,9 @@ object Queries {
     "q104_quality_budget" -> (qualityBudget _),
     "q105_token_rarity" -> (tokenRarity _),
     "q106_vocab_drift" -> (vocabDrift _),
-    "q107_split_leakage" -> (splitLeakage _))
+    "q107_split_leakage" -> (splitLeakage _),
+    "q108_source_diversity" -> (sourceDiversity _),
+    "q109_source_divergence" -> (sourceDivergence _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -3968,5 +4063,50 @@ object Queries {
            count(*) AS n_pairs,
            CAST(CASE WHEN least(t1, t2) <> greatest(t1, t2) THEN 1 ELSE 0 END
              AS BIGINT) AS is_leak
-         FROM tagged GROUP BY 1, 2""")
+         FROM tagged GROUP BY 1, 2""",
+    "q108_source_diversity" ->
+      """WITH tk AS (
+           SELECT source, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+         tg AS (
+           SELECT source, unnest(list_transform(generate_series(1, len(toks)-2),
+             i -> array_to_string(toks[i:i+2], ' '))) AS tg
+           FROM tk WHERE len(toks) >= 3),
+         cnt AS (SELECT source, tg, count(*) AS occ FROM tg GROUP BY 1, 2),
+         agg AS (
+           SELECT source, CAST(sum(occ) AS BIGINT) AS n_trigrams,
+             CAST(count(*) AS BIGINT) AS n_distinct
+           FROM cnt GROUP BY 1)
+         SELECT source, n_trigrams, n_distinct,
+           CAST(floor(n_distinct * 1000000.0 / n_trigrams) AS BIGINT)
+             AS diversity_ppm,
+           CAST(CASE WHEN floor(n_distinct * 1000000.0 / n_trigrams) < 450000
+             THEN 1 ELSE 0 END AS BIGINT) AS is_template
+         FROM agg""",
+    "q109_source_divergence" ->
+      """WITH tok AS (
+           SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+           FROM documents),
+         st AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS obs
+           FROM tok GROUP BY 1, 2),
+         corpus AS (SELECT tok, CAST(sum(obs) AS BIGINT) AS c_t FROM st GROUP BY 1),
+         totals AS (SELECT source, CAST(sum(obs) AS BIGINT) AS s_total
+           FROM st GROUP BY 1),
+         grand AS (SELECT CAST(sum(c_t) AS BIGINT) AS t_total FROM corpus),
+         j AS (
+           SELECT s.source, t.s_total, g.t_total,
+             sum(abs(CAST(s.obs AS HUGEINT) * CAST(g.t_total AS HUGEINT)
+               - CAST(c.c_t AS HUGEINT) * CAST(t.s_total AS HUGEINT))) AS present_num,
+             sum(CAST(c.c_t AS HUGEINT) * CAST(t.s_total AS HUGEINT)) AS present_ct
+           FROM st s
+           JOIN corpus c ON s.tok = c.tok
+           JOIN totals t ON s.source = t.source
+           CROSS JOIN grand g
+           GROUP BY 1, 2, 3)
+         SELECT source, s_total,
+           CAST(((present_num + (CAST(t_total AS HUGEINT) * CAST(s_total AS HUGEINT)
+               - present_ct)) * 1000000)
+             // (CAST(2 AS HUGEINT) * CAST(s_total AS HUGEINT)
+               * CAST(t_total AS HUGEINT)) AS BIGINT) AS tvd_ppm
+         FROM j""")
 }

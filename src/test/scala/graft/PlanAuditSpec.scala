@@ -514,6 +514,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!finalTree.contains("CartesianProduct"), finalTree.take(1500))
   }
 
+  test("q108 diversity: two-level agg — no count-distinct Expand, no Window, no join") {
+    val plan = planOf(Queries.sourceDiversity(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    // the distinct-trigram count is a second groupBy over the
+    // (source, trigram) partial agg, NEVER a count(DISTINCT) Expand
+    assert(!finalTree.contains("Expand"), finalTree.take(1500))
+    assert(!finalTree.contains("Window"), finalTree.take(1500))
+    assert(!finalTree.contains("Join"), finalTree.take(1500))
+  }
+
+  test("q109 divergence: vocab probe is shuffle-hash; no corpus sort or window") {
+    val plan = planOf(Queries.sourceDivergence(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    // (source,token)↔token probe between vocab-bounded relations rides
+    // a shuffle-hash join; the only broadcasts are the per-source
+    // totals (handful of rows) and the 1-row grand total
+    assert(finalTree.contains("ShuffledHashJoin"), finalTree.take(1500))
+    assert(!finalTree.contains("SortMergeJoin"), finalTree.take(1500))
+    assert(!finalTree.contains("Window"), finalTree.take(1500))
+    assert(!finalTree.contains("CartesianProduct"), finalTree.take(1500))
+  }
+
   test("q49: survivor resolution drops losers via an anti join") {
     // the pair/cluster lineage is cut by the per-iteration
     // localCheckpoint (its join shape is audited at q17), so the final
