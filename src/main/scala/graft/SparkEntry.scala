@@ -1838,7 +1838,10 @@ object Queries {
     * integer pass/fail columns asserting each t-digest quartile lands
     * within 1% of the group's IQR of its exact twin — the oracle
     * asserts the flags are 1, making sketch QUALITY (not just plan
-    * shape) hash-gated per round, exactly like q53/q77. */
+    * shape) hash-gated per round, exactly like q53/q77. The tolerance
+    * band is floored at 100 cents: a degenerate group with q1 == q3
+    * would otherwise collapse the band to exact equality and fail the
+    * gate on any 1-member t-digest drift (round-7 advice). */
   def iqrApproxCheck(spark: SparkSession, sfDir: String): DataFrame = {
     val l = t(spark, sfDir, "lineitem").select(col("l_returnflag").as("flag"),
       round(col("l_extendedprice") * 100).cast("long").as("cents"))
@@ -1852,9 +1855,11 @@ object Queries {
       floor(expr("approx_percentile(cents, 0.75, 10000)")).cast("long").as("_a3"))
     approx.join(exact, "flag")
       .select(col("flag"), col("q1"), col("q3"),
-        when(abs(col("_a1") - col("q1")) * 100 <= (col("q3") - col("q1")), 1L)
+        when(abs(col("_a1") - col("q1")) * 100
+            <= greatest(col("q3") - col("q1"), lit(100L)), 1L)
           .otherwise(0L).as("ap_q1_ok"),
-        when(abs(col("_a3") - col("q3")) * 100 <= (col("q3") - col("q1")), 1L)
+        when(abs(col("_a3") - col("q3")) * 100
+            <= greatest(col("q3") - col("q1"), lit(100L)), 1L)
           .otherwise(0L).as("ap_q3_ok"))
   }
 
