@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The round driver parses the LAST stdout line of `sbt runMain
+// graft.Bench` as the bench JSON record. Two sbt behaviors defeat that
+// with default settings (observed in BENCH_r01..r08: "parsed": null):
+// the forked JVM's stdout is re-logged with an "[info] " prefix, and an
+// "[success] Total time: …" banner prints AFTER the JSON line. Forward
+// forked output verbatim and drop the banner so the compact bench line
+// is the literal final stdout bytes.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not a task — exclude
+// it from the unused-key lint (the lint's own suggestion)
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

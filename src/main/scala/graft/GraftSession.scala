@@ -43,9 +43,18 @@ object GraftSession {
   /** Apply engine-required runtime confs to an existing session.
     * Idempotent and cheap — called defensively from operator entry
     * points so a user-built session gets the fix too.
+    *
+    * NTZ inference is disabled because the engine's time-arithmetic
+    * surface (`unix_micros`, range joins, sessionization) operates on
+    * TIMESTAMP; tz-less parquet (the pandas/pyarrow default) would
+    * otherwise surface as TIMESTAMP_NTZ and fail analysis. Under the
+    * engine's pinned UTC session the two types denote the same instants,
+    * so reading tz-less data as TIMESTAMP is exact.
     */
-  def tune(spark: SparkSession): Unit =
+  def tune(spark: SparkSession): Unit = {
     spark.conf.set(ObjectHashFallbackKey, ObjectHashFallbackValue.toString)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+  }
 
   /** A tuned local session: `cpus` worker threads, shuffle partitions
     * sized to match (local mode has no executor fan-out to feed; 200

@@ -38,7 +38,10 @@ import org.apache.spark.sql.functions._
   *    near-identity — the cap excludes both), and reps 7..12 dealing
   *    over the REVERSED tail (spacing −k), doubling the variant space
   *    so even a 10-token pure-tail doc gets distinct perms for all
-  *    reps. The tail deal depends on the tail length,
+  *    reps. Tails of ≤ 8 tokens — where the capped deal degenerates
+  *    (identity at L ≤ 4, mostly-rep-independent at L = 5..8) — use a
+  *    rep-keyed rotation instead (see the inline note at `dealPos`).
+  *    The tail deal depends on the tail length,
   *    so near-dup pairs of unequal length lose only their ≤ 12-token
   *    tail overlap — full-block overlap, which dominates for the
   *    planted prefix-aligned pairs, is exact. Because quality score,
@@ -96,12 +99,35 @@ object ScaleUp {
       val p = when(t < boundary, floor(t / (q + 1)).cast("int"))
         .otherwise(r + floor((t - boundary) / q).cast("int"))
       val j = when(t < boundary, pmod(t, q + 1)).otherwise(pmod(t - boundary, q))
-      val dealPos = p + j * k
+      // Tails of ≤ 8 tokens get little-to-no decorrelation from the
+      // deal: at L ≤ 4 the k = 1 floor deals to the IDENTITY (a
+      // pure-tail doc that short would repeat verbatim across reps
+      // 1..6 — an artificial cross-replica exact-dup family), and at
+      // L = 5..8 the L−3 cap collapses most reps onto the same k
+      // (e.g. L = 6 pins k = 3 for reps 2..6: a 5-wide clone family).
+      // Those tails rotate by 1 + (rep−1) mod (L−1) instead: never
+      // ≡ 0 mod L, so no rep reproduces rep 0's text, and with the
+      // rev doubling the variant count is 2(L−1) — the worst clone
+      // group is ⌈6/(L−1)⌉ ≤ 2 for L ≥ 4 (3 at L = 3; at L = 2 the
+      // swap is the ONLY non-identity perm, so all 11 perturbed reps
+      // coincide — the documented floor, like the necessarily
+      // invariant 1-token tail). Rotated clones share only cyclic
+      // 3-grams (cross-replica Jaccard ≤ ~0.5 at L = 8, less below —
+      // under every near-dup threshold the engine gates on), which is
+      // why the deal still owns L ≥ 9 where it yields distinct
+      // zero-overlap perms. All floors are spec'd in ScaleUpSpec.
+      val rotAmt = lit(1) + pmod(idx, greatest(tailLen - 1, lit(1)))
+      val dealPos = when(tailLen <= 8, pmod(t + rotAmt, tailLen))
+        .otherwise(p + j * k)
+      // rev ∘ rotation degenerates to the identity exactly at L = 2
+      // (reverse IS the swap) — guard so reps 7..12 can't reproduce
+      // rep 0 there
       element_at(toks, lit(1) +
         when(o < tailStart,
           blockStart + pmod(pmod(o, lit(B)) * stride, lit(B)))
           .otherwise(tailStart +
-            when(rev, tailLen - 1 - dealPos).otherwise(dealPos)))
+            when(rev && (tailLen > 2), tailLen - 1 - dealPos)
+              .otherwise(dealPos)))
     })
     withReps(spark, src, reps)
       .select((col("doc_id") + col("rep") * KeyShift).as("doc_id"),

@@ -1838,10 +1838,12 @@ object Queries {
     * integer pass/fail columns asserting each t-digest quartile lands
     * within 1% of the group's IQR of its exact twin — the oracle
     * asserts the flags are 1, making sketch QUALITY (not just plan
-    * shape) hash-gated per round, exactly like q53/q77. The tolerance
-    * band is floored at 100 cents: a degenerate group with q1 == q3
-    * would otherwise collapse the band to exact equality and fail the
-    * gate on any 1-member t-digest drift (round-7 advice). */
+    * shape) hash-gated per round, exactly like q53/q77. The band's
+    * IQR term is floored at 100 (in the ×100-scaled comparison domain),
+    * which allows 1 CENT of absolute drift even when a degenerate group
+    * has q1 == q3 — without the floor such a group would demand exact
+    * equality and fail the gate on any 1-member t-digest drift
+    * (round-7 advice; floor semantics clarified round 9). */
   def iqrApproxCheck(spark: SparkSession, sfDir: String): DataFrame = {
     val l = t(spark, sfDir, "lineitem").select(col("l_returnflag").as("flag"),
       round(col("l_extendedprice") * 100).cast("long").as("cents"))

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's TPC-H-ish parquet testdata (TESTDATA.md). */
 object Tables {
@@ -10,18 +10,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** The events table carries parquet TIMESTAMP(NANOS), which Spark 4
-    * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw longs
-    * and rebuild a proper timestamp column (microsecond precision —
-    * exact for any sub-second analytics here).
+  /** The events table's `ts` column has shipped in two physical shapes:
+    * parquet TIMESTAMP(NANOS) — which Spark 4 rejects outright
+    * ([PARQUET_TYPE_ILLEGAL]) unless read as raw longs and rebuilt — and
+    * tz-less timestamp[us] (pandas/pyarrow default), which Spark infers
+    * as TIMESTAMP_NTZ, a type the time-arithmetic surface
+    * (`unix_micros` et al.) rejects. Normalize both to session-local
+    * TIMESTAMP here, the single choke point every loader flows through.
+    * The NTZ→LTZ cast is exact under the engine's pinned UTC session
+    * ([[GraftSession.local]]); `tune` additionally disables NTZ
+    * inference so fresh reads land on TIMESTAMP directly, making this
+    * branch a belt-and-suspenders for sessions built outside the engine.
     */
   def load(spark: SparkSession, sfDir: String, table: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    GraftSession.tune(spark) // top-k agg fallback threshold; see GraftSession
+    GraftSession.tune(spark) // top-k agg fallback threshold + NTZ inference; see GraftSession
     val df = spark.read.parquet(s"$sfDir/$table.parquet")
-    df.schema.find(f => f.name == "ts" && f.dataType == LongType) match {
-      case Some(_) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case None => df
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
   }
 

@@ -70,7 +70,12 @@ object ImageHash {
         var gx = 0
         while (gx < 8) {
           val l = gy * 9 + gx
-          // meanL > meanR without division: sumL/cntL > sumR/cntR
+          // meanL > meanR without division: sumL/cntL > sumR/cntR.
+          // Overflow bound: sums ≤ 255·cellPx and cnts ≤ cellPx, so the
+          // product ≤ 255·cellPx² < 2^63 while cellPx < 1.9e8 — i.e.
+          // any image under ~13.6 gigapixels (cellPx ≈ w·h/72). Real
+          // decodable payloads are orders of magnitude below that
+          // (BufferedImage itself caps at 2^31 pixels ≈ 0.03e9 cellPx).
           if (sums(l) * cnts(l + 1) > sums(l + 1) * cnts(l))
             hash |= 1L << (gy * 8 + gx)
           gx += 1

@@ -85,6 +85,45 @@ class ScaleUpSpec extends SparkSpec {
     }
   }
 
+  test("short pure-tail docs (2–9 tokens) never repeat rep 0; clone families bounded") {
+    // L ≤ 4 hits the deal's k = 1 identity floor and L = 5..8 collapses
+    // most reps onto the same k — without the rotation branch those
+    // lengths clone verbatim across reps. L = 9 exercises the first
+    // real deal; L = 1 is the documented invariant floor.
+    val short = Seq(
+      (10L, "s1", "en", "srcS"),
+      (11L, "t1 t2", "en", "srcS"),
+      (12L, "u1 u2 u3", "en", "srcS"),
+      (13L, "v1 v2 v3 v4", "en", "srcS"),
+      (14L, "w1 w2 w3 w4 w5", "en", "srcS"),
+      (15L, "x1 x2 x3 x4 x5 x6", "en", "srcS"),
+      (16L, "y1 y2 y3 y4 y5 y6 y7", "en", "srcS"),
+      (17L, "z1 z2 z3 z4 z5 z6 z7 z8", "en", "srcS"),
+      (18L, "a1 a2 a3 a4 a5 a6 a7 a8 a9", "en", "srcS"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = ScaleUp.scaleDocuments(spark, short, 12).cache()
+    for (orig <- 11L to 18L) {
+      val ts = textsOf(out, orig, 12)
+      // token multiset preserved by every perm
+      assert(ts.forall(_.split(" ").sorted.sameElements(ts.head.split(" ").sorted)))
+      for (r <- 1 until 12)
+        assert(ts(r) != ts(0), s"doc $orig rep $r reproduced rep 0: ${ts(r)}")
+    }
+    // clone-family bound: worst group of identical perturbed reps is
+    // ⌈6/(L−1)⌉ ≤ 2 for L ≥ 4 (3 at L = 3) — never the 5-6-wide family
+    // the degenerate deal produced
+    for (orig <- 13L to 18L) {
+      val groups = textsOf(out, orig, 12).drop(1).groupBy(identity).values.map(_.size)
+      assert(groups.max <= 2, s"doc $orig has a ${groups.max}-wide cross-replica clone family")
+    }
+    assert(textsOf(out, 12L, 12).drop(1).groupBy(identity).values.map(_.size).max <= 3)
+    // the documented floors: a 1-token doc is invariant under every
+    // perm; a 2-token doc has exactly one non-identity perm (the swap)
+    assert(textsOf(out, 10L, 12).toSet === Set("s1"))
+    assert(textsOf(out, 11L, 12).drop(1).toSet === Set("t2 t1"))
+  }
+
   test("prefix-aligned near-dup pairs keep their within-replica Jaccard") {
     val out = ScaleUp.scaleDocuments(spark, docs, 3).cache()
     val t3 = textsOf(out, 3L, 3)
