@@ -199,6 +199,15 @@ object Queries {
     Dedup.simHashPairs(t(spark, sfDir, "documents"), "doc_id", "text",
       maxHamming = 2, bits = 32, bands = 4)
 
+  /** 64-bit two-level SimHash pairs within Hamming distance 3 — gates
+    * [[graft.operators.Dedup.hammingPairs]] (the image-dedup family's
+    * distributed core) at its `bits = 64` sign-extending configuration
+    * on an oracle-replayable text-derived signature (round-8 advice:
+    * the Hamming banding join previously rode on specs alone). */
+  def simhash64Pairs(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simHash64Pairs(t(spark, sfDir, "documents"), "doc_id", "text",
+      maxHamming = 3, bands = 8)
+
   /** Embedding-cosine near-dup pairs ≥ 0.35 over a 1-in-5 sample —
     * the EXACT all-pairs verification path, deliberately run on a
     * sample only (it is O(n²) by construction; discovery at scale is
@@ -2156,7 +2165,8 @@ object Queries {
     "q106_vocab_drift" -> (vocabDrift _),
     "q107_split_leakage" -> (splitLeakage _),
     "q108_source_diversity" -> (sourceDiversity _),
-    "q109_source_divergence" -> (sourceDivergence _))
+    "q109_source_divergence" -> (sourceDivergence _),
+    "q110_simhash64_pairs" -> (simhash64Pairs _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -4115,5 +4125,39 @@ object Queries {
                - present_ct)) * 1000000)
              // (CAST(2 AS HUGEINT) * CAST(s_total AS HUGEINT)
                * CAST(t_total AS HUGEINT)) AS BIGINT) AS tvd_ppm
-         FROM j""")
+         FROM j""",
+    // The oracle replays the two-level SimHash SEMANTICS, not the
+    // banding plan: the packed-64-bit Hamming distance equals the sum
+    // of the two 32-bit halves' distances, so no 64-bit packing (which
+    // would overflow DuckDB's BIGINT at bit 63) is needed.
+    "q110_simhash64_pairs" ->
+      """WITH th AS (
+           SELECT doc_id, list_transform(regexp_split_to_array(trim(text), '\s+'), t ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 131 + c) % 1000000007)) AS hs
+           FROM documents
+           WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 2),
+         uni AS (SELECT doc_id, unnest(hs) AS h FROM th),
+         big AS (
+           SELECT doc_id, unnest(list_transform(generate_series(1, len(hs)-1), i ->
+             (hs[i] * 131 + hs[i+1]) % 1000000007)) AS h FROM th),
+         simlo AS (
+           SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sh
+           FROM (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                 FROM uni, (SELECT unnest(generate_series(0, 31)) AS j) AS js(j)
+                 GROUP BY doc_id, j) bs
+           GROUP BY doc_id),
+         simhi AS (
+           SELECT doc_id, CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS sh
+           FROM (SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                 FROM big, (SELECT unnest(generate_series(0, 31)) AS j) AS js(j)
+                 GROUP BY doc_id, j) bs
+           GROUP BY doc_id),
+         sig AS (SELECT l.doc_id, l.sh AS lo, h.sh AS hi
+           FROM simlo l JOIN simhi h USING (doc_id))
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(bit_count(xor(a.lo,b.lo)) + bit_count(xor(a.hi,b.hi)) AS BIGINT) AS hamming
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.lo,b.lo)) + bit_count(xor(a.hi,b.hi)) <= 3""")
 }

@@ -457,6 +457,47 @@ object Dedup {
     hammingPairs(hashed, "id", "sh", maxHamming, bits, bands)
   }
 
+  /** 64-bit two-level SimHash near-dup pairs: the low 32 signature bits
+    * are the unigram-token-hash SimHash (the q19 signature), the high
+    * bits a SimHash over BIGRAM hashes `(h_i·131 + h_{i+1}) mod
+    * 1 000 000 007` — token-level plus phrase-order locality in one
+    * fixed-width signature. The bigram half is packed at bit 34 (token
+    * hashes carry < 2^30 of signal, so each SimHash half occupies bits
+    * 0..29): its top signal bit lands on bit 63, making the packed long
+    * NEGATIVE for some docs — deliberately exercising
+    * [[hammingPairs]]' sign-extended top-band path at `bits = 64`, the
+    * exact configuration the image dHash pipeline
+    * ([[graft.multimodal.ImageHash.imageNearDupPairs]]) runs. Packing
+    * shifts bit positions but no bits collide, so the packed Hamming
+    * distance equals `hamming(lo half) + hamming(hi half)` — which is
+    * how a SQL oracle replays this without 64-bit overflow.
+    *
+    * Docs with fewer than two tokens have no bigrams and are excluded
+    * (a 0-bigram SimHash would be a degenerate all-zero half).
+    *
+    * @return (id1, id2, hamming) with id1 < id2, hamming ≤ maxHamming
+    */
+  def simHash64Pairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      bands: Int = 8): DataFrame = {
+    val th = col("th")
+    val bigrams = zip_with(
+      slice(th, lit(1), size(th) - 1), slice(th, lit(2), size(th) - 1),
+      (a, b) => pmod(a * 131 + b, lit(1000000007L)))
+    val hashed = df.repartition(computeParallelism(df), col(idCol)) // parallelize per-doc hashing (see jaccardPairs)
+      .select(col(idCol).cast("long").as("id"),
+        tokenHashArray(tokens(col(textCol))).as("th"))
+      .filter(size(th) >= 2)
+      .select(col("id"),
+        simHashFromHashes(th, 32).as("lo"),
+        simHashFromHashes(bigrams, 32).as("hi"))
+      .select(col("id"), shiftleft(col("hi"), 34).bitwiseOR(col("lo")).as("sig"))
+    hammingPairs(hashed, "id", "sig", maxHamming, bits = 64, bands = bands)
+  }
+
   /** Hamming-distance pairs over ANY precomputed fixed-width hash
     * signature column (SimHash, image dHash, …): pigeonhole banding
     * candidate equi-join + exact popcount verification — the shared

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.SparkSpec
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.lit
+import org.apache.spark.sql.functions.{lit, pmod, shiftleft, size, slice, zip_with}
 
 class DedupSpec extends SparkSpec {
   import spark.implicits._
@@ -62,6 +62,43 @@ class DedupSpec extends SparkSpec {
       if ham <= 3
     } yield (i, j, ham.toLong)).toSet
     assert(banded === brute)
+  }
+
+  test("simHash64Pairs: banded 64-bit join complete vs brute force over packed signatures") {
+    // rebuild the packed signature exactly as the operator does and
+    // brute-force all pairs — the banding equi-join must find the same set
+    val th = graft.functions.TextFunctions.tokenHashArray(
+      graft.functions.TextFunctions.tokens($"text"))
+    val sigs = docs.select($"doc_id", th.as("th")).filter(size($"th") >= 2)
+      .select($"doc_id",
+        Dedup.simHashFromHashes($"th", 32).as("lo"),
+        Dedup.simHashFromHashes(zip_with(
+          slice($"th", lit(1), size($"th") - 1), slice($"th", lit(2), size($"th") - 1),
+          (a, b) => pmod(a * 131 + b, lit(1000000007L))), 32).as("hi"))
+      .select($"doc_id", shiftleft($"hi", 34).bitwiseOR($"lo").as("sig"))
+      .as[(Long, Long)].collect().toMap
+    val brute = (for {
+      (i, si) <- sigs; (j, sj) <- sigs if i < j
+      ham = java.lang.Long.bitCount(si ^ sj)
+      if ham <= 3
+    } yield (i, j, ham.toLong)).toSet
+    assert(brute.nonEmpty, "fixture should contain a near pair (0/3 are exact dups)")
+    val banded = Dedup.simHash64Pairs(docs, "doc_id", "text", maxHamming = 3, bands = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded === brute)
+  }
+
+  test("hammingPairs: bits=64 signatures with the sign bit set band completely") {
+    // top-band keys sign-extend (shiftright is arithmetic); both join
+    // sides must key identically so negative signatures still pair
+    val sigs = Map(
+      1L -> (Long.MinValue | 5L),  // 1000...0101
+      2L -> (Long.MinValue | 7L),  // 1000...0111  ham(1,2)=1
+      3L -> 5L)                    // 0000...0101  ham(1,3)=1 (bit 63), ham(2,3)=2
+    val df = sigs.toSeq.toDF("id", "sig")
+    val got = Dedup.hammingPairs(df, "id", "sig", maxHamming = 1, bits = 64, bands = 8)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L, 1L), (1L, 3L, 1L)))
   }
 
   test("cosinePairs: colinear vectors score 1e6, orthogonal filtered out") {
