@@ -443,6 +443,49 @@ object Queries {
       .select(col("lang"), col("thr"), col("n_kept"), col("tokens_kept"))
   }
 
+  /** Quality-classifier CALIBRATION buckets — the audit a curation
+    * pipeline runs on its own admission rule: per (source, global
+    * quality decile), how many docs the per-lang 75th-percentile gate
+    * ([[qualityBudget]]'s rule) actually admits. A well-calibrated
+    * score admits monotonically more per rising decile WITHIN each
+    * source; a source whose curve inverts is mislabeled or gamed —
+    * this surfaces that per-source, which a global admit rate hides.
+    * Composition of the q83 decile-binning shape with the q104
+    * admission rule: decile boundaries are one 9-value global
+    * aggregate and the per-lang thresholds one tiny aggregate, both
+    * broadcast into a single map-side projection; the histogram is one
+    * partial-agged groupBy on (source, bin). Three column-pruned
+    * corpus scans (two collapse immediately to tiny aggregates, one
+    * does the binning); no Window, no sort, no corpus-sized join.
+    * Rates are floor-permille (identical-op-order doubles in both
+    * engines). */
+  def calibrationBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val sc = t(spark, sfDir, "documents").select(col("lang"), col("source"),
+      tokenCount(col("text")).as("n_tokens"),
+      qualityScore(col("text")).as("quality"))
+    val bs = (1 to 9).map(i =>
+      expr(s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY quality)")
+        .cast("long").as(s"b$i"))
+    val bounds = sc.agg(bs.head, bs.tail: _*)
+    val thr = sc.groupBy(col("lang")).agg(
+      expr("percentile_disc(0.75) WITHIN GROUP (ORDER BY quality)")
+        .cast("long").as("thr"))
+    val bin = (1 to 9).map(i =>
+      when(col("quality") > col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
+    sc.join(broadcast(thr), "lang")
+      .crossJoin(broadcast(bounds))
+      .select(col("source"), bin.cast("long").as("bin"),
+        when(col("quality") >= col("thr"), 1L).otherwise(0L).as("adm"),
+        col("n_tokens"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("adm")).as("n_admitted"),
+        floor(sum(col("adm")) * lit(1000.0) / count(lit(1))).cast("long")
+          .as("admit_permille"),
+        sum(col("n_tokens")).as("tokens_total"))
+  }
+
   /** Token-rarity document scoring — the integer-exact stand-in for
     * the unigram-LM perplexity filter a curation pipeline runs (rare
     * tokens ⇒ higher information ⇒ the doc is unusual for the corpus):
@@ -718,6 +761,41 @@ object Queries {
       docs.filter(col("doc_id") % 5 =!= 0),
       keyCols = Seq("text"), idCol = "doc_id")
       .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
+  /** Cross-snapshot dedup DRIFT — [[incrementalDedup]]'s shape run
+    * corpus-vs-corpus: two overlapping crawl snapshots (deterministic
+    * doc_id mod-3 slices, 2/3 of the corpus each, 1/3 shared), each
+    * exact-deduped by text with a min-id survivor election, then
+    * classified per surviving text as retained / added / removed and
+    * rolled up per source. This is the between-snapshot report a
+    * recurring-crawl pipeline publishes: how much of yesterday's
+    * deduped corpus survived, what churned, and which sources drive
+    * the churn. Scale shape: each election is ONE partial-agged
+    * groupBy on the text key (`min_by` carries the survivor's payload
+    * — no join-back second shuffle); the drift classification is a
+    * single full-outer join of two text-unique relations on the SAME
+    * key their elections just shuffled on; the rollup is a tiny
+    * partial agg. Corpus-derived relations are never broadcast. */
+  def snapshotDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    def survivors(snap: DataFrame): DataFrame =
+      snap.groupBy(col("text")).agg(
+        min_by(col("source"), col("doc_id")).as("src"),
+        min_by(col("n_chars"), col("doc_id")).as("ch"))
+    val a = survivors(docs.filter(col("doc_id") % 3 < 2))
+      .select(col("text"), col("src").as("src_a"), col("ch").as("ch_a"))
+    val b = survivors(docs.filter(col("doc_id") % 3 > 0))
+      .select(col("text"), col("src").as("src_b"), col("ch").as("ch_b"))
+    a.join(b, Seq("text"), "full_outer")
+      .select(
+        when(col("src_a").isNotNull && col("src_b").isNotNull, lit("retained"))
+          .when(col("src_a").isNotNull, lit("removed"))
+          .otherwise(lit("added")).as("status"),
+        coalesce(col("src_a"), col("src_b")).as("source"),
+        coalesce(col("ch_a"), col("ch_b")).as("n_chars"))
+      .groupBy(col("status"), col("source"))
+      .agg(count(lit(1)).as("n_texts"), sum(col("n_chars")).as("chars_total"))
   }
 
   /** MinHash ESTIMATION quality under the gate (the q53 discipline
@@ -2166,7 +2244,9 @@ object Queries {
     "q107_split_leakage" -> (splitLeakage _),
     "q108_source_diversity" -> (sourceDiversity _),
     "q109_source_divergence" -> (sourceDivergence _),
-    "q110_simhash64_pairs" -> (simhash64Pairs _))
+    "q110_simhash64_pairs" -> (simhash64Pairs _),
+    "q111_calibration_buckets" -> (calibrationBuckets _),
+    "q112_snapshot_drift" -> (snapshotDrift _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -4159,5 +4239,65 @@ object Queries {
          SELECT a.doc_id AS id1, b.doc_id AS id2,
            CAST(bit_count(xor(a.lo,b.lo)) + bit_count(xor(a.hi,b.hi)) AS BIGINT) AS hamming
          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.lo,b.lo)) + bit_count(xor(a.hi,b.hi)) <= 3""")
+         WHERE bit_count(xor(a.lo,b.lo)) + bit_count(xor(a.hi,b.hi)) <= 3""",
+    "q111_calibration_buckets" ->
+      """WITH sc AS (
+           SELECT doc_id, lang, source,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             CAST(least(len(regexp_split_to_array(trim(text), '\s+')), 100) * 5
+               + floor(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                   t -> t IN ('the','a','an','of','and','is','in','to','it','that')))
+                 * 500.0 / len(regexp_split_to_array(trim(text), '\s+')))
+               AS BIGINT) AS quality
+           FROM documents),
+         b AS (
+           SELECT CAST(quantile_disc(quality, 0.1) AS BIGINT) AS b1,
+                  CAST(quantile_disc(quality, 0.2) AS BIGINT) AS b2,
+                  CAST(quantile_disc(quality, 0.3) AS BIGINT) AS b3,
+                  CAST(quantile_disc(quality, 0.4) AS BIGINT) AS b4,
+                  CAST(quantile_disc(quality, 0.5) AS BIGINT) AS b5,
+                  CAST(quantile_disc(quality, 0.6) AS BIGINT) AS b6,
+                  CAST(quantile_disc(quality, 0.7) AS BIGINT) AS b7,
+                  CAST(quantile_disc(quality, 0.8) AS BIGINT) AS b8,
+                  CAST(quantile_disc(quality, 0.9) AS BIGINT) AS b9
+           FROM sc),
+         thr AS (
+           SELECT lang, CAST(quantile_disc(quality, 0.75) AS BIGINT) AS thr
+           FROM sc GROUP BY 1),
+         x AS (
+           SELECT s.source,
+             (CASE WHEN quality > b1 THEN 1 ELSE 0 END) +
+             (CASE WHEN quality > b2 THEN 1 ELSE 0 END) +
+             (CASE WHEN quality > b3 THEN 1 ELSE 0 END) +
+             (CASE WHEN quality > b4 THEN 1 ELSE 0 END) +
+             (CASE WHEN quality > b5 THEN 1 ELSE 0 END) +
+             (CASE WHEN quality > b6 THEN 1 ELSE 0 END) +
+             (CASE WHEN quality > b7 THEN 1 ELSE 0 END) +
+             (CASE WHEN quality > b8 THEN 1 ELSE 0 END) +
+             (CASE WHEN quality > b9 THEN 1 ELSE 0 END) AS bin,
+             CASE WHEN s.quality >= t.thr THEN 1 ELSE 0 END AS adm,
+             s.n_tokens
+           FROM sc s JOIN thr t USING (lang) CROSS JOIN b)
+         SELECT source, CAST(bin AS BIGINT) AS bin, count(*) AS n_docs,
+           CAST(sum(adm) AS BIGINT) AS n_admitted,
+           CAST(floor(sum(adm) * 1000.0 / count(*)) AS BIGINT) AS admit_permille,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_total
+         FROM x GROUP BY 1, 2""",
+    "q112_snapshot_drift" ->
+      """WITH a AS (
+           SELECT text, arg_min(source, doc_id) AS src, arg_min(n_chars, doc_id) AS ch
+           FROM documents WHERE doc_id % 3 < 2 GROUP BY text),
+         b AS (
+           SELECT text, arg_min(source, doc_id) AS src, arg_min(n_chars, doc_id) AS ch
+           FROM documents WHERE doc_id % 3 > 0 GROUP BY text),
+         j AS (
+           SELECT CASE WHEN a.text IS NOT NULL AND b.text IS NOT NULL THEN 'retained'
+                       WHEN a.text IS NOT NULL THEN 'removed'
+                       ELSE 'added' END AS status,
+             coalesce(a.src, b.src) AS source,
+             coalesce(a.ch, b.ch) AS n_chars
+           FROM a FULL OUTER JOIN b ON a.text = b.text)
+         SELECT status, source, count(*) AS n_texts,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total
+         FROM j GROUP BY 1, 2""")
 }

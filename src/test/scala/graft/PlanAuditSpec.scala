@@ -536,6 +536,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(!finalTree.contains("CartesianProduct"), finalTree.take(1500))
   }
 
+  test("q111 calibration: boundary + threshold aggs broadcast; one corpus scan, no Window") {
+    val plan = planOf(Queries.calibrationBuckets(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    // the 9-value decile bounds and per-lang thresholds are tiny
+    // aggregates — broadcast is the right plan at any corpus scale;
+    // the binning must stay a map-side projection (no Window, no sort,
+    // no corpus-sized shuffle beyond the final histogram agg)
+    assert(finalTree.contains("BroadcastNestedLoopJoin")
+      || finalTree.contains("BroadcastHashJoin"), finalTree.take(1500))
+    assert(!finalTree.contains("Window"), finalTree.take(1500))
+    assert(!finalTree.contains("SortMergeJoin"), finalTree.take(1500))
+  }
+
+  test("q112 snapshot drift: elections partial-agg; full-outer join; corpus never broadcast") {
+    val plan = planOf(Queries.snapshotDrift(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    // each snapshot's survivor election must partial-agg (map-side
+    // min_by before the text-key exchange), and the drift join is
+    // between two corpus-derived text-unique relations — never
+    // broadcast at any scale
+    assert(finalTree.toLowerCase.contains("partial_min_by"), finalTree.take(1500))
+    assert(finalTree.contains("FullOuter"), finalTree.take(1500))
+    assert(!finalTree.contains("BroadcastExchange"), finalTree.take(1500))
+    assert(!finalTree.contains("Window"), finalTree.take(1500))
+  }
+
   test("q49: survivor resolution drops losers via an anti join") {
     // the pair/cluster lineage is cut by the per-iteration
     // localCheckpoint (its join shape is audited at q17), so the final
