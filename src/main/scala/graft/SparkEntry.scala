@@ -285,6 +285,49 @@ object Queries {
         col("n.id").as("doc_id"), (-col("n.dist")).cast("long").as("score"))
   }
 
+  /** Df-capped PHRASE retrieval — [[retrieval]]'s documented scale
+    * lever, hash-gated (the sf1 spot-bench names q79 as the dense-vocab
+    * quadratic worst case; this is the production shape that absorbs
+    * it). Two changes, both named in q79's scaladoc: (a) terms are
+    * BIGRAM phrases, restoring index sparsity on corpora whose unigram
+    * vocabulary is degenerate-dense (this corpus: 31 unigrams at ~75%
+    * df each vs ~900 bigrams at ≤ 9% df); (b) an ABSOLUTE document-
+    * frequency cap (df ≤ 30, the q34 pattern) drops stop-phrases
+    * BEFORE the posting join, so per-term fan-out is ≤ maxDf rows and
+    * candidate volume is ≤ query_phrases × maxDf — LINEAR in the query
+    * set no matter how dense the corpus gets. The cap relation is
+    * vocab-bounded (Heaps-law) and joins shuffle-hash like every
+    * corpus-derived relation (q79/q105 discipline); top-3 rides the
+    * bounded-heap aggregator, no Window. */
+  def retrievalCapped(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    graft.GraftSession.tune(spark)
+    val docs = t(spark, sfDir, "documents")
+    val toks = TextFunctions.tokens(col("text"))
+    def phrases(df: DataFrame, idAs: String): DataFrame =
+      df.filter(size(toks) >= 2).select(col("doc_id").as(idAs),
+        explode(array_distinct(zip_with(
+          slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+          (a, b) => concat_ws(" ", a, b)))).as("ph"))
+    val corpus = phrases(docs.filter(col("doc_id") % 25 =!= 0), "doc_id")
+    val dfc = corpus.groupBy(col("ph")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 30)
+      .select(col("ph"), floor(lit(1000000L) / col("df")).cast("long").as("w"))
+    val qtoks = phrases(docs.filter(col("doc_id") % 25 === 0), "query_id")
+    val scored = qtoks
+      .join(dfc.hint("shuffle_hash"), Seq("ph")) // cap prunes BEFORE the posting join
+      .join(corpus.hint("shuffle_hash"), Seq("ph"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("w")).as("score"))
+    scored
+      .groupBy(col("query_id"))
+      .agg(operators.TopK.topK(3)(
+        -col("score").cast("double"), col("doc_id"), col("doc_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "n")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("n.id").as("doc_id"), (-col("n.dist")).cast("long").as("score"))
+  }
+
   /** Substring-level duplicate detection — the CONTAINMENT complement
     * to doc-level Jaccard (q17 asks "are these docs similar?"; this
     * asks "do they share any long run of text?", catching a quoted
@@ -2246,7 +2289,8 @@ object Queries {
     "q109_source_divergence" -> (sourceDivergence _),
     "q110_simhash64_pairs" -> (simhash64Pairs _),
     "q111_calibration_buckets" -> (calibrationBuckets _),
-    "q112_snapshot_drift" -> (snapshotDrift _))
+    "q112_snapshot_drift" -> (snapshotDrift _),
+    "q113_retrieval_capped" -> (retrievalCapped _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -4299,5 +4343,30 @@ object Queries {
            FROM a FULL OUTER JOIN b ON a.text = b.text)
          SELECT status, source, count(*) AS n_texts,
            CAST(sum(n_chars) AS BIGINT) AS chars_total
-         FROM j GROUP BY 1, 2""")
+         FROM j GROUP BY 1, 2""",
+    "q113_retrieval_capped" ->
+      """WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+         bg AS (
+           SELECT DISTINCT doc_id,
+             unnest(list_transform(generate_series(1, len(toks)-1),
+               i -> toks[i] || ' ' || toks[i+1])) AS ph
+           FROM tk WHERE len(toks) >= 2),
+         ct AS (SELECT doc_id, ph FROM bg WHERE doc_id % 25 <> 0),
+         dfc AS (
+           SELECT ph, CAST(1000000 // count(*) AS BIGINT) AS w
+           FROM ct GROUP BY ph HAVING count(*) <= 30),
+         qt AS (SELECT doc_id AS query_id, ph FROM bg WHERE doc_id % 25 = 0),
+         sc AS (
+           SELECT q.query_id, c.doc_id, CAST(sum(d.w) AS BIGINT) AS score
+           FROM qt q
+           JOIN dfc d ON q.ph = d.ph
+           JOIN ct c ON q.ph = c.ph
+           GROUP BY 1, 2)
+         SELECT query_id, CAST(rn AS BIGINT) AS rank, doc_id, score FROM (
+           SELECT query_id, doc_id, score,
+             row_number() OVER (PARTITION BY query_id
+               ORDER BY score DESC, doc_id) AS rn
+           FROM sc) WHERE rn <= 3""")
 }

@@ -562,6 +562,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!finalTree.contains("Window"), finalTree.take(1500))
   }
 
+  test("q113 capped retrieval: phrase joins shuffle-hash; cap prunes pre-join; heap top-k; no Window") {
+    val plan = planOf(Queries.retrievalCapped(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    // every relation here grows with the corpus (postings, capped
+    // phrase weights, query phrases) — nothing may broadcast; the
+    // top-3 must ride the bounded-heap aggregator, not a Window sort
+    assert(finalTree.contains("ShuffledHashJoin"), finalTree.take(1500))
+    assert(!finalTree.contains("BroadcastExchange"), finalTree.take(1500))
+    assert(!finalTree.contains("Window"), finalTree.take(1500))
+    assert(finalTree.contains("ObjectHashAggregate"), finalTree.take(1500))
+  }
+
   test("q49: survivor resolution drops losers via an anti join") {
     // the pair/cluster lineage is cut by the per-iteration
     // localCheckpoint (its join shape is audited at q17), so the final
