@@ -486,6 +486,69 @@ object Queries {
       .select(col("lang"), col("thr"), col("n_kept"), col("tokens_kept"))
   }
 
+  /** Quality-WEIGHTED deterministic subsampling — score-proportional
+    * Bernoulli admission without an RNG: doc d is admitted iff
+    * `hash(doc_id) mod 1000 < quality(d)`, so P(admit) = quality/1000
+    * exactly, per-doc decisions are reproducible across engines, runs,
+    * and retries (the property that makes the sample auditable and the
+    * pipeline idempotent — a seeded RNG loses it the moment
+    * partitioning changes), and the whole pass is a map-only
+    * projection + one partial-agged rollup. The hash is an explicit
+    * affine-mod chain (`(id·2654435761 + 12345) mod 1000003 mod 1000`,
+    * prime modulus to decorrelate from id patterns; the 3-in-1000003
+    * residue bias is deterministic and documented) rather than an
+    * engine-native hash, so any SQL engine replays it bit-for-bit.
+    * This is the admission shape score-filtered corpus construction
+    * actually uses at 100 TB: no sort, no threshold recomputation, no
+    * state — each executor admits its rows independently. */
+  def weightedAdmission(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val sc = t(spark, sfDir, "documents").select(col("doc_id"), col("lang"),
+      col("source"), tokenCount(col("text")).as("n_tokens"),
+      qualityScore(col("text")).as("quality"))
+    val adm = when(
+      pmod(pmod(col("doc_id") * 2654435761L + 12345L, lit(1000003L)), lit(1000L))
+        < col("quality"), 1L).otherwise(0L)
+    sc.select(col("source"), col("lang"), col("n_tokens"), adm.as("adm"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_in"),
+        sum(col("adm")).as("n_admitted"),
+        sum(when(col("adm") === 1L, col("n_tokens")).otherwise(0L))
+          .as("tokens_admitted"))
+  }
+
+  /** Template-lead consolidation with a PROVENANCE-RANKED survivor
+    * election: docs sharing the same 6-token lead (the same boilerplate
+    * intro / template family) form a group, and the group keeps the
+    * copy from the highest-priority source — priority DERIVED FROM THE
+    * DATA as the source's corpus-wide mean quality (milli-units), ties
+    * broken by lowest doc_id. This is the dedup policy real curation
+    * uses when copies differ by provenance ("keep the curated mirror's
+    * copy, not the crawl's"), vs q49's neutral min-id rule. The
+    * election is ONE partial-agged argmax per group: the composite
+    * preference (priority desc, doc_id asc) is packed into a single
+    * monotonic long (`prio·10⁹ − doc_id`; doc_id < 10⁹ by corpus id
+    * discipline, prio ≤ 10⁶ ⇒ no overflow), so `max_by` carries the
+    * survivor's payload with map-side combine — no Window, no
+    * join-back. The priority relation is source-domain-bounded (tiny)
+    * and broadcast; the corpus shuffles once on the group key. */
+  def leadSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val sc = t(spark, sfDir, "documents").select(col("doc_id"), col("source"),
+      concat_ws(" ", slice(tokens(col("text")), 1, 6)).as("pfx"),
+      qualityScore(col("text")).as("quality"))
+    val prio = sc.groupBy(col("source")).agg(
+      floor(sum(col("quality")) * lit(1000.0) / count(lit(1))).cast("long")
+        .as("prio"))
+    val key = col("prio") * 1000000000L - col("doc_id")
+    sc.join(broadcast(prio), "source")
+      .groupBy(col("pfx"))
+      .agg(max_by(col("doc_id"), key).as("doc_id"),
+        max_by(col("source"), key).as("source"),
+        count(lit(1)).as("n_copies"))
+      .select(col("doc_id"), col("source"), col("n_copies"))
+  }
+
   /** Quality-classifier CALIBRATION buckets — the audit a curation
     * pipeline runs on its own admission rule: per (source, global
     * quality decile), how many docs the per-lang 75th-percentile gate
@@ -2290,7 +2353,9 @@ object Queries {
     "q110_simhash64_pairs" -> (simhash64Pairs _),
     "q111_calibration_buckets" -> (calibrationBuckets _),
     "q112_snapshot_drift" -> (snapshotDrift _),
-    "q113_retrieval_capped" -> (retrievalCapped _))
+    "q113_retrieval_capped" -> (retrievalCapped _),
+    "q114_weighted_admission" -> (weightedAdmission _),
+    "q115_lead_survivors" -> (leadSurvivors _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -4368,5 +4433,46 @@ object Queries {
            SELECT query_id, doc_id, score,
              row_number() OVER (PARTITION BY query_id
                ORDER BY score DESC, doc_id) AS rn
-           FROM sc) WHERE rn <= 3""")
+           FROM sc) WHERE rn <= 3""",
+    "q114_weighted_admission" ->
+      """WITH sc AS (
+           SELECT doc_id, lang, source,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+             CAST(least(len(regexp_split_to_array(trim(text), '\s+')), 100) * 5
+               + floor(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                   t -> t IN ('the','a','an','of','and','is','in','to','it','that')))
+                 * 500.0 / len(regexp_split_to_array(trim(text), '\s+')))
+               AS BIGINT) AS quality
+           FROM documents),
+         adm AS (
+           SELECT source, lang, n_tokens,
+             CASE WHEN (doc_id * 2654435761 + 12345) % 1000003 % 1000 < quality
+               THEN 1 ELSE 0 END AS adm
+           FROM sc)
+         SELECT source, lang, count(*) AS n_in,
+           CAST(sum(adm) AS BIGINT) AS n_admitted,
+           CAST(sum(CASE WHEN adm = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS tokens_admitted
+         FROM adm GROUP BY 1, 2""",
+    "q115_lead_survivors" ->
+      """WITH sc AS (
+           SELECT doc_id, source,
+             array_to_string(regexp_split_to_array(trim(text), '\s+')[1:6], ' ')
+               AS pfx,
+             CAST(least(len(regexp_split_to_array(trim(text), '\s+')), 100) * 5
+               + floor(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                   t -> t IN ('the','a','an','of','and','is','in','to','it','that')))
+                 * 500.0 / len(regexp_split_to_array(trim(text), '\s+')))
+               AS BIGINT) AS quality
+           FROM documents),
+         prio AS (
+           SELECT source,
+             CAST(floor(sum(quality) * 1000.0 / count(*)) AS BIGINT) AS prio
+           FROM sc GROUP BY 1)
+         SELECT
+           arg_max(s.doc_id, p.prio * 1000000000 - s.doc_id) AS doc_id,
+           arg_max(s.source, p.prio * 1000000000 - s.doc_id) AS source,
+           count(*) AS n_copies
+         FROM sc s JOIN prio p USING (source)
+         GROUP BY s.pfx""")
 }

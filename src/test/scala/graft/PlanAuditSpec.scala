@@ -574,6 +574,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(finalTree.contains("ObjectHashAggregate"), finalTree.take(1500))
   }
 
+  test("q115 lead survivors: priority broadcast; one partial-agged argmax; no Window, no join-back") {
+    val plan = planOf(Queries.leadSurvivors(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    // the source-priority relation is domain-bounded — broadcast is
+    // right at any corpus scale; the election must partial-agg map-side
+    // (max_by carries the payload) with no Window and no second join
+    assert(finalTree.contains("BroadcastHashJoin"), finalTree.take(1500))
+    assert(finalTree.toLowerCase.contains("partial_max_by"), finalTree.take(1500))
+    assert(!finalTree.contains("Window"), finalTree.take(1500))
+    assert(!finalTree.contains("SortMergeJoin"), finalTree.take(1500))
+  }
+
   test("q49: survivor resolution drops losers via an anti join") {
     // the pair/cluster lineage is cut by the per-iteration
     // localCheckpoint (its join shape is audited at q17), so the final
