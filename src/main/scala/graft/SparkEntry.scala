@@ -904,6 +904,22 @@ object Queries {
       .agg(count(lit(1)).as("n_texts"), sum(col("n_chars")).as("chars_total"))
   }
 
+  /** [[Dedup.lshDedupAgainst]] under the oracle gate — incremental
+    * NEAR-dedup of an arriving batch (doc_id % 7 = 0) against the
+    * standing corpus (the rest): LSH-banded cross-side candidate join,
+    * exact-Jaccard ≥ 0.5 verification, left-anti survival. [[q85
+    * incrementalDedup|incrementalDedup]] is this at exact-key level;
+    * real crawl ingest needs the near-dup level because re-crawled
+    * pages drift (boilerplate, timestamps) without becoming new
+    * content. */
+  def incrementalNearDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    Dedup.lshDedupAgainst(
+      docs.filter(col("doc_id") % 7 === 0),
+      docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
   /** MinHash ESTIMATION quality under the gate (the q53 discipline
     * applied to similarity sketches): for every exact near-dup pair,
     * the Jaccard estimate read off 24 MinHash signature components
@@ -2355,7 +2371,8 @@ object Queries {
     "q112_snapshot_drift" -> (snapshotDrift _),
     "q113_retrieval_capped" -> (retrievalCapped _),
     "q114_weighted_admission" -> (weightedAdmission _),
-    "q115_lead_survivors" -> (leadSurvivors _))
+    "q115_lead_survivors" -> (leadSurvivors _),
+    "q116_incr_near_dedup" -> (incrementalNearDedup _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -4474,5 +4491,47 @@ object Queries {
            arg_max(s.source, p.prio * 1000000000 - s.doc_id) AS source,
            count(*) AS n_copies
          FROM sc s JOIN prio p USING (source)
-         GROUP BY s.pfx""")
+         GROUP BY s.pfx""",
+    "q116_incr_near_dedup" ->
+      """WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         shg AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks)-2),
+                         i -> array_to_string(toks[i:i+2], ' '))
+             END AS shingles
+           FROM tk),
+         shh AS (
+           SELECT doc_id, list_distinct(list_transform(shingles, s ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 131 + c) % 1000000007))) AS sh
+           FROM shg),
+         sig AS (
+           SELECT doc_id, list_transform(generate_series(0, 23), i ->
+             list_min(list_transform(sh, s -> ((2*i+1)*s + i*1000003) % 1000000007))) AS sig
+           FROM shh),
+         bands AS (
+           SELECT doc_id, b,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*3+1 : b*3+3]),
+               (h, v) -> (h * 131 + v) % 1000000007) AS bh
+           FROM sig, (SELECT unnest(generate_series(0, 7)) AS b)),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS bid, c.doc_id AS cid
+           FROM bands a JOIN bands c ON a.b = c.b AND a.bh = c.bh
+           WHERE a.doc_id % 7 = 0 AND c.doc_id % 7 <> 0),
+         ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shh),
+         common AS (
+           SELECT a.doc_id AS bid, c.doc_id AS cid, a.n AS na, c.n AS nc,
+             count(*) AS cnt
+           FROM ex a JOIN ex c ON a.s = c.s
+           JOIN cand ON cand.bid = a.doc_id AND cand.cid = c.doc_id
+           GROUP BY 1, 2, 3, 4),
+         hits AS (
+           SELECT DISTINCT bid FROM common
+           WHERE floor(cnt * 1000000.0 / (na + nc - cnt)) >= 500000)
+         SELECT d.doc_id, d.source, d.n_chars FROM documents d
+         WHERE d.doc_id % 7 = 0
+           AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.bid = d.doc_id)""")
 }

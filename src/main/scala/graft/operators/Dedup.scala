@@ -316,6 +316,73 @@ object Dedup {
       .select(col("id1"), col("id2"), col("jac_micro"))
   }
 
+  /** Incremental NEAR-dedup — the crawl-ingest shape: a batch doc is
+    * dropped when LSH discovery + exact-Jaccard verification finds a
+    * near-dup of it in the standing CORPUS. This is [[dedupAgainst]]
+    * lifted from exact-key to near-dup semantics, and the #1 dedup
+    * pass a recurring-crawl pipeline runs (new crawl vs everything
+    * already ingested).
+    *
+    * Scale shape: both sides are corpus-scale, so NOTHING broadcasts —
+    * candidate generation is the banded signature equi-join on
+    * (band, band-hash) between the two keyed relations (shuffle-hash
+    * pinned; only signature collisions pair up, never all-pairs);
+    * verification joins the candidate pairs back to both sides'
+    * shingle sets and keeps exact Jaccard ≥ threshold; the surviving
+    * batch is one left-anti on the batch id. At deployment scale the
+    * corpus-side signatures and sets are precomputed artifacts of the
+    * ingest that built the corpus, so an incremental run pays only the
+    * batch's hashing plus the keyed joins.
+    *
+    * @return batch rows whose text has no verified near-dup in corpus
+    */
+  def lshDedupAgainst(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      numHashes: Int = 24,
+      bands: Int = 8,
+      shingleN: Int = 3,
+      minJaccardMicro: Long = 500000L): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    def prep(df: DataFrame): (DataFrame, DataFrame) = {
+      val par = computeParallelism(df)
+      val sets = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+        .repartition(par)
+        .select(col("id"), shingleSet(col("text"), shingleN).as("sh"))
+        .repartition(par, col("id"))
+      val keyed = sets
+        .select(col("id"), minHashSignatureFromHashes(col("sh"), numHashes).as("sig"))
+        .select(col("id"),
+          posexplode(lshBandKeys(col("sig"), bands, r)).as(Seq("band", "bh")))
+        .hint("shuffle_hash") // post-explode size defeats broadcast estimates
+      (sets, keyed)
+    }
+    val (bSets, bKeys) = prep(batch)
+    val (cSets, cKeys) = prep(corpus)
+    val cand = bKeys.as("a").join(cKeys.as("c"),
+        col("a.band") === col("c.band") && col("a.bh") === col("c.bh"))
+      .select(col("a.id").as("bid"), col("c.id").as("cid")).distinct()
+    val contaminated = cand
+      .join(bSets.select(col("id").as("bid"), col("sh").as("sha"))
+        .hint("shuffle_hash"), "bid")
+      .join(cSets.select(col("id").as("cid"), col("sh").as("shc"))
+        .hint("shuffle_hash"), "cid")
+      .withColumn("c", size(array_intersect(col("sha"), col("shc"))))
+      .filter(floor(col("c") * lit(1000000.0)
+        / (size(col("sha")) + size(col("shc")) - col("c"))).cast("long")
+        >= minJaccardMicro)
+      .select(col("bid")).distinct()
+    // the contaminated-id relation is bounded by the BATCH, which is
+    // corpus-scale at deployment — pin the anti probe shuffle-hash
+    // like every corpus-derived join here (AQE would broadcast it at
+    // test scale and discover the overflow only in production)
+    batch.join(contaminated.hint("shuffle_hash"),
+      batch(idCol).cast("long") === contaminated("bid"), "left_anti")
+  }
+
   /** Connected components over near-dup PAIRS → (id, cluster_id), where
     * `cluster_id` is the smallest id reachable through the pair graph
     * (a total, deterministic cluster representative — the same

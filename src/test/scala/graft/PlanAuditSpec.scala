@@ -586,6 +586,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!finalTree.contains("SortMergeJoin"), finalTree.take(1500))
   }
 
+  test("q116 incremental near-dedup: cross-side banded join shuffle-hash; nothing broadcast; left-anti survival") {
+    val plan = planOf(Queries.incrementalNearDedup(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    // batch AND corpus are corpus-scale: the banded candidate join and
+    // the set-verify joins must all ride shuffle-hash, and the
+    // survival step must be a left-anti — no broadcast anywhere
+    assert(finalTree.contains("ShuffledHashJoin"), finalTree.take(1500))
+    assert(!finalTree.contains("BroadcastExchange"), finalTree.take(1500))
+    assert(finalTree.toLowerCase.contains("leftanti"), finalTree.take(1500))
+    assert(!finalTree.contains("CartesianProduct"), finalTree.take(1500))
+  }
+
   test("q49: survivor resolution drops losers via an anti join") {
     // the pair/cluster lineage is cut by the per-iteration
     // localCheckpoint (its join shape is audited at q17), so the final

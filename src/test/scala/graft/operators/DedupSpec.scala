@@ -101,6 +101,18 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((1L, 2L, 1L), (1L, 3L, 1L)))
   }
 
+  test("lshDedupAgainst: batch near-dups of corpus dropped; novel batch docs survive") {
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"), // exact dup of corpus 0
+      (101L, "the quick brown fox jumps over the lazy cat"), // near-dup of corpus 0
+      (102L, "totally novel content with no corpus overlap at all")
+    ).toDF("doc_id", "text")
+    val corpus = docs.select($"doc_id", $"text")
+    val surv = Dedup.lshDedupAgainst(batch, corpus, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(surv === Set(102L), s"got $surv")
+  }
+
   test("cosinePairs: colinear vectors score 1e6, orthogonal filtered out") {
     val vecs = Seq(
       (0L, Seq(1.0, 0.0)), (1L, Seq(2.0, 0.0)), (2L, Seq(0.0, 1.0))
