@@ -1702,6 +1702,38 @@ object Queries {
       tokensCol = "n_tokens", capacity = 512L)
   }
 
+  /** Packing-efficiency audit — the two numbers a pre-training team
+    * tracks about its context-window layout ([[packSequences]]'s
+    * concat-and-chunk model): the STRADDLE rate (docs cut by a window
+    * boundary — their attention span is damaged; a doc straddles when
+    * its last token's window differs from its first's) and the TAIL
+    * waste (the one partially-filled final window per shard — concat-
+    * and-chunk's only padding). Per source: doc/window/token counts,
+    * straddling docs, floor-permille straddle rate, tail waste. Same
+    * scale shape as q59 (one per-shard running-sum window, then one
+    * partial-agged rollup); integer-exact throughout. */
+  def packingEfficiency(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = t(spark, sfDir, "documents").select(
+      col("doc_id"), col("source"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    val assigned = Packing.assignPacks(docs, groupCol = "source",
+      orderCol = "doc_id", tokensCol = "n_tokens", capacity = 512L)
+      .withColumn("end_pack",
+        floor((col("tok_before") + col("n_tokens") - 1) / 512.0).cast("long"))
+    assigned.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        (max(col("pack_id")) + 1).as("n_packs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("end_pack") =!= col("pack_id"), 1L).otherwise(0L))
+          .as("n_straddling"))
+      .select(col("source"), col("n_docs"), col("n_packs"),
+        col("total_tokens"), col("n_straddling"),
+        floor(col("n_straddling") * lit(1000.0) / col("n_docs")).cast("long")
+          .as("straddle_permille"),
+        (col("n_packs") * 512L - col("total_tokens")).as("tail_waste"))
+  }
+
   /** Semi-structured extraction: parse the `props` JSON column with an
     * explicit schema (`from_json` — codegen'd Jackson parse, no UDF)
     * and aggregate by event type and a derived key bucket. The parse
@@ -2372,7 +2404,8 @@ object Queries {
     "q113_retrieval_capped" -> (retrievalCapped _),
     "q114_weighted_admission" -> (weightedAdmission _),
     "q115_lead_survivors" -> (leadSurvivors _),
-    "q116_incr_near_dedup" -> (incrementalNearDedup _))
+    "q116_incr_near_dedup" -> (incrementalNearDedup _),
+    "q117_packing_efficiency" -> (packingEfficiency _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -4533,5 +4566,30 @@ object Queries {
            WHERE floor(cnt * 1000000.0 / (na + nc - cnt)) >= 500000)
          SELECT d.doc_id, d.source, d.n_chars FROM documents d
          WHERE d.doc_id % 7 = 0
-           AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.bid = d.doc_id)""")
+           AND NOT EXISTS (SELECT 1 FROM hits h WHERE h.bid = d.doc_id)""",
+    "q117_packing_efficiency" ->
+      """WITH tk AS (
+           SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents),
+         a AS (
+           SELECT source, doc_id, n_tokens,
+             CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS tok_before
+           FROM tk),
+         b AS (
+           SELECT source, n_tokens,
+             CAST(floor(tok_before / 512.0) AS BIGINT) AS pack_id,
+             CAST(floor((tok_before + n_tokens - 1) / 512.0) AS BIGINT) AS end_pack
+           FROM a)
+         SELECT source, count(*) AS n_docs,
+           CAST(max(pack_id) + 1 AS BIGINT) AS n_packs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN end_pack <> pack_id THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_straddling,
+           CAST(floor(sum(CASE WHEN end_pack <> pack_id THEN 1 ELSE 0 END)
+             * 1000.0 / count(*)) AS BIGINT) AS straddle_permille,
+           CAST((max(pack_id) + 1) * 512 - sum(n_tokens) AS BIGINT) AS tail_waste
+         FROM b GROUP BY source""")
 }
