@@ -973,6 +973,22 @@ object Queries {
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
+  /** Near-dup cluster-size DISTRIBUTION — the dedup-health audit run
+    * after clustering ([[neardupClusters]]): how many clusters exist at
+    * each size, and how many docs they hold. The number ops teams watch
+    * is the tail: a mega-cluster (thousands of "near-dups" of one
+    * template) means boilerplate broke shingling and the dedup pass is
+    * about to delete a source wholesale. Two tiny partial-agged
+    * groupBys on top of the clustering — the histogram's cardinality
+    * is bounded by the largest cluster size, so every relation past
+    * the first agg is negligible at any corpus scale. */
+  def clusterSizeHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    neardupClusters(spark, sfDir)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+
   // ---------------------------------------------------------------------
   // Similarity search (operators/SimilaritySearch)
   // ---------------------------------------------------------------------
@@ -2405,7 +2421,8 @@ object Queries {
     "q114_weighted_admission" -> (weightedAdmission _),
     "q115_lead_survivors" -> (leadSurvivors _),
     "q116_incr_near_dedup" -> (incrementalNearDedup _),
-    "q117_packing_efficiency" -> (packingEfficiency _))
+    "q117_packing_efficiency" -> (packingEfficiency _),
+    "q118_cluster_sizes" -> (clusterSizeHistogram _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -4591,5 +4608,48 @@ object Queries {
            CAST(floor(sum(CASE WHEN end_pack <> pack_id THEN 1 ELSE 0 END)
              * 1000.0 / count(*)) AS BIGINT) AS straddle_permille,
            CAST((max(pack_id) + 1) * 512 - sum(n_tokens) AS BIGINT) AS tail_waste
-         FROM b GROUP BY source""")
+         FROM b GROUP BY source""",
+    "q118_cluster_sizes" ->
+      """WITH RECURSIVE tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         shg AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks)-2),
+                         i -> array_to_string(toks[i:i+2], ' '))
+             END AS shingles
+           FROM tk),
+         shh AS (
+           SELECT doc_id, list_distinct(list_transform(shingles, s ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 131 + c) % 1000000007))) AS sh
+           FROM shg),
+         ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shh),
+         common AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS na, b.n AS nb, count(*) AS c
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         pairs AS (
+           SELECT id1, id2 FROM common
+           WHERE floor(c * 1000000.0 / (na + nb - c)) >= 500000),
+         edges AS (
+           SELECT id1 AS a, id2 AS b FROM pairs
+           UNION ALL
+           SELECT id2, id1 FROM pairs),
+         reach AS (
+           SELECT a, b AS r FROM edges
+           UNION
+           SELECT e.a, t.r FROM edges e JOIN reach t ON e.b = t.a),
+         mins AS (SELECT a, min(r) AS mr FROM reach GROUP BY a),
+         cl AS (
+           SELECT d.doc_id,
+             CAST(CASE WHEN m.a IS NULL THEN d.doc_id
+                       ELSE least(m.mr, d.doc_id) END AS BIGINT) AS cluster_id
+           FROM documents d LEFT JOIN mins m ON d.doc_id = m.a),
+         sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+           FROM cl GROUP BY 1)
+         SELECT cluster_size, count(*) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+         FROM sz GROUP BY cluster_size""")
 }
