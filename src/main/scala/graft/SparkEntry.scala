@@ -1683,6 +1683,28 @@ object Queries {
       .agg(count(lit(1)).as("n_shared_ngrams"))
   }
 
+  /** Eval-side contamination REPORT — [[decontamination]]'s complement:
+    * q56 answers "which TRAIN docs leak eval content?" (drop them from
+    * training); this answers "which EVAL docs are compromised, and how
+    * broadly?" (drop or re-source THEM — the integrity audit a
+    * benchmark owner runs before trusting a score). Per contaminated
+    * eval doc: distinct train docs sharing ≥ 1 word-4-gram and distinct
+    * shared 4-grams. Same shingle-hash join as q56 keyed the other way;
+    * the train side is corpus-scale so it rides shuffle-hash (never
+    * broadcast); the two count-distincts expand only the MATCHED pair
+    * relation (bounded by actual leakage, not the corpus). */
+  def evalContamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val bench = docs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"), explode(Dedup.shingleSet(col("text"), 4)).as("s"))
+    val train = docs.filter(col("doc_id") % 25 =!= 0)
+      .select(col("doc_id").as("tid"), explode(Dedup.shingleSet(col("text"), 4)).as("s"))
+    bench.join(train.hint("shuffle_hash"), "s")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("tid")).as("n_train_docs"),
+        countDistinct(col("s")).as("n_shared_ngrams"))
+  }
+
   /** [[decontamination]] through the Bloom-runtime-filter scale path
     * ([[Dedup.sharedKeyCountsBloom]]): when the eval suite outgrows
     * broadcast, the shingle join must shuffle — this variant builds a
@@ -2422,7 +2444,8 @@ object Queries {
     "q115_lead_survivors" -> (leadSurvivors _),
     "q116_incr_near_dedup" -> (incrementalNearDedup _),
     "q117_packing_efficiency" -> (packingEfficiency _),
-    "q118_cluster_sizes" -> (clusterSizeHistogram _))
+    "q118_cluster_sizes" -> (clusterSizeHistogram _),
+    "q119_eval_contamination" -> (evalContamination _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -4651,5 +4674,29 @@ object Queries {
            FROM cl GROUP BY 1)
          SELECT cluster_size, count(*) AS n_clusters,
            CAST(cluster_size * count(*) AS BIGINT) AS n_docs
-         FROM sz GROUP BY cluster_size""")
+         FROM sz GROUP BY cluster_size""",
+    "q119_eval_contamination" ->
+      """WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+         shg AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) <= 4 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks)-3),
+                         i -> array_to_string(toks[i:i+3], ' '))
+             END AS shingles
+           FROM tk),
+         shh AS (
+           SELECT doc_id, list_distinct(list_transform(shingles, s ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 131 + c) % 1000000007))) AS sh
+           FROM shg),
+         b AS (SELECT doc_id, unnest(sh) AS s FROM shh WHERE doc_id % 25 = 0),
+         tr AS (SELECT doc_id AS tid, unnest(sh) AS s FROM shh WHERE doc_id % 25 <> 0)
+         SELECT b.doc_id,
+           CAST(count(DISTINCT tr.tid) AS BIGINT) AS n_train_docs,
+           CAST(count(DISTINCT b.s) AS BIGINT) AS n_shared_ngrams
+         FROM b JOIN tr ON b.s = tr.s
+         GROUP BY b.doc_id""")
 }
