@@ -96,6 +96,32 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark("_content_hash")
       .drop("_content_hash")
 
+  /** Ingest-time dedup against the STANDING corpus — the stream-static
+    * twin of [[graft.operators.Dedup.dedupAgainst]] (and the streaming
+    * half of the q116 incremental shape): an arriving doc is dropped
+    * when its content hash already exists in the static corpus
+    * relation. Structured Streaming's stream-static LEFT ANTI join
+    * (stream left, static right) keeps this stateless on the stream
+    * side — the static side is planned per micro-batch like any batch
+    * relation, so corpus-side pruning/bucketing applies and nothing
+    * lives in the state store. Compose with [[dedupDocStream]] upstream
+    * for within-stream first-wins semantics; the 64-bit content-hash
+    * collision analysis there applies here unchanged.
+    *
+    * @param corpus static relation holding already-ingested documents
+    * @return the stream rows whose text is absent from the corpus
+    */
+  def dedupAgainstCorpusStream(
+      stream: DataFrame,
+      corpus: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val corpusHashes = corpus
+      .select(xxhash64(col(textCol)).as("_content_hash")).distinct()
+    stream.withColumn("_content_hash", xxhash64(col(textCol)))
+      .join(corpusHashes, Seq("_content_hash"), "left_anti")
+      .drop("_content_hash")
+  }
+
   /** Streaming MinHash-LSH near-dup candidates: each arriving document
     * is banded exactly like the batch path
     * ([[graft.operators.Dedup.lshCandidates]] — same shingle hashes,

@@ -38,6 +38,30 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupAgainstCorpusStream: corpus members dropped, novel docs flow through") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "already ingested text one"),
+      (2L, "already ingested text two")
+    ).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val out = StreamingOps.dedupAgainstCorpusStream(
+      in.toDF().toDF("doc_id", "text"), corpus)
+    val q = out.writeStream.format("memory").queryName("corpus_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (10L, "already ingested text one"), // dup of corpus 1 → dropped
+        (11L, "fresh novel content"),
+        (12L, "already ingested text two")) // dup of corpus 2 → dropped
+      q.processAllAvailable()
+      in.addData((13L, "another novel doc"))
+      q.processAllAvailable()
+      val got = spark.table("corpus_dedup").select($"doc_id").as[Long].collect().toSet
+      assert(got === Set(11L, 13L))
+    } finally q.stop()
+  }
+
   test("knnScoringWriter: per-batch KNN predictions against static train") {
     implicit val sqlCtx = spark.sqlContext
     val train = Seq(
