@@ -254,7 +254,10 @@ object Queries {
     * term pair up); per-query top-3 goes through the bounded-heap
     * aggregator, no Window. Scale lever for web corpora: cap/drop
     * ultra-high-df terms before the join (q34's doc-freq-cap pattern)
-    * — fan-out per term is q_count·doc_count. Bench note: THIS
+    * — fan-out per term is q_count·doc_count; [[retrievalCapped]]
+    * (q113) is that lever shipped and sf1-measured (linear where this
+    * worst case is ~quadratic — BASELINE.md scaling table). Bench
+    * note: THIS
     * synthetic corpus has a ~31-token vocabulary, so every query
     * shares terms with nearly every doc and the candidate matrix is
     * fully dense — the worst case by construction; real corpora are
