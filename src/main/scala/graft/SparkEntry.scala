@@ -552,6 +552,56 @@ object Queries {
       .select(col("doc_id"), col("source"), col("n_copies"))
   }
 
+  /** Temperature-scaled language sampling (T = 2) — the multilingual
+    * rebalance multilingual pre-training actually uses (sample
+    * languages ∝ share^(1/T), flattening the head without letting the
+    * tail dominate). Where [[langRebalance]] (q101) equalizes toward
+    * uniform, this interpolates: per-lang weight w_l = ⌊√(n_l·10⁶)⌋,
+    * relative rate ρ_l ∝ w_l·N/(Σw·n_l), normalized so the rarest
+    * language samples at 1.0, and each doc admitted by the q114
+    * deterministic hash rule (admit iff h·10⁶ < rate_micro·1000003 —
+    * an exact floor-proportioned fraction of the prime hash range, no
+    * RNG, idempotent). Everything after the one √ is INTEGER
+    * arithmetic: the √ of an exactly-representable double is
+    * correctly rounded by IEEE-754 in every engine, the weight sums
+    * are exact integer sums (no FP accumulation-order hazard), and the
+    * ratios are decimal(38) integral divides (the q109 technique).
+    * Scale shape: two lang-domain-bounded aggregates broadcast into
+    * one map-side admission projection over a single corpus scan. */
+  def temperatureSampling(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val dec = "decimal(38,0)"
+    val docs = t(spark, sfDir, "documents").select(col("doc_id"), col("lang"),
+      TextFunctions.tokenCount(col("text")).as("n_tokens"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+    val grand = counts.agg(sum(col("n_l")).as("n_total"))
+    val w = counts.crossJoin(broadcast(grand))
+      .select(col("lang"), col("n_l"), col("n_total"),
+        floor(sqrt(col("n_l").cast("double") * lit(1000000.0))).cast("long")
+          .as("w_l"))
+    val sw = w.agg(sum(col("w_l")).as("sum_w"))
+    val rho = w.crossJoin(broadcast(sw))
+      .select(col("lang"),
+        expr(s"CAST((CAST(w_l AS $dec) * CAST(n_total AS $dec)" +
+          s" * CAST(1000000 AS $dec)) div" +
+          s" (CAST(sum_w AS $dec) * CAST(n_l AS $dec)) AS LONG)").as("rho"))
+    val m = rho.agg(max(col("rho")).as("mx"))
+    val rates = rho.crossJoin(broadcast(m))
+      .select(col("lang"),
+        expr(s"CAST((CAST(rho AS $dec) * CAST(1000000 AS $dec))" +
+          s" div CAST(mx AS $dec) AS LONG)").as("rate_micro"))
+    val adm = when(
+      pmod(col("doc_id") * 2654435761L + 12345L, lit(1000003L)) * 1000000L
+        < col("rate_micro") * 1000003L, 1L).otherwise(0L)
+    docs.join(broadcast(rates), "lang")
+      .select(col("lang"), col("rate_micro"), col("n_tokens"), adm.as("adm"))
+      .groupBy(col("lang"), col("rate_micro"))
+      .agg(count(lit(1)).as("n_in"),
+        sum(col("adm")).as("n_admitted"),
+        sum(when(col("adm") === 1L, col("n_tokens")).otherwise(0L))
+          .as("tokens_admitted"))
+  }
+
   /** Quality-classifier CALIBRATION buckets — the audit a curation
     * pipeline runs on its own admission rule: per (source, global
     * quality decile), how many docs the per-lang 75th-percentile gate
@@ -2448,7 +2498,8 @@ object Queries {
     "q116_incr_near_dedup" -> (incrementalNearDedup _),
     "q117_packing_efficiency" -> (packingEfficiency _),
     "q118_cluster_sizes" -> (clusterSizeHistogram _),
-    "q119_eval_contamination" -> (evalContamination _))
+    "q119_eval_contamination" -> (evalContamination _),
+    "q120_temperature_sampling" -> (temperatureSampling _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -4701,5 +4752,38 @@ object Queries {
            CAST(count(DISTINCT tr.tid) AS BIGINT) AS n_train_docs,
            CAST(count(DISTINCT b.s) AS BIGINT) AS n_shared_ngrams
          FROM b JOIN tr ON b.s = tr.s
-         GROUP BY b.doc_id""")
+         GROUP BY b.doc_id""",
+    "q120_temperature_sampling" ->
+      """WITH d AS (
+           SELECT doc_id, lang,
+             len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+           FROM documents),
+         c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_l FROM d GROUP BY 1),
+         g AS (SELECT CAST(sum(n_l) AS BIGINT) AS n_total FROM c),
+         w AS (
+           SELECT lang, n_l, n_total,
+             CAST(floor(sqrt(CAST(n_l AS DOUBLE) * 1000000.0)) AS BIGINT) AS w_l
+           FROM c, g),
+         sw AS (SELECT CAST(sum(w_l) AS BIGINT) AS sum_w FROM w),
+         rho AS (
+           SELECT lang, n_l,
+             CAST((CAST(w_l AS HUGEINT) * CAST(n_total AS HUGEINT) * 1000000)
+               // (CAST(sum_w AS HUGEINT) * CAST(n_l AS HUGEINT)) AS BIGINT) AS rho
+           FROM w, sw),
+         m AS (SELECT max(rho) AS mx FROM rho),
+         rates AS (
+           SELECT lang,
+             CAST((CAST(rho AS HUGEINT) * 1000000) // CAST(mx AS HUGEINT)
+               AS BIGINT) AS rate_micro
+           FROM rho, m),
+         x AS (
+           SELECT d.lang, r.rate_micro, d.n_tokens,
+             CASE WHEN ((d.doc_id * 2654435761 + 12345) % 1000003) * 1000000
+                  < r.rate_micro * 1000003 THEN 1 ELSE 0 END AS adm
+           FROM d JOIN rates r USING (lang))
+         SELECT lang, rate_micro, count(*) AS n_in,
+           CAST(sum(adm) AS BIGINT) AS n_admitted,
+           CAST(sum(CASE WHEN adm = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS tokens_admitted
+         FROM x GROUP BY 1, 2""")
 }
