@@ -38,10 +38,13 @@ import org.apache.spark.sql.functions._
   *    near-identity — the cap excludes both), and reps 7..12 dealing
   *    over the REVERSED tail (spacing −k), doubling the variant space
   *    so even a 10-token pure-tail doc gets distinct perms for all
-  *    reps. Tails of ≤ 8 tokens — where the capped deal degenerates
-  *    (identity at L ≤ 4, mostly-rep-independent at L = 5..8) — use a
-  *    rep-keyed rotation instead (see the inline note at `dealPos`).
-  *    The tail deal depends on the tail length,
+  *    reps. Tails of 2..9 tokens — where the capped deal degenerates
+  *    (identity at L ≤ 4, mostly-rep-independent at L = 5..8, a k-cap
+  *    collision at L = 9) and where a rep-keyed ROTATION would leave
+  *    cross-replica word-3-gram Jaccard ≥ 0.5 (two rotations of an
+  *    L-token ring share ≥ L−6 of its L cyclic 3-grams) — read a
+  *    per-length table of offline-verified permutations instead (see
+  *    `ShortTailPerms`). The tail deal depends on the tail length,
   *    so near-dup pairs of unequal length lose only their ≤ 12-token
   *    tail overlap — full-block overlap, which dominates for the
   *    planted prefix-aligned pairs, is exact. Because quality score,
@@ -66,6 +69,60 @@ object ScaleUp {
   private val KeyShift = 10000000L // doc/user/vec id space per replica
   private val BigShift = 1000000000L // event/order id space per replica
 
+  /** Permutation tables for ragged tails of 2..9 tokens, indexed
+    * `ShortTailPerms(L−2)(permIdx)(outputPos) = sourcePos` with
+    * `permIdx = (rep−1) mod 12`. Found by offline greedy search
+    * (exhaustive over all L! permutations for L ≤ 8, rejection-sampled
+    * at L = 9) and verified by ScaleUpSpec: for L = 5..9 the 12 table
+    * perms plus the identity (rep 0) share ZERO consecutive-position
+    * 3-grams pairwise; at L = 4 at most 1 of 2 (Jaccard 1/3) — every
+    * pair strictly below the engine's ≥ 0.5 near-dup gate, which a
+    * rotation scheme cannot achieve (rotations of one ring are
+    * pairwise ≥ 0.5 at L = 8). L = 9 is in the table rather than the
+    * deal because the deal's k-cap (L−3 = 6) collides reps 5 and 6
+    * onto the same k = 6 there; from L = 10 up, k = 2..7 with the rev
+    * doubling yields 12 distinct zero-overlap perms.
+    * L = 3 cycles the 5 non-identity perms (worst cross-replica clone
+    * family ⌈11/5⌉ = 3 — at ≤ 3 tokens the engine's shingle fallback
+    * is the whole text, so only EXACT clones pair up) and L = 2 has
+    * only the swap (all 11 perturbed reps coincide — the documented
+    * floor, like the necessarily invariant 1-token tail).
+    */
+  private val ShortTailPerms: Seq[Seq[Seq[Int]]] = Seq(
+    Seq.fill(12)(Seq(1, 0)), // L=2: the swap is the only non-identity perm
+    Seq(Seq(0, 2, 1), Seq(1, 0, 2), Seq(1, 2, 0), Seq(2, 0, 1), Seq(2, 1, 0),
+      Seq(0, 2, 1), Seq(1, 0, 2), Seq(1, 2, 0), Seq(2, 0, 1), Seq(2, 1, 0),
+      Seq(0, 2, 1), Seq(1, 0, 2)), // L=3: 5-cycle of the non-identity perms
+    Seq(Seq(2, 1, 0, 3), Seq(2, 3, 1, 0), Seq(1, 0, 2, 3), Seq(1, 3, 2, 0),
+      Seq(3, 1, 2, 0), Seq(1, 3, 0, 2), Seq(0, 2, 1, 3), Seq(0, 3, 2, 1),
+      Seq(2, 3, 0, 1), Seq(2, 0, 3, 1), Seq(2, 0, 1, 3), Seq(1, 0, 3, 2)),
+    Seq(Seq(2, 1, 3, 4, 0), Seq(4, 1, 0, 3, 2), Seq(4, 0, 2, 3, 1),
+      Seq(2, 1, 4, 3, 0), Seq(3, 0, 1, 4, 2), Seq(0, 4, 3, 1, 2),
+      Seq(1, 2, 0, 3, 4), Seq(1, 0, 2, 4, 3), Seq(2, 4, 1, 3, 0),
+      Seq(2, 4, 0, 3, 1), Seq(3, 2, 0, 4, 1), Seq(0, 1, 3, 2, 4)),
+    Seq(Seq(2, 3, 5, 0, 1, 4), Seq(1, 0, 5, 2, 4, 3), Seq(3, 4, 0, 2, 1, 5),
+      Seq(0, 4, 2, 1, 3, 5), Seq(1, 0, 4, 5, 2, 3), Seq(0, 1, 3, 2, 4, 5),
+      Seq(1, 5, 4, 2, 3, 0), Seq(3, 1, 2, 4, 0, 5), Seq(4, 5, 1, 0, 2, 3),
+      Seq(4, 2, 5, 3, 0, 1), Seq(3, 2, 5, 4, 1, 0), Seq(4, 3, 1, 5, 0, 2)),
+    Seq(Seq(2, 4, 3, 0, 5, 6, 1), Seq(3, 2, 0, 6, 5, 4, 1),
+      Seq(6, 1, 0, 3, 2, 5, 4), Seq(1, 6, 4, 0, 2, 3, 5),
+      Seq(3, 4, 6, 0, 1, 5, 2), Seq(0, 3, 1, 2, 5, 6, 4),
+      Seq(1, 6, 2, 0, 4, 5, 3), Seq(1, 2, 0, 3, 5, 4, 6),
+      Seq(1, 5, 3, 6, 0, 2, 4), Seq(1, 4, 0, 3, 6, 5, 2),
+      Seq(4, 5, 2, 6, 3, 0, 1), Seq(6, 5, 3, 0, 2, 1, 4)),
+    Seq(Seq(2, 3, 5, 1, 4, 0, 6, 7), Seq(4, 3, 5, 7, 2, 6, 0, 1),
+      Seq(1, 5, 0, 4, 6, 3, 7, 2), Seq(2, 5, 6, 4, 1, 0, 7, 3),
+      Seq(6, 0, 3, 1, 7, 5, 2, 4), Seq(6, 3, 2, 1, 0, 5, 4, 7),
+      Seq(0, 6, 1, 2, 4, 7, 3, 5), Seq(2, 0, 5, 7, 1, 3, 4, 6),
+      Seq(0, 3, 6, 7, 2, 5, 4, 1), Seq(7, 6, 5, 3, 0, 2, 4, 1),
+      Seq(0, 7, 5, 1, 6, 3, 4, 2), Seq(3, 4, 7, 0, 5, 2, 6, 1)),
+    Seq(Seq(6, 8, 0, 2, 4, 3, 1, 5, 7), Seq(5, 3, 4, 1, 2, 8, 0, 7, 6),
+      Seq(4, 1, 5, 0, 2, 3, 8, 6, 7), Seq(6, 5, 4, 7, 1, 3, 8, 2, 0),
+      Seq(3, 5, 7, 0, 1, 4, 6, 2, 8), Seq(1, 8, 5, 7, 6, 0, 3, 4, 2),
+      Seq(8, 3, 6, 1, 4, 7, 2, 5, 0), Seq(3, 0, 5, 2, 7, 1, 8, 4, 6),
+      Seq(1, 3, 4, 6, 0, 7, 5, 8, 2), Seq(8, 6, 4, 0, 2, 5, 3, 7, 1),
+      Seq(4, 2, 8, 5, 0, 3, 7, 6, 1), Seq(2, 7, 4, 3, 6, 0, 5, 1, 8)))
+
   private def withReps(spark: SparkSession, df: DataFrame, reps: Int): DataFrame =
     df.crossJoin(broadcast(spark.range(reps).toDF("rep")))
 
@@ -81,15 +138,18 @@ object ScaleUp {
     // output position o (0-based) reads source position
     //   (o - o mod 13) + (o mod 13)·stride mod 13     inside full blocks;
     //   tailStart + pile(p) + j·k  (deal into k piles) in the ragged tail
+    val permTab = typedlit(ShortTailPerms)
     val permuted = transform(sequence(lit(0), sz - 1), o => {
       val blockStart = o - pmod(o, lit(B))
       val t = o - tailStart // 0-based position within the tail
       // tail deal parameters — only evaluated for rep ≥ 1 (the rep-0
-      // branch keeps the source text verbatim): k walks 2..7 and the
-      // second six reps deal over the REVERSED tail, doubling the
-      // variant space so even a 10-token pure-tail doc gets 9 distinct
-      // non-identity perms (k = L would be identity, k = L−1 is
-      // near-identity — both excluded by the L−3 cap)
+      // branch keeps the source text verbatim) and tails ≥ 10 (shorter
+      // tails read ShortTailPerms): k walks 2..7 and the second six
+      // reps deal over the REVERSED tail, doubling the variant space —
+      // at L ≥ 10 the L−3 cap no longer binds inside the k range, so
+      // the 12 (k, rev) variants are pairwise-distinct zero-overlap
+      // perms (k = L would be identity, k = L−1 near-identity — both
+      // excluded by the cap)
       val idx = stride - 2 // = rep − 1
       val rev = pmod(idx, lit(12)) >= 6
       val k = least(lit(2) + pmod(idx, lit(6)), greatest(tailLen - 3, lit(1)))
@@ -99,35 +159,34 @@ object ScaleUp {
       val p = when(t < boundary, floor(t / (q + 1)).cast("int"))
         .otherwise(r + floor((t - boundary) / q).cast("int"))
       val j = when(t < boundary, pmod(t, q + 1)).otherwise(pmod(t - boundary, q))
-      // Tails of ≤ 8 tokens get little-to-no decorrelation from the
-      // deal: at L ≤ 4 the k = 1 floor deals to the IDENTITY (a
-      // pure-tail doc that short would repeat verbatim across reps
-      // 1..6 — an artificial cross-replica exact-dup family), and at
-      // L = 5..8 the L−3 cap collapses most reps onto the same k
-      // (e.g. L = 6 pins k = 3 for reps 2..6: a 5-wide clone family).
-      // Those tails rotate by 1 + (rep−1) mod (L−1) instead: never
-      // ≡ 0 mod L, so no rep reproduces rep 0's text, and with the
-      // rev doubling the variant count is 2(L−1) — the worst clone
-      // group is ⌈6/(L−1)⌉ ≤ 2 for L ≥ 4 (3 at L = 3; at L = 2 the
-      // swap is the ONLY non-identity perm, so all 11 perturbed reps
-      // coincide — the documented floor, like the necessarily
-      // invariant 1-token tail). Rotated clones share only cyclic
-      // 3-grams (cross-replica Jaccard ≤ ~0.5 at L = 8, less below —
-      // under every near-dup threshold the engine gates on), which is
-      // why the deal still owns L ≥ 9 where it yields distinct
-      // zero-overlap perms. All floors are spec'd in ScaleUpSpec.
-      val rotAmt = lit(1) + pmod(idx, greatest(tailLen - 1, lit(1)))
-      val dealPos = when(tailLen <= 8, pmod(t + rotAmt, tailLen))
-        .otherwise(p + j * k)
-      // rev ∘ rotation degenerates to the identity exactly at L = 2
-      // (reverse IS the swap) — guard so reps 7..12 can't reproduce
-      // rep 0 there
+      val dealPos = p + j * k
+      // Tails of 2..9 tokens get little-to-no decorrelation from the
+      // deal (at L ≤ 4 the k = 1 floor deals to the IDENTITY; at
+      // L = 5..8 the L−3 cap collapses most reps onto the same k; at
+      // L = 9 it collides reps 5/6), and rep-keyed rotation — the
+      // round-9 scheme — is not enough either: two rotations of an
+      // L-token ring share all but ≤ 6 of its L cyclic 3-grams, so at
+      // L = 8 every rotation pair sits exactly AT the engine's ≥ 0.5
+      // near-dup gate and short pure-tail docs formed cross-replica
+      // near-dup cliques (ADVICE r9). Those tails instead read a
+      // per-length table of offline-searched perms with verified
+      // pairwise 3-gram overlap (zero at L = 5..9, ≤ 1 of 2 at L = 4 —
+      // Jaccard ≤ 1/3, strictly under every gate); see ShortTailPerms
+      // for the L ≤ 3 exact-clone floors. The deal owns L ≥ 10 where
+      // it yields distinct zero-overlap perms. All floors and the
+      // < 0.5 cross-replica bound are spec'd in ScaleUpSpec.
+      val tablePos = element_at(
+        element_at(element_at(permTab, (tailLen - 1).cast("int")),
+          (pmod(idx, lit(12)) + 1).cast("int")),
+        (t + 1).cast("int"))
       element_at(toks, lit(1) +
         when(o < tailStart,
           blockStart + pmod(pmod(o, lit(B)) * stride, lit(B)))
           .otherwise(tailStart +
-            when(rev && (tailLen > 2), tailLen - 1 - dealPos)
-              .otherwise(dealPos)))
+            when(tailLen <= 1, t)
+              .when(tailLen <= 9, tablePos)
+              .otherwise(when(rev, tailLen - 1 - dealPos)
+                .otherwise(dealPos))))
     })
     withReps(spark, src, reps)
       .select((col("doc_id") + col("rep") * KeyShift).as("doc_id"),

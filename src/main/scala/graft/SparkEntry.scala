@@ -1802,27 +1802,16 @@ object Queries {
     * and-chunk's only padding). Per source: doc/window/token counts,
     * straddling docs, floor-permille straddle rate, tail waste. Same
     * scale shape as q59 (one per-shard running-sum window, then one
-    * partial-agged rollup); integer-exact throughout. */
+    * partial-agged rollup); integer-exact throughout. Straddle-aware
+    * window counting (`max(end_pack)+1`) lives in
+    * [[graft.operators.Packing.packAudit]]. */
   def packingEfficiency(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.TextFunctions
     val docs = t(spark, sfDir, "documents").select(
       col("doc_id"), col("source"),
       TextFunctions.tokenCount(col("text")).as("n_tokens"))
-    val assigned = Packing.assignPacks(docs, groupCol = "source",
-      orderCol = "doc_id", tokensCol = "n_tokens", capacity = 512L)
-      .withColumn("end_pack",
-        floor((col("tok_before") + col("n_tokens") - 1) / 512.0).cast("long"))
-    assigned.groupBy(col("source")).agg(
-        count(lit(1)).as("n_docs"),
-        (max(col("pack_id")) + 1).as("n_packs"),
-        sum(col("n_tokens")).as("total_tokens"),
-        sum(when(col("end_pack") =!= col("pack_id"), 1L).otherwise(0L))
-          .as("n_straddling"))
-      .select(col("source"), col("n_docs"), col("n_packs"),
-        col("total_tokens"), col("n_straddling"),
-        floor(col("n_straddling") * lit(1000.0) / col("n_docs")).cast("long")
-          .as("straddle_permille"),
-        (col("n_packs") * 512L - col("total_tokens")).as("tail_waste"))
+    Packing.packAudit(docs, groupCol = "source", orderCol = "doc_id",
+      tokensCol = "n_tokens", capacity = 512L)
   }
 
   /** Semi-structured extraction: parse the `props` JSON column with an
@@ -4678,13 +4667,13 @@ object Queries {
              CAST(floor((tok_before + n_tokens - 1) / 512.0) AS BIGINT) AS end_pack
            FROM a)
          SELECT source, count(*) AS n_docs,
-           CAST(max(pack_id) + 1 AS BIGINT) AS n_packs,
+           CAST(max(end_pack) + 1 AS BIGINT) AS n_packs,
            CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
            CAST(sum(CASE WHEN end_pack <> pack_id THEN 1 ELSE 0 END) AS BIGINT)
              AS n_straddling,
            CAST(floor(sum(CASE WHEN end_pack <> pack_id THEN 1 ELSE 0 END)
              * 1000.0 / count(*)) AS BIGINT) AS straddle_permille,
-           CAST((max(pack_id) + 1) * 512 - sum(n_tokens) AS BIGINT) AS tail_waste
+           CAST((max(end_pack) + 1) * 512 - sum(n_tokens) AS BIGINT) AS tail_waste
          FROM b GROUP BY source""",
     "q118_cluster_sizes" ->
       """WITH RECURSIVE tk AS (

@@ -329,10 +329,18 @@ object Dedup {
     * pinned; only signature collisions pair up, never all-pairs);
     * verification joins the candidate pairs back to both sides'
     * shingle sets and keeps exact Jaccard ≥ threshold; the surviving
-    * batch is one left-anti on the batch id. At deployment scale the
-    * corpus-side signatures and sets are precomputed artifacts of the
-    * ingest that built the corpus, so an incremental run pays only the
-    * batch's hashing plus the keyed joins.
+    * batch is one left-anti on the batch id.
+    *
+    * Each side's per-doc tokenization + shingle hashing runs ONCE: the
+    * id-keyed repartition in `prep` is the materialization point, and
+    * both its consumers (band-key derivation and the verify join) read
+    * the same shuffle output via Spark's ReuseExchange — the identical
+    * discipline as [[lshVerifiedPairs]], pinned by the PlanAuditSpec
+    * q116 exchange-reuse test (>=2 ReusedExchange/ReusedQueryStage
+    * nodes in the executed plan). At deployment scale the corpus-side
+    * signatures and sets are precomputed artifacts of the ingest that
+    * built the corpus, so an incremental run pays only the batch's
+    * hashing plus the keyed joins.
     *
     * @return batch rows whose text has no verified near-dup in corpus
     */

@@ -72,4 +72,36 @@ object Packing {
         sum(col(tokensCol)).cast("long").as("pack_tokens"),
         min(col(orderCol)).as("first_doc"),
         max(col(orderCol)).as("last_doc"))
+
+  /** Packing-efficiency audit per shard: straddle rate (docs cut by a
+    * window boundary) and tail waste (padding in the one partially
+    * filled final window). The shard's window count is
+    * `max(end_pack)+1`, NOT `max(pack_id)+1`: when the last doc itself
+    * straddles the final boundary it still occupies that last window
+    * (`end_pack >= pack_id` always, since every doc has >= 1 token),
+    * and counting start-windows only would drive `tail_waste` negative
+    * there (e.g. a lone 600-token doc at capacity 512 occupies 2
+    * windows and wastes 424 tokens, not -88).
+    */
+  def packAudit(
+      docs: DataFrame,
+      groupCol: String,
+      orderCol: String,
+      tokensCol: String,
+      capacity: Long): DataFrame =
+    assignPacks(docs, groupCol, orderCol, tokensCol, capacity)
+      .withColumn("end_pack",
+        floor((col("tok_before") + col(tokensCol) - 1) / capacity).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (max(col("end_pack")) + 1).as("n_packs"),
+        sum(col(tokensCol)).cast("long").as("total_tokens"),
+        sum(when(col("end_pack") =!= col("pack_id"), 1L).otherwise(0L))
+          .as("n_straddling"))
+      .select(col(groupCol), col("n_docs"), col("n_packs"),
+        col("total_tokens"), col("n_straddling"),
+        floor(col("n_straddling") * lit(1000.0) / col("n_docs")).cast("long")
+          .as("straddle_permille"),
+        (col("n_packs") * capacity - col("total_tokens")).as("tail_waste"))
 }

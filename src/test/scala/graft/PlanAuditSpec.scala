@@ -71,6 +71,18 @@ class PlanAuditSpec extends SparkSpec {
       || plan.contains("table cache"), plan.take(2000))
   }
 
+  test("q116: per-side shingle sets are staged once (banding + verify reuse the exchange)") {
+    val df = Queries.incrementalNearDedup(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // each side's id-keyed shingle exchange feeds both the band-key
+    // derivation and the verify join; the second consumer must be an
+    // exchange/stage reuse or the per-doc tokenization runs twice per side
+    val reuses = "ReusedExchange|ReusedQueryStage|table cache".r
+      .findAllIn(plan).length
+    assert(reuses >= 2, s"expected >=2 exchange reuses (one per side), got $reuses:\n${plan.take(2500)}")
+  }
+
   test("q33: LSH cosine discovery never broadcasts a corpus-derived relation") {
     val plan = planOf(Queries.cosineLsh(spark, sf))
     assert(!plan.contains("BroadcastExchange"), plan.take(1500))

@@ -85,11 +85,12 @@ class ScaleUpSpec extends SparkSpec {
     }
   }
 
-  test("short pure-tail docs (2–9 tokens) never repeat rep 0; clone families bounded") {
-    // L ≤ 4 hits the deal's k = 1 identity floor and L = 5..8 collapses
-    // most reps onto the same k — without the rotation branch those
-    // lengths clone verbatim across reps. L = 9 exercises the first
-    // real deal; L = 1 is the documented invariant floor.
+  test("short pure-tail docs (2–10 tokens) never repeat rep 0; clone families bounded") {
+    // L ≤ 4 hits the deal's k = 1 identity floor, L = 5..8 collapses
+    // most reps onto the same k, and L = 9's k-cap collides reps 5/6 —
+    // without the ShortTailPerms table those lengths clone across
+    // reps. L = 10 exercises the first real deal; L = 1 is the
+    // documented invariant floor.
     val short = Seq(
       (10L, "s1", "en", "srcS"),
       (11L, "t1 t2", "en", "srcS"),
@@ -99,29 +100,59 @@ class ScaleUpSpec extends SparkSpec {
       (15L, "x1 x2 x3 x4 x5 x6", "en", "srcS"),
       (16L, "y1 y2 y3 y4 y5 y6 y7", "en", "srcS"),
       (17L, "z1 z2 z3 z4 z5 z6 z7 z8", "en", "srcS"),
-      (18L, "a1 a2 a3 a4 a5 a6 a7 a8 a9", "en", "srcS"))
+      (18L, "a1 a2 a3 a4 a5 a6 a7 a8 a9", "en", "srcS"),
+      (19L, "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10", "en", "srcS"))
       .toDF("doc_id", "text", "lang", "source")
       .withColumn("n_chars", length(col("text")).cast("long"))
     val out = ScaleUp.scaleDocuments(spark, short, 12).cache()
-    for (orig <- 11L to 18L) {
+    for (orig <- 11L to 19L) {
       val ts = textsOf(out, orig, 12)
       // token multiset preserved by every perm
       assert(ts.forall(_.split(" ").sorted.sameElements(ts.head.split(" ").sorted)))
       for (r <- 1 until 12)
         assert(ts(r) != ts(0), s"doc $orig rep $r reproduced rep 0: ${ts(r)}")
     }
-    // clone-family bound: worst group of identical perturbed reps is
-    // ⌈6/(L−1)⌉ ≤ 2 for L ≥ 4 (3 at L = 3) — never the 5-6-wide family
-    // the degenerate deal produced
-    for (orig <- 13L to 18L) {
-      val groups = textsOf(out, orig, 12).drop(1).groupBy(identity).values.map(_.size)
-      assert(groups.max <= 2, s"doc $orig has a ${groups.max}-wide cross-replica clone family")
+    // L ≥ 4: the table perms (and the L = 10 deal) are pairwise
+    // DISTINCT across all perturbed reps — no cross-replica clone
+    // families at all
+    for (orig <- 13L to 19L) {
+      val ts = textsOf(out, orig, 12)
+      assert(ts.distinct.size === ts.size,
+        s"doc $orig has identical texts across replicas: $ts")
     }
+    // L = 3 cycles 5 non-identity perms: worst family ⌈11/5⌉ = 3
     assert(textsOf(out, 12L, 12).drop(1).groupBy(identity).values.map(_.size).max <= 3)
     // the documented floors: a 1-token doc is invariant under every
     // perm; a 2-token doc has exactly one non-identity perm (the swap)
     assert(textsOf(out, 10L, 12).toSet === Set("s1"))
     assert(textsOf(out, 11L, 12).drop(1).toSet === Set("t2 t1"))
+  }
+
+  test("short pure-tail docs: every cross-replica pair strictly below the 0.5 Jaccard gate") {
+    // The ADVICE-r9 hole: rep-keyed ROTATION left L ≤ 8 pure-tail docs
+    // at word-3-gram Jaccard ≥ 0.5 across replicas (28/28 rotation
+    // pairs at L = 8 passed the engine's jac_micro ≥ 500000 gate),
+    // re-forming the reps² candidate cliques the generator exists to
+    // avoid. The ShortTailPerms tables are offline-verified to stay
+    // strictly below: zero shared 3-grams at L = 5..9, ≤ 1 of 2
+    // (Jaccard 1/3) at L = 4. Pinned here against rep 0 AND pairwise,
+    // with L = 10 covering the first length the deal owns.
+    val short = (4 to 10).map { l =>
+      (20L + l, (1 to l).map(i => s"g${l}x$i").mkString(" "), "en", "srcG")
+    }.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val out = ScaleUp.scaleDocuments(spark, short, 12).cache()
+    for (l <- 4 to 10) {
+      val ts = textsOf(out, 20L + l, 12)
+      for (i <- 0 until 12; j <- i + 1 until 12)
+        assert(jac(ts(i), ts(j)) < 0.5,
+          s"L=$l reps $i/$j at/above the gate: ${ts(i)} | ${ts(j)}")
+    }
+    // and through the ENGINE's own near-dup gate: zero cross-replica
+    // pairs at the default jac_micro >= 500000 threshold
+    val pairs = graft.operators.Dedup.jaccardPairs(out, "doc_id", "text")
+      .filter(floor(col("id1") / 10000000L) =!= floor(col("id2") / 10000000L))
+    assert(pairs.count() === 0L)
   }
 
   test("prefix-aligned near-dup pairs keep their within-replica Jaccard") {

@@ -42,6 +42,23 @@ class PackingSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), s"global sort in packing plan:\n$plan")
   }
 
+  test("audit counts the straddled final window — tail_waste never negative") {
+    // A lone 600-token doc occupies windows 0 and 1: n_packs = 2 (from
+    // end_pack, not pack_id), tail_waste = 2*512 - 600 = 424, and the
+    // doc itself counts as straddling.
+    val d = docs(("a", 1, 600))
+    val r = Packing.packAudit(d, "src", "id", "toks", 512L).head
+    assert(r.getAs[Long]("n_packs") === 2L)
+    assert(r.getAs[Long]("tail_waste") === 424L)
+    assert(r.getAs[Long]("n_straddling") === 1L)
+    // Non-straddling shard: 500 + 12 tokens exactly fill window 0.
+    val full = docs(("b", 1, 500), ("b", 2, 12))
+    val rf = Packing.packAudit(full, "src", "id", "toks", 512L).head
+    assert(rf.getAs[Long]("n_packs") === 1L)
+    assert(rf.getAs[Long]("tail_waste") === 0L)
+    assert(rf.getAs[Long]("n_straddling") === 0L)
+  }
+
   test("capacity must be positive") {
     intercept[IllegalArgumentException] {
       Packing.assignPacks(docs(("a", 1, 1)), "src", "id", "toks", 0L)
