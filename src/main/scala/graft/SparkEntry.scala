@@ -193,6 +193,28 @@ object Queries {
     Dedup.lshVerifiedPairs(t(spark, sfDir, "documents"), "doc_id", "text",
       numHashes = 24, bands = 8, shingleN = 3, minJaccardMicro = 500000L)
 
+  /** [[minhashLsh]] under a bucket-width cap of 2 — the 100 TB guard
+    * against a template mega-cluster turning one (band, key) bucket
+    * into an all-pairs join ([[graft.operators.Dedup.dropWideBuckets]]).
+    * The cap is deliberately set low enough to FIRE on the test corpus
+    * (sf0.01 has 8 width-3 buckets), so the oracle gates the drop
+    * mechanism, not a no-op: pairs only discoverable through over-wide
+    * buckets vanish, pairs with any surviving narrow band stay. Recall
+    * vs the uncapped [[minhashLsh]] is documented in BASELINE.md. */
+  def cappedLsh(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.lshVerifiedPairs(t(spark, sfDir, "documents"), "doc_id", "text",
+      numHashes = 24, bands = 8, shingleN = 3, minJaccardMicro = 500000L,
+      maxBucketWidth = Some(2))
+
+  /** [[graft.operators.Dedup.lshBucketAudit]] at the same parameters
+    * and cap as [[cappedLsh]] — the drop accounting a pipeline alerts
+    * on (per band: bucket count, max width, buckets/rows over the
+    * cap). Everything integer-exact, so the oracle pins the banding
+    * bit-for-bit. */
+  def lshBucketAudit(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.lshBucketAudit(t(spark, sfDir, "documents"), "doc_id", "text",
+      maxBucketWidth = 2, numHashes = 24, bands = 8, shingleN = 3)
+
   /** 32-bit SimHash pairs within Hamming distance 2 (pigeonhole-banded
     * join, popcount-verified). */
   def simhashPairs(spark: SparkSession, sfDir: String): DataFrame =
@@ -2488,7 +2510,9 @@ object Queries {
     "q117_packing_efficiency" -> (packingEfficiency _),
     "q118_cluster_sizes" -> (clusterSizeHistogram _),
     "q119_eval_contamination" -> (evalContamination _),
-    "q120_temperature_sampling" -> (temperatureSampling _))
+    "q120_temperature_sampling" -> (temperatureSampling _),
+    "q121_capped_lsh" -> (cappedLsh _),
+    "q122_lsh_bucket_audit" -> (lshBucketAudit _))
 
   /** q07's oracle, shared verbatim with q54 (the blocked variant must be
     * bit-equal to the broadcast-whole path). */
@@ -4774,5 +4798,82 @@ object Queries {
            CAST(sum(adm) AS BIGINT) AS n_admitted,
            CAST(sum(CASE WHEN adm = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
              AS tokens_admitted
-         FROM x GROUP BY 1, 2""")
+         FROM x GROUP BY 1, 2""",
+    "q121_capped_lsh" ->
+      """WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         shg AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks)-2),
+                         i -> array_to_string(toks[i:i+2], ' '))
+             END AS shingles
+           FROM tk),
+         shh AS (
+           SELECT doc_id, list_distinct(list_transform(shingles, s ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 131 + c) % 1000000007))) AS sh
+           FROM shg),
+         sig AS (
+           SELECT doc_id, list_transform(generate_series(0, 23), i ->
+             list_min(list_transform(sh, s -> ((2*i+1)*s + i*1000003) % 1000000007))) AS sig
+           FROM shh),
+         bands AS (
+           SELECT doc_id, b,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*3+1 : b*3+3]),
+               (h, v) -> (h * 131 + v) % 1000000007) AS bh
+           FROM sig, (SELECT unnest(generate_series(0, 7)) AS b)),
+         bw AS (SELECT b, bh, count(*) AS w FROM bands GROUP BY b, bh),
+         kept AS (
+           SELECT bands.doc_id, bands.b, bands.bh
+           FROM bands JOIN bw USING (b, bh) WHERE w <= 2),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
+           FROM kept a JOIN kept b2
+             ON a.b = b2.b AND a.bh = b2.bh AND a.doc_id < b2.doc_id),
+         ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shh),
+         common AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS na, b.n AS nb, count(*) AS c
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         jac AS (
+           SELECT id1, id2,
+             CAST(floor(c * 1000000.0 / (na + nb - c)) AS BIGINT) AS jac_micro
+           FROM common
+           WHERE floor(c * 1000000.0 / (na + nb - c)) >= 500000)
+         SELECT j.id1, j.id2, j.jac_micro
+         FROM jac j JOIN cand USING (id1, id2)""",
+    "q122_lsh_bucket_audit" ->
+      """WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         shg AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks)-2),
+                         i -> array_to_string(toks[i:i+2], ' '))
+             END AS shingles
+           FROM tk),
+         shh AS (
+           SELECT doc_id, list_distinct(list_transform(shingles, s ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 131 + c) % 1000000007))) AS sh
+           FROM shg),
+         sig AS (
+           SELECT doc_id, list_transform(generate_series(0, 23), i ->
+             list_min(list_transform(sh, s -> ((2*i+1)*s + i*1000003) % 1000000007))) AS sig
+           FROM shh),
+         bands AS (
+           SELECT doc_id, b,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), sig[b*3+1 : b*3+3]),
+               (h, v) -> (h * 131 + v) % 1000000007) AS bh
+           FROM sig, (SELECT unnest(generate_series(0, 7)) AS b)),
+         bw AS (SELECT b, bh, count(*) AS w FROM bands GROUP BY b, bh)
+         SELECT CAST(b AS BIGINT) AS band,
+           count(*) AS n_buckets,
+           CAST(max(w) AS BIGINT) AS max_width,
+           CAST(sum(CASE WHEN w > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+           CAST(sum(CASE WHEN w > 2 THEN w ELSE 0 END) AS BIGINT) AS rows_dropped
+         FROM bw GROUP BY b""")
 }

@@ -228,11 +228,60 @@ object Dedup {
       }
     }: _*)
 
+  /** Drop `(band, key)` buckets wider than `cap` rows from a keyed
+    * banding relation before its candidate join — the batch twin of
+    * [[graft.streaming.StreamingOps.lshCandidateStream]]'s per-bucket
+    * state cap, and the banding analogue of [[jaccardPairs]]'s
+    * document-frequency cap.
+    *
+    * WHY: a banding self-join's cost is Σ width² over buckets. One
+    * template mega-cluster (a boilerplate page crawled a million
+    * times) lands its members in ONE bucket per band and that bucket
+    * alone joins 10¹² pairs — the single remaining all-pairs blow-up a
+    * 100 TB corpus can trigger in these paths. Dropping the whole
+    * over-wide bucket (not truncating it — truncation is
+    * row-order-dependent and thus non-deterministic in batch) bounds
+    * every bucket's fan-out at cap², at a recall cost confined to
+    * pairs ONLY discoverable through mega-buckets: members of such a
+    * cluster still pair up via any band whose bucket stays narrow, and
+    * a cluster so hot that every band overflows is exactly the
+    * boilerplate a curation pipeline handles by template-level rules,
+    * not pairwise dedup. The drop is observable: [[lshBucketAudit]]
+    * emits per-band dropped-bucket accounting under the same cap.
+    *
+    * One aggregation + one left-anti join, both keyed on (band, key) —
+    * the same partitioning the candidate join shuffles on anyway, so
+    * the cap's own cost is a partial-agged count per bucket. The wide
+    * relation is corpus-derived (could hold millions of hot buckets at
+    * scale), so the anti probe is shuffle-hash pinned like every other
+    * corpus-derived join here.
+    */
+  private def dropWideBuckets(
+      keyed: DataFrame,
+      bandCol: String,
+      keyCol: String,
+      cap: Int): DataFrame = {
+    require(cap >= 2, s"maxBucketWidth must be >= 2 (a 1-wide bucket joins nothing), got $cap")
+    val wide = keyed.groupBy(col(bandCol), col(keyCol))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") > cap)
+      .select(col(bandCol), col(keyCol))
+    keyed.join(wide.hint("shuffle_hash"), Seq(bandCol, keyCol), "left_anti")
+      // re-pin after the anti join: the surviving keyed relation is the
+      // candidate join's input and inherits none of the pre-anti hint
+      .hint("shuffle_hash")
+  }
+
   /** MinHash-LSH candidate pairs: docs agreeing on ≥ 1 of the
     * `bands` band keys. The join key is (band index, band hash) — at
     * scale this is the discovery path: shuffle = rows × bands, with the
     * collision probability of a pair at Jaccard j being
     * `1 − (1 − j^rowsPerBand)^bands`.
+    *
+    * `maxBucketWidth` (recommended at corpus scale) drops (band, key)
+    * buckets wider than the cap before the self-join — see
+    * [[dropWideBuckets]] for the blow-up this prevents and the recall
+    * contract.
     *
     * @return (id1, id2) with id1 < id2, distinct
     */
@@ -242,10 +291,11 @@ object Dedup {
       textCol: String,
       numHashes: Int = 24,
       bands: Int = 8,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3,
+      maxBucketWidth: Option[Int] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val keyed = df.repartition(computeParallelism(df), col(idCol)) // parallelize per-doc hashing (see jaccardPairs)
+    val keyed0 = df.repartition(computeParallelism(df), col(idCol)) // parallelize per-doc hashing (see jaccardPairs)
       .select(col(idCol).cast("long").as("id"),
         shingleSet(col(textCol), shingleN).as("sh"))
       .select(col("id"),
@@ -253,11 +303,50 @@ object Dedup {
       .select(col("id"),
         posexplode(lshBandKeys(col("sig"), bands, r)).as(Seq("band", "bh")))
       .hint("shuffle_hash") // see jaccardPairs: post-explode size defeats broadcast estimates
+    val keyed = maxBucketWidth.fold(keyed0)(dropWideBuckets(keyed0, "band", "bh", _))
     val a = keyed.as("a"); val b = keyed.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
         && col("a.id") < col("b.id"))
       .select(col("a.id").as("id1"), col("b.id").as("id2"))
       .distinct()
+  }
+
+  /** Per-band bucket-width accounting for the MinHash-LSH banding of a
+    * corpus under a width cap — the observability half of
+    * [[dropWideBuckets]]: what a `maxBucketWidth`-capped
+    * [[lshCandidates]]/[[lshVerifiedPairs]] run over the same corpus
+    * and parameters would drop, as data instead of a log line. A
+    * pipeline alerts on `n_dropped`/`rows_dropped` drifting up (a new
+    * boilerplate template entering the crawl) exactly like it alerts
+    * on [[jaccardPairs]]'s df-cap via term-frequency profiles.
+    *
+    * One partial-agged groupBy per (band, key) then a tiny per-band
+    * rollup — strictly cheaper than the candidate join it audits.
+    *
+    * @return (band, n_buckets, max_width, n_dropped, rows_dropped) —
+    *         buckets counted at width > `maxBucketWidth`
+    */
+  def lshBucketAudit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxBucketWidth: Int,
+      numHashes: Int = 24,
+      bands: Int = 8,
+      shingleN: Int = 3): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    df.repartition(computeParallelism(df), col(idCol))
+      .select(col(idCol).cast("long").as("id"),
+        minHashSignatureFromHashes(shingleSet(col(textCol), shingleN), numHashes).as("sig"))
+      .select(col("id"),
+        posexplode(lshBandKeys(col("sig"), bands, r)).as(Seq("band", "bh")))
+      .groupBy(col("band"), col("bh")).agg(count(lit(1)).as("w"))
+      .groupBy(col("band").cast("long").as("band")).agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("w")).as("max_width"),
+        sum(when(col("w") > maxBucketWidth, 1L).otherwise(0L)).as("n_dropped"),
+        sum(when(col("w") > maxBucketWidth, col("w")).otherwise(0L)).as("rows_dropped"))
   }
 
   /** MinHash-LSH near-dup pairs, verified: LSH candidates re-scored with
@@ -272,6 +361,10 @@ object Dedup {
     *    equi-joins, never broadcast: candidates grow with the corpus and
     *    its near-dup density, so a driver-side broadcast bound is a
     *    scale-killer even though it happens to fit at test scale.
+    *  - `maxBucketWidth` (recommended at corpus scale) drops over-wide
+    *    (band, key) buckets before the candidate self-join — see
+    *    [[dropWideBuckets]] for the mega-cluster blow-up this prevents
+    *    and [[lshBucketAudit]] for the drop accounting.
     *
     * @return (id1, id2, jac_micro)
     */
@@ -282,7 +375,8 @@ object Dedup {
       numHashes: Int = 24,
       bands: Int = 8,
       shingleN: Int = 3,
-      minJaccardMicro: Long = 500000L): DataFrame = {
+      minJaccardMicro: Long = 500000L,
+      maxBucketWidth: Option[Int] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     val par = computeParallelism(df)
@@ -295,11 +389,12 @@ object Dedup {
       .repartition(par)
       .select(col("id"), shingleSet(col("text"), shingleN).as("sh"))
       .repartition(par, col("id"))
-    val keyed = sets
+    val keyed0 = sets
       .select(col("id"), minHashSignatureFromHashes(col("sh"), numHashes).as("sig"))
       .select(col("id"),
         posexplode(lshBandKeys(col("sig"), bands, r)).as(Seq("band", "bh")))
       .hint("shuffle_hash") // post-explode size defeats broadcast estimates
+    val keyed = maxBucketWidth.fold(keyed0)(dropWideBuckets(keyed0, "band", "bh", _))
     val a = keyed.as("a"); val b = keyed.as("b")
     val cand = a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
         && col("a.id") < col("b.id"))
@@ -352,21 +447,26 @@ object Dedup {
       numHashes: Int = 24,
       bands: Int = 8,
       shingleN: Int = 3,
-      minJaccardMicro: Long = 500000L): DataFrame = {
+      minJaccardMicro: Long = 500000L,
+      maxBucketWidth: Option[Int] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
+    // the width cap applies PER SIDE: a (band, key) bucket's cross-join
+    // cost is |batch bucket| × |corpus bucket|, so capping each side at
+    // `cap` bounds every bucket's fan-out at cap² without either side
+    // needing the other's widths ([[dropWideBuckets]] contract)
     def prep(df: DataFrame): (DataFrame, DataFrame) = {
       val par = computeParallelism(df)
       val sets = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
         .repartition(par)
         .select(col("id"), shingleSet(col("text"), shingleN).as("sh"))
         .repartition(par, col("id"))
-      val keyed = sets
+      val keyed0 = sets
         .select(col("id"), minHashSignatureFromHashes(col("sh"), numHashes).as("sig"))
         .select(col("id"),
           posexplode(lshBandKeys(col("sig"), bands, r)).as(Seq("band", "bh")))
         .hint("shuffle_hash") // post-explode size defeats broadcast estimates
-      (sets, keyed)
+      (sets, maxBucketWidth.fold(keyed0)(dropWideBuckets(keyed0, "band", "bh", _)))
     }
     val (bSets, bKeys) = prep(batch)
     val (cSets, cKeys) = prep(corpus)
@@ -585,6 +685,12 @@ object Dedup {
     * arithmetic) — consistent on both join sides, so correctness is
     * unaffected.
     *
+    * `maxBucketWidth` drops (band, key) buckets wider than the cap
+    * before the candidate join ([[dropWideBuckets]]) — the guard
+    * against a mega-cluster of (near-)identical signatures turning one
+    * bucket into an all-pairs join. Completeness then holds only for
+    * pairs with ≥ 1 agreeing band whose bucket is within the cap.
+    *
     * @param hashed (idCol, hashCol) — hashCol a long holding the low
     *               `bits` bits of the signature
     * @return (id1, id2, hamming) with id1 < id2
@@ -595,18 +701,23 @@ object Dedup {
       hashCol: String,
       maxHamming: Int,
       bits: Int,
-      bands: Int): DataFrame = {
+      bands: Int,
+      maxBucketWidth: Option[Int] = None): DataFrame = {
     require(maxHamming < bands, s"banding is only complete for maxHamming < bands")
     require(bits % bands == 0, "bits must divide into bands")
     require(bits >= bands && bits <= 64, "bits must be in [bands, 64]")
     val w = bits / bands
     val mask = if (w == 64) -1L else (1L << w) - 1
-    val keyed = hashed
+    val keyed0 = hashed
       .select(col(idCol).cast("long").as("id"), col(hashCol).as("sh"))
       .select(col("id"), col("sh"),
         posexplode(array((0 until bands).map(b =>
           shiftright(col("sh"), b * w).bitwiseAND(mask)): _*)).as(Seq("band", "bk")))
       .hint("shuffle_hash") // see jaccardPairs: post-explode size defeats broadcast estimates
+    // the cap costs a WHOLE-SIGNATURE dedup nothing here: identical
+    // hashes stay distinct rows (distinct ids), so a mega-cluster of
+    // byte-identical images is exactly the width blow-up being dropped
+    val keyed = maxBucketWidth.fold(keyed0)(dropWideBuckets(keyed0, "band", "bk", _))
     val a = keyed.as("a"); val b = keyed.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bk") === col("b.bk")
         && col("a.id") < col("b.id"))

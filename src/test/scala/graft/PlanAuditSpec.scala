@@ -83,6 +83,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(reuses >= 2, s"expected >=2 exchange reuses (one per side), got $reuses:\n${plan.take(2500)}")
   }
 
+  test("q121: bucket-width cap adds no broadcast (wide-bucket anti probe is shuffle-hash)") {
+    val plan = planOf(Queries.cappedLsh(spark, sf))
+    // the wide-bucket relation is corpus-derived (millions of hot
+    // buckets at scale) — its left-anti probe must shuffle, and the
+    // capped keyed relation must still hash-join, never broadcast
+    assert(!plan.contains("BroadcastExchange"), plan.take(1500))
+    assert(plan.contains("ShuffledHashJoin"), plan.take(1500))
+  }
+
   test("q33: LSH cosine discovery never broadcasts a corpus-derived relation") {
     val plan = planOf(Queries.cosineLsh(spark, sf))
     assert(!plan.contains("BroadcastExchange"), plan.take(1500))

@@ -47,6 +47,85 @@ class DedupSpec extends SparkSpec {
     assert(v.contains((0L, 3L, 1000000L)))
   }
 
+  // a 6-wide template mega-cluster (identical texts → identical band
+  // keys in EVERY band) next to one ordinary near-dup pair — the
+  // 100 TB failure shape the bucket-width cap exists for, in miniature
+  private lazy val templated: DataFrame = {
+    val template = "some boilerplate navigation header repeated on every single crawled page"
+    (Seq((0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+      (2L, "completely different words entirely here now")) ++
+      (10L to 15L).map(i => (i, template))).toDF("doc_id", "text")
+  }
+
+  test("maxBucketWidth: mega-cluster buckets dropped whole; narrow-bucket pairs survive") {
+    // uncapped: the 6-clique contributes C(6,2)=15 exact-dup pairs
+    val un = Dedup.lshVerifiedPairs(templated, "doc_id", "text")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(un.count { case (a, b, _) => a >= 10L && b >= 10L } === 15)
+    assert(un.contains((0L, 1L, 750000L)))
+    // capped at 4: every template bucket has width 6 > 4 → dropped in
+    // every band → zero template pairs; the (0,1) pair lives in
+    // width-2 buckets and keeps its exact verified score
+    val capped = Dedup.lshVerifiedPairs(templated, "doc_id", "text",
+      maxBucketWidth = Some(4)).as[(Long, Long, Long)].collect().toSet
+    assert(!capped.exists { case (a, b, _) => a >= 10L && b >= 10L },
+      s"mega-cluster pairs leaked through the cap: $capped")
+    assert(capped.contains((0L, 1L, 750000L)))
+    // same contract on the bare candidate path
+    val cand = Dedup.lshCandidates(templated, "doc_id", "text",
+      maxBucketWidth = Some(4)).as[(Long, Long)].collect().toSet
+    assert(!cand.exists { case (a, b) => a >= 10L && b >= 10L })
+    assert(cand.contains((0L, 1L)))
+  }
+
+  test("lshBucketAudit: per-band drop accounting matches the mega-cluster") {
+    val audit = Dedup.lshBucketAudit(templated, "doc_id", "text", maxBucketWidth = 4)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(audit.length === 8) // one row per band
+    for ((band, nBuckets, maxW, nDropped, rowsDropped) <- audit) {
+      assert(maxW === 6L, s"band $band max width $maxW")
+      assert(nDropped === 1L, s"band $band dropped $nDropped buckets")
+      assert(rowsDropped === 6L, s"band $band dropped $rowsDropped rows")
+      assert(nBuckets >= 2L && nBuckets <= 4L, s"band $band has $nBuckets buckets")
+    }
+  }
+
+  test("hammingPairs maxBucketWidth: identical-signature clique dropped, close pair kept") {
+    val hashed = ((1L to 5L).map(i => (i, 1234567L)) ++
+      Seq((10L, 7654321L), (11L, 7654321L ^ 1L))).toDF("id", "sig")
+    val un = Dedup.hammingPairs(hashed, "id", "sig", maxHamming = 1, bits = 64, bands = 4)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(un.count { case (a, b, _) => a <= 5L && b <= 5L } === 10) // C(5,2) at hamming 0
+    assert(un.contains((10L, 11L, 1L)))
+    val capped = Dedup.hammingPairs(hashed, "id", "sig", maxHamming = 1, bits = 64,
+      bands = 4, maxBucketWidth = Some(3)).as[(Long, Long, Long)].collect().toSet
+    assert(!capped.exists { case (a, b, _) => a <= 5L && b <= 5L },
+      s"identical-signature clique leaked through the cap: $capped")
+    // the close pair still collides in a band whose bucket holds only
+    // the two of them (band 1: 0x74), even though the shared-zero top
+    // bands (width 7) are dropped
+    assert(capped.contains((10L, 11L, 1L)))
+  }
+
+  test("lshDedupAgainst maxBucketWidth: capped corpus mega-cluster stops gating the batch") {
+    val template = "some boilerplate navigation header repeated on every single crawled page"
+    val corpus = (10L to 15L).map(i => (i, template)).toDF("doc_id", "text")
+    val batch = Seq((100L, template), // near-dup (exact) of the mega-cluster
+      (101L, "genuinely novel content nothing else resembles anywhere")).toDF("doc_id", "text")
+    // uncapped: the templated batch doc is contaminated and dropped
+    val un = Dedup.lshDedupAgainst(batch, corpus, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(un === Set(101L))
+    // capped at 4: the corpus-side buckets (width 6) are dropped, so
+    // the templated batch doc SURVIVES — the documented recall
+    // contract: mega-cluster membership is template-rule territory,
+    // not pairwise dedup
+    val capped = Dedup.lshDedupAgainst(batch, corpus, "doc_id", "text",
+      maxBucketWidth = Some(4)).select("doc_id").as[Long].collect().toSet
+    assert(capped === Set(100L, 101L))
+  }
+
   test("simHash: identical texts get identical hashes; banded pairs complete vs brute force") {
     val h = docs.select($"doc_id", Dedup.simHash($"text").as("sh"))
       .as[(Long, Long)].collect().toMap
