@@ -67,12 +67,30 @@ object TimeSeries {
     * already happened. When keys² itself is too big, bucket the PAA
     * vectors with LSH first (the [[Dedup]] discovery pattern) — same
     * refinement, pruned candidate set.
+    *
+    * `queries` restricts the LEFT side (the keys that RECEIVE a top-k)
+    * to a given key relation — the recall-gate sampling hook: with a
+    * fixed-size query sample the pairwise stage is |queries| × keys,
+    * LINEAR in the corpus, while each sampled key still ranks against
+    * every other key exactly. The sample relation is bounded by
+    * construction, so it broadcasts.
+    *
+    * @param queries single-column relation of keys to score (defaults
+    *                to all keys — the symmetric all-pairs shape)
     * @return (key, rank, other, dist) — dist = Σₛ (aₛ−bₛ)²
     */
-  def similarSeries(sketch: DataFrame, keyCol: String, k: Int): DataFrame = {
+  def similarSeries(
+      sketch: DataFrame,
+      keyCol: String,
+      k: Int,
+      queries: Option[DataFrame] = None): DataFrame = {
     graft.GraftSession.tune(sketch.sparkSession)
-    val a = sketch.select(col(keyCol).cast("long").as("ka"),
+    val aAll = sketch.select(col(keyCol).cast("long").as("ka"),
       col("seg"), col("seg_sum").as("va"))
+    val a = queries.fold(aAll) { q =>
+      val keys = broadcast(q.toDF("ka").select(col("ka").cast("long").as("ka")))
+      aAll.join(keys, Seq("ka"), "left_semi")
+    }
     val b = sketch.select(col(keyCol).cast("long").as("kb"),
       col("seg"), col("seg_sum").as("vb"))
     val dists = a.join(b.hint("shuffle_hash"), Seq("seg"))

@@ -72,6 +72,21 @@ class TimeSeriesSpec extends SparkSpec {
     assert(all.forall { case (a, b) => a != b })
   }
 
+  test("similarSeries queries sample: only sampled keys ranked — against ALL other keys") {
+    val sk = TimeSeries.paaSketch(events, "user_id", "ts", "event_id",
+      $"cents", take = 4, segments = 2)
+    val full = TimeSeries.similarSeries(sk, "user_id", k = 2)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val sampled = TimeSeries.similarSeries(sk, "user_id", k = 2,
+        queries = Some(Seq(2L).toDF("qk")))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // the sampled run is exactly the full run restricted to key 2:
+    // same neighbors, same exact distances (u2 still ranks against
+    // BOTH u1 and u3, not just other sampled keys)
+    assert(sampled === full.filter(_._1 == 2L))
+    assert(sampled.map(_._3) === Set(1L, 3L))
+  }
+
   test("similarSeriesLsh == similarSeries when the grid degenerates to one bucket") {
     val sk = TimeSeries.paaSketch(events, "user_id", "ts", "event_id",
       $"cents", take = 4, segments = 2)
