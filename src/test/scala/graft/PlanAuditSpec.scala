@@ -626,4 +626,24 @@ class PlanAuditSpec extends SparkSpec {
     val plan = planOf(Queries.neardupSurvivors(spark, sf))
     assert(plan.toLowerCase.contains("leftanti"), plan.take(1500))
   }
+
+  test("global-window census: q74 is the ONLY query planning a partition-less Window") {
+    // A Window with an empty partitionSpec is a single-task sort of
+    // the whole input — q74's global ntile carries it deliberately
+    // (documented reporting-only; q83 is the distributed decile path).
+    // This census walks the OPTIMIZED logical plan of every registered
+    // query so a future query cannot silently introduce a second
+    // global window; a legitimate newcomer must be added to the
+    // allowlist here WITH the same reporting-only scoping note.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, mk) =>
+      val plan = mk(spark, sf).queryExecution.optimizedPlan
+      val global = plan.collectWithSubqueries {
+        case w: LogicalWindow if w.partitionSpec.isEmpty => w
+      }
+      if (global.nonEmpty) Some(name) else None
+    }
+    assert(offenders === Seq("q74_ntile"),
+      s"unexpected global-window queries: ${offenders.mkString(", ")}")
+  }
 }
