@@ -1,0 +1,410 @@
+package graft
+package queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, Dedup, Knn, Packing, SimilaritySearch}
+
+/** Reference-parity surface (SURVEY §2), text-analysis functions, the
+  * similarity-search family, and the relational surface beyond the
+  * reference. Split out of the former monolithic `Queries` object —
+  * pure move, no semantic change.
+  */
+private[graft] trait ReferenceSurfaceQueries extends QueryContext {
+
+  // ---------------------------------------------------------------------
+  // Reference-parity surface (SURVEY §2)
+  // ---------------------------------------------------------------------
+
+  /** §2 #1/#3 — scan + projection (column pruning reaches the parquet scan). */
+  def scanProject(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+
+  /** §2 #2 — filter (predicate pushdown to the scan). */
+  def filterPushdown(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 150000.0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+
+  /** §2 #10-analog — grouped aggregation (map-side partial agg). Money sums
+    * are per-row-rounded integer cents so the result is FP-order-proof. */
+  def aggSum(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity")).cast("long").as("sum_qty"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_price_cents"),
+        sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long")).as("sum_disc_price_cents"),
+        count(lit(1)).as("cnt"))
+
+  /** §2 #4-analog — broadcast equi-join of two small dims. */
+  def joinBroadcast(spark: SparkSession, sfDir: String): DataFrame = {
+    val nation = t(spark, sfDir, "nation")
+    val region = t(spark, sfDir, "region")
+    nation.join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"), col("n_name"), col("r_name"))
+  }
+
+  /** Fact-to-dim join chain + aggregation (shuffle join on the fact side,
+    * broadcast dims). */
+  def joinAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = t(spark, sfDir, "orders")
+    val customer = t(spark, sfDir, "customer")
+    val nation = t(spark, sfDir, "nation")
+    orders
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("total_cents"))
+  }
+
+  /** §2 #7-analog — per-group top-n via window (the small-group path;
+    * the bounded-aggregator path is exercised by [[knnPredict]]). */
+  def windowTopN(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(spark, sfDir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn").cast("long").as("rn"))
+  }
+
+  /** §2 #5+#6+#7+#10 — the reference's entire pipeline: cross join ×
+    * squared-Euclidean distance × bounded top-k × plurality vote, over the
+    * embeddings table. Queries = every 25th vector; train = the rest.
+    */
+  def knnPredict(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    val test = emb.filter(col("vec_id") % 25 === 0)
+    val train = emb.filter(col("vec_id") % 25 =!= 0)
+    Knn.classify(
+      train = train, test = test, k = 5,
+      trainId = "vec_id", testId = "vec_id",
+      trainVec = "embedding", testVec = "embedding",
+      labelCol = "label")
+  }
+
+  /** §2 #12 — accuracy evaluation of [[knnPredict]] against true labels,
+    * emitted as exact integers (correct, total). */
+  def knnAccuracy(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    Knn.accuracy(
+      knnPredict(spark, sfDir),
+      emb.filter(col("vec_id") % 25 === 0),
+      truthId = "vec_id", truthLabel = "label")
+  }
+
+  // ---------------------------------------------------------------------
+  // Text analysis (LLM-pipeline extension set; functions/TextFunctions)
+  // ---------------------------------------------------------------------
+
+  /** Token counting: whitespace tokens, distinct tokens, chars, BPE-ish
+    * sub-word count — the per-document stats a data pipeline filters on. */
+  def tokenStats(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    t(spark, sfDir, "documents").select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      distinctTokenCount(col("text")).as("n_distinct"),
+      charCount(col("text")).as("n_chars_actual"),
+      bpeTokenCount(col("text")).as("bpe_tokens"))
+  }
+
+  /** Quality scoring: integer-exact score in [0,1000] from length +
+    * stopword-density components. */
+  def textQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    t(spark, sfDir, "documents").select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      stopwordCount(col("text")).as("stop_cnt"),
+      qualityScore(col("text")).as("quality"))
+  }
+
+  /** Language ID: marker-word heuristic, deterministic tie-break. */
+  def langIdQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    t(spark, sfDir, "documents").select(
+      col("doc_id"),
+      langId(col("text")).as("lang_guess"))
+  }
+
+  /** Document fingerprint: order-sensitive rolling hash mod 1e9+7. */
+  def fingerprintQuery(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    t(spark, sfDir, "documents").select(
+      col("doc_id"),
+      fingerprint(col("text")).as("fp"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Similarity search (operators/SimilaritySearch)
+  // ---------------------------------------------------------------------
+
+  /** Exact cosine top-5 neighbors for every 10th vector (brute force —
+    * the correctness baseline for ANN). */
+  def annExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    SimilaritySearch.cosineTopK(
+      emb.filter(col("vec_id") % 10 === 0), emb.filter(col("vec_id") % 10 =!= 0),
+      k = 5, "vec_id", "vec_id", "embedding", "embedding")
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"),
+        floor(col("dist") * 1000000.0).cast("long").as("dist_micro"))
+  }
+
+  /** Approximate cosine top-5 via MULTI-PROBE random-hyperplane LSH
+    * (5 planes × 12 tables, 5 one-bit probe flips — recall@5 0.90 at
+    * sf0.1 vs 0.54 for round-6's unprobed 5×12, at the SAME corpus
+    * cost; swept by `graft.TuneAnn`). Each query probes its own bucket
+    * plus the 5 buckets one hyperplane-vote away, so only the QUERY
+    * side fans out ×6 — the corpus (100 TB) side still emits exactly
+    * `tables` rows per item. Deterministic planes let the DuckDB
+    * oracle replicate it exactly. Scale rule: planes grow
+    * ~log₂(corpus / target-bucket-size) so buckets stay bounded;
+    * tables buy recall at corpus-shuffle cost, probe flips buy it at
+    * query-shuffle cost — spend flips first. */
+  def annLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    SimilaritySearch.approxCosineTopK(
+      emb.filter(col("vec_id") % 10 === 0), emb.filter(col("vec_id") % 10 =!= 0),
+      k = 5, "vec_id", "vec_id", "embedding", "embedding",
+      dim = 64, planes = 5, tables = 12, probeFlips = 5)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"),
+        floor(col("dist") * 1000000.0).cast("long").as("dist_micro"))
+  }
+
+  /** IVF-flat approximate top-5 (64 deterministic sampled centroids,
+    * probe 16, MULTI-ASSIGN 2 — recall@5 0.80 at sf0.1 vs 0.56 for
+    * round-6's 32/8/1, scan fraction 16·2/64 = 0.5; swept by
+    * `graft.TuneAnn`) — the second ANN scale path next to hyperplane
+    * LSH: broadcast codebook, per-item nearest-centroid assignment
+    * with map-side sort+slice, exact search only in probed inverted
+    * lists. Multi-assignment replicates each item into its 2 nearest
+    * cells, the recall lever for lossy cell boundaries (index ×2, a
+    * candidate de-dup pays one extra candidate-sized exchange). Scale
+    * rule: centroids ∝ √corpus keeps cells balanced (the coarse 64
+    * here is the test-scale value — at 100 TB the fraction falls as
+    * centroids grow); probes × assignments trade recall for scan
+    * fraction. */
+  def annIvf(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    SimilaritySearch.ivfTopK(
+      emb.filter(col("vec_id") % 10 === 0), emb.filter(col("vec_id") % 10 =!= 0),
+      k = 5, "vec_id", "vec_id", "embedding", "embedding",
+      centroids = 64, probes = 16, assignments = 2)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"),
+        floor(col("dist") * 1000000.0).cast("long").as("dist_micro"))
+  }
+
+  /** ANN recall as a first-class oracle query: recall@5 of both
+    * approximate paths ([[annLsh]], [[annIvf]]) against the exact
+    * brute-force baseline, as integer-exact overlap counts (hits of
+    * possible) — so ANN *quality*, not just plan shape, is
+    * hash-checked per round.
+    *
+    * The gate is SAMPLE-BOUNDED (round-10 advice): 64 queries picked
+    * by deterministic hash order run all three paths — exact
+    * brute-force, LSH, IVF — against the FULL item corpus, so the
+    * exact side costs |sample| × corpus (linear) instead of the
+    * queries × corpus product that made the unsampled gate ~quadratic
+    * in sf. The full-query approximate paths remain q22/q39; at real
+    * scale a recall gate is always run on a query sample — this makes
+    * the shipped gate that shape. */
+  def annRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    val items = emb.filter(col("vec_id") % 10 =!= 0)
+    // deterministic fixed-size query sample (TakeOrderedAndProject)
+    val sq = emb.filter(col("vec_id") % 10 === 0)
+      .orderBy(pmod(col("vec_id") * 2654435761L + 12345L, lit(1000003L)),
+        col("vec_id"))
+      .limit(64)
+    val ex = SimilaritySearch.cosineTopK(sq, items,
+        k = 5, "vec_id", "vec_id", "embedding", "embedding")
+      .select(col("query_id"), col("neighbor_id"))
+    def one(method: String, approx: DataFrame): DataFrame = {
+      val hits = ex.join(approx.select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+      val tot = ex.agg(count(lit(1)).as("possible"))
+      hits.crossJoin(tot).select(
+        lit(method).as("method"), col("hits"), col("possible"),
+        floor(col("hits") * 1000000.0 / col("possible")).cast("long").as("recall_micro"))
+    }
+    one("ivf", SimilaritySearch.ivfTopK(sq, items,
+        k = 5, "vec_id", "vec_id", "embedding", "embedding",
+        centroids = 64, probes = 16, assignments = 2))
+      .unionAll(one("lsh", SimilaritySearch.approxCosineTopK(sq, items,
+        k = 5, "vec_id", "vec_id", "embedding", "embedding",
+        dim = 64, planes = 5, tables = 12, probeFlips = 5)))
+  }
+
+  /** Int8-quantized brute-force top-5 over the q21 query/item split —
+    * the memory-bandwidth ANN path: codes are 4× narrower than float32
+    * and the squared-Euclidean over codes is INTEGER-exact, so unlike
+    * the float paths the full ranked result (not a floor-micro
+    * projection) is hash-gated. Scale = one corpus-global max|x|
+    * aggregate, broadcast into the quantization projection (same
+    * "tiny separate job" shape as the IVF codebook). */
+  def quantAnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    SimilaritySearch.quantizedTopK(
+      emb.filter(col("vec_id") % 10 === 0), emb.filter(col("vec_id") % 10 =!= 0),
+      k = 5, "vec_id", "vec_id", "embedding", "embedding")
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"), col("qdist"))
+  }
+
+  /** Recall@5 of the int8-quantized sweep against the FLOAT
+    * squared-Euclidean exact top-5 on the same split — quantization
+    * loss, gated as integer-exact overlap counts per round (the
+    * [[annRecall]] discipline applied to the quantized path). */
+  def quantRecall(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    val exact = Knn.knnJoin(
+      emb.filter(col("vec_id") % 10 === 0), emb.filter(col("vec_id") % 10 =!= 0),
+      k = 5, "vec_id", "vec_id", "embedding", "embedding",
+      metric = "squaredEuclidean")
+      .select(col("query_id"), col("neighbor_id"))
+    val approx = quantAnn(spark, sfDir).select(col("query_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val tot = exact.agg(count(lit(1)).as("possible"))
+    hits.crossJoin(tot).select(
+      lit("int8").as("method"), col("hits"), col("possible"),
+      floor(col("hits") * 1000000.0 / col("possible")).cast("long").as("recall_micro"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Relational surface beyond the reference (sorts, set ops, semi/anti,
+  // grouping sets, time windows) — all built-in Catalyst
+  // ---------------------------------------------------------------------
+
+  /** Global sort + limit with a deterministic tie-break. */
+  def sortLimit(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .limit(100)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("price_cents"))
+
+  /** Set operations: customers with orders ∩/∖ customers with high-value
+    * orders, as one unioned tagged result. */
+  def setOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = t(spark, sfDir, "orders")
+    val all = orders.select(col("o_custkey").as("custkey"))
+    val high = orders.filter(col("o_totalprice") > 200000.0)
+      .select(col("o_custkey").as("custkey"))
+    val both = all.intersect(high).withColumn("tag", lit("high"))
+    val onlyLow = all.except(high).withColumn("tag", lit("low_only"))
+    both.unionAll(onlyLow)
+  }
+
+  /** BAG-semantics set operations — the multiset twins of q24's
+    * set-semantics ops: `EXCEPT ALL` keeps multiplicity differences
+    * (a customer with 5 orders, 2 of them high-value, survives 3
+    * times) and `INTERSECT ALL` keeps the minimum multiplicity. Both
+    * plan as aggregate-and-replicate under Catalyst (no distinct
+    * collapse), and the result is aggregated to (tag, custkey, n) so
+    * multiplicities — the whole point — are what the oracle hashes. */
+  def bagSetOps(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = t(spark, sfDir, "orders")
+    val all = orders.select(col("o_custkey").as("custkey"))
+    val high = orders.filter(col("o_totalprice") > 200000.0)
+      .select(col("o_custkey").as("custkey"))
+    def counted(tag: String, df: DataFrame): DataFrame =
+      df.groupBy(col("custkey")).agg(count(lit(1)).as("n"))
+        .select(lit(tag).as("tag"), col("custkey"), col("n"))
+    counted("except_all", all.exceptAll(high))
+      .unionAll(counted("intersect_all", all.intersectAll(high)))
+  }
+
+  /** Left-semi and left-anti joins: per-nation counts of customers with
+    * and without orders. */
+  def semiAnti(spark: SparkSession, sfDir: String): DataFrame = {
+    val customer = t(spark, sfDir, "customer")
+    val orders = t(spark, sfDir, "orders").select(col("o_custkey"))
+    val withO = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_with_orders"))
+    val withoutO = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_without_orders"))
+    withO.join(withoutO, Seq("c_nationkey"), "full_outer")
+      .select(col("c_nationkey"),
+        coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+        coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+  }
+
+  /** ROLLUP grouping sets over lineitem (returnflag × linestatus). */
+  def rollupAgg(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+        count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("cnt"))
+
+  /** CUBE grouping sets: all 2² aggregation granularities of
+    * (returnflag, linestatus) in one pass. */
+  def cubeAgg(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"),
+        count(lit(1)).as("cnt"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("cnt"))
+
+  /** Nested-array aggregation: per nation, the sorted distinct set of
+    * order statuses — collection results hash-match the oracle only
+    * with a canonical (sorted, distinct) element order, which is the
+    * same discipline any deterministic pipeline needs. The set is
+    * emitted `array_join`ed to one comparable string (the harness's
+    * row-hash comparator cannot hash array cells); the aggregation
+    * under it is the real collect_set. */
+  def collectAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = t(spark, sfDir, "orders")
+    val customer = t(spark, sfDir, "customer")
+    orders.join(customer, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(sort_array(collect_set(col("o_orderstatus"))).as("statuses_arr"),
+        count(lit(1)).as("n_orders"))
+      .select(col("c_nationkey"),
+        array_join(col("statuses_arr"), ",").as("statuses"),
+        col("n_orders"))
+  }
+
+  /** Distinct aggregation (absent from the reference, SURVEY §2.1):
+    * per-flag distinct suppliers/parts + plain counts in one pass. */
+  def distinctAgg(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("l_partkey")).as("n_part"),
+        count(lit(1)).as("cnt"))
+
+  /** Tumbling 1-hour event-time windows over the events table — the
+    * batch shape of the streaming windowed aggregation
+    * (streaming/StreamingOps uses the same window spec on readStream). */
+  def eventsWindowed(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "events")
+      .groupBy(
+        window(col("ts"), "1 hour").getField("start").as("win_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(date_format(col("win_start"), "yyyy-MM-dd HH:mm:ss").as("win_start"),
+        col("event_type"), col("n_events"), col("value_cents"))
+
+}
