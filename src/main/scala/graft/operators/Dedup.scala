@@ -256,7 +256,7 @@ object Dedup {
     * scale), so the anti probe is shuffle-hash pinned like every other
     * corpus-derived join here.
     */
-  private def dropWideBuckets(
+  private[operators] def dropWideBuckets(
       keyed: DataFrame,
       bandCol: String,
       keyCol: String,
@@ -843,6 +843,11 @@ object Dedup {
     * from a bucketed self-equi-join on (table, signature) — shuffle
     * O(rows × tables), never O(rows²) — and the vector lookups are
     * shuffle equi-joins on id (nothing corpus-derived is broadcast).
+    * `maxBucketWidth` (recommended at corpus scale) drops over-wide
+    * (table, signature) buckets before the self-join —
+    * [[dropWideBuckets]], the guard against an embedding mega-cluster
+    * (a default/zero vector emitted by a broken encoder is the classic
+    * case: every copy shares every signature).
     *
     * @return (id1, id2, cos_micro) with id1 < id2, cos ≥ minCosineMicro
     */
@@ -853,16 +858,21 @@ object Dedup {
       minCosineMicro: Long,
       dim: Int,
       planes: Int = 10,
-      tables: Int = 4): DataFrame = {
+      tables: Int = 4,
+      maxBucketWidth: Option[Int] = None): DataFrame = {
     import graft.functions.SignatureExprs
     val par = computeParallelism(df)
     val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
       .repartition(par, col("id")) // shared materialization point (see lshVerifiedPairs)
-    val keyed = v.select(col("id"),
+    val keyed0 = v.select(col("id"),
         posexplode(array((0 until tables).map(t =>
           SignatureExprs.hyperplaneSignature(col("vec"), planes, dim, t * planes)): _*))
           .as(Seq("tbl", "sig")))
       .hint("shuffle_hash") // post-explode size defeats broadcast estimates
+    // same mega-cluster guard as the MinHash/Hamming paths: a burst of
+    // (near-)identical embeddings lands in one (table, signature)
+    // bucket per table — dropWideBuckets bounds that bucket's fan-out
+    val keyed = maxBucketWidth.fold(keyed0)(dropWideBuckets(keyed0, "tbl", "sig", _))
     val a = keyed.as("a"); val b = keyed.as("b")
     val cand = a.join(b, col("a.tbl") === col("b.tbl") && col("a.sig") === col("b.sig")
         && col("a.id") < col("b.id"))

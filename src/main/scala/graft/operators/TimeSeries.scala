@@ -172,10 +172,12 @@ object TimeSeries {
       segments: Int,
       planes: Int = 4,
       tables: Int = 8,
-      widthCents: Long = 6000L): DataFrame = {
+      widthCents: Long = 6000L,
+      maxBucketWidth: Option[Int] = None): DataFrame = {
     graft.GraftSession.tune(sketch.sparkSession)
     val vecs = sketchVectors(sketch, keyCol)
-    val cand = lshCandidatePairs(vecs, segments, planes, tables, widthCents)
+    val cand = lshCandidatePairs(vecs, segments, planes, tables, widthCents,
+      maxBucketWidth)
     val dists = cand
       .join(vecs.select(col("id").as("ka"), col("vec").as("va")).hint("shuffle_hash"), Seq("ka"))
       .join(vecs.select(col("id").as("kb"), col("vec").as("vb")).hint("shuffle_hash"), Seq("kb"))
@@ -194,6 +196,14 @@ object TimeSeries {
     * present iff some table puts kb's center cell among ka's probe
     * cells. The join is an equi-join on the (table, cell-string) key —
     * never a keys² product.
+    *
+    * `maxBucketWidth` caps the CENTER-cell index side per (table,
+    * cell) bucket ([[Dedup.dropWideBuckets]]) — the series analogue of
+    * the text/embedding mega-cluster guard (a fleet of flat-lined
+    * series all sketch to one cell). Capping the index side alone
+    * breaks the quadratic: every probe row then matches ≤ cap index
+    * rows, so a hot cell's fan-out is linear in its membership.
+    *
     * @param vecs [[sketchVectors]] output (id, vec)
     */
   def lshCandidatePairs(
@@ -201,7 +211,8 @@ object TimeSeries {
       segments: Int,
       planes: Int,
       tables: Int,
-      widthCents: Long): DataFrame = {
+      widthCents: Long,
+      maxBucketWidth: Option[Int] = None): DataFrame = {
     def sigStr(f: org.apache.spark.sql.Column) =
       array_join(transform(f, _.cast("string")), ",")
     def bumped(f: org.apache.spark.sql.Column, axis: Int, d: Int) =
@@ -212,8 +223,9 @@ object TimeSeries {
         graft.functions.SignatureExprs.quantizedProjection(
           col("vec"), planes, segments, t * planes, widthCents)): _*))
         .as(Seq("tbl", "f")))
-    val idx = cells.select(col("id"), col("tbl"), sigStr(col("f")).as("sig"))
+    val idx0 = cells.select(col("id"), col("tbl"), sigStr(col("f")).as("sig"))
       .hint("shuffle_hash") // post-explode size defeats broadcast estimates
+    val idx = maxBucketWidth.fold(idx0)(Dedup.dropWideBuckets(idx0, "tbl", "sig", _))
     val probes = cells.select(col("id"), col("tbl"),
         explode(array((sigStr(col("f")) +: (0 until planes).flatMap(a =>
           Seq(-1, 1).map(d => sigStr(bumped(col("f"), a, d))))): _*)).as("sig"))

@@ -108,6 +108,27 @@ class DedupSpec extends SparkSpec {
     assert(capped.contains((10L, 11L, 1L)))
   }
 
+  test("cosinePairsLsh maxBucketWidth: identical-embedding cluster dropped, other pair kept") {
+    // the classic embedding mega-cluster: a broken encoder emits the
+    // same vector for thousands of items — every copy shares every
+    // hyperplane signature, so one (table, signature) bucket per table
+    // holds the whole cluster
+    val vecA = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val vecB = Seq(0.0f, 1.0f, 0.0f, 0.0f)
+    val embs = ((10L to 15L).map(i => (i, vecA)) ++ Seq((1L, vecB), (2L, vecB)))
+      .toDF("id", "vec")
+    val un = Dedup.cosinePairsLsh(embs, "id", "vec", minCosineMicro = 900000L,
+      dim = 4, planes = 4, tables = 2).as[(Long, Long, Long)].collect().toSet
+    assert(un.count { case (a, b, _) => a >= 10L && b >= 10L } === 15)
+    assert(un.contains((1L, 2L, 1000000L)))
+    val capped = Dedup.cosinePairsLsh(embs, "id", "vec", minCosineMicro = 900000L,
+      dim = 4, planes = 4, tables = 2, maxBucketWidth = Some(4))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(!capped.exists { case (a, b, _) => a >= 10L && b >= 10L },
+      s"embedding mega-cluster leaked through the cap: $capped")
+    assert(capped.contains((1L, 2L, 1000000L)))
+  }
+
   test("lshDedupAgainst maxBucketWidth: capped corpus mega-cluster stops gating the batch") {
     val template = "some boilerplate navigation header repeated on every single crawled page"
     val corpus = (10L to 15L).map(i => (i, template)).toDF("doc_id", "text")

@@ -87,6 +87,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(sampled.map(_._3) === Set(1L, 3L))
   }
 
+  test("lshCandidatePairs maxBucketWidth: flat-lined sketch cluster dropped from the index") {
+    import org.apache.spark.sql.DataFrame
+    // six identical sketches (every table's cell identical — the
+    // flat-lined-series mega-cluster) next to one distinct close pair
+    // far away in sketch space
+    val vecs: DataFrame = ((10L to 15L).map(i => (i, Seq(0L, 0L))) ++
+      Seq((1L, Seq(900000L, 900000L)), (2L, Seq(900010L, 900010L))))
+      .toDF("id", "vec")
+    val un = TimeSeries.lshCandidatePairs(vecs, segments = 2, planes = 2,
+      tables = 2, widthCents = 1000L).as[(Long, Long)].collect().toSet
+    assert(un.count { case (a, b) => a >= 10L && b >= 10L } === 30) // 6·5 directed
+    assert(un.contains((1L, 2L)) && un.contains((2L, 1L)))
+    val capped = TimeSeries.lshCandidatePairs(vecs, segments = 2, planes = 2,
+      tables = 2, widthCents = 1000L, maxBucketWidth = Some(4))
+      .as[(Long, Long)].collect().toSet
+    assert(!capped.exists { case (a, b) => a >= 10L && b >= 10L },
+      s"sketch mega-cluster leaked through the cap: $capped")
+    assert(capped.contains((1L, 2L)) && capped.contains((2L, 1L)))
+  }
+
   test("similarSeriesLsh == similarSeries when the grid degenerates to one bucket") {
     val sk = TimeSeries.paaSketch(events, "user_id", "ts", "event_id",
       $"cents", take = 4, segments = 2)
