@@ -24,6 +24,10 @@ import graft.operators.{Dedup, Knn}
   *  - [[lshCandidateStream]]: streaming MinHash-LSH near-dup candidate
   *    pairs via per-bucket keyed state — near-dup discovery at ingest
   *    without re-scanning the corpus.
+  *  - [[hammingPairStream]]: streaming Hamming-banded near-dup pairs
+  *    over precomputed signatures (SimHash / image dHash) — the
+  *    ingest-time twin of the batch `hammingPairs`, emitting verified
+  *    pairs (signatures are small enough to live in state).
   */
 object StreamingOps {
 
@@ -208,6 +212,102 @@ object StreamingOps {
                   if (m != id) out += ((math.min(m, id), math.max(m, id)))
                 }
                 if (members.size < maxBucketWidth) members = id :: members
+              }
+            }
+            state.update(members)
+            if (timeout == GroupStateTimeout.EventTimeTimeout && maxTs != Long.MinValue)
+              state.setTimeoutTimestamp(maxTs, bucketTtl)
+            out.iterator
+          }
+      }
+  }
+
+  /** Streaming Hamming near-dup pairs over a precomputed fixed-width
+    * signature column (SimHash, image dHash) — the streaming twin of
+    * [[graft.operators.Dedup.hammingPairs]], completing ingest-time
+    * parity for the SimHash/image dedup family the way
+    * [[lshCandidateStream]] does for MinHash. Each arriving signature
+    * is sliced into the same `bands` pigeonhole keys as the batch path
+    * (agreement on ≥ 1 whole slice is implied by Hamming ≤ maxHamming
+    * when `maxHamming < bands`); per-bucket keyed state remembers the
+    * (id, signature) pairs already seen in that (band, key) bucket.
+    *
+    * Unlike the MinHash stream — whose exact-Jaccard verification
+    * needs shingle sets far too big for the state store — a signature
+    * is 8 bytes, so state holds it and pairs are emitted ALREADY
+    * VERIFIED (popcount ≤ maxHamming), not as candidates.
+    *
+    * Same state discipline as [[lshCandidateStream]]: bucket width
+    * capped at `maxBucketWidth` members (the batch twin's
+    * `maxBucketWidth` option is the same guard), bucket count bounded
+    * by event-time TTL when `tsCol` is given; with `tsCol = None`
+    * (tests / bounded replays) nothing evicts and the stream must be
+    * finite. Pairs may repeat across bands; dedup downstream per batch
+    * if exact-once pairs matter.
+    *
+    * @param hashed stream of (idCol, hashCol) — hashCol a long holding
+    *               the low `bits` bits of the signature
+    * @return stream of (id1, id2, hamming), id1 < id2, verified
+    */
+  def hammingPairStream(
+      spark: SparkSession,
+      hashed: DataFrame,
+      idCol: String = "media_id",
+      hashCol: String = "hash64",
+      maxHamming: Int = 3,
+      bits: Int = 64,
+      bands: Int = 8,
+      maxBucketWidth: Int = 64,
+      tsCol: Option[String] = None,
+      watermarkDelay: String = "1 hour",
+      bucketTtl: String = "1 hour"): Dataset[(Long, Long, Long)] = {
+    import spark.implicits._
+    require(maxHamming < bands, s"banding is only complete for maxHamming < bands")
+    require(bits % bands == 0, "bits must divide into bands")
+    require(bits >= bands && bits <= 64, "bits must be in [bands, 64]")
+    val w = bits / bands
+    val mask = if (w == 64) -1L else (1L << w) - 1
+    val withMark = tsCol match {
+      case Some(t) => hashed.withWatermark(t, watermarkDelay)
+      case None    => hashed
+    }
+    // epoch-0 sentinel ts keeps one tuple shape for both modes (see
+    // lshCandidateStream for why the real column must NOT be cast)
+    val tsExpr = tsCol.map(col(_))
+      .getOrElse(lit(new java.sql.Timestamp(0L)))
+    val timeout =
+      if (tsCol.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    withMark
+      .select(col(idCol).cast("long").as("id"), col(hashCol).as("sig"),
+        tsExpr.as("ts"))
+      .select(col("id"), col("sig"), col("ts"),
+        posexplode(array((0 until bands).map(b =>
+          shiftright(col("sig"), b * w).bitwiseAND(mask)): _*))
+          .as(Seq("band", "bk")))
+      .as[(Long, Long, java.sql.Timestamp, Int, Long)]
+      .groupByKey(t => (t._4, t._5))
+      .flatMapGroupsWithState[List[(Long, Long)], (Long, Long, Long)](
+        OutputMode.Append(), timeout) {
+        case (_, rows: Iterator[(Long, Long, java.sql.Timestamp, Int, Long)],
+            state: GroupState[List[(Long, Long)]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = scala.collection.mutable.ListBuffer[(Long, Long, Long)]()
+            var members = state.getOption.getOrElse(Nil)
+            var maxTs = Long.MinValue
+            rows.foreach { t =>
+              if (t._3 != null && t._3.getTime > maxTs) maxTs = t._3.getTime
+              val (id, sig) = (t._1, t._2)
+              if (!members.exists(_._1 == id)) {
+                members.foreach { case (mid, msig) =>
+                  val h = java.lang.Long.bitCount(sig ^ msig).toLong
+                  if (mid != id && h <= maxHamming)
+                    out += ((math.min(mid, id), math.max(mid, id), h))
+                }
+                if (members.size < maxBucketWidth) members = (id, sig) :: members
               }
             }
             state.update(members)

@@ -174,6 +174,39 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hammingPairStream: verified pairs across batches; matches batch hammingPairs") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    // sign-bit-set 64-bit signatures drive the arithmetic-shiftright
+    // top-band path, the image-dHash configuration (cf. batch spec)
+    val base = 0x8000F00D1234567L | Long.MinValue
+    val pairs = StreamingOps.hammingPairStream(spark,
+      in.toDF().toDF("media_id", "hash64"), maxHamming = 2, bits = 64, bands = 8)
+    val q = pairs.toDF("id1", "id2", "hamming").writeStream
+      .format("memory").queryName("ham_pairs")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData((0L, base), (2L, 0x00FF00FF00FF00FFL))
+      q.processAllAvailable()
+      in.addData((1L, base ^ 3L), // hamming 2 from 0, later batch
+        (3L, base))               // exact dup of 0
+      q.processAllAvailable()
+      val got = spark.table("ham_pairs").as[(Long, Long, Long)].collect().toSet
+      assert(got.contains((0L, 3L, 0L)), s"exact dup: $got")
+      assert(got.contains((0L, 1L, 2L)), s"hamming-2 pair: $got")
+      assert(got.contains((1L, 3L, 2L)), s"transitive pair: $got")
+      assert(!got.exists(p => p._1 == 2L || p._2 == 2L), s"far doc must not pair: $got")
+      // pairs may repeat across bands — the DISTINCT result must equal
+      // the batch twin on the same corpus
+      val batchHashed = Seq((0L, base), (1L, base ^ 3L),
+        (2L, 0x00FF00FF00FF00FFL), (3L, base)).toDF("id", "sig")
+      val batch = graft.operators.Dedup.hammingPairs(
+        batchHashed, "id", "sig", maxHamming = 2, bits = 64, bands = 8)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === batch, s"stream $got != batch $batch")
+    } finally q.stop()
+  }
+
   test("intervalJoinStream: stream-stream join within the window; matches the batch range join") {
     implicit val sqlCtx = spark.sqlContext
     val clicks = MemoryStream[(Long, Long, Timestamp)]
