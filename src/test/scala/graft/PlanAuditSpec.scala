@@ -627,6 +627,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("leftanti"), plan.take(1500))
   }
 
+  test("q44: sampled gate — query sample broadcasts, corpus streams into a partial top-k") {
+    val plan = planOf(Queries.annRecall(spark, sf))
+    // the 64-row hash-ordered sample must reach the exact KNN as a
+    // broadcast (TakeOrderedAndProject, never a global sort of the
+    // query split), and the corpus side must flow into the bounded-heap
+    // partial aggregation without a corpus-wide shuffle-before-agg
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    assert(plan.toLowerCase.contains("partial_topkaggregator"), plan.take(1500))
+  }
+
   test("global-window census: q74 is the ONLY query planning a partition-less Window") {
     // A Window with an empty partitionSpec is a single-task sort of
     // the whole input — q74's global ntile carries it deliberately
