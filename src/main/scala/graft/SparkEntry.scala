@@ -164,7 +164,8 @@ object Queries
     "q119_eval_contamination" -> (evalContamination _),
     "q120_temperature_sampling" -> (temperatureSampling _),
     "q121_capped_lsh" -> (cappedLsh _),
-    "q122_lsh_bucket_audit" -> (lshBucketAudit _))
+    "q122_lsh_bucket_audit" -> (lshBucketAudit _),
+    "q123_capped_simhash" -> (cappedSimhash _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = oracleSqlA ++ oracleSqlB ++ oracleSqlC

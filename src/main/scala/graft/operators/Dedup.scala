@@ -624,12 +624,13 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 2,
       bits: Int = 32,
-      bands: Int = 4): DataFrame = {
+      bands: Int = 4,
+      maxBucketWidth: Option[Int] = None): DataFrame = {
     val hashed = df.repartition(computeParallelism(df), col(idCol)) // parallelize per-doc hashing (see jaccardPairs)
       .select(col(idCol).cast("long").as("id"),
         tokenHashArray(tokens(col(textCol))).as("th"))
       .select(col("id"), simHashFromHashes(col("th"), bits).as("sh"))
-    hammingPairs(hashed, "id", "sh", maxHamming, bits, bands)
+    hammingPairs(hashed, "id", "sh", maxHamming, bits, bands, maxBucketWidth)
   }
 
   /** 64-bit two-level SimHash near-dup pairs: the low 32 signature bits
@@ -657,7 +658,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       maxHamming: Int = 3,
-      bands: Int = 8): DataFrame = {
+      bands: Int = 8,
+      maxBucketWidth: Option[Int] = None): DataFrame = {
     val th = col("th")
     val bigrams = zip_with(
       slice(th, lit(1), size(th) - 1), slice(th, lit(2), size(th) - 1),
@@ -670,7 +672,8 @@ object Dedup {
         simHashFromHashes(th, 32).as("lo"),
         simHashFromHashes(bigrams, 32).as("hi"))
       .select(col("id"), shiftleft(col("hi"), 34).bitwiseOR(col("lo")).as("sig"))
-    hammingPairs(hashed, "id", "sig", maxHamming, bits = 64, bands = bands)
+    hammingPairs(hashed, "id", "sig", maxHamming, bits = 64, bands = bands,
+      maxBucketWidth = maxBucketWidth)
   }
 
   /** Hamming-distance pairs over ANY precomputed fixed-width hash

@@ -68,6 +68,21 @@ private[graft] trait DedupCurationQueries extends QueryContext {
     Dedup.simHashPairs(t(spark, sfDir, "documents"), "doc_id", "text",
       maxHamming = 2, bits = 32, bands = 4)
 
+  /** [[simhashPairs]] under a bucket-width cap of 8 — the Hamming-family
+    * twin of [[cappedLsh]], and on THIS corpus the cap is no toy: the
+    * dense ~31-token synthetic vocabulary crowds SimHash space so hard
+    * that sf0.01's widest (band, key) bucket holds 195 of 500 docs and
+    * uncapped Hamming ≤ 2 yields 805 pairs — the signature-crowding
+    * mega-cluster shape a boilerplate-heavy crawl produces at 100 TB.
+    * Cap 8 keeps only the 36 pairs discoverable through narrow
+    * buckets. The oracle replicates banding + width filter + popcount
+    * verification (the uncapped q19 oracle can use brute force because
+    * banding is complete; a capped result is banding-specific, so the
+    * oracle must band). */
+  def cappedSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.simHashPairs(t(spark, sfDir, "documents"), "doc_id", "text",
+      maxHamming = 2, bits = 32, bands = 4, maxBucketWidth = Some(8))
+
   /** 64-bit two-level SimHash pairs within Hamming distance 3 — gates
     * [[graft.operators.Dedup.hammingPairs]] (the image-dedup family's
     * distributed core) at its `bits = 64` sign-extending configuration

@@ -796,5 +796,32 @@ private[graft] trait OracleSqlC extends OracleShared {
            CAST(max(w) AS BIGINT) AS max_width,
            CAST(sum(CASE WHEN w > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
            CAST(sum(CASE WHEN w > 2 THEN w ELSE 0 END) AS BIGINT) AS rows_dropped
-         FROM bw GROUP BY b""")
+         FROM bw GROUP BY b""",
+    "q123_capped_simhash" ->
+      """WITH th AS (
+           SELECT doc_id, unnest(list_transform(regexp_split_to_array(trim(text), '\s+'), t ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(t, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 131 + c) % 1000000007))) AS h
+           FROM documents),
+         bitsum AS (
+           SELECT doc_id, j, sum(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+           FROM th, (SELECT unnest(generate_series(0, 31)) AS j)
+           GROUP BY doc_id, j),
+         simh AS (
+           SELECT doc_id,
+             CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+           FROM bitsum GROUP BY doc_id),
+         keyed AS (
+           SELECT doc_id, simhash, b, (simhash >> (b*8)) & 255 AS bk
+           FROM simh, (SELECT unnest(generate_series(0, 3)) AS b)),
+         bw AS (SELECT b, bk, count(*) AS w FROM keyed GROUP BY 1, 2),
+         kept AS (SELECT keyed.* FROM keyed JOIN bw USING (b, bk) WHERE w <= 8),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2,
+             a.simhash AS sa, b2.simhash AS sb
+           FROM kept a JOIN kept b2
+             ON a.b = b2.b AND a.bk = b2.bk AND a.doc_id < b2.doc_id)
+         SELECT id1, id2, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         FROM cand WHERE bit_count(xor(sa, sb)) <= 2""")
 }

@@ -129,6 +129,18 @@ class DedupSpec extends SparkSpec {
     assert(capped.contains((1L, 2L, 1000000L)))
   }
 
+  test("simHashPairs maxBucketWidth: identical-text signature clique dropped") {
+    val un = Dedup.simHashPairs(templated, "doc_id", "text", maxHamming = 2,
+      bits = 32, bands = 4).as[(Long, Long, Long)].collect().toSet
+    assert(un.count { case (a, b, h) => a >= 10L && b >= 10L && h == 0L } === 15)
+    val capped = Dedup.simHashPairs(templated, "doc_id", "text", maxHamming = 2,
+      bits = 32, bands = 4, maxBucketWidth = Some(4))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped.subsetOf(un))
+    assert(!capped.exists { case (a, b, _) => a >= 10L && b >= 10L },
+      s"signature clique leaked through the cap: $capped")
+  }
+
   test("lshDedupAgainst maxBucketWidth: capped corpus mega-cluster stops gating the batch") {
     val template = "some boilerplate navigation header repeated on every single crawled page"
     val corpus = (10L to 15L).map(i => (i, template)).toDF("doc_id", "text")
