@@ -165,7 +165,8 @@ object Queries
     "q120_temperature_sampling" -> (temperatureSampling _),
     "q121_capped_lsh" -> (cappedLsh _),
     "q122_lsh_bucket_audit" -> (lshBucketAudit _),
-    "q123_capped_simhash" -> (cappedSimhash _))
+    "q123_capped_simhash" -> (cappedSimhash _),
+    "q124_bigram_lm" -> (bigramLmScore _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = oracleSqlA ++ oracleSqlB ++ oracleSqlC

@@ -941,4 +941,50 @@ private[graft] trait DedupCurationQueries extends QueryContext {
       .select(col("cluster_size"), col("n_clusters"),
         (col("cluster_size") * col("n_clusters")).as("n_docs"))
 
+  /** Bigram-LM predictability score — the engine-native analogue of the
+    * CCNet/Gopher perplexity quality filter (score each doc by how
+    * well a language model trained ON the corpus predicts it; gibberish
+    * and boilerplate-shredded text land in the tails). No external LM
+    * binary exists in a pure-Spark pipeline, so the model IS a corpus
+    * artifact: add-one-smoothed bigram transition probabilities,
+    * p(w2|w1) = (c(w1 w2)+1)/(c(w1·)+V), built from the same scan.
+    *
+    * Determinism: probabilities are integer ppm, floored model-side
+    * (`(c12+1)*1e6 DIV (c1+V)` — all counts, no FP), and the per-doc
+    * score is the integer mean of its bigrams' ppm — any engine replays
+    * the exact longs, so the gate hashes model AND scoring.
+    *
+    * Scale shape: the model is one partial-agged wordpair count —
+    * bounded by the corpus's REALIZED bigram vocabulary, not its row
+    * count — with its probability column computed once, model-side.
+    * Scoring is a single bigram-keyed shuffle-hash equi-join (the
+    * model is deliberately NOT broadcast: a realized BPE-level bigram
+    * table is tens of GB at 100 TB corpus scale) followed by a per-doc
+    * partial agg. The V scalar rides a 1-row cross join. Nothing is
+    * ever all-pairs and no relation exceeds the exploded token stream
+    * the wordcount (q36) already pays. */
+  def bigramLmScore(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = t(spark, sfDir, "documents")
+    val tk = TextFunctions.tokens(col("text"))
+    val bg = when(size(tk) >= 2,
+      zip_with(slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    val docBg = docs.select(col("doc_id"), explode(bg).as("bigram"))
+    val bgCounts = docBg.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+    val leftCounts = bgCounts.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = docs.select(explode(tk).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+    val model = bgCounts.join(leftCounts, "w1").crossJoin(vocab)
+      .select(col("bigram"),
+        expr("((c12 + 1) * 1000000) DIV (c1 + v)").as("p_ppm"))
+    docBg.join(model.hint("shuffle_hash"), "bigram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("p_ppm")).as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("s DIV n_bigrams").as("lm_ppm"))
+  }
+
 }

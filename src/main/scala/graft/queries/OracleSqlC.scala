@@ -823,5 +823,26 @@ private[graft] trait OracleSqlC extends OracleShared {
            FROM kept a JOIN kept b2
              ON a.b = b2.b AND a.bk = b2.bk AND a.doc_id < b2.doc_id)
          SELECT id1, id2, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-         FROM cand WHERE bit_count(xor(sa, sb)) <= 2""")
+         FROM cand WHERE bit_count(xor(sa, sb)) <= 2""",
+    "q124_bigram_lm" ->
+      """WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+         bg AS (
+           SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+             i -> toks[i] || ' ' || toks[i+1])) AS bigram
+           FROM tk WHERE len(toks) >= 2),
+         m AS (SELECT bigram, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY bigram),
+         m1 AS (SELECT split_part(bigram, ' ', 1) AS w1, bigram, c12 FROM m),
+         c1 AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM m1 GROUP BY w1),
+         v AS (SELECT CAST(count(DISTINCT tok) AS BIGINT) AS v
+               FROM (SELECT unnest(toks) AS tok FROM tk)),
+         p AS (
+           SELECT m1.bigram,
+             CAST(((c12 + 1) * 1000000) // (c1.c1 + v.v) AS BIGINT) AS p_ppm
+           FROM m1 JOIN c1 USING (w1) CROSS JOIN v)
+         SELECT doc_id, count(*) AS n_bigrams,
+           CAST(sum(p_ppm) // count(*) AS BIGINT) AS lm_ppm
+         FROM bg JOIN p USING (bigram)
+         GROUP BY doc_id""")
 }
