@@ -166,7 +166,9 @@ object Queries
     "q121_capped_lsh" -> (cappedLsh _),
     "q122_lsh_bucket_audit" -> (lshBucketAudit _),
     "q123_capped_simhash" -> (cappedSimhash _),
-    "q124_bigram_lm" -> (bigramLmScore _))
+    "q124_bigram_lm" -> (bigramLmScore _),
+    "q125_hard_negatives" -> (hardNegatives _),
+    "q126_label_purity" -> (labelPurity _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = oracleSqlA ++ oracleSqlB ++ oracleSqlC

@@ -987,4 +987,80 @@ private[graft] trait DedupCurationQueries extends QueryContext {
         expr("s DIV n_bigrams").as("lm_ppm"))
   }
 
+  /** Hard-negative mining — the contrastive-training data op: for each
+    * anchor in a deterministic 1-in-10 sample, the single most
+    * cosine-similar vector carrying a DIFFERENT label (the "looks like
+    * X, labeled Y" example a contrastive or reranker objective needs;
+    * random negatives are trivially easy and teach nothing).
+    *
+    * Scale shape: the q21/q54 discipline — the anchor set is the
+    * bounded side (a training batch, not the corpus) and is broadcast;
+    * the corpus STREAMS through the label-mismatch BNLJ once, and the
+    * per-anchor argmax is a partial-aggable lexicographic `min` on a
+    * `(−cos_micro, id, label)` struct, so the shuffle carries one
+    * struct per anchor per partition. Similarity is floored to integer
+    * micro BEFORE the ordering, so the winner (and its id tie-break)
+    * replays exactly in any engine. At corpus-scale anchor sets the
+    * broadcast flips to the [[annLsh]]/[[annIvf]] bucketed discovery
+    * path — mining is an ANN consumer, not a new join shape. */
+  def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    val emb = t(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") % 10 === 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"),
+        col("label").as("q_label"))
+    val it = emb.select(col("vec_id").as("i_id"), col("embedding").as("i_vec"),
+      col("label").as("i_label"))
+    it.join(broadcast(q), col("i_label") =!= col("q_label"))
+      .select(col("query_id"), col("q_label"),
+        struct(
+          (-floor(VectorFunctions.cosineSimilarity(col("q_vec"), col("i_vec"))
+            * 1000000.0).cast("long")).as("nc"),
+          col("i_id").as("nid"), col("i_label").as("nlabel")).as("s"))
+      .groupBy(col("query_id"), col("q_label"))
+      .agg(min(col("s")).as("m"))
+      .select(col("query_id"), col("q_label"),
+        col("m.nid").as("neighbor_id"), col("m.nlabel").as("neighbor_label"),
+        (-col("m.nc")).as("cos_micro"))
+  }
+
+  /** k-NN label-purity audit — label-noise detection over a labeled
+    * embedding corpus: for each anchor in a deterministic 1-in-7
+    * sample, how many of its 5 nearest neighbors (cosine distance)
+    * share its label. Low purity flags probable mislabels / ambiguous
+    * samples — the confident-learning signal a curation pipeline uses
+    * to quarantine training rows before a fine-tune.
+    *
+    * Scale shape: anchors broadcast, corpus streams (q21 discipline);
+    * the per-anchor top-5 is the bounded-heap [[operators.TopK]]
+    * partial agg; the neighbor-label resolution joins the corpus's
+    * label relation against the BROADCAST anchor×5 top list (the
+    * bounded side), then one partial-agged purity count per anchor.
+    * Nothing corpus-sized ever shuffles on a non-key. */
+  def labelPurity(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    val emb = t(spark, sfDir, "embeddings")
+    val a = emb.filter(col("vec_id") % 7 === 0)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"),
+        col("label").as("a_label"))
+    val it = emb.select(col("vec_id").as("i_id"), col("embedding").as("i_vec"),
+      col("label").as("i_label"))
+    val top = it.join(broadcast(a), col("i_id") =!= col("a_id"))
+      .select(col("a_id"), col("a_label"),
+        VectorFunctions.cosineDistance(col("a_vec"), col("i_vec")).as("dist"),
+        col("i_id"))
+      .groupBy(col("a_id"), col("a_label"))
+      .agg(operators.TopK.topK(5)(col("dist"), col("i_id"), col("i_id")).as("top"))
+      .select(col("a_id"), col("a_label"), explode(col("top")).as("n"))
+      .select(col("a_id"), col("a_label"), col("n.id").as("i_id"))
+    emb.select(col("vec_id").as("i_id"), col("label").as("i_label"))
+      .join(broadcast(top), Seq("i_id"))
+      .groupBy(col("a_id"), col("a_label"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("i_label") === col("a_label"), 1L).otherwise(0L)).as("n_match"))
+      .select(col("a_id").as("vec_id"), col("a_label").as("label"),
+        col("n_neighbors"), col("n_match"),
+        expr("(n_match * 1000000) DIV n_neighbors").as("purity_ppm"))
+  }
+
 }

@@ -844,5 +844,66 @@ private[graft] trait OracleSqlC extends OracleShared {
          SELECT doc_id, count(*) AS n_bigrams,
            CAST(sum(p_ppm) // count(*) AS BIGINT) AS lm_ppm
          FROM bg JOIN p USING (bigram)
-         GROUP BY doc_id""")
+         GROUP BY doc_id""",
+    "q125_hard_negatives" ->
+      """WITH q AS (
+           SELECT vec_id AS query_id, embedding AS qe, label AS q_label
+           FROM embeddings WHERE vec_id % 10 = 3),
+         it AS (
+           SELECT vec_id AS i_id, embedding AS ie, label AS i_label
+           FROM embeddings),
+         s AS (
+           SELECT query_id, q_label, i_id, i_label,
+             CAST(floor(1000000.0 * (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0
+               ELSE dot / (sqrt(na) * sqrt(nb)) END)) AS BIGINT) AS cos_micro
+           FROM (
+             SELECT query_id, q_label, i_id, i_label,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(generate_series(1, len(qe)),
+                   i -> CAST(qe[i] AS DOUBLE) * CAST(ie[i] AS DOUBLE))), (x,y) -> x+y) AS dot,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(generate_series(1, len(qe)),
+                   i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))), (x,y) -> x+y) AS na,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(generate_series(1, len(ie)),
+                   i -> CAST(ie[i] AS DOUBLE) * CAST(ie[i] AS DOUBLE))), (x,y) -> x+y) AS nb
+             FROM q CROSS JOIN it WHERE i_label <> q_label))
+         SELECT query_id, q_label, i_id AS neighbor_id,
+           i_label AS neighbor_label, cos_micro
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos_micro DESC, i_id ASC) AS rn FROM s)
+         WHERE rn = 1""",
+    "q126_label_purity" ->
+      """WITH a AS (
+           SELECT vec_id AS a_id, embedding AS ae, label AS a_label
+           FROM embeddings WHERE vec_id % 7 = 0),
+         it AS (
+           SELECT vec_id AS i_id, embedding AS ie, label AS i_label
+           FROM embeddings),
+         s AS (
+           SELECT a_id, a_label, i_id, i_label,
+             1.0 - (CASE WHEN sqrt(na) * sqrt(nb) = 0 THEN 0.0
+               ELSE dot / (sqrt(na) * sqrt(nb)) END) AS dist
+           FROM (
+             SELECT a_id, a_label, i_id, i_label,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(generate_series(1, len(ae)),
+                   i -> CAST(ae[i] AS DOUBLE) * CAST(ie[i] AS DOUBLE))), (x,y) -> x+y) AS dot,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(generate_series(1, len(ae)),
+                   i -> CAST(ae[i] AS DOUBLE) * CAST(ae[i] AS DOUBLE))), (x,y) -> x+y) AS na,
+               list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(generate_series(1, len(ie)),
+                   i -> CAST(ie[i] AS DOUBLE) * CAST(ie[i] AS DOUBLE))), (x,y) -> x+y) AS nb
+             FROM a CROSS JOIN it WHERE i_id <> a_id)),
+         r AS (SELECT *, row_number() OVER (PARTITION BY a_id
+                 ORDER BY dist, i_id) AS rn FROM s)
+         SELECT a_id AS vec_id, a_label AS label,
+           count(*) AS n_neighbors,
+           CAST(sum(CASE WHEN i_label = a_label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_match,
+           CAST((sum(CASE WHEN i_label = a_label THEN 1 ELSE 0 END) * 1000000)
+             // count(*) AS BIGINT) AS purity_ppm
+         FROM r WHERE rn <= 5
+         GROUP BY a_id, a_label""")
 }
