@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.VectorFunctions
+
+/** Semantic deduplication over an embedding corpus — the SemDeDup shape
+  * (cluster the embedding space with k-means, then run exact pairwise
+  * cosine only WITHIN each cluster and drop all but one member of every
+  * near-duplicate group). K-means exists here for exactly one reason:
+  * it turns the intractable corpus-wide all-pairs cosine into k
+  * independent within-cluster all-pairs, each bounded by cluster width
+  * — pick `k ∝ n / targetClusterWidth` and the pair stage costs
+  * `n · targetClusterWidth / 2` comparisons regardless of corpus size.
+  *
+  * Everything is deterministic and engine-portable, so the whole
+  * pipeline (clustering INCLUDED) replays bit-for-bit in the DuckDB
+  * oracle:
+  *
+  *  - vectors are quantized once to integer milli-units
+  *    (`⌊x·1000⌋` per element) — Lloyd distances and centroid means
+  *    then stay in exact 64-bit integer arithmetic, immune to
+  *    FP-summation ordering;
+  *  - initial centroids are the `k` smallest-id vectors (cluster id =
+  *    rank in that order), the [[SimilaritySearch]] codebook
+  *    convention;
+  *  - assignment argmin breaks ties lexicographically on
+  *    `(distance, cluster id)`;
+  *  - centroid updates use floored integer means (`⌊Σ/n⌋` per
+  *    element); a cluster that loses all members simply drops out of
+  *    the codebook (deterministic in any engine — no re-seeding).
+  *
+  * Scale shape: each Lloyd iteration is one per-row argmin against the
+  * k-row codebook literals (a pure projection — no join, the corpus
+  * never shuffles for assignment) plus one positional-explode
+  * partial-agg for the means; only `k × dim` longs ever reach the
+  * driver (the IVF codebook discipline, `SimilaritySearch.ivfTopK`).
+  * The quantized relation is persisted across iterations — Lloyd is
+  * the one genuinely iterative operator here, and recomputing the
+  * quantization per iteration would rescan the corpus `iters` times.
+  * The within-cluster pair join is a cluster-keyed shuffle-hash
+  * self-join (corpus-derived, never broadcast) bounded by
+  * `Σ widthᵢ²/2`; a skew-prone corpus caps widths upstream by raising
+  * `k` (the same mega-bucket discipline as `Dedup.dropWideBuckets`).
+  */
+object SemDedup {
+
+  /** Σ (aᵢ−bᵢ)² in exact long arithmetic (milli-quantized inputs). */
+  private def sqDistInt(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Milli-quantized copy of the vector column. */
+  def quantizeMilli(vec: Column): Column =
+    transform(vec.cast("array<double>"), x => floor(x * 1000.0).cast("long"))
+
+  /** Deterministic Lloyd k-means: `iters` assign+update rounds over the
+    * milli-quantized vectors, then a final assignment. Returns
+    * `(id, cluster)` for every input row; cluster ids are the initial
+    * codebook ranks (0-based, id order) and survive cluster death.
+    */
+  def kmeansAssign(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): DataFrame = {
+    require(k >= 1 && iters >= 0)
+    val milli = df
+      .select(col(idCol).cast("long").as("id"),
+        quantizeMilli(col(vecCol)).as("mv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var centroids: Seq[(Long, Seq[Long])] = milli.orderBy(col("id")).limit(k)
+        .collect()
+        .map(_.getSeq[Long](1))
+        .zipWithIndex
+        .map { case (cv, i) => (i.toLong, cv.toSeq) }
+        .toSeq
+
+      def scores(vec: Column): Column = array(centroids.map { case (cid, cv) =>
+        struct(sqDistInt(vec, typedLit(cv)).as("d"), lit(cid).as("c"))
+      }: _*)
+      def assign: DataFrame = milli.select(col("id"), col("mv"),
+        array_min(scores(col("mv"))).getField("c").as("cluster"))
+
+      for (_ <- 1 to iters) {
+        centroids = assign
+          .select(col("cluster"), posexplode(col("mv")).as(Seq("pos", "x")))
+          .groupBy(col("cluster"), col("pos"))
+          .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+          .select(col("cluster"), col("pos"),
+            floor(col("s").cast("double") / col("n")).cast("long").as("m"))
+          .collect()
+          .groupBy(_.getLong(0))
+          .map { case (cid, rows) =>
+            (cid, rows.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq)
+          }
+          .toSeq.sortBy(_._1)
+      }
+      assign.select(col("id"), col("cluster"))
+    } finally milli.unpersist()
+  }
+
+  /** SemDeDup: [[kmeansAssign]] + within-cluster exact cosine; a vector
+    * is dropped when a smaller-id near-duplicate (`cos_micro ≥`
+    * threshold, computed on the ORIGINAL float vectors with the
+    * engine's per-row fold) shares its cluster. One row per input
+    * vector: `(vec_id, cluster, kept)`.
+    */
+  def semDedup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      minCosineMicro: Long): DataFrame = {
+    val assigned = kmeansAssign(df, idCol, vecCol, k, iters)
+    val vecs = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val cl = vecs.join(assigned.hint("shuffle_hash"), "id")
+    val dropped = cl.as("a")
+      .join(cl.as("b").hint("shuffle_hash"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .filter(floor(VectorFunctions.cosineSimilarity(col("a.vec"), col("b.vec"))
+        * 1000000.0).cast("long") >= minCosineMicro)
+      .select(col("b.id").as("id")).distinct()
+      .withColumn("hit", lit(1))
+    assigned.join(dropped.hint("shuffle_hash"), Seq("id"), "left")
+      .select(col("id").as("vec_id"), col("cluster"),
+        when(col("hit").isNull, 1L).otherwise(0L).as("kept"))
+  }
+}

@@ -1063,4 +1063,18 @@ private[graft] trait DedupCurationQueries extends QueryContext {
         expr("(n_match * 1000000) DIV n_neighbors").as("purity_ppm"))
   }
 
+  /** [[operators.SemDedup.semDedup]] under the oracle gate — SEMANTIC
+    * dedup (k-means-partitioned within-cluster cosine) with the entire
+    * pipeline, deterministic Lloyd clustering included, replayed by the
+    * oracle: 8 clusters, 2 Lloyd rounds over milli-quantized vectors,
+    * drop at cosine ≥ 0.35 against a smaller-id cluster-mate. The gate
+    * therefore pins the quantization, the codebook seeding, both
+    * centroid updates, the final assignment, AND the dedup verdicts —
+    * not just the pair arithmetic. See the operator scaladoc for why
+    * the k-means stage is what makes semantic dedup affordable at
+    * corpus scale (`k ∝ n` bounds within-cluster all-pairs). */
+  def semanticDedup(spark: SparkSession, sfDir: String): DataFrame =
+    operators.SemDedup.semDedup(t(spark, sfDir, "embeddings"),
+      "vec_id", "embedding", k = 8, iters = 2, minCosineMicro = 350000L)
+
 }
