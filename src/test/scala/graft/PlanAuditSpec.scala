@@ -638,6 +638,51 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("partial_topkaggregator"), plan.take(1500))
   }
 
+  test("q124 bigram LM: model join shuffle-hash (never broadcast); counts partial-agg; no Window") {
+    val plan = planOf(Queries.bigramLmScore(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    // the realized-bigram model is corpus-derived (tens of GB at a BPE
+    // vocab) — the scoring join must ride shuffle-hash, not a broadcast
+    // whose size estimate only holds at test scale; the 1-row V scalar
+    // is the only legitimate broadcast
+    assert(finalTree.contains("ShuffledHashJoin"), finalTree.take(1500))
+    assert(!finalTree.contains("Window"), finalTree.take(1500))
+    assert(finalTree.contains("partial_count") || finalTree.contains("partial_sum"),
+      finalTree.take(1500))
+  }
+
+  test("q125 hard negatives: anchors broadcast, corpus streams, argmax partial-aggs") {
+    val plan = planOf(Queries.hardNegatives(spark, sf))
+    // bounded anchor set × streaming corpus (q21 discipline); the
+    // per-anchor winner is a partial-aggable struct-min, no Window
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    assert(plan.contains("partial_min"), plan.take(1500))
+    assert(!plan.contains("Window"), plan.take(1500))
+  }
+
+  test("q126 label purity: bounded-heap top-k partial agg; label probe joins the broadcast top list") {
+    val plan = planOf(Queries.labelPurity(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+    assert(plan.toLowerCase.contains("partial_topkaggregator"), plan.take(1500))
+    // the anchor×5 top list is the bounded side — the corpus label
+    // relation must probe IT as a broadcast hash join, never shuffle
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("Window"), plan.take(1500))
+  }
+
+  test("q127 semdedup: assignment is a pure projection; cluster self-join and verdicts shuffle-hash") {
+    val plan = planOf(Queries.semanticDedup(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    // Lloyd assignment rides codebook literals — the corpus must reach
+    // the cluster-keyed self-join without any join for assignment, and
+    // every corpus-derived relation (pairs, dropped ids) stays
+    // shuffle-hash — nothing broadcast, nothing cartesian
+    assert(finalTree.contains("ShuffledHashJoin"), finalTree.take(1500))
+    assert(!finalTree.contains("BroadcastExchange"), finalTree.take(1500))
+    assert(!finalTree.contains("CartesianProduct"), finalTree.take(1500))
+    assert(!finalTree.contains("Window"), finalTree.take(1500))
+  }
+
   test("global-window census: q74 is the ONLY query planning a partition-less Window") {
     // A Window with an empty partitionSpec is a single-task sort of
     // the whole input — q74's global ntile carries it deliberately
