@@ -169,7 +169,8 @@ object Queries
     "q124_bigram_lm" -> (bigramLmScore _),
     "q125_hard_negatives" -> (hardNegatives _),
     "q126_label_purity" -> (labelPurity _),
-    "q127_semdedup" -> (semanticDedup _))
+    "q127_semdedup" -> (semanticDedup _),
+    "q128_dup_ngrams" -> (dupNgramFraction _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = oracleSqlA ++ oracleSqlB ++ oracleSqlC

@@ -1077,4 +1077,38 @@ private[graft] trait DedupCurationQueries extends QueryContext {
     operators.SemDedup.semDedup(t(spark, sfDir, "embeddings"),
       "vec_id", "embedding", k = 8, iters = 2, minCosineMicro = 350000L)
 
+  /** Duplicate-n-gram fraction — the Gopher-family CROSS-CORPUS
+    * repetition signal (q55 measures repetition WITHIN a doc; this
+    * measures how much of a doc is text that also appears elsewhere):
+    * per document, the fraction of its word 4-grams whose corpus
+    * document-frequency is ≥ 2, in ppm. High values mark boilerplate
+    * shells and template families — the docs near-dedup is about to
+    * cluster — making this the cheap pre-filter a pipeline runs BEFORE
+    * the (more expensive) pairwise passes.
+    *
+    * Scale shape: one exploded n-gram stream (the q36/q47 cost), a
+    * partial-agged per-gram distinct-doc count (single-distinct
+    * rewrite, no Expand), and one gram-keyed shuffle-hash join back —
+    * the gram relation is corpus-derived and never broadcast. All
+    * arithmetic integer (ppm via exact DIV). */
+  def dupNgramFraction(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = t(spark, sfDir, "documents")
+    val tk = TextFunctions.tokens(col("text"))
+    val grams = when(size(tk) >= 4,
+      transform(sequence(lit(1), size(tk) - 3),
+        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
+          element_at(tk, i + 2), element_at(tk, i + 3))))
+      .otherwise(array().cast("array<string>"))
+    val dg = docs.select(col("doc_id"), explode(grams).as("g"))
+    val dfreq = dg.groupBy(col("g"))
+      .agg(count_distinct(col("doc_id")).as("df"))
+    dg.join(dfreq.hint("shuffle_hash"), "g")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .select(col("doc_id"), col("n_grams"), col("n_dup"),
+        expr("(n_dup * 1000000) DIV n_grams").as("dup_ppm"))
+  }
+
 }

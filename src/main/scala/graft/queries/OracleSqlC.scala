@@ -1001,5 +1001,21 @@ private[graft] trait OracleSqlC extends OracleShared {
          drp AS (SELECT DISTINCT id2 AS id FROM p WHERE cos_micro >= 350000)
          SELECT a2.id AS vec_id, a2.cid AS cluster,
            CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
-         FROM a2 LEFT JOIN drp d ON a2.id = d.id""")
+         FROM a2 LEFT JOIN drp d ON a2.id = d.id""",
+    "q128_dup_ngrams" ->
+      """WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+         gr AS (
+           SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 3),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+               || toks[i+3])) AS g
+           FROM tk WHERE len(toks) >= 4),
+         d AS (SELECT g, count(DISTINCT doc_id) AS df FROM gr GROUP BY g)
+         SELECT doc_id, count(*) AS n_grams,
+           CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           CAST((sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1000000)
+             // count(*) AS BIGINT) AS dup_ppm
+         FROM gr JOIN d USING (g)
+         GROUP BY doc_id""")
 }
