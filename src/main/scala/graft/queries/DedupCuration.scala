@@ -1094,13 +1094,22 @@ private[graft] trait DedupCurationQueries extends QueryContext {
   def dupNgramFraction(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.TextFunctions
     val docs = t(spark, sfDir, "documents")
-    val tk = TextFunctions.tokens(col("text"))
+    // grams built from four shifted slices (the q47 idiom): the token
+    // array is staged once per row behind a projection — an
+    // element_at-per-index lambda would re-evaluate the split per
+    // element reference (measured 10× slower on this corpus)
+    val tk = col("tk")
     val grams = when(size(tk) >= 4,
-      transform(sequence(lit(1), size(tk) - 3),
-        i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
-          element_at(tk, i + 2), element_at(tk, i + 3))))
+      zip_with(
+        zip_with(slice(tk, lit(1), size(tk) - 3),
+          slice(tk, lit(2), size(tk) - 3), (a, b) => concat(a, lit(" "), b)),
+        zip_with(slice(tk, lit(3), size(tk) - 3),
+          slice(tk, lit(4), size(tk) - 3), (a, b) => concat(a, lit(" "), b)),
+        (x, y) => concat(x, lit(" "), y)))
       .otherwise(array().cast("array<string>"))
-    val dg = docs.select(col("doc_id"), explode(grams).as("g"))
+    val dg = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(grams).as("g"))
     val dfreq = dg.groupBy(col("g"))
       .agg(count_distinct(col("doc_id")).as("df"))
     dg.join(dfreq.hint("shuffle_hash"), "g")
