@@ -994,19 +994,24 @@ private[graft] trait DedupCurationQueries extends QueryContext {
     * random negatives are trivially easy and teach nothing).
     *
     * Scale shape: the q21/q54 discipline — the anchor set is the
-    * bounded side (a training batch, not the corpus) and is broadcast;
-    * the corpus STREAMS through the label-mismatch BNLJ once, and the
-    * per-anchor argmax is a partial-aggable lexicographic `min` on a
+    * bounded side (a FIXED-SIZE 256-anchor deterministic hash sample,
+    * the q44 sampled-gate shape: a mining batch is bounded, it does
+    * not grow with the corpus) and is broadcast; the corpus STREAMS
+    * through the label-mismatch BNLJ once, and the per-anchor argmax
+    * is a partial-aggable lexicographic `min` on a
     * `(−cos_micro, id, label)` struct, so the shuffle carries one
     * struct per anchor per partition. Similarity is floored to integer
     * micro BEFORE the ordering, so the winner (and its id tie-break)
-    * replays exactly in any engine. At corpus-scale anchor sets the
-    * broadcast flips to the [[annLsh]]/[[annIvf]] bucketed discovery
-    * path — mining is an ANN consumer, not a new join shape. */
+    * replays exactly in any engine. Mining EVERY corpus row flips the
+    * broadcast to the [[annLsh]]/[[annIvf]] bucketed discovery path —
+    * mining is an ANN consumer, not a new join shape. */
   def hardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.VectorFunctions
     val emb = t(spark, sfDir, "embeddings")
-    val q = emb.filter(col("vec_id") % 10 === 3)
+    val q = emb
+      .orderBy(pmod(col("vec_id") * 2654435761L + 12345L, lit(1000003L)),
+        col("vec_id"))
+      .limit(256)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_vec"),
         col("label").as("q_label"))
     val it = emb.select(col("vec_id").as("i_id"), col("embedding").as("i_vec"),
@@ -1032,15 +1037,21 @@ private[graft] trait DedupCurationQueries extends QueryContext {
     * to quarantine training rows before a fine-tune.
     *
     * Scale shape: anchors broadcast, corpus streams (q21 discipline);
-    * the per-anchor top-5 is the bounded-heap [[operators.TopK]]
-    * partial agg; the neighbor-label resolution joins the corpus's
-    * label relation against the BROADCAST anchor×5 top list (the
-    * bounded side), then one partial-agged purity count per anchor.
-    * Nothing corpus-sized ever shuffles on a non-key. */
+    * the anchor set is a FIXED-SIZE 128-row deterministic hash sample
+    * (q44 sampled-gate shape — an audit runs on a sample, so the gate
+    * itself stays linear in the corpus at any sf); the per-anchor
+    * top-5 is the bounded-heap [[operators.TopK]] partial agg; the
+    * neighbor-label resolution joins the corpus's label relation
+    * against the BROADCAST anchor×5 top list (the bounded side), then
+    * one partial-agged purity count per anchor. Nothing corpus-sized
+    * ever shuffles on a non-key. */
   def labelPurity(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.VectorFunctions
     val emb = t(spark, sfDir, "embeddings")
-    val a = emb.filter(col("vec_id") % 7 === 0)
+    val a = emb
+      .orderBy(pmod(col("vec_id") * 2654435761L + 12345L, lit(1000003L)),
+        col("vec_id"))
+      .limit(128)
       .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"),
         col("label").as("a_label"))
     val it = emb.select(col("vec_id").as("i_id"), col("embedding").as("i_vec"),

@@ -848,7 +848,9 @@ private[graft] trait OracleSqlC extends OracleShared {
     "q125_hard_negatives" ->
       """WITH q AS (
            SELECT vec_id AS query_id, embedding AS qe, label AS q_label
-           FROM embeddings WHERE vec_id % 10 = 3),
+           FROM embeddings
+           ORDER BY (vec_id * 2654435761 + 12345) % 1000003, vec_id
+           LIMIT 256),
          it AS (
            SELECT vec_id AS i_id, embedding AS ie, label AS i_label
            FROM embeddings),
@@ -876,7 +878,9 @@ private[graft] trait OracleSqlC extends OracleShared {
     "q126_label_purity" ->
       """WITH a AS (
            SELECT vec_id AS a_id, embedding AS ae, label AS a_label
-           FROM embeddings WHERE vec_id % 7 = 0),
+           FROM embeddings
+           ORDER BY (vec_id * 2654435761 + 12345) % 1000003, vec_id
+           LIMIT 128),
          it AS (
            SELECT vec_id AS i_id, embedding AS ie, label AS i_label
            FROM embeddings),
