@@ -56,17 +56,26 @@ object SemDedup {
   def quantizeMilli(vec: Column): Column =
     transform(vec.cast("array<double>"), x => floor(x * 1000.0).cast("long"))
 
-  /** Deterministic Lloyd k-means: `iters` assign+update rounds over the
-    * milli-quantized vectors, then a final assignment. Returns
-    * `(id, cluster)` for every input row; cluster ids are the initial
-    * codebook ranks (0-based, id order) and survive cluster death.
-    */
-  def kmeansAssign(
+  /** Nearest-centroid id for a milli-quantized vector against codebook
+    * literals — the per-row assignment projection (lexicographic
+    * `(distance, cluster id)` argmin; no join, the corpus never
+    * shuffles to be assigned). Shared by the batch Lloyd loop and the
+    * streaming twin (`StreamingOps.semDedupStream`). */
+  def assignClusterMilli(mv: Column, centroids: Seq[(Long, Seq[Long])]): Column =
+    array_min(array(centroids.map { case (cid, cv) =>
+      struct(sqDistInt(mv, typedLit(cv)).as("d"), lit(cid).as("c"))
+    }: _*)).getField("c")
+
+  /** Deterministic Lloyd codebook: seed from the `k` smallest-id
+    * vectors (cluster id = rank in that order), run `iters`
+    * assign+update rounds, return the final `(cluster id, centroid)`
+    * codebook — `k × dim` longs, the only driver traffic. */
+  def lloydCentroids(
       df: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int,
-      iters: Int): DataFrame = {
+      iters: Int): Seq[(Long, Seq[Long])] = {
     require(k >= 1 && iters >= 0)
     val milli = df
       .select(col(idCol).cast("long").as("id"),
@@ -79,15 +88,13 @@ object SemDedup {
         .zipWithIndex
         .map { case (cv, i) => (i.toLong, cv.toSeq) }
         .toSeq
-
-      def scores(vec: Column): Column = array(centroids.map { case (cid, cv) =>
-        struct(sqDistInt(vec, typedLit(cv)).as("d"), lit(cid).as("c"))
-      }: _*)
-      def assign: DataFrame = milli.select(col("id"), col("mv"),
-        array_min(scores(col("mv"))).getField("c").as("cluster"))
-
       for (_ <- 1 to iters) {
-        centroids = assign
+        // two selects: a generator (posexplode) sharing a Project with
+        // the struct-argmin strips the struct's field names during the
+        // Generate rewrite and breaks the .getField("c") extraction
+        centroids = milli
+          .select(col("mv"),
+            assignClusterMilli(col("mv"), centroids).as("cluster"))
           .select(col("cluster"), posexplode(col("mv")).as(Seq("pos", "x")))
           .groupBy(col("cluster"), col("pos"))
           .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
@@ -100,8 +107,29 @@ object SemDedup {
           }
           .toSeq.sortBy(_._1)
       }
-      assign.select(col("id"), col("cluster"))
+      centroids
     } finally milli.unpersist()
+  }
+
+  /** Deterministic Lloyd k-means assignment: [[lloydCentroids]] then
+    * one final assignment scan. Returns `(id, cluster)` for every
+    * input row; cluster ids are the initial codebook ranks (0-based,
+    * id order) and survive cluster death.
+    */
+  def kmeansAssign(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int): DataFrame = {
+    val centroids = lloydCentroids(df, idCol, vecCol, k, iters)
+    // the quantized vector must be a named attribute before the
+    // struct-argmin — a complex child loses the struct's field names
+    // during analysis and breaks the .getField("c") extraction
+    df.select(col(idCol).cast("long").as("id"),
+        quantizeMilli(col(vecCol)).as("mv"))
+      .select(col("id"),
+        assignClusterMilli(col("mv"), centroids).as("cluster"))
   }
 
   /** SemDeDup: [[kmeansAssign]] + within-cluster exact cosine; a vector

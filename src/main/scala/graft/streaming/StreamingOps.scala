@@ -28,6 +28,9 @@ import graft.operators.{Dedup, Knn}
   *    over precomputed signatures (SimHash / image dHash) — the
   *    ingest-time twin of the batch `hammingPairs`, emitting verified
   *    pairs (signatures are small enough to live in state).
+  *  - [[semDedupStream]]: streaming semantic dedup against a static
+  *    Lloyd codebook — per-cluster keyed state, the ingest-time twin
+  *    of the batch `SemDedup.semDedup`.
   */
 object StreamingOps {
 
@@ -437,6 +440,107 @@ object StreamingOps {
             if (timeout == GroupStateTimeout.EventTimeTimeout && maxTs != Long.MinValue)
               state.setTimeoutTimestamp(maxTs, idleTtl)
             Iterator.single((user, n, c))
+          }
+      }
+  }
+
+  /** Index-order cosine in micro units — the same fold order as the
+    * engine's `VectorDistanceExpr.cosineSimilarity`, so streaming
+    * verdicts match the batch twin's at identical inputs. */
+  private def cosMicro(a: Seq[Double], b: Array[Double]): Long = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    val den = math.sqrt(na) * math.sqrt(nb)
+    if (den == 0.0) 0L else math.floor(1000000.0 * (dot / den)).toLong
+  }
+
+  /** Streaming SEMANTIC dedup — the ingest-time twin of
+    * [[graft.operators.SemDedup.semDedup]]: each arriving vector is
+    * assigned to its nearest centroid from a STATIC codebook (built
+    * once from the standing corpus via
+    * [[graft.operators.SemDedup.lloydCentroids]] — assignment is a
+    * pure per-row projection against literals, no join, no shuffle),
+    * then per-cluster keyed state remembers the vectors already seen
+    * in that cluster and marks an arrival `kept = 0` when a retained
+    * cluster-mate is cosine-≥-threshold near it. First-wins semantics:
+    * with arrivals in id order this reproduces the batch twin's
+    * smallest-id-survives verdicts exactly (spec-pinned), and — like
+    * the batch side, where dropped docs still suppress later
+    * near-dups of themselves — every arrival (kept or dropped) joins
+    * the state up to `maxClusterWidth`.
+    *
+    * State per cluster is capped at `maxClusterWidth` vectors (the
+    * cluster-width bound that makes SemDeDup affordable is exactly
+    * what bounds this state); cluster COUNT is bounded by the
+    * codebook, so unlike the banding streams no TTL is needed for the
+    * key domain — `tsCol` adds event-time eviction of cold clusters
+    * anyway for long-running jobs whose corpus drifts.
+    *
+    * @return stream of (vec_id, cluster, kept)
+    */
+  def semDedupStream(
+      spark: SparkSession,
+      vecs: DataFrame,
+      centroids: Seq[(Long, Seq[Long])],
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      minCosineMicro: Long = 990000L,
+      maxClusterWidth: Int = 1024,
+      tsCol: Option[String] = None,
+      watermarkDelay: String = "1 hour",
+      clusterTtl: String = "1 hour"): Dataset[(Long, Long, Long)] = {
+    import spark.implicits._
+    import graft.operators.SemDedup
+    require(centroids.nonEmpty, "codebook must be non-empty")
+    val withMark = tsCol match {
+      case Some(t) => vecs.withWatermark(t, watermarkDelay)
+      case None    => vecs
+    }
+    val tsExpr = tsCol.map(col(_))
+      .getOrElse(lit(new java.sql.Timestamp(0L)))
+    val timeout =
+      if (tsCol.isDefined) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    withMark
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("v"),
+        SemDedup.quantizeMilli(col(vecCol)).as("mv"),
+        tsExpr.as("ts"))
+      .select(col("id"), col("v"),
+        SemDedup.assignClusterMilli(col("mv"), centroids).as("cluster"),
+        col("ts"))
+      .as[(Long, Seq[Double], Long, java.sql.Timestamp)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[List[(Long, Array[Double])], (Long, Long, Long)](
+        OutputMode.Append(), timeout) {
+        case (cluster: Long,
+            rows: Iterator[(Long, Seq[Double], Long, java.sql.Timestamp)],
+            state: GroupState[List[(Long, Array[Double])]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = scala.collection.mutable.ListBuffer[(Long, Long, Long)]()
+            var members = state.getOption.getOrElse(Nil)
+            var maxTs = Long.MinValue
+            rows.foreach { case (id, v, _, ts) =>
+              if (ts != null && ts.getTime > maxTs) maxTs = ts.getTime
+              if (!members.exists(_._1 == id)) {
+                val dup = members.exists { case (mid, mv) =>
+                  mid != id && cosMicro(v, mv) >= minCosineMicro
+                }
+                out += ((id, cluster, if (dup) 0L else 1L))
+                if (members.size < maxClusterWidth)
+                  members = (id, v.toArray) :: members
+              }
+            }
+            state.update(members)
+            if (timeout == GroupStateTimeout.EventTimeTimeout && maxTs != Long.MinValue)
+              state.setTimeoutTimestamp(maxTs, clusterTtl)
+            out.iterator
           }
       }
   }

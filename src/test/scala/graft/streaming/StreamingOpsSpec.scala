@@ -427,4 +427,69 @@ class StreamingOpsSpec extends SparkSpec {
       assert(batch.forall { case (id, _) => id % 2 == 0 })
     } finally q.stop()
   }
+
+  test("semDedupStream: static-codebook assignment + in-order arrivals match batch semDedup") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.SemDedup
+    // the SemDedupSpec corpus: two orthogonal groups, one scaled-copy
+    // near-dup (cosine 1) in each
+    val corpus = Seq(
+      (10L, Seq(1.0f, 0.0f, 0.1f)),
+      (11L, Seq(1.05f, 0.0f, 0.105f)),
+      (12L, Seq(0.9f, 0.1f, 0.0f)),
+      (20L, Seq(0.0f, 1.0f, 0.1f)),
+      (21L, Seq(0.0f, 1.05f, 0.105f)),
+      (22L, Seq(0.1f, 0.9f, 0.0f)))
+    val codebook = SemDedup.lloydCentroids(
+      corpus.toDF("vec_id", "embedding"), "vec_id", "embedding", k = 2, iters = 2)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val out = StreamingOps.semDedupStream(spark,
+      in.toDF().toDF("vec_id", "embedding"), codebook,
+      minCosineMicro = 990000L)
+    val q = out.toDF("vec_id", "cluster", "kept").writeStream
+      .format("memory").queryName("semdedup_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // id-order arrival, one micro-batch per doc => first-wins ==
+      // batch smallest-id-survives
+      corpus.foreach { row => in.addData(row); q.processAllAvailable() }
+      val got = spark.table("semdedup_stream")
+        .as[(Long, Long, Long)].collect().toSet
+      val batch = SemDedup.semDedup(corpus.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 2, iters = 2, minCosineMicro = 990000L)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === batch, s"stream $got != batch $batch")
+      assert(got.count(_._3 == 0L) == 2, s"exactly the two copies drop: $got")
+    } finally q.stop()
+  }
+
+  test("semDedupStream: cluster-width cap bounds state; beyond it arrivals pass unchecked") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.SemDedup
+    val base = Seq((0L, Seq(1.0f, 0.0f, 0.0f)))
+    val codebook = SemDedup.lloydCentroids(
+      base.toDF("vec_id", "embedding"), "vec_id", "embedding", k = 1, iters = 0)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val out = StreamingOps.semDedupStream(spark,
+      in.toDF().toDF("vec_id", "embedding"), codebook,
+      minCosineMicro = 990000L, maxClusterWidth = 2)
+    val q = out.toDF("vec_id", "cluster", "kept").writeStream
+      .format("memory").queryName("semdedup_cap")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // 0 and 1 fill the width-2 state (1 is a dup of 0 — dropped but
+      // retained as a comparator, the batch-parity rule); 2 is
+      // near-identical to 0 but state is full, so it is only compared
+      // against the retained prefix {0, 1} — still caught; 3 is far
+      // from both retained members and kept even though it duplicates
+      // the UNRETAINED... nothing (orthogonal) — kept
+      in.addData((0L, Seq(1.0f, 0.0f, 0.0f))); q.processAllAvailable()
+      in.addData((1L, Seq(1.0f, 0.0f, 0.001f))); q.processAllAvailable()
+      in.addData((2L, Seq(1.0f, 0.001f, 0.0f))); q.processAllAvailable()
+      in.addData((3L, Seq(0.0f, 1.0f, 0.0f))); q.processAllAvailable()
+      val kept = spark.table("semdedup_cap")
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+      assert(kept === Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 1L), s"$kept")
+    } finally q.stop()
+  }
 }
