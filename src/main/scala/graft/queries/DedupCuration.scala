@@ -1131,4 +1131,36 @@ private[graft] trait DedupCurationQueries extends QueryContext {
         expr("(n_dup * 1000000) DIV n_grams").as("dup_ppm"))
   }
 
+  /** BPE merge-round — the tokenizer-TRAINING precursor: from the
+    * corpus word frequencies, the top-20 adjacent character-pair merge
+    * candidates by total weighted occurrence (the statistic byte-pair
+    * encoding greedily merges on). One gated round; a full BPE train
+    * loops this, and after round one the loop runs entirely on the
+    * VOCAB-BOUNDED (word, freq) table — the corpus is scanned exactly
+    * once, which is what makes tokenizer training on 100 TB feasible
+    * (the expensive part is this word count, already partial-agged).
+    *
+    * Scale shape: token-stream partial-agg wordcount → per-word char
+    * pairs built from two shifted slices (the q47/q128 idiom, never an
+    * index lambda) weighted by word freq → pair partial-agg →
+    * TakeOrderedAndProject top-20 (20 rows cross the driver, nothing
+    * else). Deterministic (weight desc, pair asc) total order. */
+  def bpeMergeRound(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = t(spark, sfDir, "documents")
+    val words = docs
+      .select(explode(TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    // split-by-empty-regex appends a trailing "" under Spark's -1
+    // limit — bound the char array to the word's length
+    val ch = slice(split(col("w"), ""), lit(1), length(col("w")))
+    val pairs = zip_with(slice(ch, lit(1), size(ch) - 1),
+      slice(ch, lit(2), size(ch) - 1), (a, b) => concat(a, lit(" "), b))
+    words
+      .select(col("freq"), explode(pairs).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("freq")).as("weight"))
+      .orderBy(col("weight").desc, col("pair").asc)
+      .limit(20)
+  }
+
 }

@@ -1021,5 +1021,19 @@ private[graft] trait OracleSqlC extends OracleShared {
            CAST((sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1000000)
              // count(*) AS BIGINT) AS dup_ppm
          FROM gr JOIN d USING (g)
-         GROUP BY doc_id""")
+         GROUP BY doc_id""",
+    "q129_bpe_merges" ->
+      """WITH tk AS (
+           SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+         wd AS (SELECT unnest(toks) AS w FROM tk),
+         wf AS (SELECT w, CAST(count(*) AS BIGINT) AS freq FROM wd GROUP BY w),
+         p AS (
+           SELECT unnest(list_transform(generate_series(1, len(w) - 1),
+             i -> w[i] || ' ' || w[i+1])) AS pair, freq
+           FROM wf WHERE len(w) >= 2)
+         SELECT pair, CAST(sum(freq) AS BIGINT) AS weight
+         FROM p GROUP BY pair
+         ORDER BY weight DESC, pair ASC
+         LIMIT 20""")
 }

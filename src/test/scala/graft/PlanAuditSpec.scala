@@ -683,6 +683,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(!finalTree.contains("Window"), finalTree.take(1500))
   }
 
+  test("q128 dup-ngrams: df agg partial-aggs; gram join-back shuffle-hash; no Window") {
+    val plan = planOf(Queries.dupNgramFraction(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    // the gram relation is corpus-derived — join-back must be
+    // shuffle-hash, never a test-scale-only broadcast
+    assert(finalTree.contains("ShuffledHashJoin"), finalTree.take(1500))
+    assert(!finalTree.contains("Window"), finalTree.take(1500))
+  }
+
+  test("q129 BPE merge round: wordcount partial-aggs; top-20 is TakeOrderedAndProject") {
+    val plan = planOf(Queries.bpeMergeRound(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      plan.take(1500))
+    assert(!plan.contains("Window"), plan.take(1500))
+  }
+
   test("global-window census: q74 is the ONLY query planning a partition-less Window") {
     // A Window with an empty partitionSpec is a single-task sort of
     // the whole input — q74's global ntile carries it deliberately
