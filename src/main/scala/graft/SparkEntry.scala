@@ -171,7 +171,8 @@ object Queries
     "q126_label_purity" -> (labelPurity _),
     "q127_semdedup" -> (semanticDedup _),
     "q128_dup_ngrams" -> (dupNgramFraction _),
-    "q129_bpe_merges" -> (bpeMergeRound _))
+    "q129_bpe_merges" -> (bpeMergeRound _),
+    "q130_cms_check" -> (cmsHeavyHitters _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = oracleSqlA ++ oracleSqlB ++ oracleSqlC

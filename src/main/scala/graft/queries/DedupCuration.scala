@@ -1163,4 +1163,44 @@ private[graft] trait DedupCurationQueries extends QueryContext {
       .limit(20)
   }
 
+  /** Count-min-sketch heavy-hitter gate — the q53 discipline applied
+    * to the THIRD sketch family (HLL++ q53, t-digest q99, CMS here):
+    * Spark's mergeable `count_min_sketch` aggregate (one partial-agged
+    * pass, a few KB of state at ANY corpus size) is probed for the
+    * top-20 corpus tokens and must satisfy both CMS guarantees against
+    * the exact counts — never an underestimate, and within `ε·N` above
+    * (ε = 0.001, δ = 0.001, fixed seed ⇒ deterministic flags). The
+    * oracle replays the exact top-20 and literal pass flags, so a
+    * sketch-quality regression (or a Spark CMS behavior change) flips
+    * a flag and fails the hash gate.
+    *
+    * Scale shape: the sketch and the token count ride ONE partial agg
+    * over the exploded token stream; the exact top-20 twin is the
+    * vocab-bounded wordcount (TakeOrderedAndProject). The only driver
+    * traffic is the KB sketch + 20 rows (probing 20 values against a
+    * driver-held sketch is the IVF-codebook kind of driver-legitimate;
+    * at 100 TB the CMS replaces the exact side, which is exactly why
+    * its quality is gated here against the exact twin at test scale).
+    */
+  def cmsHeavyHitters(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    import org.apache.spark.util.sketch.CountMinSketch
+    val docs = t(spark, sfDir, "documents")
+    val tok = docs.select(explode(TextFunctions.tokens(col("text"))).as("tok"))
+    val row = tok.agg(
+      expr("count_min_sketch(tok, 0.001d, 0.999d, 42)").as("cms"),
+      count(lit(1)).as("n")).head()
+    val cms = CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(row.getAs[Array[Byte]](0)))
+    val bound = math.ceil(0.001 * row.getLong(1)).toLong
+    val top = tok.groupBy(col("tok")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok").asc).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    top.toSeq.map { case (t, c) =>
+      val e = cms.estimateCount(t)
+      (t, c, if (e >= c) 1L else 0L, if (e <= c + bound) 1L else 0L)
+    }.toDF("tok", "exact_cnt", "no_underestimate", "within_eps")
+  }
+
 }

@@ -1035,5 +1035,16 @@ private[graft] trait OracleSqlC extends OracleShared {
          SELECT pair, CAST(sum(freq) AS BIGINT) AS weight
          FROM p GROUP BY pair
          ORDER BY weight DESC, pair ASC
+         LIMIT 20""",
+    "q130_cms_check" ->
+      """WITH tk AS (
+           SELECT regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+         w AS (SELECT unnest(toks) AS tok FROM tk)
+         SELECT tok, CAST(count(*) AS BIGINT) AS exact_cnt,
+           CAST(1 AS BIGINT) AS no_underestimate,
+           CAST(1 AS BIGINT) AS within_eps
+         FROM w GROUP BY tok
+         ORDER BY exact_cnt DESC, tok ASC
          LIMIT 20""")
 }
