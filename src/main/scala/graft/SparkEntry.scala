@@ -172,7 +172,8 @@ object Queries
     "q127_semdedup" -> (semanticDedup _),
     "q128_dup_ngrams" -> (dupNgramFraction _),
     "q129_bpe_merges" -> (bpeMergeRound _),
-    "q130_cms_check" -> (cmsHeavyHitters _))
+    "q130_cms_check" -> (cmsHeavyHitters _),
+    "q131_soft_dedup" -> (softDedupWeights _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = oracleSqlA ++ oracleSqlB ++ oracleSqlC

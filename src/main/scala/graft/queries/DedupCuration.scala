@@ -1203,4 +1203,26 @@ private[graft] trait DedupCurationQueries extends QueryContext {
     }.toDF("tok", "exact_cnt", "no_underestimate", "within_eps")
   }
 
+  /** SOFT dedup — near-dup-aware training weights instead of drops:
+    * every document keeps `weight_ppm = ⌊1e6 / cluster_size⌋` over its
+    * q43 near-dup cluster, so each content neighborhood contributes
+    * ~one document's worth of gradient mass regardless of how many
+    * copies the crawl collected. The reweighting alternative to hard
+    * dedup (q49 drops losers outright) — the right tool when copies
+    * carry signal (popularity) that a drop would erase but raw counts
+    * would over-train on.
+    *
+    * Scale shape: rides the q43 clustering (banded LSH discovery +
+    * checkpointed CC, measured ~linear at 10× data) plus one
+    * cluster-keyed count and one shuffle-hash join-back — both bounded
+    * by the corpus, nothing broadcast. */
+  def softDedupWeights(spark: SparkSession, sfDir: String): DataFrame = {
+    val cl = neardupClusters(spark, sfDir)
+    val sizes = cl.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    cl.join(sizes.hint("shuffle_hash"), "cluster_id")
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        expr("CAST(1000000 DIV cluster_size AS BIGINT)").as("weight_ppm"))
+  }
+
 }

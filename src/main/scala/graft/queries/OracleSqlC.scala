@@ -1046,5 +1046,48 @@ private[graft] trait OracleSqlC extends OracleShared {
            CAST(1 AS BIGINT) AS within_eps
          FROM w GROUP BY tok
          ORDER BY exact_cnt DESC, tok ASC
-         LIMIT 20""")
+         LIMIT 20""",
+    "q131_soft_dedup" ->
+      """WITH RECURSIVE tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         shg AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks)-2),
+                         i -> array_to_string(toks[i:i+2], ' '))
+             END AS shingles
+           FROM tk),
+         shh AS (
+           SELECT doc_id, list_distinct(list_transform(shingles, s ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 131 + c) % 1000000007))) AS sh
+           FROM shg),
+         ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shh),
+         common AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS na, b.n AS nb, count(*) AS c
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         pairs AS (
+           SELECT id1, id2 FROM common
+           WHERE floor(c * 1000000.0 / (na + nb - c)) >= 500000),
+         edges AS (
+           SELECT id1 AS a, id2 AS b FROM pairs
+           UNION ALL
+           SELECT id2, id1 FROM pairs),
+         reach AS (
+           SELECT a, b AS r FROM edges
+           UNION
+           SELECT e.a, t.r FROM edges e JOIN reach t ON e.b = t.a),
+         mins AS (SELECT a, min(r) AS mr FROM reach GROUP BY a),
+         cl AS (
+           SELECT d.doc_id,
+             CAST(CASE WHEN m.a IS NULL THEN d.doc_id
+                       ELSE least(m.mr, d.doc_id) END AS BIGINT) AS cluster_id
+           FROM documents d LEFT JOIN mins m ON d.doc_id = m.a),
+         sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+                FROM cl GROUP BY cluster_id)
+         SELECT cl.doc_id, cl.cluster_id, sz.cluster_size,
+           CAST(1000000 // cluster_size AS BIGINT) AS weight_ppm
+         FROM cl JOIN sz USING (cluster_id)""")
 }
