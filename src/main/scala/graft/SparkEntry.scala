@@ -37,9 +37,11 @@ object Queries
     extends queries.ReferenceSurfaceQueries
     with queries.DedupCurationQueries
     with queries.EventAnalyticsQueries
+    with queries.ModelCurationQueries
     with queries.OracleSqlA
     with queries.OracleSqlB
-    with queries.OracleSqlC {
+    with queries.OracleSqlC
+    with queries.OracleSqlD {
 
   // ---------------------------------------------------------------------
   // Registry
@@ -173,8 +175,11 @@ object Queries
     "q128_dup_ngrams" -> (dupNgramFraction _),
     "q129_bpe_merges" -> (bpeMergeRound _),
     "q130_cms_check" -> (cmsHeavyHitters _),
-    "q131_soft_dedup" -> (softDedupWeights _))
+    "q131_soft_dedup" -> (softDedupWeights _),
+    "q132_nb_classifier" -> (nbQualityClassifier _),
+    "q133_quality_survivors" -> (qualitySurvivors _),
+    "q134_shard_layout" -> (shardLayout _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
-  val oracles: Map[String, String] = oracleSqlA ++ oracleSqlB ++ oracleSqlC
+  val oracles: Map[String, String] = oracleSqlA ++ oracleSqlB ++ oracleSqlC ++ oracleSqlD
 }

@@ -1,0 +1,278 @@
+package graft
+package queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model-based curation queries (round 10): classifiers, survivor
+  * elections, and layout planners a training-data pipeline runs AFTER
+  * the statistical filters — each one a corpus-trained artifact applied
+  * back to the corpus, the CCNet/fastText pattern re-expressed as pure
+  * relational plans with integer-exact arithmetic.
+  */
+private[graft] trait ModelCurationQueries extends QueryContext {
+  self: DedupCurationQueries =>
+
+  /** Token-evidence quality classifier — the engine-native analogue of
+    * the trained quality filter every web-scale curation stack ships
+    * (GPT-3's "looks like WebText" LR, CCNet's fastText): label the
+    * corpus with a reference heuristic (q13's integer quality score,
+    * ≥ 500 = high), TRAIN a Bernoulli token-evidence model on those
+    * labels, and SCORE every document with it — heuristic distillation
+    * into a per-token model, all distributive. On this corpus the
+    * model recovers every positive label (28/28) and over-fires on the
+    * margin (157 predicted hi / 28 true — evidence voting on a 6%
+    * positive class), which is the behavior such filters are used with
+    * in practice: threshold the SCORE, not the sign. The gate pins
+    * per-doc score, prediction, AND label, so train+score arithmetic
+    * and agreement are all hash-checked per round.
+    *
+    * Determinism: no FP log anywhere — per-token evidence is the
+    * Graham/Robinson spam-filter combiner (the classic trained token
+    * classifier predating fastText): smoothed per-class presence rates
+    * in ppm, `r_c = (df_c+1)·10⁶ DIV (n_c+2)`, and the centered
+    * evidence weight `w = r₊·10⁶ DIV (r₊+r₋) − 500000` — a monotone
+    * integer transform of the NB likelihood ratio, 0 for uninformative
+    * tokens, ±5·10⁵ saturated (a ⌊log₂⌋-via-bin-length weight is also
+    * integer-exact but quantizes this corpus's ratios, which all sit
+    * in (½,2), to a constant 0 — measured, hence the ppm form). Every
+    * product is bounded by 10¹² (`r_c ≤ 10⁶` by construction), so the
+    * arithmetic is exact at any corpus size with df ≤ ~9·10¹². Scoring
+    * is FULL Bernoulli evidence (absent tokens vote too — dropping
+    * them length-biases the score toward long docs; measured: 493/500
+    * predicted positive without it), algebraically folded so it stays
+    * sparse: `score = prior + Σ_vocab w_absent + Σ_{t∈doc}(w_present −
+    * w_absent)` — the vocab-wide absence sum is ONE scalar, and the
+    * per-doc work is still only the doc's own tokens. `greatest(·,1)`
+    * guards the degenerate zero-rate denominators (possible only past
+    * 10⁶ docs per class, but the guard keeps the expression total).
+    *
+    * Scale shape: training is one partial-agged per-(token, class)
+    * distinct-doc count — vocab-bounded, like every model artifact
+    * here; scoring is a single token-keyed shuffle-hash join of the
+    * doc-distinct-token stream against the weight relation (the model
+    * is corpus-derived and deliberately NOT broadcast — the q124 LM
+    * rule) followed by a per-doc partial agg. The two scalar totals
+    * ride 1-row broadcasts. Nothing is all-pairs; the whole query
+    * costs two exploded-token scans (train + score share the same
+    * relation, one scan under ReuseExchange). */
+  def nbQualityClassifier(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = t(spark, sfDir, "documents")
+    val y = (TextFunctions.qualityScore(col("text")) >= 500).cast("long")
+    val dt = docs.select(col("doc_id"), y.as("y"),
+      explode(array_distinct(TextFunctions.tokens(col("text")))).as("tok"))
+    val totals = docs.agg(
+      sum(y).as("n_pos"), sum(lit(1L) - y).as("n_neg"))
+    val weights = dt.groupBy(col("tok"))
+      .agg(sum(col("y")).as("df_pos"), sum(lit(1L) - col("y")).as("df_neg"))
+      .crossJoin(broadcast(totals))
+      .select(col("tok"),
+        expr("((df_pos + 1) * 1000000) DIV (n_pos + 2)").as("r_pos"),
+        expr("((df_neg + 1) * 1000000) DIV (n_neg + 2)").as("r_neg"))
+      .select(col("tok"),
+        expr("(r_pos * 1000000) DIV greatest(r_pos + r_neg, 1) - 500000")
+          .as("w_p"),
+        expr("((1000000 - r_pos) * 1000000) " +
+          "DIV greatest(2000000 - r_pos - r_neg, 1) - 500000").as("w_a"))
+    val wAbsTotal = weights.agg(sum(col("w_a")).as("w_abs_total"))
+    val prior = totals.select(
+      expr("((n_pos + 1) * 1000000) DIV (n_pos + n_neg + 2) - 500000")
+        .as("prior_w"))
+    dt.join(weights.hint("shuffle_hash"), "tok")
+      .groupBy(col("doc_id"), col("y"))
+      .agg(count(lit(1)).as("n_features"),
+        sum(col("w_p") - col("w_a")).as("sw"))
+      .crossJoin(broadcast(prior)).crossJoin(broadcast(wAbsTotal))
+      .select(col("doc_id"), col("n_features"),
+        (col("sw") + col("w_abs_total") + col("prior_w")).as("nb_score"),
+        (col("sw") + col("w_abs_total") + col("prior_w") > 0)
+          .cast("long").as("pred_hi"),
+        col("y").as("is_hi"))
+  }
+
+  /** Quality-argmax survivor election — the keep/drop policy real
+    * dedup pipelines actually ship: within every q43 near-dup cluster,
+    * keep the HIGHEST-QUALITY copy (q13's integer quality score), not
+    * the smallest id. The smallest-id convention ([[neardupSurvivors]]
+    * q49) is the right CLUSTERING canonicalization but the wrong
+    * CURATION policy — when a crawl holds five copies of a page, the
+    * one worth training on is the cleanest, and "first crawled" is
+    * uncorrelated with clean. Tie-break on smaller doc_id keeps the
+    * election total and deterministic.
+    *
+    * Scale shape: rides the q43 clustering (banded LSH + checkpointed
+    * CC, measured ~linear at 10× data); the election itself is the
+    * packed-struct argmax (q115's idiom): one shuffle-hash join of the
+    * membership onto the per-doc quality relation, then a partial-agged
+    * lexicographic `min` on `(−quality, doc_id)` per cluster — one
+    * struct per cluster per partition crosses the wire, no Window. */
+  def qualitySurvivors(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = t(spark, sfDir, "documents")
+    val q = docs.select(col("doc_id"),
+      TextFunctions.qualityScore(col("text")).as("quality"))
+    neardupClusters(spark, sfDir)
+      .join(q.hint("shuffle_hash"), "doc_id")
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        min(struct((-col("quality")).as("nq"), col("doc_id").as("id"))).as("m"))
+      .select(col("cluster_id"), col("cluster_size"),
+        col("m.id").as("keep_id"), (-col("m.nq")).as("keep_quality"))
+  }
+
+  /** Deterministic training-order shard layout — the global shuffle a
+    * data loader needs, as a pure function of the corpus: every doc is
+    * assigned `(shard, pos)` by a fixed multiplicative hash, so the
+    * training order is reproducible from the corpus alone (restart a
+    * run, re-derive the permutation; resume = seek to `(shard, pos)`),
+    * neighboring docs land in different shards, and each shard is an
+    * independently readable unit. The alternative — `ORDER BY rand()`
+    * — is neither reproducible nor resumable, and a single global sort
+    * is the one thing a 100 TB layout pass must never do.
+    *
+    * Scale shape: the scramble key is a per-row projection; the only
+    * ordered step is a row_number PER SHARD (Window partitioned on
+    * `shard`), so the sort is sharded into `nShards` independent
+    * sorts — nShards scales with the cluster (here 8; a 1000-executor
+    * layout run uses thousands), keeping every sort partition-sized.
+    * No global Window, no driver traffic. At write time this column
+    * pair IS the partitionBy/sortBy spec of the bucketed output. */
+  def shardLayout(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val nShards = 8
+    val skey = pmod(col("doc_id") * 2654435761L + 40503L, lit(1000003L))
+    val w = Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"), skey.as("skey"))
+      .withColumn("shard", pmod(col("skey"), lit(nShards.toLong)))
+      .select(col("doc_id"), col("source"), col("shard"),
+        (row_number().over(w) - 1).cast("long").as("pos"))
+  }
+
+  /** Content-defined chunking + chunk dedup — the SHIFT-ROBUST
+    * complement to fixed-stride chunk dedup (q64 cuts every 20 tokens,
+    * so one inserted word misaligns every later chunk; q80/q100's
+    * stride-32 char windows have the same 1-in-stride alignment
+    * lottery, documented there). CDC (the FastCDC/rsync idea, at token
+    * granularity) instead cuts where the CONTENT says so: a boundary
+    * falls after token i iff the rolling hash of the last 4 token
+    * hashes ≡ 0 (mod 8) — a pure local predicate, so an insertion
+    * re-chunks only the window it touches and every chunk after the
+    * next content-chosen boundary realigns. Mean chunk ≈ 8 tokens by
+    * construction. Emitted per doc: chunk count, how many of its
+    * chunks also occur elsewhere in the corpus (same boundary-to-
+    * boundary token-hash fingerprint, occurrence count ≥ 2 corpus-wide
+    * — intra-doc repeats count, documented), and the duplicated share
+    * of its tokens in ppm.
+    *
+    * Scale shape: everything before the dedup agg is per-row array
+    * math (token hashes once via the codegen'd PolyHashArrayExpr, the
+    * 4-window gear hash via three shifted-slice zip_withs — the
+    * q47/q128 idiom — boundary selection and per-chunk fingerprint
+    * folds as HOFs over the one hashes array; no strings leave the
+    * row, no Window, no explode until chunks). Then ONE fingerprint-
+    * keyed partial agg and one shuffle-hash join-back of the
+    * corpus-derived count relation (never broadcast). Cost ≈ q64's,
+    * plus the per-row folds. */
+  def cdcChunkDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val P = 1000000007L
+    val docs = t(spark, sfDir, "documents")
+    val h = col("h")
+    val n = size(h)
+    def shift(k: Int, len: Column): Column = slice(h, lit(k), len)
+    // gear hash g(j) over hashes[j..j+3], j = 1..n-3 (1-based): three
+    // mod-folded shifted-slice zips
+    val len3 = n - 3
+    val g12 = zip_with(shift(1, len3), shift(2, len3),
+      (a, b) => (a * 131L + b) % P)
+    val g123 = zip_with(g12, shift(3, len3), (a, b) => (a * 131L + b) % P)
+    val g = zip_with(g123, shift(4, len3), (a, b) => (a * 131L + b) % P)
+    // boundary after token i = j+3 for g(j) % 8 == 0, i < n: chunk
+    // starts are 1 plus each boundary+1
+    val starts = concat(array(lit(1)),
+      when(n >= 5,
+        transform(
+          filter(sequence(lit(1), greatest(n - 4, lit(1))),
+            j => element_at(g, j) % 8 === 0),
+          j => j + 3 + 1))
+        .otherwise(array().cast("array<int>")))
+    val chunks = transform(sequence(lit(1), size(col("starts"))), k => {
+      val s = element_at(col("starts"), k)
+      val e = when(k < size(col("starts")),
+        element_at(col("starts"), k + 1) - 1).otherwise(size(col("h")))
+      struct(
+        aggregate(slice(col("h"), s, e - s + 1), lit(0L),
+          (f, x) => (f * 31L + x) % P).as("fp"),
+        (e - s + 1).cast("long").as("len"))
+    })
+    val perChunk = docs
+      .select(col("doc_id"),
+        TextFunctions.tokenHashArray(TextFunctions.tokens(col("text"))).as("h"))
+      .filter(n >= 1)
+      .withColumn("starts", starts)
+      .select(col("doc_id"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("c.fp").as("fp"), col("c.len").as("len"))
+    val occ = perChunk.groupBy(col("fp")).agg(count(lit(1)).as("occ"))
+    perChunk.join(occ.hint("shuffle_hash"), "fp")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("occ") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"),
+        sum(col("len")).as("n_tokens"),
+        sum(when(col("occ") >= 2, col("len")).otherwise(0L)).as("dup_tokens"))
+      .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+        col("n_tokens"),
+        expr("(dup_tokens * 1000000) DIV n_tokens").as("dup_ppm"))
+  }
+
+  /** Multi-round BPE training ([[operators.Bpe]]) — q129 ran ONE gated
+    * merge-statistics round; this trains an actual merge list: three
+    * greedy rounds, each picking the max-weight adjacent symbol pair
+    * and fusing it corpus-wide, exactly the sentencepiece/HF trainer
+    * loop. The corpus is scanned once (the q129 wordcount); every
+    * round after runs on the vocab-bounded symbol table — the
+    * structural reason BPE training is feasible at 100 TB at all
+    * (documented at [[operators.Bpe]]). The gate replays all three
+    * greedy choices end-to-end in the oracle (unrolled, the q127
+    * Lloyd discipline), so merge ORDER — not just the pair set — is
+    * hash-pinned.
+    *
+    * Scale shape: per round, one vocab-bounded pair agg + a 1-ROW
+    * collect (the chosen merge parametrizes the next round's
+    * expression — IVF-codebook-style driver-legitimate traffic) + one
+    * per-row array fold, localCheckpoint-ed so round r doesn't replan
+    * r fold layers (the q43 CC discipline). */
+  def bpeTrain3(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, sfDir, "documents")
+    val (merges, _) = operators.Bpe.train(
+      operators.Bpe.wordTable(docs, "text"), rounds = 3)
+    merges.toDF("round", "lhs", "rhs", "weight")
+      .select(col("round").cast("long").as("round"), col("lhs"),
+        col("rhs"), col("weight"))
+  }
+
+  /** BPE application — tokenize the corpus with the q136-trained merge
+    * list and emit per-doc post-BPE segment counts (the number that
+    * prices a doc in context-window terms). The 100 TB trick mirrors
+    * training: merges are applied to the DISTINCT-word table (a
+    * vocab-bounded array-fold per merge), and the corpus only pays a
+    * word-keyed shuffle-hash join of its token stream against the
+    * `(word, n_segments)` relation — the corpus is never
+    * char-exploded, and the segment relation is corpus-derived so it
+    * is never broadcast. */
+  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = t(spark, sfDir, "documents")
+    val (_, finalWords) = operators.Bpe.train(
+      operators.Bpe.wordTable(docs, "text"), rounds = 3)
+    val segs = finalWords.select(col("w"),
+      size(col("sym")).cast("long").as("n_seg"))
+    docs.select(col("doc_id"),
+        explode(TextFunctions.tokens(col("text"))).as("w"))
+      .join(segs.hint("shuffle_hash"), "w")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_seg")).as("bpe_tokens"))
+  }
+}

@@ -1,0 +1,248 @@
+package graft
+package queries
+
+/** DuckDB oracle SQL for the round-10 model-curation queries (q132+).
+  * Same dialect discipline as [[OracleSqlA]]–[[OracleSqlC]]: integer
+  * arithmetic everywhere the gate hashes, `bin()`-length for ⌊log₂⌋,
+  * explicit BIGINT casts on every aggregate-derived column.
+  */
+private[graft] trait OracleSqlD {
+
+  /** One unrolled BPE round (the q127 unrolled-Lloyd discipline): from
+    * symbol table `sym{i}`, derive the round's winning pair `t{i}`
+    * (max freq-weighted adjacent count, ties to the smaller
+    * `"l r"` string) and the merged table `sym{i+1}` via the
+    * greedy-left-to-right window formulation — run-parity on identical
+    * symbols reproduces the non-overlapping fold exactly
+    * ([[operators.Bpe.mergeSyms]] semantics). */
+  private def bpeRoundSql(i: Int): String =
+    s"""p$i AS (
+           SELECT sym[i] AS l, sym[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS wgt
+           FROM (SELECT freq, sym, unnest(generate_series(1, len(sym) - 1)) AS i
+                 FROM sym$i)
+           GROUP BY 1, 2),
+         t$i AS (
+           SELECT l, r, wgt FROM p$i
+           ORDER BY wgt DESC, l || ' ' || r ASC LIMIT 1),
+         e$i AS (
+           SELECT w, freq, i, sym[i] AS s
+           FROM (SELECT w, freq, sym, unnest(generate_series(1, len(sym))) AS i
+                 FROM sym$i)),
+         f$i AS (
+           SELECT e.*, t.l, t.r,
+             CASE WHEN lag(e.s) OVER (PARTITION BY e.w ORDER BY e.i)
+               IS DISTINCT FROM e.s THEN 1 ELSE 0 END AS chg,
+             lead(e.s) OVER (PARTITION BY e.w ORDER BY e.i) AS nxt
+           FROM e$i e, t$i t),
+         g$i AS (
+           SELECT *, sum(chg) OVER (PARTITION BY w ORDER BY i) AS run_id
+           FROM f$i),
+         h$i AS (
+           SELECT *, min(i) OVER (PARTITION BY w, run_id) AS run_start
+           FROM g$i),
+         m$i AS (
+           SELECT *, CASE WHEN s = l AND nxt = r
+               AND (l <> r OR (i - run_start) % 2 = 0)
+             THEN 1 ELSE 0 END AS mg
+           FROM h$i),
+         c$i AS (
+           SELECT *, lag(mg, 1, 0) OVER (PARTITION BY w ORDER BY i) AS consumed
+           FROM m$i),
+         sym${i + 1} AS (
+           SELECT w, freq,
+             list(CASE WHEN mg = 1 THEN l || r ELSE s END ORDER BY i) AS sym
+           FROM c$i WHERE consumed = 0 GROUP BY w, freq)"""
+
+  /** Shared prefix: corpus wordcount → char symbol table, then
+    * `rounds` unrolled merge rounds ending at `sym{rounds+1}`. */
+  private def bpePrefixSql(rounds: Int): String =
+    s"""WITH w0 AS (
+           SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+           FROM documents),
+         sym1 AS (
+           SELECT w, CAST(count(*) AS BIGINT) AS freq, string_split(w, '') AS sym
+           FROM w0 GROUP BY w),
+         ${(1 to rounds).map(bpeRoundSql).mkString(",\n         ")}"""
+
+  protected val oracleSqlD: Map[String, String] = Map(
+    "q136_bpe_train" ->
+      s"""${bpePrefixSql(3)}
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS round, l AS lhs, r AS rhs, wgt AS weight FROM t1
+           UNION ALL
+           SELECT CAST(2 AS BIGINT), l, r, wgt FROM t2
+           UNION ALL
+           SELECT CAST(3 AS BIGINT), l, r, wgt FROM t3)""",
+    "q137_bpe_encode" ->
+      s"""${bpePrefixSql(3)},
+         segs AS (SELECT w, CAST(len(sym) AS BIGINT) AS n_seg FROM sym4),
+         tok AS (
+           SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+           FROM documents)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(n_seg) AS BIGINT) AS bpe_tokens
+         FROM tok JOIN segs USING (w)
+         GROUP BY doc_id""",
+    "q135_cdc_chunks" ->
+      """WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+         hs AS (
+           SELECT doc_id, list_transform(toks, tok ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 131 + c) % 1000000007)) AS h
+           FROM tk),
+         gg AS (
+           SELECT doc_id, h, len(h) AS n,
+             CASE WHEN len(h) >= 4 THEN
+               list_transform(generate_series(1, len(h) - 3), j ->
+                 ((((((h[j] * 131 + h[j+1]) % 1000000007) * 131 + h[j+2])
+                   % 1000000007) * 131 + h[j+3]) % 1000000007))
+             ELSE CAST([] AS BIGINT[]) END AS g
+           FROM hs),
+         st AS (
+           SELECT doc_id, h, n,
+             list_prepend(CAST(1 AS BIGINT), CASE WHEN n >= 5 THEN
+               list_transform(
+                 list_filter(generate_series(1, greatest(n - 4, 1)),
+                   j -> g[j] % 8 = 0),
+                 j -> j + 4)
+             ELSE CAST([] AS BIGINT[]) END) AS starts
+           FROM gg),
+         kx AS (
+           SELECT doc_id, h, starts,
+             unnest(generate_series(1, len(starts))) AS k
+           FROM st),
+         ch AS (
+           SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               h[starts[k]:CASE WHEN k < len(starts) THEN starts[k+1] - 1
+                           ELSE len(h) END]),
+               (f, x) -> (f * 31 + x) % 1000000007) AS fp,
+             CAST((CASE WHEN k < len(starts) THEN starts[k+1] - 1
+                   ELSE len(h) END) - starts[k] + 1 AS BIGINT) AS len
+           FROM kx),
+         occ AS (SELECT fp, count(*) AS occ FROM ch GROUP BY 1)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN occ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           CAST(sum(len) AS BIGINT) AS n_tokens,
+           CAST((sum(CASE WHEN occ >= 2 THEN len ELSE 0 END) * 1000000)
+             // sum(len) AS BIGINT) AS dup_ppm
+         FROM ch JOIN occ USING (fp)
+         GROUP BY doc_id""",
+    "q132_nb_classifier" ->
+      """WITH lab AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+         ql AS (
+           SELECT doc_id, toks,
+             CAST(CASE WHEN least(len(toks), 100) * 5
+               + CAST(floor(len(list_filter(toks, t -> t IN
+                   ('the','a','an','of','and','is','in','to','it','that')))
+                 * 500.0 / len(toks)) AS BIGINT) >= 500
+               THEN 1 ELSE 0 END AS BIGINT) AS y
+           FROM lab),
+         dt AS (
+           SELECT DISTINCT doc_id, y, unnest(toks) AS tok FROM ql),
+         totals AS (
+           SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(1 - y) AS BIGINT) AS n_neg
+           FROM ql),
+         cnt AS (
+           SELECT tok, CAST(sum(y) AS BIGINT) AS df_pos,
+             CAST(sum(1 - y) AS BIGINT) AS df_neg
+           FROM dt GROUP BY 1),
+         rates AS (
+           SELECT tok,
+             ((df_pos + 1) * 1000000) // (n_pos + 2) AS r_pos,
+             ((df_neg + 1) * 1000000) // (n_neg + 2) AS r_neg
+           FROM cnt, totals),
+         w AS (
+           SELECT tok,
+             CAST((r_pos * 1000000) // greatest(r_pos + r_neg, 1) - 500000
+               AS BIGINT) AS w_p,
+             CAST(((1000000 - r_pos) * 1000000)
+               // greatest(2000000 - r_pos - r_neg, 1) - 500000
+               AS BIGINT) AS w_a
+           FROM rates),
+         wt AS (SELECT CAST(sum(w_a) AS BIGINT) AS w_abs_total FROM w),
+         prior AS (
+           SELECT CAST(((n_pos + 1) * 1000000) // (n_pos + n_neg + 2) - 500000
+             AS BIGINT) AS prior_w
+           FROM totals),
+         scored AS (
+           SELECT d.doc_id, d.y, CAST(count(*) AS BIGINT) AS n_features,
+             CAST(sum(w.w_p - w.w_a) AS BIGINT) AS sw
+           FROM dt d JOIN w USING (tok)
+           GROUP BY 1, 2)
+         SELECT doc_id, n_features,
+           CAST(sw + w_abs_total + prior_w AS BIGINT) AS nb_score,
+           CAST(CASE WHEN sw + w_abs_total + prior_w > 0 THEN 1 ELSE 0 END
+             AS BIGINT) AS pred_hi,
+           y AS is_hi
+         FROM scored, prior, wt""",
+    "q133_quality_survivors" ->
+      """WITH RECURSIVE tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         shg AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks)-2),
+                         i -> array_to_string(toks[i:i+2], ' '))
+             END AS shingles
+           FROM tk),
+         shh AS (
+           SELECT doc_id, list_distinct(list_transform(shingles, s ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 131 + c) % 1000000007))) AS sh
+           FROM shg),
+         ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shh),
+         common AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS na, b.n AS nb, count(*) AS c
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         pairs AS (
+           SELECT id1, id2 FROM common
+           WHERE floor(c * 1000000.0 / (na + nb - c)) >= 500000),
+         edges AS (
+           SELECT id1 AS a, id2 AS b FROM pairs
+           UNION ALL
+           SELECT id2, id1 FROM pairs),
+         reach AS (
+           SELECT a, b AS r FROM edges
+           UNION
+           SELECT e.a, t.r FROM edges e JOIN reach t ON e.b = t.a),
+         mins AS (SELECT a, min(r) AS mr FROM reach GROUP BY a),
+         cl AS (
+           SELECT d.doc_id,
+             CAST(CASE WHEN m.a IS NULL THEN d.doc_id
+                       ELSE least(m.mr, d.doc_id) END AS BIGINT) AS cluster_id
+           FROM documents d LEFT JOIN mins m ON d.doc_id = m.a),
+         qual AS (
+           SELECT doc_id,
+             CAST(least(len(toks), 100) * 5
+               + CAST(floor(len(list_filter(toks, t -> t IN
+                   ('the','a','an','of','and','is','in','to','it','that')))
+                 * 500.0 / len(toks)) AS BIGINT) AS BIGINT) AS quality
+           FROM tk),
+         sel AS (
+           SELECT cluster_id, doc_id, quality,
+             row_number() OVER (PARTITION BY cluster_id
+               ORDER BY quality DESC, doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY cluster_id) AS cs
+           FROM cl JOIN qual USING (doc_id))
+         SELECT cluster_id, CAST(cs AS BIGINT) AS cluster_size,
+           doc_id AS keep_id, quality AS keep_quality
+         FROM sel WHERE rn = 1""",
+    "q134_shard_layout" ->
+      """WITH s AS (
+           SELECT doc_id, source,
+             (doc_id * 2654435761 + 40503) % 1000003 AS skey
+           FROM documents)
+         SELECT doc_id, source, CAST(skey % 8 AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY skey % 8
+             ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos
+         FROM s""")
+}

@@ -700,6 +700,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan.take(1500))
   }
 
+  test("q132 NB classifier: model join shuffle-hash; scalars broadcast; no Window") {
+    val plan = planOf(Queries.nbQualityClassifier(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    // the weight relation is vocab-bounded but corpus-DERIVED — it must
+    // join shuffle-hash (q124's LM rule); only the 1-row totals / prior
+    // / absence-sum scalars may broadcast
+    assert(finalTree.contains("ShuffledHashJoin"), finalTree.take(1500))
+    assert(!finalTree.contains("Window"), finalTree.take(1500))
+  }
+
+  test("q133 quality survivors: packed-struct argmax partial-aggs; no per-cluster Window") {
+    val plan = planOf(Queries.qualitySurvivors(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    // the election must be the partial-aggable min-struct, not a
+    // row_number Window over cluster partitions
+    assert(finalTree.contains("partial_min") || finalTree.contains("partial_count"),
+      finalTree.take(1500))
+    assert(!finalTree.contains("Window"), finalTree.take(1500))
+    assert(finalTree.contains("ShuffledHashJoin"), finalTree.take(1500))
+  }
+
+  test("q134 shard layout: the only Window is PARTITIONED on shard (sharded sorts, no global sort)") {
+    val df = Queries.shardLayout(spark, sf)
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    val wins = df.queryExecution.optimizedPlan.collectWithSubqueries {
+      case w: LogicalWindow => w
+    }
+    assert(wins.nonEmpty)
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "shard layout must never plan a partition-less (global) Window")
+    val plan = planOf(df)
+    assert(!plan.contains("Sort [") || !plan.contains("global=true"),
+      "no global sort allowed in the layout plan")
+  }
+
   test("global-window census: q74 is the ONLY query planning a partition-less Window") {
     // A Window with an empty partitionSpec is a single-task sort of
     // the whole input — q74's global ntile carries it deliberately
