@@ -178,7 +178,10 @@ object Queries
     "q131_soft_dedup" -> (softDedupWeights _),
     "q132_nb_classifier" -> (nbQualityClassifier _),
     "q133_quality_survivors" -> (qualitySurvivors _),
-    "q134_shard_layout" -> (shardLayout _))
+    "q134_shard_layout" -> (shardLayout _),
+    "q135_cdc_chunks" -> (cdcChunkDedup _),
+    "q136_bpe_train" -> (bpeTrain3 _),
+    "q137_bpe_encode" -> (bpeEncode _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = oracleSqlA ++ oracleSqlB ++ oracleSqlC ++ oracleSqlD

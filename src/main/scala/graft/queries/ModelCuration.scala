@@ -176,44 +176,9 @@ private[graft] trait ModelCurationQueries extends QueryContext {
     * corpus-derived count relation (never broadcast). Cost ≈ q64's,
     * plus the per-row folds. */
   def cdcChunkDedup(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.functions.TextFunctions
-    val P = 1000000007L
     val docs = t(spark, sfDir, "documents")
-    val h = col("h")
-    val n = size(h)
-    def shift(k: Int, len: Column): Column = slice(h, lit(k), len)
-    // gear hash g(j) over hashes[j..j+3], j = 1..n-3 (1-based): three
-    // mod-folded shifted-slice zips
-    val len3 = n - 3
-    val g12 = zip_with(shift(1, len3), shift(2, len3),
-      (a, b) => (a * 131L + b) % P)
-    val g123 = zip_with(g12, shift(3, len3), (a, b) => (a * 131L + b) % P)
-    val g = zip_with(g123, shift(4, len3), (a, b) => (a * 131L + b) % P)
-    // boundary after token i = j+3 for g(j) % 8 == 0, i < n: chunk
-    // starts are 1 plus each boundary+1
-    val starts = concat(array(lit(1)),
-      when(n >= 5,
-        transform(
-          filter(sequence(lit(1), greatest(n - 4, lit(1))),
-            j => element_at(g, j) % 8 === 0),
-          j => j + 3 + 1))
-        .otherwise(array().cast("array<int>")))
-    val chunks = transform(sequence(lit(1), size(col("starts"))), k => {
-      val s = element_at(col("starts"), k)
-      val e = when(k < size(col("starts")),
-        element_at(col("starts"), k + 1) - 1).otherwise(size(col("h")))
-      struct(
-        aggregate(slice(col("h"), s, e - s + 1), lit(0L),
-          (f, x) => (f * 31L + x) % P).as("fp"),
-        (e - s + 1).cast("long").as("len"))
-    })
-    val perChunk = docs
-      .select(col("doc_id"),
-        TextFunctions.tokenHashArray(TextFunctions.tokens(col("text"))).as("h"))
-      .filter(n >= 1)
-      .withColumn("starts", starts)
-      .select(col("doc_id"), explode(chunks).as("c"))
-      .select(col("doc_id"), col("c.fp").as("fp"), col("c.len").as("len"))
+    val perChunk = operators.Cdc.chunks(docs, "doc_id", "text",
+      window = 4, divisor = 8)
     val occ = perChunk.groupBy(col("fp")).agg(count(lit(1)).as("occ"))
     perChunk.join(occ.hint("shuffle_hash"), "fp")
       .groupBy(col("doc_id"))

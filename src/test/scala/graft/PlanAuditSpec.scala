@@ -735,6 +735,22 @@ class PlanAuditSpec extends SparkSpec {
       "no global sort allowed in the layout plan")
   }
 
+  test("q135 CDC chunks: per-row chunking, occurrence join-back shuffle-hash, no Window") {
+    val plan = planOf(Queries.cdcChunkDedup(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    // the occurrence-count relation is corpus-derived — never broadcast
+    assert(finalTree.contains("ShuffledHashJoin"), finalTree.take(1500))
+    assert(!finalTree.contains("BroadcastExchange"), finalTree.take(1500))
+    assert(!finalTree.contains("Window"), finalTree.take(1500))
+  }
+
+  test("q137 BPE encode: segment relation joins shuffle-hash; corpus never char-exploded") {
+    val plan = planOf(Queries.bpeEncode(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    assert(finalTree.contains("ShuffledHashJoin"), finalTree.take(1500))
+    assert(!finalTree.contains("Window"), finalTree.take(1500))
+  }
+
   test("global-window census: q74 is the ONLY query planning a partition-less Window") {
     // A Window with an empty partitionSpec is a single-task sort of
     // the whole input — q74's global ntile carries it deliberately
