@@ -26,8 +26,31 @@ object Cdc {
   /** `(idCol, fp, len)` per chunk: `fp` the order-sensitive polynomial
     * fingerprint of the chunk's token hashes, `len` its token count.
     * Chunks partition the token stream (Σ len = n_tokens). Mean chunk
-    * length ≈ `divisor` tokens. */
+    * length ≈ `divisor` tokens.
+    *
+    * Hot path: the fused native [[graft.functions.CdcChunksExpr]]
+    * (hash→boundary→fingerprint in one codegen loop per row; the HOF
+    * stack is CodegenFallback and paid 2.5× at sf0.1 — the
+    * [[graft.functions.SignatureExprs]] treatment). [[chunksHof]] is
+    * the declarative twin, spec-pinned bit-equal ([[CdcSpec]]). */
   def chunks(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 4, divisor: Int = 8): DataFrame = {
+    import graft.functions.{CdcChunksExpr, TextFunctions}
+    df.select(col(idCol),
+        explode(CdcChunksExpr(
+          TextFunctions.tokenHashArray(TextFunctions.tokens(col(textCol))),
+          window, divisor)).as("packed"))
+      .select(col(idCol),
+        shiftright(col("packed"), 32).as("fp"),
+        (col("packed") % 4294967296L).as("len"))
+  }
+
+  /** Declarative higher-order-function twin of [[chunks]] — same
+    * boundary and fingerprint semantics via shifted-slice zip_withs
+    * and per-chunk folds. Interpreted (CodegenFallback); kept for the
+    * bit-equality spec and as executable documentation of the
+    * algorithm. */
+  def chunksHof(df: DataFrame, idCol: String, textCol: String,
       window: Int = 4, divisor: Int = 8): DataFrame = {
     import graft.functions.TextFunctions
     val h = col("h")

@@ -41,6 +41,19 @@ class CdcSpec extends SparkSpec {
     assert(tailOrig.nonEmpty)
   }
 
+  test("native CdcChunksExpr is bit-equal to the HOF twin on varied docs") {
+    val docs = ((1L, base) +: (2L to 40L).map(i =>
+      (i, (1 to i.toInt * 3).map(j => s"w${(j * 13 + i) % 29}").mkString(" "))))
+      .toDF("doc_id", "text")
+    for ((w, d) <- Seq((4, 8), (3, 5), (5, 16))) {
+      val native = Cdc.chunks(docs, "doc_id", "text", w, d)
+        .orderBy("doc_id", "fp", "len").collect().toSeq
+      val hof = Cdc.chunksHof(docs, "doc_id", "text", w, d)
+        .orderBy("doc_id", "fp", "len").collect().toSeq
+      assert(native === hof, s"window=$w divisor=$d")
+    }
+  }
+
   test("short documents yield one whole-document chunk") {
     val cs = chunksOf("a b c")
     assert(cs.size === 1 && cs.head._2 === 3L)
