@@ -181,7 +181,10 @@ object Queries
     "q134_shard_layout" -> (shardLayout _),
     "q135_cdc_chunks" -> (cdcChunkDedup _),
     "q136_bpe_train" -> (bpeTrain3 _),
-    "q137_bpe_encode" -> (bpeEncode _))
+    "q137_bpe_encode" -> (bpeEncode _),
+    "q138_bpe_fertility" -> (bpeFertility _),
+    "q139_effective_tokens" -> (effectiveTokens _),
+    "q140_epoch_plan" -> (epochPlan _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = oracleSqlA ++ oracleSqlB ++ oracleSqlC ++ oracleSqlD

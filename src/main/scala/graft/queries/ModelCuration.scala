@@ -240,4 +240,123 @@ private[graft] trait ModelCurationQueries extends QueryContext {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"), sum(col("n_seg")).as("bpe_tokens"))
   }
+
+  /** Per-source tokenizer FERTILITY — chars per post-BPE segment, the
+    * tokenizer-health number a multilingual/multi-domain pipeline
+    * watches per source: a source whose fertility runs hot against the
+    * corpus mean is being shredded by the vocabulary (its text costs
+    * disproportionate sequence length per character), which silently
+    * taxes its share of every downstream token budget. Computed with
+    * the q136-trained merges, so the audit tracks the ACTUAL tokenizer,
+    * not a proxy.
+    *
+    * Scale shape: rides q137's vocab-side segmentation (merges applied
+    * to DISTINCT words; the corpus pays one word-keyed shuffle-hash
+    * join) followed by a per-source partial agg — source cardinality
+    * bounds the output. Fertility is integer milli (floor), n_chars
+    * from the word lengths themselves. */
+  def bpeFertility(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = t(spark, sfDir, "documents")
+    val (_, finalWords) = operators.Bpe.train(
+      operators.Bpe.wordTable(docs, "text"), rounds = 3)
+    val segs = finalWords.select(col("w"),
+      size(col("sym")).cast("long").as("n_seg"))
+    docs.select(col("source"),
+        explode(TextFunctions.tokens(col("text"))).as("w"))
+      .join(segs.hint("shuffle_hash"), "w")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("w"))).cast("long").as("n_chars"),
+        sum(col("n_seg")).as("bpe_tokens"))
+      .select(col("source"), col("n_words"), col("n_chars"),
+        col("bpe_tokens"),
+        expr("(n_chars * 1000) DIV bpe_tokens").as("fertility_milli"))
+  }
+
+  /** Effective token budget per source AFTER soft dedup — the
+    * accounting that connects q131's near-dup-aware weights to the
+    * mixture planner: each doc contributes
+    * `⌊n_tokens · weight_ppm / 10⁶⌋` effective tokens (weight =
+    * 1/cluster_size over its q43 cluster), so a source whose volume is
+    * crawl-duplication collapses toward its distinct content mass.
+    * Raw-vs-effective per source is exactly the number a data-mixture
+    * decision needs (feeding RAW counts into mixing weights over-trains
+    * on the most-duplicated sources).
+    *
+    * Scale shape: rides the q43 clustering (~linear, checkpointed CC)
+    * + one cluster-size count + two shuffle-hash joins (weights onto
+    * docs, token counts per row) + a source-bounded partial agg.
+    * Per-doc flooring keeps every emitted value integer-exact. */
+  def effectiveTokens(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = t(spark, sfDir, "documents")
+    val cl = neardupClusters(spark, sfDir)
+    val sizes = cl.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val weighted = cl.join(sizes.hint("shuffle_hash"), "cluster_id")
+      .select(col("doc_id"),
+        expr("CAST(1000000 DIV cluster_size AS BIGINT)").as("weight_ppm"))
+    docs.select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"))
+      .join(weighted.hint("shuffle_hash"), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("raw_tokens"),
+        sum(expr("(n_tokens * weight_ppm) DIV 1000000")).as("eff_tokens"))
+      .select(col("source"), col("n_docs"), col("raw_tokens"),
+        col("eff_tokens"),
+        expr("(eff_tokens * 1000000) DIV raw_tokens").as("eff_ppm"))
+  }
+
+  /** Epoch planner — per-language repeat factors under a fixed token
+    * budget (the Muennighoff-style "how many epochs of each slice"
+    * table a run recipe starts from): budget B = 2× the corpus's raw
+    * tokens, fair share F = B DIV n_langs, every language capped at 3
+    * epochs of itself (the repeat caution for web-scale data).
+    * Languages too small to absorb F cap out; ONE
+    * redistribution round hands the leftover to uncapped languages in
+    * proportion to their size, then re-caps. Exact water-filling
+    * iterates to a fixed point; a single round is the standard planner
+    * compromise, and on this corpus the full mechanism fires with a
+    * MIXED outcome — the smallest language (`de`) caps at 3 epochs and
+    * its leftover flows pro-rata to the four uncapped languages (the
+    * gate would go stale if either branch went dead). Every
+    * step is integer floor division, so any engine replays the exact
+    * allocation.
+    *
+    * Scale shape: one partial-agged per-language token count (group-
+    * domain-bounded), two 1-row scalar aggregates broadcast back, and
+    * pure projections — the corpus is scanned once and never
+    * shuffled. */
+  def epochPlan(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val docs = t(spark, sfDir, "documents")
+    val src = docs.groupBy(col("lang"))
+      .agg(sum(TextFunctions.tokenCount(col("text"))).as("n_tokens"))
+    val tot = src.agg(sum(col("n_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_langs"))
+    val a1 = src.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_tokens"), col("total_tokens"),
+        expr("(2 * total_tokens) DIV n_langs").as("fair"))
+      .select(col("lang"), col("n_tokens"), col("total_tokens"),
+        col("fair"),
+        least(col("fair"), col("n_tokens") * 3).as("alloc1"),
+        (col("n_tokens") * 3 > col("fair")).cast("long").as("uncapped"))
+    val pool = a1.agg(
+      (max(col("total_tokens")) * 2 - sum(col("alloc1"))).as("leftover"),
+      sum(when(col("uncapped") === 1, col("n_tokens")).otherwise(0L))
+        .as("uncapped_tokens"))
+    a1.crossJoin(broadcast(pool))
+      .select(col("lang"), col("n_tokens"), col("alloc1"),
+        when(col("uncapped") === 1 && col("uncapped_tokens") > 0,
+          least(col("n_tokens") * 3,
+            col("alloc1") +
+              expr("(leftover * n_tokens) DIV uncapped_tokens")))
+          .otherwise(col("alloc1")).as("alloc_tokens"))
+      .select(col("lang"), col("n_tokens"), col("alloc_tokens"),
+        expr("(alloc_tokens * 1000000) DIV n_tokens").as("repeat_ppm"),
+        (expr("(alloc_tokens * 1000000) DIV n_tokens") >= 3000000L)
+          .cast("long").as("capped"))
+  }
 }

@@ -83,6 +83,103 @@ private[graft] trait OracleSqlD {
            CAST(sum(n_seg) AS BIGINT) AS bpe_tokens
          FROM tok JOIN segs USING (w)
          GROUP BY doc_id""",
+    "q138_bpe_fertility" ->
+      s"""${bpePrefixSql(3)},
+         segs AS (SELECT w, CAST(len(sym) AS BIGINT) AS n_seg FROM sym4),
+         tok AS (
+           SELECT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+           FROM documents)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(length(w)) AS BIGINT) AS n_chars,
+           CAST(sum(n_seg) AS BIGINT) AS bpe_tokens,
+           CAST((sum(length(w)) * 1000) // sum(n_seg) AS BIGINT) AS fertility_milli
+         FROM tok JOIN segs USING (w)
+         GROUP BY source""",
+    "q139_effective_tokens" ->
+      """WITH RECURSIVE tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         shg AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks)-2),
+                         i -> array_to_string(toks[i:i+2], ' '))
+             END AS shingles
+           FROM tk),
+         shh AS (
+           SELECT doc_id, list_distinct(list_transform(shingles, s ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 131 + c) % 1000000007))) AS sh
+           FROM shg),
+         ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shh),
+         common AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS na, b.n AS nb, count(*) AS c
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         pairs AS (
+           SELECT id1, id2 FROM common
+           WHERE floor(c * 1000000.0 / (na + nb - c)) >= 500000),
+         edges AS (
+           SELECT id1 AS a, id2 AS b FROM pairs
+           UNION ALL
+           SELECT id2, id1 FROM pairs),
+         reach AS (
+           SELECT a, b AS r FROM edges
+           UNION
+           SELECT e.a, t.r FROM edges e JOIN reach t ON e.b = t.a),
+         mins AS (SELECT a, min(r) AS mr FROM reach GROUP BY a),
+         cl AS (
+           SELECT d.doc_id,
+             CAST(CASE WHEN m.a IS NULL THEN d.doc_id
+                       ELSE least(m.mr, d.doc_id) END AS BIGINT) AS cluster_id
+           FROM documents d LEFT JOIN mins m ON d.doc_id = m.a),
+         sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1),
+         wts AS (
+           SELECT doc_id, CAST(1000000 // cluster_size AS BIGINT) AS weight_ppm
+           FROM cl JOIN sz USING (cluster_id)),
+         tc AS (
+           SELECT doc_id, source,
+             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+           FROM documents)
+         SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+           CAST(sum((n_tokens * weight_ppm) // 1000000) AS BIGINT) AS eff_tokens,
+           CAST((sum((n_tokens * weight_ppm) // 1000000) * 1000000)
+             // sum(n_tokens) AS BIGINT) AS eff_ppm
+         FROM tc JOIN wts USING (doc_id)
+         GROUP BY source""",
+    "q140_epoch_plan" ->
+      """WITH src AS (
+           SELECT lang,
+             CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+           FROM documents GROUP BY 1),
+         tot AS (
+           SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             CAST(count(*) AS BIGINT) AS n_langs
+           FROM src),
+         a1 AS (
+           SELECT lang, n_tokens, total_tokens,
+             least((2 * total_tokens) // n_langs, n_tokens * 3) AS alloc1,
+             CASE WHEN n_tokens * 3 > (2 * total_tokens) // n_langs
+               THEN 1 ELSE 0 END AS uncapped
+           FROM src, tot),
+         pool AS (
+           SELECT CAST(max(total_tokens) * 2 - sum(alloc1) AS BIGINT) AS leftover,
+             CAST(sum(CASE WHEN uncapped = 1 THEN n_tokens ELSE 0 END)
+               AS BIGINT) AS uncapped_tokens
+           FROM a1),
+         a2 AS (
+           SELECT lang, n_tokens,
+             CASE WHEN uncapped = 1 AND uncapped_tokens > 0
+               THEN least(n_tokens * 3,
+                 alloc1 + (leftover * n_tokens) // uncapped_tokens)
+               ELSE alloc1 END AS alloc_tokens
+           FROM a1, pool)
+         SELECT lang, n_tokens, CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+           CAST((alloc_tokens * 1000000) // n_tokens AS BIGINT) AS repeat_ppm,
+           CAST(CASE WHEN (alloc_tokens * 1000000) // n_tokens >= 3000000
+             THEN 1 ELSE 0 END AS BIGINT) AS capped
+         FROM a2""",
     "q135_cdc_chunks" ->
       """WITH tk AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks

@@ -751,6 +751,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(!finalTree.contains("Window"), finalTree.take(1500))
   }
 
+  test("q138-q140 planners: corpus never shuffled except keyed aggs/joins; no Window") {
+    for ((name, df) <- Seq(
+        "q138" -> Queries.bpeFertility(spark, sf),
+        "q139" -> Queries.effectiveTokens(spark, sf),
+        "q140" -> Queries.epochPlan(spark, sf))) {
+      val plan = planOf(df)
+      val finalTree = plan.split("== Initial Plan ==")(0)
+      assert(!finalTree.contains("Window"), s"$name: ${finalTree.take(800)}")
+      assert(!finalTree.contains("CartesianProduct"), s"$name")
+    }
+    // q140's budget arithmetic invariants at spec scale: allocation
+    // never exceeds the 2x budget, per-lang never exceeds the 3-epoch
+    // cap, and the capped flag matches the cap exactly
+    val rows = Queries.epochPlan(spark, sf).collect()
+    val totalTokens = rows.map(_.getAs[Long]("n_tokens")).sum
+    val alloc = rows.map(_.getAs[Long]("alloc_tokens")).sum
+    assert(alloc <= 2 * totalTokens, s"alloc $alloc > budget ${2 * totalTokens}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("alloc_tokens") <= 3 * r.getAs[Long]("n_tokens"))
+      assert((r.getAs[Long]("capped") == 1L) ===
+        (r.getAs[Long]("repeat_ppm") >= 3000000L))
+    }
+  }
+
   test("global-window census: q74 is the ONLY query planning a partition-less Window") {
     // A Window with an empty partitionSpec is a single-task sort of
     // the whole input — q74's global ntile carries it deliberately
