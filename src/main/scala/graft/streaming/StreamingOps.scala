@@ -129,6 +129,41 @@ object StreamingOps {
       .drop("_content_hash")
   }
 
+  /** Ingest-time CONTENT-DEFINED chunk contamination — the streaming
+    * twin of q135 ([[graft.operators.Cdc]]): each arriving document is
+    * chunked per row (the fused native `CdcChunksExpr` is a pure
+    * projection, so this stage is STATELESS — nothing in the state
+    * store), and every chunk fingerprint is probed against the static
+    * corpus's chunk relation via a stream-static LEFT OUTER join
+    * (stream left — stateless per micro-batch, static side planned
+    * like any batch relation so corpus pruning applies). Emits one row
+    * per chunk with an `in_corpus` flag; chunk-granular because CDC
+    * boundaries survive insertions, this catches a quoted/plagiarized
+    * passage inside otherwise-fresh text at ingest — the streaming
+    * complement of [[dedupAgainstCorpusStream]]'s whole-doc hash.
+    * Downstream policy (drop doc over X% contaminated chunks)
+    * composes as a watermarked per-doc aggregation.
+    *
+    * At deployment the corpus chunk relation is a precomputed artifact
+    * of the ingest that built the corpus (the q116 convention), not
+    * re-chunked per run. */
+  def cdcChunkStream(
+      stream: DataFrame,
+      corpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      window: Int = 4,
+      divisor: Int = 8): DataFrame = {
+    import graft.operators.Cdc
+    val corpusFps = Cdc.chunks(corpus, idCol, textCol, window, divisor)
+      .select(col("fp")).distinct()
+      .withColumn("known", lit(1L))
+    Cdc.chunks(stream, idCol, textCol, window, divisor)
+      .join(corpusFps, Seq("fp"), "left_outer")
+      .select(col(idCol), col("fp"), col("len"),
+        coalesce(col("known"), lit(0L)).as("in_corpus"))
+  }
+
   /** Streaming MinHash-LSH near-dup candidates: each arriving document
     * is banded exactly like the batch path
     * ([[graft.operators.Dedup.lshCandidates]] — same shingle hashes,

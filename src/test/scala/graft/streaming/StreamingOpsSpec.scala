@@ -109,6 +109,47 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cdcChunkStream: chunk flags match the batch computation; insertions don't hide shared passages") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpusText = (1 to 60).map(i => s"c${i % 17}x${(i * 5) % 7}").mkString(" ")
+    val corpus = Seq((100L, corpusText)).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)]
+    val out = StreamingOps.cdcChunkStream(in.toDF().toDF("doc_id", "text"), corpus)
+    val q = out.writeStream.format("memory").queryName("cdc_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val fresh = "totally unseen words only here"
+      // doc 1: corpus passage with a PREPENDED insertion — fixed-stride
+      // chunking would misalign everything; CDC must still flag the
+      // passage's interior chunks as known
+      in.addData((1L, "inserted " + corpusText), (2L, fresh))
+      q.processAllAvailable()
+      import org.apache.spark.sql.functions.{col => c}
+      val got = spark.table("cdc_stream")
+        .groupBy(c("doc_id"))
+        .agg(org.apache.spark.sql.functions.sum(c("in_corpus")).as("known"),
+          org.apache.spark.sql.functions.count(c("fp")).as("n"))
+        .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got(1L)._1 >= got(1L)._2 - 2,
+        s"shifted passage: all but the boundary chunks flag known, got ${got(1L)}")
+      assert(got(2L)._1 === 0L, s"fresh doc must flag nothing: ${got(2L)}")
+      // exact parity with the batch formulation on the same rows
+      val batchDocs = Seq((1L, "inserted " + corpusText), (2L, fresh))
+        .toDF("doc_id", "text")
+      val batch = graft.operators.Cdc.chunks(batchDocs, "doc_id", "text")
+        .join(graft.operators.Cdc.chunks(corpus, "doc_id", "text")
+          .select(c("fp")).distinct().withColumn("known",
+            org.apache.spark.sql.functions.lit(1L)), Seq("fp"), "left_outer")
+        .select(c("doc_id"), c("fp"), c("len"),
+          org.apache.spark.sql.functions.coalesce(c("known"),
+            org.apache.spark.sql.functions.lit(0L)).as("in_corpus"))
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+      val streamed = spark.table("cdc_stream")
+        .as[(Long, Long, Long, Long)].collect().sorted.toSeq
+      assert(streamed === batch, "stream result must equal batch result")
+    } finally q.stop()
+  }
+
   test("lshCandidateStream: near-dups arriving in different batches become candidates") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String)]
