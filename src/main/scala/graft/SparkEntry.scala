@@ -184,7 +184,9 @@ object Queries
     "q137_bpe_encode" -> (bpeEncode _),
     "q138_bpe_fertility" -> (bpeFertility _),
     "q139_effective_tokens" -> (effectiveTokens _),
-    "q140_epoch_plan" -> (epochPlan _))
+    "q140_epoch_plan" -> (epochPlan _),
+    "q141_score_calibration" -> (scoreCalibration _),
+    "q142_cluster_split" -> (clusterSplit _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = oracleSqlA ++ oracleSqlB ++ oracleSqlC ++ oracleSqlD

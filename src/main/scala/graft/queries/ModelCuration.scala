@@ -309,6 +309,58 @@ private[graft] trait ModelCurationQueries extends QueryContext {
         expr("(eff_tokens * 1000000) DIV raw_tokens").as("eff_ppm"))
   }
 
+  /** Classifier calibration table — the eval q132's scaladoc tells its
+    * consumer to run ("threshold the SCORE, not the sign"): documents
+    * bucketed into nine DISCRETE score deciles (q83's broadcast
+    * percentile-boundary binning — no global sort, no ntile Window)
+    * with the per-decile true-high rate in ppm. Reading up from the
+    * top decile gives the precision/volume trade at every candidate
+    * threshold; a monotone hi_rate column is the calibration signal
+    * that the trained scores actually rank quality. The gate pins
+    * boundary election, binning, and rates, so a score-quality
+    * regression in q132's trainer shows up here as a hash flip even
+    * when q132 itself still passes.
+    *
+    * Scale shape: rides q132 (two exploded-token passes), then one
+    * tiny percentile_disc aggregate broadcast into a map-side binning
+    * projection and a 10-row partial agg. */
+  def scoreCalibration(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = nbQualityClassifier(spark, sfDir)
+      .select(col("nb_score"), col("is_hi"))
+    val bs = (1 to 9).map(i =>
+      expr(s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY nb_score)")
+        .cast("long").as(s"b$i"))
+    val bounds = scored.agg(bs.head, bs.tail: _*)
+    val bin = (1 to 9).map(i =>
+      when(col("nb_score") > col(s"b$i"), 1L).otherwise(0L)).reduce(_ + _)
+    scored.crossJoin(broadcast(bounds))
+      .select(col("nb_score"), col("is_hi"), bin.cast("long").as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"), sum(col("is_hi")).as("n_hi"),
+        min(col("nb_score")).as("lo_score"),
+        max(col("nb_score")).as("hi_score"))
+      .select(col("decile"), col("n"), col("n_hi"), col("lo_score"),
+        col("hi_score"), expr("(n_hi * 1000000) DIV n").as("hi_rate_ppm"))
+  }
+
+  /** Cluster-aware train/test split — the ACTION for q107's finding:
+    * q107 measures how many near-dup pairs straddle a doc-hash split
+    * (train/test leakage); this query prevents them BY CONSTRUCTION by
+    * hashing the q43 CLUSTER id instead of the doc id, so an entire
+    * near-dup clique lands on one side ([[SplitLeakageSpec]] asserts
+    * zero straddling pairs — the same property is impossible for any
+    * per-doc assignment). Same affine-mod bucket arithmetic as q37
+    * (engine-portable, idempotent, survives retries); 80/20.
+    *
+    * Scale shape: rides the q43 clustering (~linear), then a pure
+    * per-row projection — no additional shuffle at all. */
+  def clusterSplit(spark: SparkSession, sfDir: String): DataFrame = {
+    import operators.Sampling
+    neardupClusters(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id"),
+        Sampling.splitTag(col("cluster_id"), 10, 8).as("split"))
+  }
+
   /** Epoch planner — per-language repeat factors under a fixed token
     * budget (the Muennighoff-style "how many epochs of each slice"
     * table a run recipe starts from): budget B = 2× the corpus's raw

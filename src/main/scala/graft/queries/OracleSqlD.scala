@@ -64,6 +64,59 @@ private[graft] trait OracleSqlD {
            FROM w0 GROUP BY w),
          ${(1 to rounds).map(bpeRoundSql).mkString(",\n         ")}"""
 
+  /** Shared CTE chain for q132/q141: q13-labeled docs, token-evidence
+    * weights, and the per-doc scored relation `nbfinal(doc_id,
+    * n_features, nb_score, y)`. */
+  private val nbScoredSql: String =
+    """WITH lab AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+         ql AS (
+           SELECT doc_id, toks,
+             CAST(CASE WHEN least(len(toks), 100) * 5
+               + CAST(floor(len(list_filter(toks, t -> t IN
+                   ('the','a','an','of','and','is','in','to','it','that')))
+                 * 500.0 / len(toks)) AS BIGINT) >= 500
+               THEN 1 ELSE 0 END AS BIGINT) AS y
+           FROM lab),
+         dt AS (
+           SELECT DISTINCT doc_id, y, unnest(toks) AS tok FROM ql),
+         totals AS (
+           SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+             CAST(sum(1 - y) AS BIGINT) AS n_neg
+           FROM ql),
+         cnt AS (
+           SELECT tok, CAST(sum(y) AS BIGINT) AS df_pos,
+             CAST(sum(1 - y) AS BIGINT) AS df_neg
+           FROM dt GROUP BY 1),
+         rates AS (
+           SELECT tok,
+             ((df_pos + 1) * 1000000) // (n_pos + 2) AS r_pos,
+             ((df_neg + 1) * 1000000) // (n_neg + 2) AS r_neg
+           FROM cnt, totals),
+         w AS (
+           SELECT tok,
+             CAST((r_pos * 1000000) // greatest(r_pos + r_neg, 1) - 500000
+               AS BIGINT) AS w_p,
+             CAST(((1000000 - r_pos) * 1000000)
+               // greatest(2000000 - r_pos - r_neg, 1) - 500000
+               AS BIGINT) AS w_a
+           FROM rates),
+         wt AS (SELECT CAST(sum(w_a) AS BIGINT) AS w_abs_total FROM w),
+         prior AS (
+           SELECT CAST(((n_pos + 1) * 1000000) // (n_pos + n_neg + 2) - 500000
+             AS BIGINT) AS prior_w
+           FROM totals),
+         scored AS (
+           SELECT d.doc_id, d.y, CAST(count(*) AS BIGINT) AS n_features,
+             CAST(sum(w.w_p - w.w_a) AS BIGINT) AS sw
+           FROM dt d JOIN w USING (tok)
+           GROUP BY 1, 2),
+         nbfinal AS (
+           SELECT doc_id, y, n_features,
+             CAST(sw + w_abs_total + prior_w AS BIGINT) AS nb_score
+           FROM scored, prior, wt)"""
+
   protected val oracleSqlD: Map[String, String] = Map(
     "q136_bpe_train" ->
       s"""${bpePrefixSql(3)}
@@ -180,6 +233,49 @@ private[graft] trait OracleSqlD {
            CAST(CASE WHEN (alloc_tokens * 1000000) // n_tokens >= 3000000
              THEN 1 ELSE 0 END AS BIGINT) AS capped
          FROM a2""",
+    "q142_cluster_split" ->
+      """WITH RECURSIVE tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+         shg AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks)-2),
+                         i -> array_to_string(toks[i:i+2], ' '))
+             END AS shingles
+           FROM tk),
+         shh AS (
+           SELECT doc_id, list_distinct(list_transform(shingles, s ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 131 + c) % 1000000007))) AS sh
+           FROM shg),
+         ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shh),
+         common AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS na, b.n AS nb, count(*) AS c
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         pairs AS (
+           SELECT id1, id2 FROM common
+           WHERE floor(c * 1000000.0 / (na + nb - c)) >= 500000),
+         edges AS (
+           SELECT id1 AS a, id2 AS b FROM pairs
+           UNION ALL
+           SELECT id2, id1 FROM pairs),
+         reach AS (
+           SELECT a, b AS r FROM edges
+           UNION
+           SELECT e.a, t.r FROM edges e JOIN reach t ON e.b = t.a),
+         mins AS (SELECT a, min(r) AS mr FROM reach GROUP BY a),
+         cl AS (
+           SELECT d.doc_id,
+             CAST(CASE WHEN m.a IS NULL THEN d.doc_id
+                       ELSE least(m.mr, d.doc_id) END AS BIGINT) AS cluster_id
+           FROM documents d LEFT JOIN mins m ON d.doc_id = m.a)
+         SELECT doc_id, cluster_id,
+           CASE WHEN (((cluster_id % 1000000007 + 1) * 2654435761) % 1000000007)
+                  * 2246822519 % 1000000007 % 10 < 8
+                THEN 'train' ELSE 'test' END AS split
+         FROM cl""",
     "q135_cdc_chunks" ->
       """WITH tk AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
@@ -229,56 +325,45 @@ private[graft] trait OracleSqlD {
          FROM ch JOIN occ USING (fp)
          GROUP BY doc_id""",
     "q132_nb_classifier" ->
-      """WITH lab AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-           FROM documents),
-         ql AS (
-           SELECT doc_id, toks,
-             CAST(CASE WHEN least(len(toks), 100) * 5
-               + CAST(floor(len(list_filter(toks, t -> t IN
-                   ('the','a','an','of','and','is','in','to','it','that')))
-                 * 500.0 / len(toks)) AS BIGINT) >= 500
-               THEN 1 ELSE 0 END AS BIGINT) AS y
-           FROM lab),
-         dt AS (
-           SELECT DISTINCT doc_id, y, unnest(toks) AS tok FROM ql),
-         totals AS (
-           SELECT CAST(sum(y) AS BIGINT) AS n_pos,
-             CAST(sum(1 - y) AS BIGINT) AS n_neg
-           FROM ql),
-         cnt AS (
-           SELECT tok, CAST(sum(y) AS BIGINT) AS df_pos,
-             CAST(sum(1 - y) AS BIGINT) AS df_neg
-           FROM dt GROUP BY 1),
-         rates AS (
-           SELECT tok,
-             ((df_pos + 1) * 1000000) // (n_pos + 2) AS r_pos,
-             ((df_neg + 1) * 1000000) // (n_neg + 2) AS r_neg
-           FROM cnt, totals),
-         w AS (
-           SELECT tok,
-             CAST((r_pos * 1000000) // greatest(r_pos + r_neg, 1) - 500000
-               AS BIGINT) AS w_p,
-             CAST(((1000000 - r_pos) * 1000000)
-               // greatest(2000000 - r_pos - r_neg, 1) - 500000
-               AS BIGINT) AS w_a
-           FROM rates),
-         wt AS (SELECT CAST(sum(w_a) AS BIGINT) AS w_abs_total FROM w),
-         prior AS (
-           SELECT CAST(((n_pos + 1) * 1000000) // (n_pos + n_neg + 2) - 500000
-             AS BIGINT) AS prior_w
-           FROM totals),
-         scored AS (
-           SELECT d.doc_id, d.y, CAST(count(*) AS BIGINT) AS n_features,
-             CAST(sum(w.w_p - w.w_a) AS BIGINT) AS sw
-           FROM dt d JOIN w USING (tok)
-           GROUP BY 1, 2)
-         SELECT doc_id, n_features,
-           CAST(sw + w_abs_total + prior_w AS BIGINT) AS nb_score,
-           CAST(CASE WHEN sw + w_abs_total + prior_w > 0 THEN 1 ELSE 0 END
-             AS BIGINT) AS pred_hi,
+      s"""$nbScoredSql
+         SELECT doc_id, n_features, nb_score,
+           CAST(CASE WHEN nb_score > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred_hi,
            y AS is_hi
-         FROM scored, prior, wt""",
+         FROM nbfinal""",
+    "q141_score_calibration" ->
+      s"""$nbScoredSql,
+         b AS (
+           SELECT
+             CAST(quantile_disc(nb_score, 0.1) AS BIGINT) AS b1,
+             CAST(quantile_disc(nb_score, 0.2) AS BIGINT) AS b2,
+             CAST(quantile_disc(nb_score, 0.3) AS BIGINT) AS b3,
+             CAST(quantile_disc(nb_score, 0.4) AS BIGINT) AS b4,
+             CAST(quantile_disc(nb_score, 0.5) AS BIGINT) AS b5,
+             CAST(quantile_disc(nb_score, 0.6) AS BIGINT) AS b6,
+             CAST(quantile_disc(nb_score, 0.7) AS BIGINT) AS b7,
+             CAST(quantile_disc(nb_score, 0.8) AS BIGINT) AS b8,
+             CAST(quantile_disc(nb_score, 0.9) AS BIGINT) AS b9
+           FROM nbfinal),
+         x AS (
+           SELECT nb_score, y,
+             (CASE WHEN nb_score > b1 THEN 1 ELSE 0 END) +
+             (CASE WHEN nb_score > b2 THEN 1 ELSE 0 END) +
+             (CASE WHEN nb_score > b3 THEN 1 ELSE 0 END) +
+             (CASE WHEN nb_score > b4 THEN 1 ELSE 0 END) +
+             (CASE WHEN nb_score > b5 THEN 1 ELSE 0 END) +
+             (CASE WHEN nb_score > b6 THEN 1 ELSE 0 END) +
+             (CASE WHEN nb_score > b7 THEN 1 ELSE 0 END) +
+             (CASE WHEN nb_score > b8 THEN 1 ELSE 0 END) +
+             (CASE WHEN nb_score > b9 THEN 1 ELSE 0 END) AS decile
+           FROM nbfinal, b)
+         SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS n_hi,
+           CAST(min(nb_score) AS BIGINT) AS lo_score,
+           CAST(max(nb_score) AS BIGINT) AS hi_score,
+           CAST((sum(y) * 1000000) // count(*) AS BIGINT) AS hi_rate_ppm
+         FROM x
+         GROUP BY decile""",
     "q133_quality_survivors" ->
       """WITH RECURSIVE tk AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
