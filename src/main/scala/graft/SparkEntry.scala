@@ -186,7 +186,9 @@ object Queries
     "q139_effective_tokens" -> (effectiveTokens _),
     "q140_epoch_plan" -> (epochPlan _),
     "q141_score_calibration" -> (scoreCalibration _),
-    "q142_cluster_split" -> (clusterSplit _))
+    "q142_cluster_split" -> (clusterSplit _),
+    "q143_winnow_pairs" -> (winnowPairs _),
+    "q144_blocklist" -> (blocklistFilter _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = oracleSqlA ++ oracleSqlB ++ oracleSqlC ++ oracleSqlD

@@ -361,6 +361,45 @@ private[graft] trait ModelCurationQueries extends QueryContext {
         Sampling.splitTag(col("cluster_id"), 10, 8).as("split"))
   }
 
+  /** Winnowing-fingerprint duplicate pairs ([[operators.Winnow]], the
+    * MOSS algorithm) — the GUARANTEED substring detector next to q80's
+    * stride lottery: window-minimum selection over k-gram hashes means
+    * any shared token run ≥ w + k − 1 = 7 tokens yields a shared
+    * fingerprint at ANY alignment (q80 catches unaligned runs with
+    * probability 1/stride; its scaladoc states the lottery — this
+    * closes it), at ~2/(w+1) the index density. The standard
+    * plagiarism/clone-detection primitive, and the index a substring-
+    * level contamination audit should build at 100 TB.
+    *
+    * Scale shape: per-row array math to the fingerprint set, then the
+    * q80 join shape — fingerprint-keyed shuffle self-join bounded by
+    * real collisions, never all-pairs. */
+  def winnowPairs(spark: SparkSession, sfDir: String): DataFrame =
+    operators.Winnow.pairs(t(spark, sfDir, "documents"), "doc_id", "text",
+      k = 4, w = 4)
+
+  /** Blocklist density filter — the C4-style wordlist screen: count
+    * blocklisted-term occurrences per document and admit only below a
+    * density threshold (2% here; an absolute-zero policy is the same
+    * plan with threshold 1). The blocklist rides the expression as
+    * literals (a real deployment broadcasts a blocklist relation —
+    * either way the screen is a MAP-ONLY projection; nothing shuffles,
+    * nothing joins). Both the counts and the admission bit are gated,
+    * so policy drift is a hash flip. */
+  def blocklistFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val bad = Seq("slow", "drop", "error")
+    val toks = TextFunctions.tokens(col("text"))
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        size(filter(toks, tk => tk.isin(bad: _*))).cast("long").as("n_bad"))
+      .select(col("doc_id"), col("n_tokens"), col("n_bad"),
+        expr("(n_bad * 1000000) DIV n_tokens").as("bad_ppm"),
+        (expr("(n_bad * 1000000) DIV n_tokens") < 20000L)
+          .cast("long").as("admitted"))
+  }
+
   /** Epoch planner — per-language repeat factors under a fixed token
     * budget (the Muennighoff-style "how many epochs of each slice"
     * table a run recipe starts from): budget B = 2× the corpus's raw

@@ -276,6 +276,51 @@ private[graft] trait OracleSqlD {
                   * 2246822519 % 1000000007 % 10 < 8
                 THEN 'train' ELSE 'test' END AS split
          FROM cl""",
+    "q143_winnow_pairs" ->
+      """WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+         hs AS (
+           SELECT doc_id, list_transform(toks, tok ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 131 + c) % 1000000007)) AS h
+           FROM tk),
+         gg AS (
+           SELECT doc_id, h, len(h) AS n,
+             CASE WHEN len(h) >= 4 THEN
+               list_transform(generate_series(1, len(h) - 3), j ->
+                 ((((((h[j] * 131 + h[j+1]) % 1000000007) * 131 + h[j+2])
+                   % 1000000007) * 131 + h[j+3]) % 1000000007))
+             ELSE CAST([] AS BIGINT[]) END AS g
+           FROM hs),
+         fp0 AS (
+           SELECT doc_id,
+             CASE WHEN len(g) >= 4 THEN
+                 list_distinct(list_transform(generate_series(1, len(g) - 3),
+                   j -> list_min(g[j:j+3])))
+               WHEN len(g) >= 1 THEN [list_min(g)]
+               ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), h),
+                 (f, x) -> (f * 31 + x) % 1000000007)]
+             END AS fps
+           FROM gg),
+         fpx AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM fp0)
+         SELECT a.doc_id AS id1, b.doc_id AS id2,
+           CAST(count(*) AS BIGINT) AS n_shared
+         FROM fpx a JOIN fpx b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2""",
+    "q144_blocklist" ->
+      """WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents)
+         SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(toks, t -> t IN ('slow','drop','error')))
+             AS BIGINT) AS n_bad,
+           CAST((len(list_filter(toks, t -> t IN ('slow','drop','error')))
+             * 1000000) // len(toks) AS BIGINT) AS bad_ppm,
+           CAST(CASE WHEN (len(list_filter(toks, t -> t IN ('slow','drop','error')))
+             * 1000000) // len(toks) < 20000 THEN 1 ELSE 0 END AS BIGINT) AS admitted
+         FROM tk""",
     "q135_cdc_chunks" ->
       """WITH tk AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
