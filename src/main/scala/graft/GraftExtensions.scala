@@ -103,6 +103,14 @@ object GraftExtensions {
         require(args.length == 2, "shingle_hash expects 2 arguments")
         graft.functions.ShingleHashExpr(args(0), intArg(args(1), "n"))
       }),
+    ("cdc_chunks",
+      new ExpressionInfo(classOf[graft.functions.CdcChunksExpr].getName, null, "cdc_chunks",
+        "cdc_chunks(hashes, window, divisor) - content-defined chunks packed (fp<<32)|len", ""),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "cdc_chunks expects 3 arguments")
+        graft.functions.CdcChunksExpr(args(0),
+          intArg(args(1), "window"), intArg(args(2), "divisor"))
+      }),
     // composite builders: Column-level operators re-exposed to SQL text
     // as directly-composed catalyst trees (a Column→Expression bridge
     // round-trip leaves unresolved nodes inside a registry builder).

@@ -26,7 +26,8 @@ class GraftExtensionsSpec extends SparkSpec {
       "vector_sqeuclidean", "vector_dot", "vector_cosine_distance",
       "vector_cosine_sim", "poly_hash_array",
       "minhash_signature", "simhash", "hyperplane_signature",
-      "z_value", "det_bucket", "redact_pii", "shingle_hash", "int8_quantize"))
+      "z_value", "det_bucket", "redact_pii", "shingle_hash", "int8_quantize",
+      "cdc_chunks"))
     new GraftExtensions() // constructible (Class.forName path)
   }
 
@@ -48,6 +49,20 @@ class GraftExtensionsSpec extends SparkSpec {
       graft.functions.ShingleHashExpr(array(lit("a"), lit("b"), lit("c"), lit("d")), 3)
         .as("s")).head().getSeq[Long](0)
     assert(sqlV.toList === apiV.toList && sqlV.length === 2)
+  }
+
+  test("cdc_chunks in SQL equals the Column API") {
+    GraftExtensions.register(spark)
+    val hashes = (1 to 30).map(i => (i * 7919L) % 1000000007L)
+    val hSql = hashes.mkString("array(", "L,", "L)")
+    val sqlV = spark.sql(s"SELECT cdc_chunks($hSql, 4, 8) AS c")
+      .head().getSeq[Long](0)
+    val apiV = Seq("x").toDF("x").select(
+      graft.functions.CdcChunksExpr(
+        array(hashes.map(lit): _*), 4, 8).as("c")).head().getSeq[Long](0)
+    assert(sqlV.toList === apiV.toList && sqlV.nonEmpty)
+    // packed contract: lens sum to the input length
+    assert(sqlV.map(_ % 4294967296L).sum === 30L)
   }
 
   test("composite SQL functions equal their Column-API originals") {
