@@ -188,7 +188,8 @@ object Queries
     "q141_score_calibration" -> (scoreCalibration _),
     "q142_cluster_split" -> (clusterSplit _),
     "q143_winnow_pairs" -> (winnowPairs _),
-    "q144_blocklist" -> (blocklistFilter _))
+    "q144_blocklist" -> (blocklistFilter _),
+    "q145_dup_taxonomy" -> (dupTaxonomy _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = oracleSqlA ++ oracleSqlB ++ oracleSqlC ++ oracleSqlD

@@ -378,6 +378,38 @@ private[graft] trait ModelCurationQueries extends QueryContext {
     operators.Winnow.pairs(t(spark, sfDir, "documents"), "doc_id", "text",
       k = 4, w = 4)
 
+  /** Duplicate-taxonomy audit — crosses the two orthogonal duplicate
+    * detectors: q17's whole-document Jaccard pairs (SEMANTIC near-dup:
+    * the documents are mostly the same text) and q143's winnowing
+    * pairs (CONTAINMENT: they share at least one ≥ 7-token run,
+    * however different the rest is). The full-outer cross-tab tells an
+    * ops team what their duplication actually IS — `both` = classic
+    * crawl copies (near-dup pass handles them), `containment_only` =
+    * quoting/boilerplate/template (needs passage excision q100, not
+    * doc drops), `semantic_only` = paraphrase-level rewrites that
+    * share no long literal run (only the shingle-set detector sees
+    * them). Which bucket dominates decides which dedup pass runs
+    * first at 100 TB — that ordering is the single biggest cost knob
+    * in a multi-pass dedup pipeline.
+    *
+    * Scale shape: both pair relations are fingerprint/shingle-keyed
+    * shuffle joins bounded by real collisions (q17/q143 discipline);
+    * the cross-tab is one full-outer join on the pair key + a 3-row
+    * partial agg. */
+  def dupTaxonomy(spark: SparkSession, sfDir: String): DataFrame = {
+    val jac = jaccardPairs(spark, sfDir)
+      .select(col("id1"), col("id2"), lit(1L).as("semantic"))
+    val win = winnowPairs(spark, sfDir)
+      .select(col("id1"), col("id2"), lit(1L).as("containment"))
+    jac.join(win, Seq("id1", "id2"), "full_outer")
+      .select(
+        when(col("semantic").isNotNull && col("containment").isNotNull, "both")
+          .when(col("semantic").isNotNull, "semantic_only")
+          .otherwise("containment_only").as("family"))
+      .groupBy(col("family"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Blocklist density filter — the C4-style wordlist screen: count
     * blocklisted-term occurrences per document and admit only below a
     * density threshold (2% here; an absolute-zero policy is the same

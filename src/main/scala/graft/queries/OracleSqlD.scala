@@ -321,6 +321,67 @@ private[graft] trait OracleSqlD {
            CAST(CASE WHEN (len(list_filter(toks, t -> t IN ('slow','drop','error')))
              * 1000000) // len(toks) < 20000 THEN 1 ELSE 0 END AS BIGINT) AS admitted
          FROM tk""",
+    "q145_dup_taxonomy" ->
+      """WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+         shg AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks)-2),
+                         i -> array_to_string(toks[i:i+2], ' '))
+             END AS shingles
+           FROM tk),
+         shh AS (
+           SELECT doc_id, list_distinct(list_transform(shingles, s ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 131 + c) % 1000000007))) AS sh
+           FROM shg),
+         ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shh),
+         common AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS na, b.n AS nb, count(*) AS c
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         jpairs AS (
+           SELECT id1, id2 FROM common
+           WHERE floor(c * 1000000.0 / (na + nb - c)) >= 500000),
+         hs AS (
+           SELECT doc_id, list_transform(toks, tok ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 131 + c) % 1000000007)) AS h
+           FROM tk),
+         gg AS (
+           SELECT doc_id, h, len(h) AS n,
+             CASE WHEN len(h) >= 4 THEN
+               list_transform(generate_series(1, len(h) - 3), j ->
+                 ((((((h[j] * 131 + h[j+1]) % 1000000007) * 131 + h[j+2])
+                   % 1000000007) * 131 + h[j+3]) % 1000000007))
+             ELSE CAST([] AS BIGINT[]) END AS g
+           FROM hs),
+         fp0 AS (
+           SELECT doc_id,
+             CASE WHEN len(g) >= 4 THEN
+                 list_distinct(list_transform(generate_series(1, len(g) - 3),
+                   j -> list_min(g[j:j+3])))
+               WHEN len(g) >= 1 THEN [list_min(g)]
+               ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), h),
+                 (f, x) -> (f * 31 + x) % 1000000007)]
+             END AS fps
+           FROM gg),
+         fpx AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM fp0),
+         wpairs AS (
+           SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+           FROM fpx a JOIN fpx b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+         crossed AS (
+           SELECT CASE WHEN j.id1 IS NOT NULL AND w.id1 IS NOT NULL THEN 'both'
+                       WHEN j.id1 IS NOT NULL THEN 'semantic_only'
+                       ELSE 'containment_only' END AS family
+           FROM jpairs j FULL OUTER JOIN wpairs w
+             ON j.id1 = w.id1 AND j.id2 = w.id2)
+         SELECT family, CAST(count(*) AS BIGINT) AS n_pairs
+         FROM crossed GROUP BY family""",
     "q135_cdc_chunks" ->
       """WITH tk AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
