@@ -775,6 +775,41 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q141 calibration: percentile bounds broadcast; binning map-side; no Window") {
+    val plan = planOf(Queries.scoreCalibration(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    assert(!finalTree.contains("Window"), finalTree.take(1200))
+    assert(finalTree.contains("ShuffledHashJoin"), finalTree.take(1200)) // q132's model join
+  }
+
+  test("q142 cluster split: pure projection over the clustering; no extra shuffle") {
+    val plan = planOf(Queries.clusterSplit(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    assert(!finalTree.contains("Window"), finalTree.take(1200))
+  }
+
+  test("q143 winnow pairs: fingerprint self-join shuffles, never broadcasts") {
+    val plan = planOf(Queries.winnowPairs(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    assert(finalTree.contains("ShuffledHashJoin"), finalTree.take(1200))
+    assert(!finalTree.contains("BroadcastExchange"), finalTree.take(1200))
+    assert(!finalTree.contains("Window"), finalTree.take(1200))
+  }
+
+  test("q144 blocklist: map-only — no exchange of any kind") {
+    val plan = planOf(Queries.blocklistFilter(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    assert(!finalTree.contains("Exchange"), finalTree.take(1200))
+    assert(!finalTree.contains("Join"), finalTree.take(1200))
+  }
+
+  test("q145 taxonomy: pair cross-tab joins by shuffle, no broadcast, no Window") {
+    val plan = planOf(Queries.dupTaxonomy(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    assert(!finalTree.contains("BroadcastExchange"), finalTree.take(1200))
+    assert(!finalTree.contains("Window"), finalTree.take(1200))
+  }
+
   test("global-window census: q74 is the ONLY query planning a partition-less Window") {
     // A Window with an empty partitionSpec is a single-task sort of
     // the whole input — q74's global ntile carries it deliberately
