@@ -47,6 +47,45 @@ class PropertySpec extends AnyFunSuite {
     })
   }
 
+  // --- CdcChunksExpr: fused native loop ≡ plain-Scala reference ------
+
+  /** Reference model of [[graft.functions.CdcChunksExpr]]: sequential
+    * chunk build with an O(w) window hash at each candidate boundary. */
+  private def cdcRef(hs: Array[Long], w: Int, d: Int): Seq[Long] = {
+    val P = 1000000007L
+    if (hs.isEmpty) return Nil
+    val out = Seq.newBuilder[Long]
+    var fp = 0L; var len = 0L
+    for (i <- hs.indices) {
+      fp = (fp * 31L + hs(i)) % P; len += 1
+      if (i >= w - 1 && i < hs.length - 1) {
+        var g = 0L
+        for (k <- (i - w + 1) to i) g = (g * 131L + hs(k)) % P
+        if (g % d == 0) { out += ((fp << 32) | len); fp = 0L; len = 0L }
+      }
+    }
+    out += ((fp << 32) | len)
+    out.result()
+  }
+
+  test("CdcChunksExpr: eval ≡ reference for arbitrary hash arrays and (window, divisor)") {
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val gen = for {
+      hs <- Gen.listOf(Gen.chooseNum(0L, 1000000006L))
+      w <- Gen.chooseNum(2, 8)
+      d <- Gen.chooseNum(2, 16)
+    } yield (hs.toArray, w, d)
+    check(Prop.forAll(gen) { case (hs, w, d) =>
+      val expr = graft.functions.CdcChunksExpr(Literal(1L), w, d)
+      val got = expr.nullSafeEval(new GenericArrayData(hs.map(x => x: Any)))
+        .asInstanceOf[ArrayData].toLongArray().toSeq
+      val want = cdcRef(hs, w, d)
+      // packed contract: identical chunks AND lengths repartition n
+      got == want && got.map(_ % 4294967296L).sum == hs.length.toLong
+    })
+  }
+
   // --- MgBuffer: Misra–Gries guarantees under any split --------------
 
   private val streamGen: Gen[List[String]] = Gen.listOf(

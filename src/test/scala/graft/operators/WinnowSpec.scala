@@ -43,6 +43,31 @@ class WinnowSpec extends SparkSpec {
     assert(got === Set((1L, 2L)))
   }
 
+  test("randomized guarantee sweep: 25 planted runs at random offsets/lengths all detected in one pass") {
+    // one Spark job over 50 docs: pair i = (2i+1, 2i+2) shares a random
+    // run of length 7..12 planted at random offsets in otherwise
+    // pair-unique filler — every pair must surface, no cross-pair leaks
+    val rnd = new scala.util.Random(4242)
+    val docs = (0 until 25).flatMap { i =>
+      val runLen = 7 + rnd.nextInt(6)
+      val run = (1 to runLen).map(j => s"r${i}s$j").mkString(" ")
+      def filler(side: Int, n: Int) =
+        (1 to n).map(j => s"u$i${side}v$j").mkString(" ")
+      val o1 = rnd.nextInt(10); val o2 = rnd.nextInt(10)
+      Seq(
+        ((2 * i + 1).toLong,
+          Seq(filler(0, o1), run, filler(1, 20)).filter(_.nonEmpty).mkString(" ")),
+        ((2 * i + 2).toLong,
+          Seq(filler(2, o2), run, filler(3, 20)).filter(_.nonEmpty).mkString(" ")))
+    }
+    val got = pairsOf(docs)
+    for (i <- 0 until 25) {
+      val expect = ((2 * i + 1).toLong, (2 * i + 2).toLong)
+      assert(got.contains(expect), s"planted pair $expect missing")
+    }
+    assert(got.size === 25, s"cross-pair false positives: ${got.size} pairs")
+  }
+
   test("fingerprint density is a fraction of the k-gram count") {
     val text = (1 to 400).map(i => s"tok${i % 53}u${(i * 11) % 17}").mkString(" ")
     val nFps = Winnow.fingerprints(Seq((1L, text)).toDF("doc_id", "text"),
