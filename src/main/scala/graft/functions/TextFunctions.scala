@@ -95,6 +95,20 @@ object TextFunctions {
     }
   }
 
+  /** k-gram rolling polynomial hashes over an `array<long>` hash
+    * column: element j is the fold of `h[j..j+k-1]` under
+    * `acc ← (acc·131 + hᵢ) mod P` — the shared k-gram convention of
+    * [[graft.operators.Cdc.chunksHof]] and [[graft.operators.Winnow]]
+    * (and the window predicate inside the native
+    * [[CdcChunksExpr]]), built from k−1 shifted-slice zip_withs. */
+  def kgramRollingHashes(h: Column, k: Int): Column = {
+    require(k >= 2, "k must be >= 2")
+    val glen = size(h) - (k - 1)
+    (2 to k).foldLeft(slice(h, lit(1), glen)) { (acc, i) =>
+      zip_with(acc, slice(h, lit(i), glen), (a, b) => (a * 131L + b) % P)
+    }
+  }
+
   /** Polynomial hash of one token: fold over characters,
     * `h ← (h·131 + ascii(c)) mod P`, h₀ = 0. Interpreted HOF — for
     * array-at-a-time hashing use [[tokenHashArray]] (native codegen,

@@ -55,12 +55,8 @@ object Cdc {
     import graft.functions.TextFunctions
     val h = col("h")
     val n = size(h)
-    def shift(k: Int, len: Column): Column = slice(h, lit(k), len)
     // gear hash g(j) over hashes[j..j+window-1], j = 1..n-window+1
-    val glen = n - (window - 1)
-    val g = (2 to window).foldLeft(shift(1, glen)) { (acc, k) =>
-      zip_with(acc, shift(k, glen), (a, b) => (a * 131L + b) % P)
-    }
+    val g = TextFunctions.kgramRollingHashes(h, window)
     // boundary after token i = j+window-1 for g(j) % divisor == 0,
     // i < n (a trailing boundary would open an empty chunk)
     val starts = concat(array(lit(1)),

@@ -34,11 +34,9 @@ object Winnow {
     import graft.functions.TextFunctions
     val h = col("h")
     val n = size(h)
-    // k-gram rolling hashes g(j) over h[j..j+k-1], j = 1..n-k+1
-    val glen = n - (k - 1)
-    val g = (2 to k).foldLeft(slice(h, lit(1), glen)) { (acc, i) =>
-      zip_with(acc, slice(h, lit(i), glen), (a, b) => (a * 131L + b) % P)
-    }
+    // k-gram rolling hashes g(j) over h[j..j+k-1], j = 1..n-k+1 — the
+    // shared convention with Cdc (one helper, no drift)
+    val g = TextFunctions.kgramRollingHashes(h, k)
     val wholeDocFp = aggregate(h, lit(0L), (f, x) => (f * 31L + x) % P)
     val fps =
       when(size(col("g")) >= w,

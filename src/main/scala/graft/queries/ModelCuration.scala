@@ -227,18 +227,28 @@ private[graft] trait ModelCurationQueries extends QueryContext {
     * `(word, n_segments)` relation — the corpus is never
     * char-exploded, and the segment relation is corpus-derived so it
     * is never broadcast. */
-  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame = {
+  def bpeEncode(spark: SparkSession, sfDir: String): DataFrame =
+    bpeSegmentedWordStream(spark, sfDir)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_seg")).as("bpe_tokens"))
+
+  /** The shared q137/q138 substrate: q136-trained merges applied to
+    * the DISTINCT-word table, segment counts joined back to the
+    * exploded corpus word stream — `(doc_id, source, w, n_seg)`. One
+    * definition so the encoding contract (3 rounds, shuffle-hash
+    * join, vocab-side application) cannot drift between the per-doc
+    * and per-source consumers. */
+  private def bpeSegmentedWordStream(
+      spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.TextFunctions
     val docs = t(spark, sfDir, "documents")
     val (_, finalWords) = operators.Bpe.train(
       operators.Bpe.wordTable(docs, "text"), rounds = 3)
     val segs = finalWords.select(col("w"),
       size(col("sym")).cast("long").as("n_seg"))
-    docs.select(col("doc_id"),
+    docs.select(col("doc_id"), col("source"),
         explode(TextFunctions.tokens(col("text"))).as("w"))
       .join(segs.hint("shuffle_hash"), "w")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_words"), sum(col("n_seg")).as("bpe_tokens"))
   }
 
   /** Per-source tokenizer FERTILITY — chars per post-BPE segment, the
@@ -255,16 +265,8 @@ private[graft] trait ModelCurationQueries extends QueryContext {
     * join) followed by a per-source partial agg — source cardinality
     * bounds the output. Fertility is integer milli (floor), n_chars
     * from the word lengths themselves. */
-  def bpeFertility(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.functions.TextFunctions
-    val docs = t(spark, sfDir, "documents")
-    val (_, finalWords) = operators.Bpe.train(
-      operators.Bpe.wordTable(docs, "text"), rounds = 3)
-    val segs = finalWords.select(col("w"),
-      size(col("sym")).cast("long").as("n_seg"))
-    docs.select(col("source"),
-        explode(TextFunctions.tokens(col("text"))).as("w"))
-      .join(segs.hint("shuffle_hash"), "w")
+  def bpeFertility(spark: SparkSession, sfDir: String): DataFrame =
+    bpeSegmentedWordStream(spark, sfDir)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_words"),
         sum(length(col("w"))).cast("long").as("n_chars"),
@@ -272,7 +274,6 @@ private[graft] trait ModelCurationQueries extends QueryContext {
       .select(col("source"), col("n_words"), col("n_chars"),
         col("bpe_tokens"),
         expr("(n_chars * 1000) DIV bpe_tokens").as("fertility_milli"))
-  }
 
   /** Effective token budget per source AFTER soft dedup — the
     * accounting that connects q131's near-dup-aware weights to the
@@ -426,10 +427,8 @@ private[graft] trait ModelCurationQueries extends QueryContext {
       .select(col("doc_id"),
         TextFunctions.tokenCount(col("text")).as("n_tokens"),
         size(filter(toks, tk => tk.isin(bad: _*))).cast("long").as("n_bad"))
-      .select(col("doc_id"), col("n_tokens"), col("n_bad"),
-        expr("(n_bad * 1000000) DIV n_tokens").as("bad_ppm"),
-        (expr("(n_bad * 1000000) DIV n_tokens") < 20000L)
-          .cast("long").as("admitted"))
+      .withColumn("bad_ppm", expr("(n_bad * 1000000) DIV n_tokens"))
+      .withColumn("admitted", (col("bad_ppm") < 20000L).cast("long"))
   }
 
   /** Epoch planner — per-language repeat factors under a fixed token
@@ -477,9 +476,8 @@ private[graft] trait ModelCurationQueries extends QueryContext {
             col("alloc1") +
               expr("(leftover * n_tokens) DIV uncapped_tokens")))
           .otherwise(col("alloc1")).as("alloc_tokens"))
-      .select(col("lang"), col("n_tokens"), col("alloc_tokens"),
-        expr("(alloc_tokens * 1000000) DIV n_tokens").as("repeat_ppm"),
-        (expr("(alloc_tokens * 1000000) DIV n_tokens") >= 3000000L)
-          .cast("long").as("capped"))
+      .select(col("lang"), col("n_tokens"), col("alloc_tokens"))
+      .withColumn("repeat_ppm", expr("(alloc_tokens * 1000000) DIV n_tokens"))
+      .withColumn("capped", (col("repeat_ppm") >= 3000000L).cast("long"))
   }
 }

@@ -64,6 +64,87 @@ private[graft] trait OracleSqlD {
            FROM w0 GROUP BY w),
          ${(1 to rounds).map(bpeRoundSql).mkString(",\n         ")}"""
 
+  /** Shared q43-clustering CTE chain (verbatim semantics of the
+    * q43_neardup_clusters oracle in [[OracleSqlA]]): word-3-gram
+    * shingle hashes → ≥0.5-Jaccard pairs → recursive reachability →
+    * `cl(doc_id, cluster_id)`. Factored so the q133/q139/q142 oracles
+    * cannot drift from each other; `tokCte` is the shared tokenizer. */
+  private val tokCte: String =
+    """tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents)"""
+
+  private val jaccardPairsCte: String =
+    """shg AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
+                  ELSE list_transform(generate_series(1, len(toks)-2),
+                         i -> array_to_string(toks[i:i+2], ' '))
+             END AS shingles
+           FROM tk),
+         shh AS (
+           SELECT doc_id, list_distinct(list_transform(shingles, s ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 131 + c) % 1000000007))) AS sh
+           FROM shg),
+         ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shh),
+         common AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS na, b.n AS nb, count(*) AS c
+           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         pairs AS (
+           SELECT id1, id2 FROM common
+           WHERE floor(c * 1000000.0 / (na + nb - c)) >= 500000)"""
+
+  private val clusterCte: String =
+    s"""$jaccardPairsCte,
+         edges AS (
+           SELECT id1 AS a, id2 AS b FROM pairs
+           UNION ALL
+           SELECT id2, id1 FROM pairs),
+         reach AS (
+           SELECT a, b AS r FROM edges
+           UNION
+           SELECT e.a, t.r FROM edges e JOIN reach t ON e.b = t.a),
+         mins AS (SELECT a, min(r) AS mr FROM reach GROUP BY a),
+         cl AS (
+           SELECT d.doc_id,
+             CAST(CASE WHEN m.a IS NULL THEN d.doc_id
+                       ELSE least(m.mr, d.doc_id) END AS BIGINT) AS cluster_id
+           FROM documents d LEFT JOIN mins m ON d.doc_id = m.a)"""
+
+  /** Shared winnowing CTE chain (q143 semantics): per-token polynomial
+    * hashes → 4-gram rolling hashes → window-minimum fingerprints →
+    * `fpx(doc_id, fp)` distinct. Shared with q145 so the two
+    * containment relations cannot diverge. */
+  private val winnowCte: String =
+    """hs AS (
+           SELECT doc_id, list_transform(toks, tok ->
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
+               (h, c) -> (h * 131 + c) % 1000000007)) AS h
+           FROM tk),
+         gg AS (
+           SELECT doc_id, h, len(h) AS n,
+             CASE WHEN len(h) >= 4 THEN
+               list_transform(generate_series(1, len(h) - 3), j ->
+                 ((((((h[j] * 131 + h[j+1]) % 1000000007) * 131 + h[j+2])
+                   % 1000000007) * 131 + h[j+3]) % 1000000007))
+             ELSE CAST([] AS BIGINT[]) END AS g
+           FROM hs),
+         fp0 AS (
+           SELECT doc_id,
+             CASE WHEN len(g) >= 4 THEN
+                 list_distinct(list_transform(generate_series(1, len(g) - 3),
+                   j -> list_min(g[j:j+3])))
+               WHEN len(g) >= 1 THEN [list_min(g)]
+               ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), h),
+                 (f, x) -> (f * 31 + x) % 1000000007)]
+             END AS fps
+           FROM gg),
+         fpx AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM fp0)"""
+
   /** Shared CTE chain for q132/q141: q13-labeled docs, token-evidence
     * weights, and the per-doc scored relation `nbfinal(doc_id,
     * n_features, nb_score, y)`. */
@@ -149,51 +230,15 @@ private[graft] trait OracleSqlD {
          FROM tok JOIN segs USING (w)
          GROUP BY source""",
     "q139_effective_tokens" ->
-      """WITH RECURSIVE tk AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
-         shg AS (
-           SELECT doc_id,
-             CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
-                  ELSE list_transform(generate_series(1, len(toks)-2),
-                         i -> array_to_string(toks[i:i+2], ' '))
-             END AS shingles
-           FROM tk),
-         shh AS (
-           SELECT doc_id, list_distinct(list_transform(shingles, s ->
-             list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
-               (h, c) -> (h * 131 + c) % 1000000007))) AS sh
-           FROM shg),
-         ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shh),
-         common AS (
-           SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS na, b.n AS nb, count(*) AS c
-           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2, 3, 4),
-         pairs AS (
-           SELECT id1, id2 FROM common
-           WHERE floor(c * 1000000.0 / (na + nb - c)) >= 500000),
-         edges AS (
-           SELECT id1 AS a, id2 AS b FROM pairs
-           UNION ALL
-           SELECT id2, id1 FROM pairs),
-         reach AS (
-           SELECT a, b AS r FROM edges
-           UNION
-           SELECT e.a, t.r FROM edges e JOIN reach t ON e.b = t.a),
-         mins AS (SELECT a, min(r) AS mr FROM reach GROUP BY a),
-         cl AS (
-           SELECT d.doc_id,
-             CAST(CASE WHEN m.a IS NULL THEN d.doc_id
-                       ELSE least(m.mr, d.doc_id) END AS BIGINT) AS cluster_id
-           FROM documents d LEFT JOIN mins m ON d.doc_id = m.a),
+      s"""WITH RECURSIVE $tokCte,
+         $clusterCte,
          sz AS (SELECT cluster_id, count(*) AS cluster_size FROM cl GROUP BY 1),
          wts AS (
            SELECT doc_id, CAST(1000000 // cluster_size AS BIGINT) AS weight_ppm
            FROM cl JOIN sz USING (cluster_id)),
          tc AS (
-           SELECT doc_id, source,
-             CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
-           FROM documents)
+           SELECT d.doc_id, d.source, CAST(len(t.toks) AS BIGINT) AS n_tokens
+           FROM documents d JOIN tk t USING (doc_id))
          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
            CAST(sum((n_tokens * weight_ppm) // 1000000) AS BIGINT) AS eff_tokens,
@@ -234,77 +279,16 @@ private[graft] trait OracleSqlD {
              THEN 1 ELSE 0 END AS BIGINT) AS capped
          FROM a2""",
     "q142_cluster_split" ->
-      """WITH RECURSIVE tk AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
-         shg AS (
-           SELECT doc_id,
-             CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
-                  ELSE list_transform(generate_series(1, len(toks)-2),
-                         i -> array_to_string(toks[i:i+2], ' '))
-             END AS shingles
-           FROM tk),
-         shh AS (
-           SELECT doc_id, list_distinct(list_transform(shingles, s ->
-             list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
-               (h, c) -> (h * 131 + c) % 1000000007))) AS sh
-           FROM shg),
-         ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shh),
-         common AS (
-           SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS na, b.n AS nb, count(*) AS c
-           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2, 3, 4),
-         pairs AS (
-           SELECT id1, id2 FROM common
-           WHERE floor(c * 1000000.0 / (na + nb - c)) >= 500000),
-         edges AS (
-           SELECT id1 AS a, id2 AS b FROM pairs
-           UNION ALL
-           SELECT id2, id1 FROM pairs),
-         reach AS (
-           SELECT a, b AS r FROM edges
-           UNION
-           SELECT e.a, t.r FROM edges e JOIN reach t ON e.b = t.a),
-         mins AS (SELECT a, min(r) AS mr FROM reach GROUP BY a),
-         cl AS (
-           SELECT d.doc_id,
-             CAST(CASE WHEN m.a IS NULL THEN d.doc_id
-                       ELSE least(m.mr, d.doc_id) END AS BIGINT) AS cluster_id
-           FROM documents d LEFT JOIN mins m ON d.doc_id = m.a)
+      s"""WITH RECURSIVE $tokCte,
+         $clusterCte
          SELECT doc_id, cluster_id,
            CASE WHEN (((cluster_id % 1000000007 + 1) * 2654435761) % 1000000007)
                   * 2246822519 % 1000000007 % 10 < 8
                 THEN 'train' ELSE 'test' END AS split
          FROM cl""",
     "q143_winnow_pairs" ->
-      """WITH tk AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-           FROM documents),
-         hs AS (
-           SELECT doc_id, list_transform(toks, tok ->
-             list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
-               (h, c) -> (h * 131 + c) % 1000000007)) AS h
-           FROM tk),
-         gg AS (
-           SELECT doc_id, h, len(h) AS n,
-             CASE WHEN len(h) >= 4 THEN
-               list_transform(generate_series(1, len(h) - 3), j ->
-                 ((((((h[j] * 131 + h[j+1]) % 1000000007) * 131 + h[j+2])
-                   % 1000000007) * 131 + h[j+3]) % 1000000007))
-             ELSE CAST([] AS BIGINT[]) END AS g
-           FROM hs),
-         fp0 AS (
-           SELECT doc_id,
-             CASE WHEN len(g) >= 4 THEN
-                 list_distinct(list_transform(generate_series(1, len(g) - 3),
-                   j -> list_min(g[j:j+3])))
-               WHEN len(g) >= 1 THEN [list_min(g)]
-               ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), h),
-                 (f, x) -> (f * 31 + x) % 1000000007)]
-             END AS fps
-           FROM gg),
-         fpx AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM fp0)
+      s"""WITH $tokCte,
+         $winnowCte
          SELECT a.doc_id AS id1, b.doc_id AS id2,
            CAST(count(*) AS BIGINT) AS n_shared
          FROM fpx a JOIN fpx b ON a.fp = b.fp AND a.doc_id < b.doc_id
@@ -322,55 +306,9 @@ private[graft] trait OracleSqlD {
              * 1000000) // len(toks) < 20000 THEN 1 ELSE 0 END AS BIGINT) AS admitted
          FROM tk""",
     "q145_dup_taxonomy" ->
-      """WITH tk AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-           FROM documents),
-         shg AS (
-           SELECT doc_id,
-             CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
-                  ELSE list_transform(generate_series(1, len(toks)-2),
-                         i -> array_to_string(toks[i:i+2], ' '))
-             END AS shingles
-           FROM tk),
-         shh AS (
-           SELECT doc_id, list_distinct(list_transform(shingles, s ->
-             list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
-               (h, c) -> (h * 131 + c) % 1000000007))) AS sh
-           FROM shg),
-         ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shh),
-         common AS (
-           SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS na, b.n AS nb, count(*) AS c
-           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2, 3, 4),
-         jpairs AS (
-           SELECT id1, id2 FROM common
-           WHERE floor(c * 1000000.0 / (na + nb - c)) >= 500000),
-         hs AS (
-           SELECT doc_id, list_transform(toks, tok ->
-             list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))),
-               (h, c) -> (h * 131 + c) % 1000000007)) AS h
-           FROM tk),
-         gg AS (
-           SELECT doc_id, h, len(h) AS n,
-             CASE WHEN len(h) >= 4 THEN
-               list_transform(generate_series(1, len(h) - 3), j ->
-                 ((((((h[j] * 131 + h[j+1]) % 1000000007) * 131 + h[j+2])
-                   % 1000000007) * 131 + h[j+3]) % 1000000007))
-             ELSE CAST([] AS BIGINT[]) END AS g
-           FROM hs),
-         fp0 AS (
-           SELECT doc_id,
-             CASE WHEN len(g) >= 4 THEN
-                 list_distinct(list_transform(generate_series(1, len(g) - 3),
-                   j -> list_min(g[j:j+3])))
-               WHEN len(g) >= 1 THEN [list_min(g)]
-               ELSE [list_reduce(list_prepend(CAST(0 AS BIGINT), h),
-                 (f, x) -> (f * 31 + x) % 1000000007)]
-             END AS fps
-           FROM gg),
-         fpx AS (SELECT DISTINCT doc_id, unnest(fps) AS fp FROM fp0),
+      s"""WITH $tokCte,
+         $jaccardPairsCte,
+         $winnowCte,
          wpairs AS (
            SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
            FROM fpx a JOIN fpx b ON a.fp = b.fp AND a.doc_id < b.doc_id),
@@ -378,7 +316,7 @@ private[graft] trait OracleSqlD {
            SELECT CASE WHEN j.id1 IS NOT NULL AND w.id1 IS NOT NULL THEN 'both'
                        WHEN j.id1 IS NOT NULL THEN 'semantic_only'
                        ELSE 'containment_only' END AS family
-           FROM jpairs j FULL OUTER JOIN wpairs w
+           FROM pairs j FULL OUTER JOIN wpairs w
              ON j.id1 = w.id1 AND j.id2 = w.id2)
          SELECT family, CAST(count(*) AS BIGINT) AS n_pairs
          FROM crossed GROUP BY family""",
@@ -471,43 +409,8 @@ private[graft] trait OracleSqlD {
          FROM x
          GROUP BY decile""",
     "q133_quality_survivors" ->
-      """WITH RECURSIVE tk AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
-         shg AS (
-           SELECT doc_id,
-             CASE WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')]
-                  ELSE list_transform(generate_series(1, len(toks)-2),
-                         i -> array_to_string(toks[i:i+2], ' '))
-             END AS shingles
-           FROM tk),
-         shh AS (
-           SELECT doc_id, list_distinct(list_transform(shingles, s ->
-             list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(string_split(s, ''), c -> CAST(ascii(c) AS BIGINT))),
-               (h, c) -> (h * 131 + c) % 1000000007))) AS sh
-           FROM shg),
-         ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM shh),
-         common AS (
-           SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS na, b.n AS nb, count(*) AS c
-           FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-           GROUP BY 1, 2, 3, 4),
-         pairs AS (
-           SELECT id1, id2 FROM common
-           WHERE floor(c * 1000000.0 / (na + nb - c)) >= 500000),
-         edges AS (
-           SELECT id1 AS a, id2 AS b FROM pairs
-           UNION ALL
-           SELECT id2, id1 FROM pairs),
-         reach AS (
-           SELECT a, b AS r FROM edges
-           UNION
-           SELECT e.a, t.r FROM edges e JOIN reach t ON e.b = t.a),
-         mins AS (SELECT a, min(r) AS mr FROM reach GROUP BY a),
-         cl AS (
-           SELECT d.doc_id,
-             CAST(CASE WHEN m.a IS NULL THEN d.doc_id
-                       ELSE least(m.mr, d.doc_id) END AS BIGINT) AS cluster_id
-           FROM documents d LEFT JOIN mins m ON d.doc_id = m.a),
+      s"""WITH RECURSIVE $tokCte,
+         $clusterCte,
          qual AS (
            SELECT doc_id,
              CAST(least(len(toks), 100) * 5

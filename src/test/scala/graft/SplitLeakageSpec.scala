@@ -44,7 +44,8 @@ class SplitLeakageSpec extends SparkSpec {
       .groupBy(col("split")).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val total = byTag.values.sum.toDouble
-    assert(byTag("train") / total > 0.65 && byTag("train") / total < 0.95,
-      s"train fraction ${byTag("train") / total}")
+    val train = byTag.getOrElse("train", 0L)
+    assert(train / total > 0.65 && train / total < 0.95,
+      s"train fraction ${train / total} (byTag=$byTag)")
   }
 }
