@@ -189,8 +189,16 @@ object Queries
     "q142_cluster_split" -> (clusterSplit _),
     "q143_winnow_pairs" -> (winnowPairs _),
     "q144_blocklist" -> (blocklistFilter _),
-    "q145_dup_taxonomy" -> (dupTaxonomy _))
+    "q145_dup_taxonomy" -> (dupTaxonomy _),
+    "q146_ivf_persisted" -> (annIvfPersisted _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
-  val oracles: Map[String, String] = oracleSqlA ++ oracleSqlB ++ oracleSqlC ++ oracleSqlD
+  val oracles: Map[String, String] = {
+    val base = oracleSqlA ++ oracleSqlB ++ oracleSqlC ++ oracleSqlD
+    // q146 serves q39's search from the persisted parquet index — the
+    // bit-equality contract shares q39's oracle VERBATIM (the q54/q58
+    // shared-oracle discipline), so any index round-trip drift is a
+    // hash flip against the same ground truth.
+    base + ("q146_ivf_persisted" -> base("q39_ann_ivf"))
+  }
 }

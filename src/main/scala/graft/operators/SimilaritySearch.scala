@@ -128,57 +128,69 @@ object SimilaritySearch {
 
     val it = items.select(col(itemId).cast("long").as("i_id"), col(itemVec).as("i_vec"))
     val q = queries.select(col(queryId).cast("long").as("q_id"), col(queryVec).as("q_vec"))
+    val codebook = deriveCodebook(it, centroids)
+    ivfSearch(q, assignItems(it, codebook, assignments), codebook,
+      k, probes, dedupCells = assignments > 1)
+  }
 
-    // deterministic codebook: first `centroids` items in content-hash
-    // order (ties by id); collected — a TakeOrdered job over the items
-    // scan — and inlined below as literals
-    val codebook: Seq[(Long, Seq[Double])] =
-      it.orderBy(Sampling.bucket(col("i_id"), 1000003), col("i_id"))
-        .limit(centroids)
-        .select(col("i_id").as("c_id"), col("i_vec").cast("array<double>").as("c_vec"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Double](1)))
-        .toSeq
-    val effProbes = math.min(probes, codebook.size)
+  /** Deterministic codebook: first `centroids` items in content-hash
+    * order (ties by id); collected — a TakeOrdered job over the items
+    * scan — and inlined as literals by the consumers. */
+  private def deriveCodebook(
+      it: DataFrame, centroids: Int): Seq[(Long, Seq[Double])] =
+    it.orderBy(Sampling.bucket(col("i_id"), 1000003), col("i_id"))
+      .limit(centroids)
+      .select(col("i_id").as("c_id"), col("i_vec").cast("array<double>").as("c_vec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toSeq
 
-    // (dist, centroid id) structs against the codebook literals — a
-    // per-row expression, no join
-    def centroidScores(vec: Column): Column = array(codebook.map { case (cid, cvec) =>
+  /** (dist, centroid id) structs against the codebook literals — a
+    * per-row expression, no join. */
+  private def centroidScores(
+      vec: Column, codebook: Seq[(Long, Seq[Double])]): Column =
+    array(codebook.map { case (cid, cvec) =>
       struct(
         VectorFunctions.squaredEuclidean(vec, typedLit(cvec)).as("d"),
         lit(cid).as("c"))
     }: _*)
 
-    // assignment: argmin by lexicographic (d, c) — pure projection;
-    // multi-assignment replicates each item into its `assignments`
-    // nearest lists (same total order, sort + slice per row)
+  /** Assignment: argmin by lexicographic (d, c) — pure projection;
+    * multi-assignment replicates each item into its `assignments`
+    * nearest lists (same total order, sort + slice per row). */
+  private def assignItems(it: DataFrame, codebook: Seq[(Long, Seq[Double])],
+      assignments: Int): DataFrame = {
     val effAssign = math.min(assignments, codebook.size)
-    val assigned =
-      if (effAssign == 1)
-        it.select(col("i_id"), col("i_vec"),
-          array_min(centroidScores(col("i_vec"))).getField("c").as("c_id"))
-      else
-        it.select(col("i_id"), col("i_vec"),
-            explode(slice(array_sort(centroidScores(col("i_vec"))), 1, effAssign))
-              .as("cs"))
-          .select(col("i_id"), col("i_vec"), col("cs.c").as("c_id"))
+    if (effAssign == 1)
+      it.select(col("i_id"), col("i_vec"),
+        array_min(centroidScores(col("i_vec"), codebook)).getField("c").as("c_id"))
+    else
+      it.select(col("i_id"), col("i_vec"),
+          explode(slice(array_sort(centroidScores(col("i_vec"), codebook)), 1, effAssign))
+            .as("cs"))
+        .select(col("i_id"), col("i_vec"), col("cs.c").as("c_id"))
+  }
 
-    // probing: the `probes` nearest lists per query, same total order
+  /** Probe + exact-search the assigned lists: the `probes` nearest
+    * cells per query (same total order as assignment), broadcast of
+    * the small probed relation, corpus streams through, bounded-heap
+    * top-k. `dedupCells` collapses pairs that met in several cells
+    * (multi-assignment). */
+  private def ivfSearch(q: DataFrame, assigned: DataFrame,
+      codebook: Seq[(Long, Seq[Double])], k: Int, probes: Int,
+      dedupCells: Boolean): DataFrame = {
+    val effProbes = math.min(probes, codebook.size)
     val probed = q.select(col("q_id"), col("q_vec"),
-        explode(slice(array_sort(centroidScores(col("q_vec"))), 1, effProbes))
+        explode(slice(array_sort(centroidScores(col("q_vec"), codebook)), 1, effProbes))
           .as("cs"))
       .select(col("q_id"), col("q_vec"), col("cs.c").as("c_id"))
-
-    // broadcast the small probed relation; the corpus streams through
     val scored0 = assigned.join(broadcast(probed), "c_id")
       .select(col("q_id"),
         VectorFunctions.squaredEuclidean(col("q_vec"), col("i_vec")).as("dist"),
         col("i_id"))
-    // under multi-assignment a pair can meet in several cells — keep one
     val scored =
-      if (effAssign == 1) scored0
+      if (!dedupCells) scored0
       else scored0.groupBy(col("q_id"), col("i_id")).agg(min(col("dist")).as("dist"))
-
     scored
       .groupBy(col("q_id"))
       .agg(TopK.topK(k)(col("dist"), col("i_id"), col("i_id")).as("nbrs"))
@@ -188,6 +200,50 @@ object SimilaritySearch {
         (col("pos") + 1).cast("int").as("rank"),
         col("n.id").as("neighbor_id"),
         col("n.dist").as("dist"))
+  }
+
+  /** Persist the IVF index as a parquet ARTIFACT — the build-once /
+    * probe-many deployment shape an ANN service actually runs at
+    * 100 TB (re-deriving codebook + assignments per query batch, as
+    * [[ivfTopK]] does for the oracle gate, re-pays the full corpus
+    * scan every time). Two relations under `path`: `codebook/`
+    * (c_id, c_vec — `centroids` rows) and `assigned/` (i_id, i_vec,
+    * c_id — corpus-sized, PARTITIONED BY c_id so a probe touches only
+    * its cells' files: partition pruning is what makes the persisted
+    * index cheaper than the inline path, not just amortization).
+    * Parquet round-trips float/double arrays bit-exactly, so
+    * [[ivfTopKFromIndex]] is bit-equal to [[ivfTopK]] at the same
+    * parameters ([[IvfIndexSpec]] + the q146 oracle, which is q39's
+    * verbatim — the q54/q58 shared-oracle contract). */
+  def buildIvfIndex(items: DataFrame, itemId: String, itemVec: String,
+      centroids: Int, assignments: Int, path: String): Unit = {
+    import items.sparkSession.implicits._
+    val it = items.select(col(itemId).cast("long").as("i_id"), col(itemVec).as("i_vec"))
+    val codebook = deriveCodebook(it, centroids)
+    codebook.toDF("c_id", "c_vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    assignItems(it, codebook, assignments)
+      .write.mode("overwrite").partitionBy("c_id").parquet(s"$path/assigned")
+  }
+
+  /** Search a [[buildIvfIndex]] artifact. The codebook (a few KB) is
+    * collected and inlined as literals exactly like the inline path;
+    * the assigned relation is scanned with its c_id partition column,
+    * so the probe join prunes to the probed cells' files. */
+  def ivfTopKFromIndex(queries: DataFrame, path: String, k: Int,
+      queryId: String, queryVec: String, probes: Int,
+      dedupCells: Boolean = true): DataFrame = {
+    val spark = queries.sparkSession
+    graft.GraftSession.tune(spark)
+    val codebook: Seq[(Long, Seq[Double])] =
+      spark.read.parquet(s"$path/codebook")
+        .orderBy(col("c_id")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val assigned = spark.read.parquet(s"$path/assigned")
+      .select(col("i_id"), col("i_vec"), col("c_id").cast("long").as("c_id"))
+    val q = queries.select(col(queryId).cast("long").as("q_id"),
+      col(queryVec).as("q_vec"))
+    ivfSearch(q, assigned, codebook, k, probes, dedupCells)
   }
 
   /** Approximate cosine top-k: queries and items are bucketed by their

@@ -379,6 +379,32 @@ private[graft] trait ModelCurationQueries extends QueryContext {
     operators.Winnow.pairs(t(spark, sfDir, "documents"), "doc_id", "text",
       k = 4, w = 4)
 
+  /** IVF index as a persisted ARTIFACT — q39's search served from a
+    * parquet index ([[operators.SimilaritySearch.buildIvfIndex]] →
+    * [[operators.SimilaritySearch.ivfTopKFromIndex]]): build once
+    * (codebook + cell-partitioned assignments), probe many — the
+    * deployment shape of ANN at 100 TB, where re-deriving assignments
+    * per query batch would re-pay the corpus scan every time, and
+    * where `partitionBy(c_id)` means a probe's scan prunes to its
+    * cells' files. The oracle is q39's VERBATIM (the q54/q58
+    * shared-oracle bit-equality contract): same parameters, same
+    * results, through a parquet round-trip. */
+  def annIvfPersisted(spark: SparkSession, sfDir: String): DataFrame = {
+    import operators.SimilaritySearch
+    val emb = t(spark, sfDir, "embeddings")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_index").toString
+    SimilaritySearch.buildIvfIndex(
+      emb.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+      centroids = 64, assignments = 2, path)
+    SimilaritySearch.ivfTopKFromIndex(
+      emb.filter(col("vec_id") % 10 === 0), path, k = 5,
+      "vec_id", "embedding", probes = 16)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"),
+        floor(col("dist") * 1000000.0).cast("long").as("dist_micro"))
+  }
+
   /** Duplicate-taxonomy audit — crosses the two orthogonal duplicate
     * detectors: q17's whole-document Jaccard pairs (SEMANTIC near-dup:
     * the documents are mostly the same text) and q143's winnowing
