@@ -810,6 +810,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!finalTree.contains("Window"), finalTree.take(1200))
   }
 
+  test("q146 persisted IVF: probe join DYNAMICALLY PRUNES the cell-partitioned index scan") {
+    val plan = planOf(Queries.annIvfPersisted(spark, sf))
+    // the artifact's whole point at 100 TB: the assigned-relation scan
+    // must carry a dynamicpruning partition filter fed by the probed
+    // cells, so a probe touches only its cells' files
+    assert(plan.toLowerCase.contains("dynamicpruning"), plan.take(2000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
   test("global-window census: q74 is the ONLY query planning a partition-less Window") {
     // A Window with an empty partitionSpec is a single-task sort of
     // the whole input — q74's global ntile carries it deliberately
