@@ -164,6 +164,70 @@ object StreamingOps {
         coalesce(col("known"), lit(0L)).as("in_corpus"))
   }
 
+  /** End-to-end streaming INGEST pipeline — the streaming counterpart
+    * of the batch q70 composition, chaining the stages a recurring
+    * crawl actually runs in arrival order:
+    *
+    *  1. admission screen (langId + quality + token bounds — pure
+    *     per-row projections, stateless);
+    *  2. within-stream exact dedup (watermark-bounded state,
+    *     [[dedupDocStream]] — first arrival wins);
+    *  3. standing-corpus exact dedup (stream-static left-anti,
+    *     [[dedupAgainstCorpusStream]] — stateless);
+    *  4. CDC chunk-contamination annotation against the corpus's
+    *     chunk relation ([[cdcChunkStream]] semantics): the arriving
+    *     doc's chunks are a per-row projection (no join to get them),
+    *     each probes the static corpus chunk relation (stream-static
+    *     LEFT join, stateless), and the per-DOC duplicated-token ppm
+    *     is a WATERMARK-BOUNDED windowed aggregation — the one
+    *     stateful agg in the pipeline, its state held only until the
+    *     watermark passes the doc's event time (append-mode
+    *     emission, so a doc's ledger row finalizes exactly once).
+    *
+    * Emits one row per SURVIVING doc: `(doc_id, quality, n_tokens,
+    * dup_chunk_ppm)` — the admission record an ingest ledger stores.
+    * Stages 1/3 hold nothing in the state store; stage 2's state is
+    * the watermark-bounded hash set; stage 4's is the
+    * watermark-bounded per-doc partial sums. The spec pins batch
+    * parity of the full composition ([[StreamingOpsSpec]]). */
+  def ingestPipelineStream(
+      stream: DataFrame,
+      corpus: DataFrame,
+      tsCol: String,
+      watermarkDelay: String = "1 hour",
+      minQuality: Long = 300L,
+      window: Int = 4,
+      divisor: Int = 8): DataFrame = {
+    import graft.functions.TextFunctions
+    import graft.operators.Cdc
+    val admitted = stream
+      .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      .withColumn("n_tokens", TextFunctions.tokenCount(col("text")))
+      .filter(col("quality") >= minQuality && col("n_tokens") >= 5)
+    val deduped = dedupAgainstCorpusStream(
+      dedupDocStream(admitted, tsCol = tsCol, watermarkDelay = watermarkDelay),
+      corpus)
+    val corpusFps = Cdc.chunks(corpus, "doc_id", "text", window, divisor)
+      .select(col("fp")).distinct().withColumn("known", lit(1L))
+    import graft.functions.CdcChunksExpr
+    deduped
+      .withColumn("packed", explode(CdcChunksExpr(
+        TextFunctions.tokenHashArray(TextFunctions.tokens(col("text"))),
+        window, divisor)))
+      .select(col("doc_id"), col("quality"), col("n_tokens"), col(tsCol),
+        shiftright(col("packed"), 32).as("fp"),
+        (col("packed") % 4294967296L).as("len"))
+      // the watermark set by dedupDocStream flows through the
+      // stateless joins — redefining it here is disallowed
+      .join(corpusFps, Seq("fp"), "left_outer")
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), "1 hour"),
+        col("doc_id"), col("quality"), col("n_tokens"))
+      .agg(sum(when(col("known").isNotNull, col("len")).otherwise(0L))
+        .as("dup_tokens"))
+      .select(col("doc_id"), col("quality"), col("n_tokens"),
+        expr("(dup_tokens * 1000000) DIV n_tokens").as("dup_chunk_ppm"))
+  }
+
   /** Streaming MinHash-LSH near-dup candidates: each arriving document
     * is banded exactly like the batch path
     * ([[graft.operators.Dedup.lshCandidates]] — same shingle hashes,

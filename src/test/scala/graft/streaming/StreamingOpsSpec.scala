@@ -109,6 +109,59 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestPipelineStream: admission + dedup + corpus dedup + contamination ppm, batch-parity") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col => c, lit => l}
+    val corpusText = (1 to 60).map(i => s"k${i % 13}m${(i * 3) % 7}").mkString(" ")
+    val corpus = Seq((900L, corpusText)).toDF("doc_id", "text")
+    // the quality gate needs stopwords: build texts with 'the'/'a' mixed in
+    def quality(t: String): Long =
+      graft.SparkSpec.session.range(1).select(
+        graft.functions.TextFunctions.qualityScore(l(t))).head().getLong(0)
+    val good = (1 to 80).map(i => if (i % 3 == 0) "the" else s"g${i}x").mkString(" ")
+    val contaminated = "fresh start here then " + corpusText + " and the a the end bits"
+    val lowQ = "z1 z2 z3 z4 z5 z6" // no stopwords, short → below 300
+    assert(quality(good) >= 300 && quality(contaminated) >= 300 && quality(lowQ) < 300)
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamingOps.ingestPipelineStream(
+      in.toDF().toDF("doc_id", "text", "ts"), corpus, "ts")
+    val q = out.writeStream.format("memory").queryName("ingest_pipe")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (1L, good, ts("2024-01-01 10:00:00")),
+        (2L, good, ts("2024-01-01 10:01:00")), // within-stream dup of 1
+        (3L, corpusText, ts("2024-01-01 10:02:00")), // exact corpus dup
+        (4L, contaminated, ts("2024-01-01 10:03:00")),
+        (5L, lowQ, ts("2024-01-01 10:04:00"))) // fails admission
+      q.processAllAvailable()
+      in.addData((99L, good + " later", ts("2024-01-01 14:00:00"))) // advance watermark
+      q.processAllAvailable()
+      val got = spark.table("ingest_pipe")
+        .select(c("doc_id"), c("dup_chunk_ppm"))
+        .as[(Long, Long)].collect().toMap
+      assert(got.keySet === Set(1L, 4L),
+        s"survivors must be 1 (first copy) and 4 (contaminated-but-new): $got")
+      assert(got(1L) === 0L, s"doc 1 shares nothing with the corpus: $got")
+      // doc 4 embeds the full corpus text: most of its tokens sit in
+      // corpus-known chunks, and parity with the batch formulation holds
+      val batchPpm = {
+        val chunks = graft.operators.Cdc.chunks(
+          Seq((4L, contaminated)).toDF("doc_id", "text"), "doc_id", "text")
+        val known = graft.operators.Cdc.chunks(corpus, "doc_id", "text")
+          .select(c("fp")).distinct().withColumn("known", l(1L))
+        val r = chunks.join(known, Seq("fp"), "left_outer")
+          .agg(org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.when(c("known").isNotNull, c("len"))
+              .otherwise(l(0L))).as("dup"),
+            org.apache.spark.sql.functions.sum(c("len")).as("n")).head()
+        r.getLong(0) * 1000000L / r.getLong(1)
+      }
+      assert(got(4L) === batchPpm, s"stream ppm ${got(4L)} != batch $batchPpm")
+      assert(got(4L) > 500000L, s"contamination should dominate doc 4: ${got(4L)}")
+    } finally q.stop()
+  }
+
   test("cdcChunkStream: chunk flags match the batch computation; insertions don't hide shared passages") {
     implicit val sqlCtx = spark.sqlContext
     val corpusText = (1 to 60).map(i => s"c${i % 17}x${(i * 5) % 7}").mkString(" ")
