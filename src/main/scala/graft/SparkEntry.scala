@@ -190,7 +190,8 @@ object Queries
     "q143_winnow_pairs" -> (winnowPairs _),
     "q144_blocklist" -> (blocklistFilter _),
     "q145_dup_taxonomy" -> (dupTaxonomy _),
-    "q146_ivf_persisted" -> (annIvfPersisted _))
+    "q146_ivf_persisted" -> (annIvfPersisted _),
+    "q147_gopher_rules" -> (gopherRules _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = {

@@ -379,6 +379,41 @@ private[graft] trait ModelCurationQueries extends QueryContext {
     operators.Winnow.pairs(t(spark, sfDir, "documents"), "doc_id", "text",
       k = 4, w = 4)
 
+  /** Gopher-rule admission bundle — the canonical document-level
+    * quality screen (Rae et al., Gopher appendix A): word-count
+    * bounds, mean-word-length bounds, and required-stopword presence,
+    * each emitted as its own pass bit plus the combined admission
+    * flag (per-rule bits make the table an auditable rule report, not
+    * just a filter — which RULE kills a source's docs is the
+    * actionable number). The repetition rules of the same appendix
+    * live in q55 (`repetitionSignals`) — this bundle is the
+    * shape/lexicon half. All integer (mean word length in milli via
+    * an exact char-sum fold; no FP).
+    *
+    * Scale shape: map-only — every signal is a per-row projection
+    * over the token array; no shuffle, no join, nothing collected. */
+  def gopherRules(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val tk = TextFunctions.tokens(col("text"))
+    val stops = Seq("the", "a", "an", "of", "and", "is", "in", "to")
+    t(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        aggregate(tk, lit(0L), (a, t) => a + length(t)).as("sum_chars"),
+        size(filter(array_distinct(tk), t => t.isin(stops: _*)))
+          .cast("long").as("n_stop_kinds"))
+      .withColumn("mean_wlen_milli",
+        expr("(sum_chars * 1000) DIV n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("mean_wlen_milli"),
+        col("n_stop_kinds"),
+        col("n_tokens").between(50L, 100000L).cast("long").as("r_len"),
+        col("mean_wlen_milli").between(3000L, 10000L).cast("long").as("r_wlen"),
+        (col("n_stop_kinds") >= 2L).cast("long").as("r_stop"))
+      .withColumn("admitted",
+        (col("r_len") === 1L && col("r_wlen") === 1L && col("r_stop") === 1L)
+          .cast("long"))
+  }
+
   /** IVF index as a persisted ARTIFACT — q39's search served from a
     * parquet index ([[operators.SimilaritySearch.buildIvfIndex]] →
     * [[operators.SimilaritySearch.ivfTopKFromIndex]]): build once

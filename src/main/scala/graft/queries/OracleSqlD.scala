@@ -320,6 +320,35 @@ private[graft] trait OracleSqlD {
              ON j.id1 = w.id1 AND j.id2 = w.id2)
          SELECT family, CAST(count(*) AS BIGINT) AS n_pairs
          FROM crossed GROUP BY family""",
+    "q147_gopher_rules" ->
+      """WITH tk AS (
+           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+           FROM documents),
+         sig AS (
+           SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+               (a, b) -> a + b) AS BIGINT) AS sum_chars,
+             CAST(len(list_filter(list_distinct(toks), t -> t IN
+               ('the','a','an','of','and','is','in','to'))) AS BIGINT) AS n_stop_kinds
+           FROM tk),
+         m AS (
+           SELECT doc_id, n_tokens,
+             CAST((sum_chars * 1000) // n_tokens AS BIGINT) AS mean_wlen_milli,
+             n_stop_kinds
+           FROM sig),
+         r AS (
+           SELECT *,
+             CAST(CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS r_len,
+             CAST(CASE WHEN mean_wlen_milli BETWEEN 3000 AND 10000 THEN 1 ELSE 0 END AS BIGINT) AS r_wlen,
+             CAST(CASE WHEN n_stop_kinds >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop
+           FROM m)
+         SELECT doc_id, n_tokens, mean_wlen_milli, n_stop_kinds,
+           r_len, r_wlen, r_stop,
+           CAST(CASE WHEN r_len = 1 AND r_wlen = 1 AND r_stop = 1
+             THEN 1 ELSE 0 END AS BIGINT) AS admitted
+         FROM r""",
     "q135_cdc_chunks" ->
       """WITH tk AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
