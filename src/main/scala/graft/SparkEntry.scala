@@ -191,7 +191,8 @@ object Queries
     "q144_blocklist" -> (blocklistFilter _),
     "q145_dup_taxonomy" -> (dupTaxonomy _),
     "q146_ivf_persisted" -> (annIvfPersisted _),
-    "q147_gopher_rules" -> (gopherRules _))
+    "q147_gopher_rules" -> (gopherRules _),
+    "q148_winnow_decontam" -> (winnowDecontam _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = {

@@ -379,6 +379,35 @@ private[graft] trait ModelCurationQueries extends QueryContext {
     operators.Winnow.pairs(t(spark, sfDir, "documents"), "doc_id", "text",
       k = 4, w = 4)
 
+  /** Winnowing-index decontamination — q56's eval-contamination scan
+    * upgraded with q143's GUARANTEE: a train doc is flagged iff it
+    * shares a winnowing fingerprint with any eval doc, which catches
+    * EVERY shared run ≥ 7 tokens at any alignment (q56's exact 4-gram
+    * shingles catch runs ≥ 4 but index every position; the winnow
+    * index is ~2/(w+1) the size with a run-length-7 contract — the
+    * index you can actually afford to keep resident for a 100 TB
+    * train corpus). Emits per flagged train doc the shared-fingerprint
+    * count — the triage ordering for manual review.
+    *
+    * Scale shape: per-row fingerprinting both sides, then ONE
+    * fp-keyed cross-side equi-join (eval side distinct-fp bounded;
+    * shuffle-hash pinned like every corpus-derived relation — a small
+    * eval suite could broadcast, but the plan must survive an
+    * eval-suite library the size of a corpus, the q116 cross-side
+    * rule) and a per-doc partial agg. */
+  def winnowDecontam(spark: SparkSession, sfDir: String): DataFrame = {
+    import operators.Winnow
+    val docs = t(spark, sfDir, "documents")
+    val evalFps = Winnow.fingerprints(
+        docs.filter(col("doc_id") % 25 === 0), "doc_id", "text")
+      .select(col("fp")).distinct()
+    Winnow.fingerprints(
+        docs.filter(col("doc_id") % 25 =!= 0), "doc_id", "text")
+      .join(evalFps.hint("shuffle_hash"), Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+  }
+
   /** Gopher-rule admission bundle — the canonical document-level
     * quality screen (Rae et al., Gopher appendix A): word-count
     * bounds, mean-word-length bounds, and required-stopword presence,

@@ -349,6 +349,13 @@ private[graft] trait OracleSqlD {
            CAST(CASE WHEN r_len = 1 AND r_wlen = 1 AND r_stop = 1
              THEN 1 ELSE 0 END AS BIGINT) AS admitted
          FROM r""",
+    "q148_winnow_decontam" ->
+      s"""WITH $tokCte,
+         $winnowCte
+         SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared_fps
+         FROM (SELECT doc_id, fp FROM fpx WHERE doc_id % 25 <> 0) t
+         JOIN (SELECT DISTINCT fp FROM fpx WHERE doc_id % 25 = 0) e USING (fp)
+         GROUP BY 1""",
     "q135_cdc_chunks" ->
       """WITH tk AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
