@@ -819,6 +819,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
 
+  test("q147 gopher rules: map-only — no exchange, no join, no Window") {
+    val plan = planOf(Queries.gopherRules(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    assert(!finalTree.contains("Exchange"), finalTree.take(1200))
+    assert(!finalTree.contains("Join"), finalTree.take(1200))
+    assert(!finalTree.contains("Window"), finalTree.take(1200))
+  }
+
+  test("q148 winnow decontam: cross-side fp join shuffles, never broadcasts") {
+    val plan = planOf(Queries.winnowDecontam(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    assert(finalTree.contains("ShuffledHashJoin"), finalTree.take(1200))
+    assert(!finalTree.contains("BroadcastExchange"), finalTree.take(1200))
+    assert(!finalTree.contains("Window"), finalTree.take(1200))
+  }
+
   test("global-window census: q74 is the ONLY query planning a partition-less Window") {
     // A Window with an empty partitionSpec is a single-task sort of
     // the whole input — q74's global ntile carries it deliberately
