@@ -34,16 +34,28 @@ object Cdc {
     * [[graft.functions.SignatureExprs]] treatment). [[chunksHof]] is
     * the declarative twin, spec-pinned bit-equal ([[CdcSpec]]). */
   def chunks(df: DataFrame, idCol: String, textCol: String,
-      window: Int = 4, divisor: Int = 8): DataFrame = {
-    import graft.functions.{CdcChunksExpr, TextFunctions}
+      window: Int = 4, divisor: Int = 8): DataFrame =
     df.select(col(idCol),
-        explode(CdcChunksExpr(
-          TextFunctions.tokenHashArray(TextFunctions.tokens(col(textCol))),
-          window, divisor)).as("packed"))
-      .select(col(idCol),
-        shiftright(col("packed"), 32).as("fp"),
-        (col("packed") % 4294967296L).as("len"))
+        explode(packedChunks(col(textCol), window, divisor)).as("packed"))
+      .select(col(idCol), fpOf(col("packed")).as("fp"),
+        lenOf(col("packed")).as("len"))
+
+  /** The packed chunk ARRAY as a composable column — for callers that
+    * need to carry other columns through the chunk explosion
+    * ([[graft.streaming.StreamingOps.ingestPipelineStream]]); unpack
+    * with [[fpOf]]/[[lenOf]] so the `(fp<<32)|len` convention has one
+    * definition. */
+  def packedChunks(text: Column, window: Int = 4, divisor: Int = 8): Column = {
+    import graft.functions.{CdcChunksExpr, TextFunctions}
+    CdcChunksExpr(
+      TextFunctions.tokenHashArray(TextFunctions.tokens(text)), window, divisor)
   }
+
+  /** Chunk fingerprint half of a [[packedChunks]] element. */
+  def fpOf(packed: Column): Column = shiftright(packed, 32)
+
+  /** Token-length half of a [[packedChunks]] element. */
+  def lenOf(packed: Column): Column = packed % 4294967296L
 
   /** Declarative higher-order-function twin of [[chunks]] — same
     * boundary and fingerprint semantics via shifted-slice zip_withs

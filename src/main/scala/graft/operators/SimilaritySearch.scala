@@ -217,6 +217,9 @@ object SimilaritySearch {
     * verbatim — the q54/q58 shared-oracle contract). */
   def buildIvfIndex(items: DataFrame, itemId: String, itemVec: String,
       centroids: Int, assignments: Int, path: String): Unit = {
+    require(centroids >= 1, "centroids must be >= 1")
+    require(assignments >= 1 && assignments <= centroids,
+      "assignments must be in [1, centroids]")
     import items.sparkSession.implicits._
     val it = items.select(col(itemId).cast("long").as("i_id"), col(itemVec).as("i_vec"))
     val codebook = deriveCodebook(it, centroids)
@@ -233,6 +236,8 @@ object SimilaritySearch {
   def ivfTopKFromIndex(queries: DataFrame, path: String, k: Int,
       queryId: String, queryVec: String, probes: Int,
       dedupCells: Boolean = true): DataFrame = {
+    require(probes >= 1, "probes must be >= 1")
+    require(k >= 1, "k must be >= 1")
     val spark = queries.sparkSession
     graft.GraftSession.tune(spark)
     val codebook: Seq[(Long, Seq[Double])] =

@@ -456,8 +456,12 @@ private[graft] trait ModelCurationQueries extends QueryContext {
   def annIvfPersisted(spark: SparkSession, sfDir: String): DataFrame = {
     import operators.SimilaritySearch
     val emb = t(spark, sfDir, "embeddings")
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_ivf_index").toString
+    // a FIXED per-corpus artifact location, overwritten per build —
+    // exactly how a deployed index behaves, and it bounds repeated
+    // harness runs to one resident copy instead of leaking a fresh
+    // corpus-sized temp dir per invocation
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_" +
+      java.lang.Integer.toHexString(sfDir.hashCode)
     SimilaritySearch.buildIvfIndex(
       emb.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
       centroids = 64, assignments = 2, path)

@@ -155,21 +155,30 @@ object StreamingOps {
       window: Int = 4,
       divisor: Int = 8): DataFrame = {
     import graft.operators.Cdc
-    val corpusFps = Cdc.chunks(corpus, idCol, textCol, window, divisor)
-      .select(col("fp")).distinct()
-      .withColumn("known", lit(1L))
     Cdc.chunks(stream, idCol, textCol, window, divisor)
-      .join(corpusFps, Seq("fp"), "left_outer")
+      .join(corpusChunkFps(corpus, idCol, textCol, window, divisor),
+        Seq("fp"), "left_outer")
       .select(col(idCol), col("fp"), col("len"),
         coalesce(col("known"), lit(0L)).as("in_corpus"))
   }
+
+  /** The standing corpus's distinct chunk-fingerprint relation with a
+    * `known = 1` marker — the static probe side shared by
+    * [[cdcChunkStream]] and [[ingestPipelineStream]] (one definition
+    * of "what the corpus contains"). */
+  private def corpusChunkFps(corpus: DataFrame, idCol: String,
+      textCol: String, window: Int, divisor: Int): DataFrame =
+    graft.operators.Cdc.chunks(corpus, idCol, textCol, window, divisor)
+      .select(col("fp")).distinct()
+      .withColumn("known", lit(1L))
 
   /** End-to-end streaming INGEST pipeline — the streaming counterpart
     * of the batch q70 composition, chaining the stages a recurring
     * crawl actually runs in arrival order:
     *
-    *  1. admission screen (langId + quality + token bounds — pure
-    *     per-row projections, stateless);
+    *  1. admission screen (quality + token bounds — pure per-row
+    *     projections, stateless; compose langId or any other per-row
+    *     predicate upstream the same way);
     *  2. within-stream exact dedup (watermark-bounded state,
     *     [[dedupDocStream]] — first arrival wins);
     *  3. standing-corpus exact dedup (stream-static left-anti,
@@ -180,9 +189,10 @@ object StreamingOps {
     *     each probes the static corpus chunk relation (stream-static
     *     LEFT join, stateless), and the per-DOC duplicated-token ppm
     *     is a WATERMARK-BOUNDED windowed aggregation — the one
-    *     stateful agg in the pipeline, its state held only until the
-    *     watermark passes the doc's event time (append-mode
-    *     emission, so a doc's ledger row finalizes exactly once).
+    *     stateful agg in the pipeline; tumbling windows of
+    *     `watermarkDelay`, so a doc's state lives (and its ledger row
+    *     finalizes, append-mode, exactly once) within ≤ 2× the
+    *     configured delay of its event time.
     *
     * Emits one row per SURVIVING doc: `(doc_id, quality, n_tokens,
     * dup_chunk_ppm)` — the admission record an ingest ledger stores.
@@ -207,20 +217,19 @@ object StreamingOps {
     val deduped = dedupAgainstCorpusStream(
       dedupDocStream(admitted, tsCol = tsCol, watermarkDelay = watermarkDelay),
       corpus)
-    val corpusFps = Cdc.chunks(corpus, "doc_id", "text", window, divisor)
-      .select(col("fp")).distinct().withColumn("known", lit(1L))
-    import graft.functions.CdcChunksExpr
     deduped
-      .withColumn("packed", explode(CdcChunksExpr(
-        TextFunctions.tokenHashArray(TextFunctions.tokens(col("text"))),
-        window, divisor)))
+      .withColumn("packed",
+        explode(Cdc.packedChunks(col("text"), window, divisor)))
       .select(col("doc_id"), col("quality"), col("n_tokens"), col(tsCol),
-        shiftright(col("packed"), 32).as("fp"),
-        (col("packed") % 4294967296L).as("len"))
+        Cdc.fpOf(col("packed")).as("fp"), Cdc.lenOf(col("packed")).as("len"))
       // the watermark set by dedupDocStream flows through the
-      // stateless joins — redefining it here is disallowed
-      .join(corpusFps, Seq("fp"), "left_outer")
-      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), "1 hour"),
+      // stateless joins — redefining it here is disallowed. Window
+      // size = watermarkDelay, so emission latency (and per-doc state
+      // lifetime) stays within 2× the configured delay.
+      .join(corpusChunkFps(corpus, "doc_id", "text", window, divisor),
+        Seq("fp"), "left_outer")
+      .groupBy(
+        org.apache.spark.sql.functions.window(col(tsCol), watermarkDelay),
         col("doc_id"), col("quality"), col("n_tokens"))
       .agg(sum(when(col("known").isNotNull, col("len")).otherwise(0L))
         .as("dup_tokens"))

@@ -20,7 +20,7 @@ class IvfIndexSpec extends SparkSpec {
         "vec_id", "vec_id", "embedding", "embedding",
         centroids = 16, probes = 4, assignments = 2)
       .orderBy("query_id", "rank").collect().toSeq
-    val path = java.nio.file.Files.createTempDirectory("ivf_spec").toString
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_spec_roundtrip" // fixed: overwritten per run, no leak
     SimilaritySearch.buildIvfIndex(it, "vec_id", "embedding",
       centroids = 16, assignments = 2, path)
     val fromIndex = SimilaritySearch.ivfTopKFromIndex(q, path, k = 5,
@@ -31,7 +31,7 @@ class IvfIndexSpec extends SparkSpec {
 
   test("the assigned relation is partitioned by cell id on disk") {
     val emb = Tables.load(spark, sf, "embeddings")
-    val path = java.nio.file.Files.createTempDirectory("ivf_spec2").toString
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_spec_partitions"
     SimilaritySearch.buildIvfIndex(
       emb.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
       centroids = 8, assignments = 1, path)
