@@ -192,7 +192,8 @@ object Queries
     "q145_dup_taxonomy" -> (dupTaxonomy _),
     "q146_ivf_persisted" -> (annIvfPersisted _),
     "q147_gopher_rules" -> (gopherRules _),
-    "q148_winnow_decontam" -> (winnowDecontam _))
+    "q148_winnow_decontam" -> (winnowDecontam _),
+    "q149_bpe_drift" -> (bpeDrift _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = {

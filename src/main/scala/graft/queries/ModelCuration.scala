@@ -379,6 +379,36 @@ private[graft] trait ModelCurationQueries extends QueryContext {
     operators.Winnow.pairs(t(spark, sfDir, "documents"), "doc_id", "text",
       k = 4, w = 4)
 
+  /** Tokenizer-DRIFT audit — would ingesting the incoming batch change
+    * the tokenizer? Trains the q136 merge list twice — on the full
+    * corpus and on the corpus WITHOUT the incoming batch (`doc_id % 5
+    * == 0`, the q85/q106 ingest split) — and emits the two merge
+    * choices per round side by side with a `same` bit. A flipped
+    * early merge is the alarm an ingest pipeline needs BEFORE
+    * committing a batch: tokenizer-dependent artifacts downstream
+    * (packed sequences, token budgets, vocab coverage) all silently
+    * shift when the merge list moves. The oracle unrolls BOTH greedy
+    * chains (two prefixed copies of the q136 CTE chain in one
+    * statement), so both trainings and the comparison are hash-gated.
+    *
+    * Scale shape: two q136 trainings — two partial-agged wordcounts
+    * (the batch filter is a pushed-down scan predicate on the second)
+    * and vocab-bounded merge rounds; the comparison is 3 rows. */
+  def bpeDrift(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = t(spark, sfDir, "documents")
+    val full = operators.Bpe.train(
+      operators.Bpe.wordTable(docs, "text"), rounds = 3)._1
+    val wo = operators.Bpe.train(
+      operators.Bpe.wordTable(
+        docs.filter(col("doc_id") % 5 =!= 0), "text"), rounds = 3)._1
+    full.zip(wo).map { case ((r, a, b, w), (_, a2, b2, w2)) =>
+      (r.toLong, a + b, w, a2 + b2, w2,
+        if (a == a2 && b == b2) 1L else 0L)
+    }.toDF("round", "merge_full", "weight_full",
+      "merge_wo_batch", "weight_wo_batch", "same")
+  }
+
   /** Winnowing-index decontamination — q56's eval-contamination scan
     * upgraded with q143's GUARANTEE: a train doc is flagged iff it
     * shares a winnowing fingerprint with any eval doc, which catches

@@ -15,54 +15,61 @@ private[graft] trait OracleSqlD {
     * greedy-left-to-right window formulation — run-parity on identical
     * symbols reproduces the non-overlapping fold exactly
     * ([[operators.Bpe.mergeSyms]] semantics). */
-  private def bpeRoundSql(i: Int): String =
-    s"""p$i AS (
+  private def bpeRoundSql(np: String, i: Int): String =
+    s"""${np}p$i AS (
            SELECT sym[i] AS l, sym[i + 1] AS r, CAST(sum(freq) AS BIGINT) AS wgt
            FROM (SELECT freq, sym, unnest(generate_series(1, len(sym) - 1)) AS i
-                 FROM sym$i)
+                 FROM ${np}sym$i)
            GROUP BY 1, 2),
-         t$i AS (
-           SELECT l, r, wgt FROM p$i
+         ${np}t$i AS (
+           SELECT l, r, wgt FROM ${np}p$i
            ORDER BY wgt DESC, l || ' ' || r ASC LIMIT 1),
-         e$i AS (
+         ${np}e$i AS (
            SELECT w, freq, i, sym[i] AS s
            FROM (SELECT w, freq, sym, unnest(generate_series(1, len(sym))) AS i
-                 FROM sym$i)),
-         f$i AS (
+                 FROM ${np}sym$i)),
+         ${np}f$i AS (
            SELECT e.*, t.l, t.r,
              CASE WHEN lag(e.s) OVER (PARTITION BY e.w ORDER BY e.i)
                IS DISTINCT FROM e.s THEN 1 ELSE 0 END AS chg,
              lead(e.s) OVER (PARTITION BY e.w ORDER BY e.i) AS nxt
-           FROM e$i e, t$i t),
-         g$i AS (
+           FROM ${np}e$i e, ${np}t$i t),
+         ${np}g$i AS (
            SELECT *, sum(chg) OVER (PARTITION BY w ORDER BY i) AS run_id
-           FROM f$i),
-         h$i AS (
+           FROM ${np}f$i),
+         ${np}h$i AS (
            SELECT *, min(i) OVER (PARTITION BY w, run_id) AS run_start
-           FROM g$i),
-         m$i AS (
+           FROM ${np}g$i),
+         ${np}m$i AS (
            SELECT *, CASE WHEN s = l AND nxt = r
                AND (l <> r OR (i - run_start) % 2 = 0)
              THEN 1 ELSE 0 END AS mg
-           FROM h$i),
-         c$i AS (
+           FROM ${np}h$i),
+         ${np}c$i AS (
            SELECT *, lag(mg, 1, 0) OVER (PARTITION BY w ORDER BY i) AS consumed
-           FROM m$i),
-         sym${i + 1} AS (
+           FROM ${np}m$i),
+         ${np}sym${i + 1} AS (
            SELECT w, freq,
              list(CASE WHEN mg = 1 THEN l || r ELSE s END ORDER BY i) AS sym
-           FROM c$i WHERE consumed = 0 GROUP BY w, freq)"""
+           FROM ${np}c$i WHERE consumed = 0 GROUP BY w, freq)"""
 
   /** Shared prefix: corpus wordcount → char symbol table, then
     * `rounds` unrolled merge rounds ending at `sym{rounds+1}`. */
   private def bpePrefixSql(rounds: Int): String =
-    s"""WITH w0 AS (
+    s"""WITH ${bpeChainSql("", rounds, "")}"""
+
+  /** The full CTE list (no WITH) of one BPE training chain whose CTE
+    * names carry prefix `np` and whose corpus is `documents $where` —
+    * lets q149 unroll TWO chains (with/without the incoming batch) in
+    * one statement. `np = ""` reproduces the q136–q138 text verbatim. */
+  private def bpeChainSql(np: String, rounds: Int, where: String): String =
+    s"""${np}w0 AS (
            SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
-           FROM documents),
-         sym1 AS (
+           FROM documents $where),
+         ${np}sym1 AS (
            SELECT w, CAST(count(*) AS BIGINT) AS freq, string_split(w, '') AS sym
-           FROM w0 GROUP BY w),
-         ${(1 to rounds).map(bpeRoundSql).mkString(",\n         ")}"""
+           FROM ${np}w0 GROUP BY w),
+         ${(1 to rounds).map(i => bpeRoundSql(np, i)).mkString(",\n         ")}"""
 
   /** Shared q43-clustering CTE chain (verbatim semantics of the
     * q43_neardup_clusters oracle in [[OracleSqlA]]): word-3-gram
@@ -356,6 +363,24 @@ private[graft] trait OracleSqlD {
          FROM (SELECT doc_id, fp FROM fpx WHERE doc_id % 25 <> 0) t
          JOIN (SELECT DISTINCT fp FROM fpx WHERE doc_id % 25 = 0) e USING (fp)
          GROUP BY 1""",
+    "q149_bpe_drift" ->
+      s"""WITH ${bpeChainSql("f", 3, "")},
+         ${bpeChainSql("g", 3, "WHERE doc_id % 5 <> 0")}
+         SELECT * FROM (
+           SELECT CAST(1 AS BIGINT) AS round,
+             f.l || f.r AS merge_full, f.wgt AS weight_full,
+             g.l || g.r AS merge_wo_batch, g.wgt AS weight_wo_batch,
+             CAST(CASE WHEN f.l = g.l AND f.r = g.r THEN 1 ELSE 0 END
+               AS BIGINT) AS same
+           FROM ft1 f, gt1 g
+           UNION ALL
+           SELECT CAST(2 AS BIGINT), f.l || f.r, f.wgt, g.l || g.r, g.wgt,
+             CAST(CASE WHEN f.l = g.l AND f.r = g.r THEN 1 ELSE 0 END AS BIGINT)
+           FROM ft2 f, gt2 g
+           UNION ALL
+           SELECT CAST(3 AS BIGINT), f.l || f.r, f.wgt, g.l || g.r, g.wgt,
+             CAST(CASE WHEN f.l = g.l AND f.r = g.r THEN 1 ELSE 0 END AS BIGINT)
+           FROM ft3 f, gt3 g)""",
     "q135_cdc_chunks" ->
       """WITH tk AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
