@@ -193,7 +193,8 @@ object Queries
     "q146_ivf_persisted" -> (annIvfPersisted _),
     "q147_gopher_rules" -> (gopherRules _),
     "q148_winnow_decontam" -> (winnowDecontam _),
-    "q149_bpe_drift" -> (bpeDrift _))
+    "q149_bpe_drift" -> (bpeDrift _),
+    "q150_curation_funnel" -> (curationFunnel _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = {

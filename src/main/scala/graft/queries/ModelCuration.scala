@@ -379,6 +379,72 @@ private[graft] trait ModelCurationQueries extends QueryContext {
     operators.Winnow.pairs(t(spark, sfDir, "documents"), "doc_id", "text",
       k = 4, w = 4)
 
+  /** Curation FUNNEL — the observability table every curation run
+    * logs: how many documents survive each stage of the composed
+    * pipeline, as one row per stage. Stages (cumulative — a doc
+    * reaches stage k only through k−1):
+    *
+    *  1. corpus;
+    *  2. Gopher-rule admission (q147);
+    *  3. blocklist density screen (q144);
+    *  4. exact-text dedup survivors (smallest id per text among
+    *     stage-3 docs);
+    *  5. near-dup survivors (smallest stage-4 id per q43 cluster);
+    *  6. winnow decontamination (q148's flagged docs dropped).
+    *
+    * Where the volume falls off is the FIRST question a pipeline
+    * review asks; each stage's implementation is the gated query it
+    * names, so this funnel is the composition contract over them.
+    *
+    * Scale shape: the per-doc reached-stage flags are one pass of
+    * per-row predicates plus the same keyed joins the component
+    * queries pay (text-min election, cluster-min election, winnow
+    * fp semi-join — all shuffle-hash, q43 rides the checkpointed
+    * clustering); the funnel itself is a 6-row explode + partial agg.
+    * No Window, no driver loops. */
+  def curationFunnel(spark: SparkSession, sfDir: String): DataFrame = {
+    import operators.Winnow
+    val docs = t(spark, sfDir, "documents")
+    val gop = gopherRules(spark, sfDir)
+      .select(col("doc_id"), col("admitted").as("f2"))
+    val blk = blocklistFilter(spark, sfDir)
+      .select(col("doc_id"), col("admitted").as("b_adm"))
+    val base = docs.select(col("doc_id"), col("text"))
+      .join(gop.hint("shuffle_hash"), "doc_id")
+      .join(blk.hint("shuffle_hash"), "doc_id")
+      .withColumn("f3", (col("f2") === 1L && col("b_adm") === 1L).cast("long"))
+    // stage 4: exact-text election among stage-3 docs
+    val exKeep = base.filter(col("f3") === 1L)
+      .groupBy(col("text")).agg(min(col("doc_id")).as("keep_id"))
+    val withF4 = base
+      .join(exKeep.hint("shuffle_hash"), Seq("text"), "left")
+      .withColumn("f4",
+        (col("f3") === 1L && col("doc_id") === col("keep_id")).cast("long"))
+    // stage 5: near-dup election among stage-4 docs
+    val cl = neardupClusters(spark, sfDir)
+    val clKeep = cl.join(
+        withF4.filter(col("f4") === 1L).select(col("doc_id")), "doc_id")
+      .groupBy(col("cluster_id")).agg(min(col("doc_id")).as("ckeep_id"))
+    val withF5 = withF4.join(cl.hint("shuffle_hash"), "doc_id")
+      .join(clKeep.hint("shuffle_hash"), Seq("cluster_id"), "left")
+      .withColumn("f5",
+        (col("f4") === 1L && col("doc_id") === col("ckeep_id")).cast("long"))
+    // stage 6: drop q148-flagged docs (winnow fp shared with the eval slice)
+    val contaminated = winnowDecontam(spark, sfDir)
+      .select(col("doc_id"), lit(1L).as("cont"))
+    val reached = withF5
+      .join(contaminated.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .withColumn("f6",
+        (col("f5") === 1L && col("cont").isNull).cast("long"))
+      .select((lit(1L) + col("f2") + col("f3") + col("f4") + col("f5")
+        + col("f6")).as("reached"))
+    reached
+      .select(explode(sequence(lit(1L), lit(6L))).as("stage"), col("reached"))
+      .filter(col("reached") >= col("stage"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Tokenizer-DRIFT audit — would ingesting the incoming batch change
     * the tokenizer? Trains the q136 merge list twice — on the full
     * corpus and on the corpus WITHOUT the incoming batch (`doc_id % 5

@@ -205,6 +205,37 @@ private[graft] trait OracleSqlD {
              CAST(sw + w_abs_total + prior_w AS BIGINT) AS nb_score
            FROM scored, prior, wt)"""
 
+  /** q147's rule-signal CTE (`grules`) and q144's blocklist CTE
+    * (`blk`) — shared with the q150 funnel so the rule logic has one
+    * definition per engine. Both expect `tk(doc_id, toks)` upstream. */
+  private val gopherRulesCte: String =
+    """grules AS (
+           SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST((list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(toks, t -> CAST(length(t) AS BIGINT))),
+               (a, b) -> a + b) * 1000) // len(toks) AS BIGINT) AS mean_wlen_milli,
+             CAST(len(list_filter(list_distinct(toks), t -> t IN
+               ('the','a','an','of','and','is','in','to'))) AS BIGINT) AS n_stop_kinds
+           FROM tk),
+         grules2 AS (
+           SELECT *,
+             CAST(CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS r_len,
+             CAST(CASE WHEN mean_wlen_milli BETWEEN 3000 AND 10000 THEN 1 ELSE 0 END AS BIGINT) AS r_wlen,
+             CAST(CASE WHEN n_stop_kinds >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop
+           FROM grules)"""
+
+  private val blocklistCte: String =
+    """blk AS (
+           SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(toks, t -> t IN ('slow','drop','error')))
+               AS BIGINT) AS n_bad
+           FROM tk),
+         blk2 AS (
+           SELECT doc_id, n_tokens, n_bad,
+             CAST((n_bad * 1000000) // n_tokens AS BIGINT) AS bad_ppm
+           FROM blk)"""
+
   protected val oracleSqlD: Map[String, String] = Map(
     "q136_bpe_train" ->
       s"""${bpePrefixSql(3)}
@@ -301,17 +332,11 @@ private[graft] trait OracleSqlD {
          FROM fpx a JOIN fpx b ON a.fp = b.fp AND a.doc_id < b.doc_id
          GROUP BY 1, 2""",
     "q144_blocklist" ->
-      """WITH tk AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-           FROM documents)
-         SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-           CAST(len(list_filter(toks, t -> t IN ('slow','drop','error')))
-             AS BIGINT) AS n_bad,
-           CAST((len(list_filter(toks, t -> t IN ('slow','drop','error')))
-             * 1000000) // len(toks) AS BIGINT) AS bad_ppm,
-           CAST(CASE WHEN (len(list_filter(toks, t -> t IN ('slow','drop','error')))
-             * 1000000) // len(toks) < 20000 THEN 1 ELSE 0 END AS BIGINT) AS admitted
-         FROM tk""",
+      s"""WITH $tokCte,
+         $blocklistCte
+         SELECT doc_id, n_tokens, n_bad, bad_ppm,
+           CAST(CASE WHEN bad_ppm < 20000 THEN 1 ELSE 0 END AS BIGINT) AS admitted
+         FROM blk2""",
     "q145_dup_taxonomy" ->
       s"""WITH $tokCte,
          $jaccardPairsCte,
@@ -328,34 +353,13 @@ private[graft] trait OracleSqlD {
          SELECT family, CAST(count(*) AS BIGINT) AS n_pairs
          FROM crossed GROUP BY family""",
     "q147_gopher_rules" ->
-      """WITH tk AS (
-           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-           FROM documents),
-         sig AS (
-           SELECT doc_id,
-             CAST(len(toks) AS BIGINT) AS n_tokens,
-             CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(toks, t -> CAST(length(t) AS BIGINT))),
-               (a, b) -> a + b) AS BIGINT) AS sum_chars,
-             CAST(len(list_filter(list_distinct(toks), t -> t IN
-               ('the','a','an','of','and','is','in','to'))) AS BIGINT) AS n_stop_kinds
-           FROM tk),
-         m AS (
-           SELECT doc_id, n_tokens,
-             CAST((sum_chars * 1000) // n_tokens AS BIGINT) AS mean_wlen_milli,
-             n_stop_kinds
-           FROM sig),
-         r AS (
-           SELECT *,
-             CAST(CASE WHEN n_tokens BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS BIGINT) AS r_len,
-             CAST(CASE WHEN mean_wlen_milli BETWEEN 3000 AND 10000 THEN 1 ELSE 0 END AS BIGINT) AS r_wlen,
-             CAST(CASE WHEN n_stop_kinds >= 2 THEN 1 ELSE 0 END AS BIGINT) AS r_stop
-           FROM m)
+      s"""WITH $tokCte,
+         $gopherRulesCte
          SELECT doc_id, n_tokens, mean_wlen_milli, n_stop_kinds,
            r_len, r_wlen, r_stop,
            CAST(CASE WHEN r_len = 1 AND r_wlen = 1 AND r_stop = 1
              THEN 1 ELSE 0 END AS BIGINT) AS admitted
-         FROM r""",
+         FROM grules2""",
     "q148_winnow_decontam" ->
       s"""WITH $tokCte,
          $winnowCte
@@ -381,6 +385,53 @@ private[graft] trait OracleSqlD {
            SELECT CAST(3 AS BIGINT), f.l || f.r, f.wgt, g.l || g.r, g.wgt,
              CAST(CASE WHEN f.l = g.l AND f.r = g.r THEN 1 ELSE 0 END AS BIGINT)
            FROM ft3 f, gt3 g)""",
+    "q150_curation_funnel" ->
+      s"""WITH RECURSIVE $tokCte,
+         $clusterCte,
+         $winnowCte,
+         $gopherRulesCte,
+         $blocklistCte,
+         b3 AS (
+           SELECT d.doc_id, d.text,
+             CAST(CASE WHEN g.r_len = 1 AND g.r_wlen = 1 AND g.r_stop = 1
+               THEN 1 ELSE 0 END AS BIGINT) AS f2,
+             CAST(CASE WHEN g.r_len = 1 AND g.r_wlen = 1 AND g.r_stop = 1
+               AND k.bad_ppm < 20000 THEN 1 ELSE 0 END AS BIGINT) AS f3
+           FROM documents d
+           JOIN grules2 g USING (doc_id) JOIN blk2 k USING (doc_id)),
+         ex4 AS (
+           SELECT text, min(doc_id) AS keep_id FROM b3 WHERE f3 = 1 GROUP BY 1),
+         b4 AS (
+           SELECT b3.doc_id, b3.f2, b3.f3,
+             CAST(CASE WHEN b3.f3 = 1 AND b3.doc_id = e.keep_id
+               THEN 1 ELSE 0 END AS BIGINT) AS f4
+           FROM b3 LEFT JOIN ex4 e ON b3.text = e.text),
+         cm AS (
+           SELECT cl.cluster_id, min(cl.doc_id) AS ckeep
+           FROM cl JOIN b4 ON cl.doc_id = b4.doc_id AND b4.f4 = 1
+           GROUP BY 1),
+         b5 AS (
+           SELECT b4.doc_id, b4.f2, b4.f3, b4.f4,
+             CAST(CASE WHEN b4.f4 = 1 AND b4.doc_id = cm.ckeep
+               THEN 1 ELSE 0 END AS BIGINT) AS f5
+           FROM b4 JOIN cl ON b4.doc_id = cl.doc_id
+           LEFT JOIN cm ON cl.cluster_id = cm.cluster_id),
+         cont AS (
+           SELECT DISTINCT t.doc_id
+           FROM (SELECT doc_id, fp FROM fpx WHERE doc_id % 25 <> 0) t
+           JOIN (SELECT DISTINCT fp FROM fpx WHERE doc_id % 25 = 0) e USING (fp)),
+         b6 AS (
+           SELECT b5.*,
+             CAST(CASE WHEN b5.f5 = 1 AND c.doc_id IS NULL
+               THEN 1 ELSE 0 END AS BIGINT) AS f6
+           FROM b5 LEFT JOIN cont c ON b5.doc_id = c.doc_id),
+         rr AS (SELECT 1 + f2 + f3 + f4 + f5 + f6 AS reached FROM b6),
+         st AS (
+           SELECT unnest(generate_series(1, 6)) AS stage, reached FROM rr)
+         SELECT CAST(stage AS BIGINT) AS stage,
+           CAST(count(*) AS BIGINT) AS n_docs
+         FROM st WHERE reached >= stage
+         GROUP BY 1""",
     "q135_cdc_chunks" ->
       """WITH tk AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
