@@ -835,6 +835,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!finalTree.contains("Window"), finalTree.take(1200))
   }
 
+  test("q150 funnel: keyed elections shuffle-hash, 6-row agg, no Window, no cartesian") {
+    val plan = planOf(Queries.curationFunnel(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    assert(finalTree.contains("ShuffledHashJoin"), finalTree.take(1500))
+    assert(!finalTree.contains("CartesianProduct"), finalTree.take(1500))
+    assert(!finalTree.contains("Window"), finalTree.take(1500))
+    // funnel monotonicity at spec scale: each stage's count <= previous
+    val counts = Queries.curationFunnel(spark, sf)
+      .orderBy("stage").collect().map(_.getAs[Long]("n_docs"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => b <= a },
+      counts.mkString(","))
+  }
+
   test("global-window census: q74 is the ONLY query planning a partition-less Window") {
     // A Window with an empty partitionSpec is a single-task sort of
     // the whole input — q74's global ntile carries it deliberately
