@@ -194,7 +194,8 @@ object Queries
     "q147_gopher_rules" -> (gopherRules _),
     "q148_winnow_decontam" -> (winnowDecontam _),
     "q149_bpe_drift" -> (bpeDrift _),
-    "q150_curation_funnel" -> (curationFunnel _))
+    "q150_curation_funnel" -> (curationFunnel _),
+    "q151_funnel_by_source" -> (curationFunnelBySource _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = {

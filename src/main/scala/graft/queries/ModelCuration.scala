@@ -402,14 +402,23 @@ private[graft] trait ModelCurationQueries extends QueryContext {
     * fp semi-join — all shuffle-hash, q43 rides the checkpointed
     * clustering); the funnel itself is a 6-row explode + partial agg.
     * No Window, no driver loops. */
-  def curationFunnel(spark: SparkSession, sfDir: String): DataFrame = {
-    import operators.Winnow
+  def curationFunnel(spark: SparkSession, sfDir: String): DataFrame =
+    funnelReached(spark, sfDir)
+      .select(explode(sequence(lit(1L), lit(6L))).as("stage"), col("reached"))
+      .filter(col("reached") >= col("stage"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Per-doc highest-stage-reached of the q150 funnel, with the source
+    * carried through — the single definition of the staged composition
+    * consumed by [[curationFunnel]] and [[curationFunnelBySource]]. */
+  private def funnelReached(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = t(spark, sfDir, "documents")
     val gop = gopherRules(spark, sfDir)
       .select(col("doc_id"), col("admitted").as("f2"))
     val blk = blocklistFilter(spark, sfDir)
       .select(col("doc_id"), col("admitted").as("b_adm"))
-    val base = docs.select(col("doc_id"), col("text"))
+    val base = docs.select(col("doc_id"), col("source"), col("text"))
       .join(gop.hint("shuffle_hash"), "doc_id")
       .join(blk.hint("shuffle_hash"), "doc_id")
       .withColumn("f3", (col("f2") === 1L && col("b_adm") === 1L).cast("long"))
@@ -432,18 +441,32 @@ private[graft] trait ModelCurationQueries extends QueryContext {
     // stage 6: drop q148-flagged docs (winnow fp shared with the eval slice)
     val contaminated = winnowDecontam(spark, sfDir)
       .select(col("doc_id"), lit(1L).as("cont"))
-    val reached = withF5
+    withF5
       .join(contaminated.hint("shuffle_hash"), Seq("doc_id"), "left")
       .withColumn("f6",
         (col("f5") === 1L && col("cont").isNull).cast("long"))
-      .select((lit(1L) + col("f2") + col("f3") + col("f4") + col("f5")
-        + col("f6")).as("reached"))
-    reached
-      .select(explode(sequence(lit(1L), lit(6L))).as("stage"), col("reached"))
-      .filter(col("reached") >= col("stage"))
-      .groupBy(col("stage"))
-      .agg(count(lit(1)).as("n_docs"))
+      .select(col("source"),
+        (lit(1L) + col("f2") + col("f3") + col("f4") + col("f5")
+          + col("f6")).as("reached"))
   }
+
+  /** Per-SOURCE curation funnel — q150's stage counts broken down by
+    * source, the drill-down a pipeline review actually acts on: a
+    * source bleeding at stage 2 has a quality problem, at stage 4/5 a
+    * duplication problem, at stage 6 a contamination problem — three
+    * different owners. Same per-doc reached-stage flags as q150 (the
+    * composition cannot drift — one private helper computes them for
+    * both), grouped by (source, stage).
+    *
+    * Scale shape: identical to q150 plus the source column riding the
+    * same pass; output is source × 6 rows. */
+  def curationFunnelBySource(spark: SparkSession, sfDir: String): DataFrame =
+    funnelReached(spark, sfDir)
+      .select(col("source"),
+        explode(sequence(lit(1L), lit(6L))).as("stage"), col("reached"))
+      .filter(col("reached") >= col("stage"))
+      .groupBy(col("source"), col("stage"))
+      .agg(count(lit(1)).as("n_docs"))
 
   /** Tokenizer-DRIFT audit — would ingesting the incoming batch change
     * the tokenizer? Trains the q136 merge list twice — on the full

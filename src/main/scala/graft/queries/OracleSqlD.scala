@@ -236,6 +236,47 @@ private[graft] trait OracleSqlD {
              CAST((n_bad * 1000000) // n_tokens AS BIGINT) AS bad_ppm
            FROM blk)"""
 
+  /** q150/q151's shared funnel CTE chain (expects tokCte, clusterCte,
+    * winnowCte, gopherRulesCte, blocklistCte upstream): per-doc stage
+    * flags folded to `rr(source, reached)`. */
+  private val funnelCte: String =
+    """b3 AS (
+           SELECT d.doc_id, d.source, d.text,
+             CAST(CASE WHEN g.r_len = 1 AND g.r_wlen = 1 AND g.r_stop = 1
+               THEN 1 ELSE 0 END AS BIGINT) AS f2,
+             CAST(CASE WHEN g.r_len = 1 AND g.r_wlen = 1 AND g.r_stop = 1
+               AND k.bad_ppm < 20000 THEN 1 ELSE 0 END AS BIGINT) AS f3
+           FROM documents d
+           JOIN grules2 g USING (doc_id) JOIN blk2 k USING (doc_id)),
+         ex4 AS (
+           SELECT text, min(doc_id) AS keep_id FROM b3 WHERE f3 = 1 GROUP BY 1),
+         b4 AS (
+           SELECT b3.doc_id, b3.source, b3.f2, b3.f3,
+             CAST(CASE WHEN b3.f3 = 1 AND b3.doc_id = e.keep_id
+               THEN 1 ELSE 0 END AS BIGINT) AS f4
+           FROM b3 LEFT JOIN ex4 e ON b3.text = e.text),
+         cm AS (
+           SELECT cl.cluster_id, min(cl.doc_id) AS ckeep
+           FROM cl JOIN b4 ON cl.doc_id = b4.doc_id AND b4.f4 = 1
+           GROUP BY 1),
+         b5 AS (
+           SELECT b4.doc_id, b4.source, b4.f2, b4.f3, b4.f4,
+             CAST(CASE WHEN b4.f4 = 1 AND b4.doc_id = cm.ckeep
+               THEN 1 ELSE 0 END AS BIGINT) AS f5
+           FROM b4 JOIN cl ON b4.doc_id = cl.doc_id
+           LEFT JOIN cm ON cl.cluster_id = cm.cluster_id),
+         cont AS (
+           SELECT DISTINCT t.doc_id
+           FROM (SELECT doc_id, fp FROM fpx WHERE doc_id % 25 <> 0) t
+           JOIN (SELECT DISTINCT fp FROM fpx WHERE doc_id % 25 = 0) e USING (fp)),
+         b6 AS (
+           SELECT b5.*,
+             CAST(CASE WHEN b5.f5 = 1 AND c.doc_id IS NULL
+               THEN 1 ELSE 0 END AS BIGINT) AS f6
+           FROM b5 LEFT JOIN cont c ON b5.doc_id = c.doc_id),
+         rr AS (
+           SELECT source, 1 + f2 + f3 + f4 + f5 + f6 AS reached FROM b6)"""
+
   protected val oracleSqlD: Map[String, String] = Map(
     "q136_bpe_train" ->
       s"""${bpePrefixSql(3)}
@@ -391,47 +432,27 @@ private[graft] trait OracleSqlD {
          $winnowCte,
          $gopherRulesCte,
          $blocklistCte,
-         b3 AS (
-           SELECT d.doc_id, d.text,
-             CAST(CASE WHEN g.r_len = 1 AND g.r_wlen = 1 AND g.r_stop = 1
-               THEN 1 ELSE 0 END AS BIGINT) AS f2,
-             CAST(CASE WHEN g.r_len = 1 AND g.r_wlen = 1 AND g.r_stop = 1
-               AND k.bad_ppm < 20000 THEN 1 ELSE 0 END AS BIGINT) AS f3
-           FROM documents d
-           JOIN grules2 g USING (doc_id) JOIN blk2 k USING (doc_id)),
-         ex4 AS (
-           SELECT text, min(doc_id) AS keep_id FROM b3 WHERE f3 = 1 GROUP BY 1),
-         b4 AS (
-           SELECT b3.doc_id, b3.f2, b3.f3,
-             CAST(CASE WHEN b3.f3 = 1 AND b3.doc_id = e.keep_id
-               THEN 1 ELSE 0 END AS BIGINT) AS f4
-           FROM b3 LEFT JOIN ex4 e ON b3.text = e.text),
-         cm AS (
-           SELECT cl.cluster_id, min(cl.doc_id) AS ckeep
-           FROM cl JOIN b4 ON cl.doc_id = b4.doc_id AND b4.f4 = 1
-           GROUP BY 1),
-         b5 AS (
-           SELECT b4.doc_id, b4.f2, b4.f3, b4.f4,
-             CAST(CASE WHEN b4.f4 = 1 AND b4.doc_id = cm.ckeep
-               THEN 1 ELSE 0 END AS BIGINT) AS f5
-           FROM b4 JOIN cl ON b4.doc_id = cl.doc_id
-           LEFT JOIN cm ON cl.cluster_id = cm.cluster_id),
-         cont AS (
-           SELECT DISTINCT t.doc_id
-           FROM (SELECT doc_id, fp FROM fpx WHERE doc_id % 25 <> 0) t
-           JOIN (SELECT DISTINCT fp FROM fpx WHERE doc_id % 25 = 0) e USING (fp)),
-         b6 AS (
-           SELECT b5.*,
-             CAST(CASE WHEN b5.f5 = 1 AND c.doc_id IS NULL
-               THEN 1 ELSE 0 END AS BIGINT) AS f6
-           FROM b5 LEFT JOIN cont c ON b5.doc_id = c.doc_id),
-         rr AS (SELECT 1 + f2 + f3 + f4 + f5 + f6 AS reached FROM b6),
+         $funnelCte,
          st AS (
            SELECT unnest(generate_series(1, 6)) AS stage, reached FROM rr)
          SELECT CAST(stage AS BIGINT) AS stage,
            CAST(count(*) AS BIGINT) AS n_docs
          FROM st WHERE reached >= stage
          GROUP BY 1""",
+    "q151_funnel_by_source" ->
+      s"""WITH RECURSIVE $tokCte,
+         $clusterCte,
+         $winnowCte,
+         $gopherRulesCte,
+         $blocklistCte,
+         $funnelCte,
+         st AS (
+           SELECT source, unnest(generate_series(1, 6)) AS stage, reached
+           FROM rr)
+         SELECT source, CAST(stage AS BIGINT) AS stage,
+           CAST(count(*) AS BIGINT) AS n_docs
+         FROM st WHERE reached >= stage
+         GROUP BY 1, 2""",
     "q135_cdc_chunks" ->
       """WITH tk AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
