@@ -28,8 +28,27 @@ object Winnow {
 
   private val P = 1000000007L
 
-  /** `(idCol, fp)` — one row per DISTINCT winnowing fingerprint. */
+  /** `(idCol, fp)` — one row per DISTINCT winnowing fingerprint.
+    * Hot path: the fused native
+    * [[graft.functions.WinnowFingerprintsExpr]] (k-gram hashes,
+    * window minima, and first-occurrence dedup in one codegen loop
+    * per row — the [[graft.functions.SignatureExprs]] treatment);
+    * [[fingerprintsHof]] is the declarative twin, spec-pinned
+    * bit-equal ([[WinnowSpec]]). */
   def fingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 4): DataFrame = {
+    import graft.functions.{TextFunctions, WinnowFingerprintsExpr}
+    df.select(col(idCol),
+        explode(WinnowFingerprintsExpr(
+          TextFunctions.tokenHashArray(TextFunctions.tokens(col(textCol))),
+          k, w)).as("fp"))
+      .distinct()
+  }
+
+  /** Declarative higher-order-function twin of [[fingerprints]] —
+    * interpreted (CodegenFallback); kept for the bit-equality spec
+    * and as executable documentation of the algorithm. */
+  def fingerprintsHof(df: DataFrame, idCol: String, textCol: String,
       k: Int = 4, w: Int = 4): DataFrame = {
     import graft.functions.TextFunctions
     val h = col("h")

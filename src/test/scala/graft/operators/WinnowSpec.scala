@@ -68,6 +68,21 @@ class WinnowSpec extends SparkSpec {
     assert(got.size === 25, s"cross-pair false positives: ${got.size} pairs")
   }
 
+  test("native WinnowFingerprintsExpr is bit-equal to the HOF twin on varied docs and configs") {
+    import spark.implicits._
+    val long = (1 to 250).map(i => s"w${(i * 7) % 41}z${i % 13}").mkString(" ")
+    val docs = ((1L, long) +: (2L to 40L).map(i =>
+      (i, (1 to i.toInt * 2).map(j => s"v${(j * 17 + i) % 31}").mkString(" "))))
+      .toDF("doc_id", "text")
+    for ((k, w) <- Seq((4, 4), (3, 5), (5, 2))) {
+      val native = Winnow.fingerprints(docs, "doc_id", "text", k, w)
+        .orderBy("doc_id", "fp").collect().toSeq
+      val hof = Winnow.fingerprintsHof(docs, "doc_id", "text", k, w)
+        .orderBy("doc_id", "fp").collect().toSeq
+      assert(native === hof, s"k=$k w=$w")
+    }
+  }
+
   test("fingerprint density is a fraction of the k-gram count") {
     val text = (1 to 400).map(i => s"tok${i % 53}u${(i * 11) % 17}").mkString(" ")
     val nFps = Winnow.fingerprints(Seq((1L, text)).toDF("doc_id", "text"),
