@@ -111,6 +111,15 @@ object GraftExtensions {
         graft.functions.CdcChunksExpr(args(0),
           intArg(args(1), "window"), intArg(args(2), "divisor"))
       }),
+    ("winnow_fingerprints",
+      new ExpressionInfo(classOf[graft.functions.WinnowFingerprintsExpr].getName, null,
+        "winnow_fingerprints",
+        "winnow_fingerprints(hashes, k, w) - distinct window-minimum k-gram hashes (MOSS)", ""),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "winnow_fingerprints expects 3 arguments")
+        graft.functions.WinnowFingerprintsExpr(args(0),
+          intArg(args(1), "k"), intArg(args(2), "w"))
+      }),
     // composite builders: Column-level operators re-exposed to SQL text
     // as directly-composed catalyst trees (a Column→Expression bridge
     // round-trip leaves unresolved nodes inside a registry builder).

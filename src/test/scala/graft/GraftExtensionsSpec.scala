@@ -27,7 +27,7 @@ class GraftExtensionsSpec extends SparkSpec {
       "vector_cosine_sim", "poly_hash_array",
       "minhash_signature", "simhash", "hyperplane_signature",
       "z_value", "det_bucket", "redact_pii", "shingle_hash", "int8_quantize",
-      "cdc_chunks"))
+      "cdc_chunks", "winnow_fingerprints"))
     new GraftExtensions() // constructible (Class.forName path)
   }
 
@@ -63,6 +63,18 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(sqlV.toList === apiV.toList && sqlV.nonEmpty)
     // packed contract: lens sum to the input length
     assert(sqlV.map(_ % 4294967296L).sum === 30L)
+  }
+
+  test("winnow_fingerprints in SQL equals the Column API") {
+    GraftExtensions.register(spark)
+    val hashes = (1 to 40).map(i => (i * 6007L) % 1000000007L)
+    val hSql = hashes.mkString("array(", "L,", "L)")
+    val sqlV = spark.sql(s"SELECT winnow_fingerprints($hSql, 4, 4) AS f")
+      .head().getSeq[Long](0)
+    val apiV = Seq("x").toDF("x").select(
+      graft.functions.WinnowFingerprintsExpr(
+        array(hashes.map(lit): _*), 4, 4).as("f")).head().getSeq[Long](0)
+    assert(sqlV.toList === apiV.toList && sqlV.nonEmpty)
   }
 
   test("composite SQL functions equal their Column-API originals") {
