@@ -195,15 +195,23 @@ object Queries
     "q148_winnow_decontam" -> (winnowDecontam _),
     "q149_bpe_drift" -> (bpeDrift _),
     "q150_curation_funnel" -> (curationFunnel _),
-    "q151_funnel_by_source" -> (curationFunnelBySource _))
+    "q151_funnel_by_source" -> (curationFunnelBySource _),
+    "q152_cluster_index" -> (neardupClustersPersisted _),
+    "q153_capped_semdedup" -> (cappedSemDedup _),
+    "q154_semdedup_widths" -> (semDedupWidthAudit _),
+    "q155_winnow_index" -> (winnowDecontamPersisted _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = {
     val base = oracleSqlA ++ oracleSqlB ++ oracleSqlC ++ oracleSqlD
-    // q146 serves q39's search from the persisted parquet index — the
-    // bit-equality contract shares q39's oracle VERBATIM (the q54/q58
-    // shared-oracle discipline), so any index round-trip drift is a
-    // hash flip against the same ground truth.
-    base + ("q146_ivf_persisted" -> base("q39_ann_ivf"))
+    // Persisted-artifact queries share their inline twin's oracle
+    // VERBATIM (the q54/q58 shared-oracle discipline), so any artifact
+    // round-trip drift is a hash flip against the same ground truth:
+    // q146 = q39's search from the parquet IVF index, q152 = q43's
+    // clustering from the parquet cluster index, q155 = q148's
+    // decontamination from the parquet winnow index.
+    base + ("q146_ivf_persisted" -> base("q39_ann_ivf")) +
+      ("q152_cluster_index" -> base("q43_neardup_clusters")) +
+      ("q155_winnow_index" -> base("q148_winnow_decontam"))
   }
 }

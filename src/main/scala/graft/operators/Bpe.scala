@@ -35,9 +35,13 @@ object Bpe {
     docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      // split-by-empty-regex appends a trailing "" under Spark's -1
-      // limit — bound the char array to the word's length (q129)
-      .withColumn("sym", slice(split(col("w"), ""), lit(1), length(col("w"))))
+      // CODE-POINT split, not split-by-empty-regex: an empty-pattern
+      // split cuts UTF-16 code units, shearing surrogate pairs in
+      // half, while the DuckDB oracle's string_split is code-point
+      // exact — `(?s).` matches one full code point (incl. newlines),
+      // so non-BMP words keep intact symbols in both engines
+      .withColumn("sym",
+        regexp_extract_all(col("w"), lit("(?s)."), lit(0)))
   }
 
   /** Freq-weighted adjacent-pair statistics of the current symbol

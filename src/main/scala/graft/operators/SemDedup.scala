@@ -137,6 +137,20 @@ object SemDedup {
     * threshold, computed on the ORIGINAL float vectors with the
     * engine's per-row fold) shares its cluster. One row per input
     * vector: `(vec_id, cluster, kept)`.
+    *
+    * `maxClusterWidth` (recommended at corpus scale) excludes clusters
+    * wider than the cap from the pair join — the
+    * [[Dedup.dropWideBuckets]] discipline for THIS operator's one
+    * residual blow-up: "raise k" bounds the AVERAGE width, but a
+    * template mega-cluster concentrates mass in one centroid
+    * regardless of k, and that cluster alone pays width²/2
+    * comparisons. Dropping the whole over-wide cluster (never
+    * truncating — row-order-dependent) bounds every cluster's fan-out
+    * at cap²; its members are all KEPT (no dedup verdict is reached
+    * for them), and a cluster that hot is template boilerplate a
+    * pipeline handles by rules, not pairwise cosine. The drop is
+    * observable: [[clusterWidthAudit]] emits per-cluster width +
+    * dropped-flag accounting under the same cap.
     */
   def semDedup(
       df: DataFrame,
@@ -144,10 +158,26 @@ object SemDedup {
       vecCol: String,
       k: Int,
       iters: Int,
-      minCosineMicro: Long): DataFrame = {
+      minCosineMicro: Long,
+      maxClusterWidth: Option[Int] = None): DataFrame = {
     val assigned = kmeansAssign(df, idCol, vecCol, k, iters)
     val vecs = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-    val cl = vecs.join(assigned.hint("shuffle_hash"), "id")
+    val cl0 = vecs.join(assigned.hint("shuffle_hash"), "id")
+    val cl = maxClusterWidth.fold(cl0) { cap =>
+      require(cap >= 2,
+        s"maxClusterWidth must be >= 2 (a 1-wide cluster pairs nothing), got $cap")
+      // one partial-agged width count + a left-anti probe, both keyed on
+      // the cluster id the pair join shuffles on anyway; the wide
+      // relation is corpus-derived (could hold many hot clusters at
+      // scale) so the probe is shuffle-hash pinned, and the survivor
+      // relation is re-pinned for the pair join (dropWideBuckets's rule)
+      val wide = assigned.groupBy(col("cluster"))
+        .agg(count(lit(1)).as("w"))
+        .filter(col("w") > cap)
+        .select(col("cluster"))
+      cl0.join(wide.hint("shuffle_hash"), Seq("cluster"), "left_anti")
+        .hint("shuffle_hash")
+    }
     val dropped = cl.as("a")
       .join(cl.as("b").hint("shuffle_hash"),
         col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
@@ -158,5 +188,32 @@ object SemDedup {
     assigned.join(dropped.hint("shuffle_hash"), Seq("id"), "left")
       .select(col("id").as("vec_id"), col("cluster"),
         when(col("hit").isNull, 1L).otherwise(0L).as("kept"))
+  }
+
+  /** Per-cluster width accounting under a `maxClusterWidth` cap — the
+    * observability half of [[semDedup]]'s cap (the
+    * [[Dedup.lshBucketAudit]] pattern): what a capped run over the
+    * same corpus and Lloyd parameters would exclude from the pair
+    * join, as data. A pipeline alerts on `dropped` widths drifting up
+    * — a new template family concentrating in one centroid — exactly
+    * like it alerts on LSH mega-buckets. One partial-agged groupBy on
+    * the assignment; output is ≤ k rows.
+    *
+    * @return (cluster, width, dropped) — dropped = 1 iff width > cap
+    */
+  def clusterWidthAudit(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      iters: Int,
+      maxClusterWidth: Int): DataFrame = {
+    require(maxClusterWidth >= 2,
+      s"maxClusterWidth must be >= 2, got $maxClusterWidth")
+    kmeansAssign(df, idCol, vecCol, k, iters)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("width"))
+      .select(col("cluster"), col("width"),
+        (col("width") > maxClusterWidth).cast("long").as("dropped"))
   }
 }

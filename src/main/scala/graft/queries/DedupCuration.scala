@@ -925,6 +925,26 @@ private[graft] trait DedupCurationQueries extends QueryContext {
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
+  /** q43's clustering served from a persisted build-once ARTIFACT —
+    * the [[annIvfPersisted]] (q146) discipline applied to the single
+    * most expensive corpus derivative in the suite: the near-dup
+    * clustering is recomputed by SEVEN consumers (q49/q118/q131/q133/
+    * q139/q142 plus the q150/q151 funnel pair) when run standalone,
+    * and at 100 TB no pipeline rebuilds its clustering per consumer —
+    * it is built once per corpus snapshot and read many times. First
+    * touch per run builds the artifact ([[neardupClusters]] verbatim →
+    * atomic-publish parquet, [[graft.sources.Artifacts]]); every later
+    * consumer pays one parquet scan. The q152 gate shares q43's oracle
+    * VERBATIM, so any round-trip drift (row loss, type widening,
+    * encoding) is a hash flip against the same ground truth. */
+  def neardupClustersPersisted(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.Artifacts
+    val path = Artifacts.ensure("cluster_index", sfDir) { p =>
+      Artifacts.publish(neardupClusters(spark, sfDir), p)
+    }
+    spark.read.parquet(path)
+  }
+
   /** Near-dup cluster-size DISTRIBUTION — the dedup-health audit run
     * after clustering ([[neardupClusters]]): how many clusters exist at
     * each size, and how many docs they hold. The number ops teams watch
@@ -933,9 +953,11 @@ private[graft] trait DedupCurationQueries extends QueryContext {
     * about to delete a source wholesale. Two tiny partial-agged
     * groupBys on top of the clustering — the histogram's cardinality
     * is bounded by the largest cluster size, so every relation past
-    * the first agg is negligible at any corpus scale. */
+    * the first agg is negligible at any corpus scale. Reads the
+    * [[neardupClustersPersisted]] artifact — the audit is exactly the
+    * kind of secondary consumer that must not re-pay the clustering. */
   def clusterSizeHistogram(spark: SparkSession, sfDir: String): DataFrame =
-    neardupClusters(spark, sfDir)
+    neardupClustersPersisted(spark, sfDir)
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("cluster_size"))
       .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
       .select(col("cluster_size"), col("n_clusters"),
@@ -1088,6 +1110,35 @@ private[graft] trait DedupCurationQueries extends QueryContext {
     operators.SemDedup.semDedup(t(spark, sfDir, "embeddings"),
       "vec_id", "embedding", k = 8, iters = 2, minCosineMicro = 350000L)
 
+  /** q127 under a WIDTH CAP ([[operators.SemDedup.semDedup]]'s
+    * `maxClusterWidth`) — the q121/q123 discipline applied to
+    * SemDeDup's one residual blow-up: "raise k" bounds the AVERAGE
+    * cluster width, but a template mega-cluster concentrates mass in
+    * one centroid regardless of k, and that cluster alone pays
+    * width²/2 cosine comparisons. Clusters wider than the cap are
+    * excluded from the pair join (members all KEPT — no verdict
+    * reached). The cap is set deliberately low (65) so the drop path
+    * itself is oracle-gated at the verification SF: two of the eight
+    * sf0.01 clusters exceed it and their members' verdicts flip to
+    * kept vs q127 — the gate pins the exclusion, not just the happy
+    * path. At sf0.1's uniform widths (~250) every cluster trips the
+    * cap — the mega-cluster regime, where the capped cost is Lloyd
+    * only; q154 is the audit that makes that visible as data. */
+  def cappedSemDedup(spark: SparkSession, sfDir: String): DataFrame =
+    operators.SemDedup.semDedup(t(spark, sfDir, "embeddings"),
+      "vec_id", "embedding", k = 8, iters = 2, minCosineMicro = 350000L,
+      maxClusterWidth = Some(65))
+
+  /** Per-cluster width audit under q153's cap
+    * ([[operators.SemDedup.clusterWidthAudit]], the q122 pattern):
+    * same corpus, same Lloyd parameters, per-cluster width and the
+    * dropped flag a capped run would apply — the number an ops team
+    * watches for a template family concentrating in one centroid.
+    * ≤ k rows out of one partial-agged groupBy. */
+  def semDedupWidthAudit(spark: SparkSession, sfDir: String): DataFrame =
+    operators.SemDedup.clusterWidthAudit(t(spark, sfDir, "embeddings"),
+      "vec_id", "embedding", k = 8, iters = 2, maxClusterWidth = 65)
+
   /** Duplicate-n-gram fraction — the Gopher-family CROSS-CORPUS
     * repetition signal (q55 measures repetition WITHIN a doc; this
     * measures how much of a doc is text that also appears elsewhere):
@@ -1212,12 +1263,12 @@ private[graft] trait DedupCurationQueries extends QueryContext {
     * carry signal (popularity) that a drop would erase but raw counts
     * would over-train on.
     *
-    * Scale shape: rides the q43 clustering (banded LSH discovery +
-    * checkpointed CC, measured ~linear at 10× data) plus one
-    * cluster-keyed count and one shuffle-hash join-back — both bounded
-    * by the corpus, nothing broadcast. */
+    * Scale shape: reads the [[neardupClustersPersisted]] artifact
+    * (one parquet scan) plus one cluster-keyed count and one
+    * shuffle-hash join-back — both bounded by the corpus, nothing
+    * broadcast. */
   def softDedupWeights(spark: SparkSession, sfDir: String): DataFrame = {
-    val cl = neardupClusters(spark, sfDir)
+    val cl = neardupClustersPersisted(spark, sfDir)
     val sizes = cl.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     cl.join(sizes.hint("shuffle_hash"), "cluster_id")

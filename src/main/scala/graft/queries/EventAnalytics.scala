@@ -13,8 +13,9 @@ import graft.operators.{AsOfJoin, Dedup, Knn, Packing, SimilaritySearch}
   * no semantic change.
   */
 private[graft] trait EventAnalyticsQueries extends QueryContext {
-  // revenueShare builds on joinAgg (q05) from the reference-parity trait
-  this: ReferenceSurfaceQueries =>
+  // revenueShare builds on joinAgg (q05) from the reference-parity trait;
+  // neardupSurvivors reads the q152 clustering artifact from the dedup trait
+  this: ReferenceSurfaceQueries with DedupCurationQueries =>
 
   // ---------------------------------------------------------------------
   // Time-series operators over events (as-of join, sessionization)
@@ -334,14 +335,19 @@ private[graft] trait EventAnalyticsQueries extends QueryContext {
   }
 
   /** Near-dup SURVIVORS — the keep/drop decision a pipeline acts on:
-    * exact-Jaccard pairs ≥ 0.5 resolved to clusters
-    * ([[Dedup.nearDupClusters]]), every non-representative dropped
-    * via one left-anti join. Output = the admitted doc ids. */
+    * every doc that is not its cluster's smallest id dropped via one
+    * left-anti join. Output = the admitted doc ids. Reads the q152
+    * clustering artifact ([[neardupClustersPersisted]] — a singleton
+    * has `cluster_id == doc_id` there, so "loser" is exactly
+    * `cluster_id != doc_id`, the [[Dedup.nearDupSurvivors]] convention
+    * without re-paying pair discovery + CC per run). */
   def neardupSurvivors(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = t(spark, sfDir, "documents")
-    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
-      shingleN = 3, minJaccardMicro = 500000L)
-    Dedup.nearDupSurvivors(docs.select(col("doc_id")), pairs, "doc_id")
+    val losers = neardupClustersPersisted(spark, sfDir)
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id"))
+    docs.select(col("doc_id"))
+      .join(losers.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
   }
 
   /** Deterministic stratified sample: 200 vectors per label by content

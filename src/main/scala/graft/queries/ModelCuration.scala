@@ -102,8 +102,8 @@ private[graft] trait ModelCurationQueries extends QueryContext {
     * uncorrelated with clean. Tie-break on smaller doc_id keeps the
     * election total and deterministic.
     *
-    * Scale shape: rides the q43 clustering (banded LSH + checkpointed
-    * CC, measured ~linear at 10× data); the election itself is the
+    * Scale shape: reads the q152 clustering artifact (one parquet
+    * scan; the first toucher per run builds it); the election is the
     * packed-struct argmax (q115's idiom): one shuffle-hash join of the
     * membership onto the per-doc quality relation, then a partial-agged
     * lexicographic `min` on `(−quality, doc_id)` per cluster — one
@@ -113,7 +113,7 @@ private[graft] trait ModelCurationQueries extends QueryContext {
     val docs = t(spark, sfDir, "documents")
     val q = docs.select(col("doc_id"),
       TextFunctions.qualityScore(col("text")).as("quality"))
-    neardupClusters(spark, sfDir)
+    neardupClustersPersisted(spark, sfDir)
       .join(q.hint("shuffle_hash"), "doc_id")
       .groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"),
@@ -285,14 +285,14 @@ private[graft] trait ModelCurationQueries extends QueryContext {
     * decision needs (feeding RAW counts into mixing weights over-trains
     * on the most-duplicated sources).
     *
-    * Scale shape: rides the q43 clustering (~linear, checkpointed CC)
-    * + one cluster-size count + two shuffle-hash joins (weights onto
+    * Scale shape: reads the q152 clustering artifact (one parquet
+    * scan) + one cluster-size count + two shuffle-hash joins (weights onto
     * docs, token counts per row) + a source-bounded partial agg.
     * Per-doc flooring keeps every emitted value integer-exact. */
   def effectiveTokens(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.TextFunctions
     val docs = t(spark, sfDir, "documents")
-    val cl = neardupClusters(spark, sfDir)
+    val cl = neardupClustersPersisted(spark, sfDir)
     val sizes = cl.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
     val weighted = cl.join(sizes.hint("shuffle_hash"), "cluster_id")
@@ -324,7 +324,15 @@ private[graft] trait ModelCurationQueries extends QueryContext {
     *
     * Scale shape: rides q132 (two exploded-token passes), then one
     * tiny percentile_disc aggregate broadcast into a map-side binning
-    * projection and a 10-row partial agg. */
+    * projection and a 10-row partial agg.
+    *
+    * Boundary DEFINITION (engine-independent, pinned by the oracle
+    * with explicit rank arithmetic rather than the oracle engine's
+    * own quantile function): boundary p = the `ceil(p·n/10)`-th
+    * smallest score — exactly the ANSI `percentile_disc` semantics
+    * ("smallest value whose cume_dist ≥ p") Spark implements, and
+    * well-defined under ties since rank selection reads a VALUE from
+    * the sorted multiset. */
   def scoreCalibration(spark: SparkSession, sfDir: String): DataFrame = {
     val scored = nbQualityClassifier(spark, sfDir)
       .select(col("nb_score"), col("is_hi"))
@@ -353,11 +361,11 @@ private[graft] trait ModelCurationQueries extends QueryContext {
     * per-doc assignment). Same affine-mod bucket arithmetic as q37
     * (engine-portable, idempotent, survives retries); 80/20.
     *
-    * Scale shape: rides the q43 clustering (~linear), then a pure
-    * per-row projection — no additional shuffle at all. */
+    * Scale shape: reads the q152 clustering artifact (one parquet
+    * scan), then a pure per-row projection — no additional shuffle. */
   def clusterSplit(spark: SparkSession, sfDir: String): DataFrame = {
     import operators.Sampling
-    neardupClusters(spark, sfDir)
+    neardupClustersPersisted(spark, sfDir)
       .select(col("doc_id"), col("cluster_id"),
         Sampling.splitTag(col("cluster_id"), 10, 8).as("split"))
   }
@@ -430,7 +438,7 @@ private[graft] trait ModelCurationQueries extends QueryContext {
       .withColumn("f4",
         (col("f3") === 1L && col("doc_id") === col("keep_id")).cast("long"))
     // stage 5: near-dup election among stage-4 docs
-    val cl = neardupClusters(spark, sfDir)
+    val cl = neardupClustersPersisted(spark, sfDir)
     val clKeep = cl.join(
         withF4.filter(col("f4") === 1L).select(col("doc_id")), "doc_id")
       .groupBy(col("cluster_id")).agg(min(col("doc_id")).as("ckeep_id"))
@@ -438,8 +446,9 @@ private[graft] trait ModelCurationQueries extends QueryContext {
       .join(clKeep.hint("shuffle_hash"), Seq("cluster_id"), "left")
       .withColumn("f5",
         (col("f4") === 1L && col("doc_id") === col("ckeep_id")).cast("long"))
-    // stage 6: drop q148-flagged docs (winnow fp shared with the eval slice)
-    val contaminated = winnowDecontam(spark, sfDir)
+    // stage 6: drop q148-flagged docs (winnow fp shared with the eval
+    // slice) — served from the q155 persisted index, not re-fingerprinted
+    val contaminated = winnowDecontamPersisted(spark, sfDir)
       .select(col("doc_id"), lit(1L).as("cont"))
     withF5
       .join(contaminated.hint("shuffle_hash"), Seq("doc_id"), "left")
@@ -527,6 +536,40 @@ private[graft] trait ModelCurationQueries extends QueryContext {
       .agg(count(lit(1)).as("n_shared_fps"))
   }
 
+  /** q148's decontamination served from a persisted winnow INDEX —
+    * the MOSS index is the canonical build-once artifact (its whole
+    * point is amortization: ~2/(w+1) of the k-gram count, small
+    * enough to keep resident per corpus snapshot and probe on every
+    * eval-suite revision), yet inline q148 re-fingerprints the full
+    * train corpus per run. First touch per run fingerprints the train
+    * side once and atomic-publishes it ([[graft.sources.Artifacts]],
+    * the q152 discipline); every probe after that pays one parquet
+    * scan of the index plus per-row fingerprinting of the EVAL side
+    * only — the small, frequently-changing side. (A cluster
+    * deployment would additionally bucket the index by `fp` to make
+    * repeat probes shuffle-free on the train side; plain parquet
+    * keeps the artifact engine-portable here and the probe join still
+    * shuffles only index-density rows, not k-grams.) The q155 gate
+    * shares q148's oracle VERBATIM, so index round-trip drift is a
+    * hash flip against the same ground truth. */
+  def winnowDecontamPersisted(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.Artifacts
+    import operators.Winnow
+    val docs = t(spark, sfDir, "documents")
+    val path = Artifacts.ensure("winnow_index", sfDir) { p =>
+      Artifacts.publish(
+        Winnow.fingerprints(
+          docs.filter(col("doc_id") % 25 =!= 0), "doc_id", "text"), p)
+    }
+    val evalFps = Winnow.fingerprints(
+        docs.filter(col("doc_id") % 25 === 0), "doc_id", "text")
+      .select(col("fp")).distinct()
+    spark.read.parquet(path)
+      .join(evalFps.hint("shuffle_hash"), Seq("fp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+  }
+
   /** Gopher-rule admission bundle — the canonical document-level
     * quality screen (Rae et al., Gopher appendix A): word-count
     * bounds, mean-word-length bounds, and required-stopword presence,
@@ -573,17 +616,20 @@ private[graft] trait ModelCurationQueries extends QueryContext {
     * shared-oracle bit-equality contract): same parameters, same
     * results, through a parquet round-trip. */
   def annIvfPersisted(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.Artifacts
     import operators.SimilaritySearch
     val emb = t(spark, sfDir, "embeddings")
-    // a FIXED per-corpus artifact location, overwritten per build —
-    // exactly how a deployed index behaves, and it bounds repeated
-    // harness runs to one resident copy instead of leaking a fresh
-    // corpus-sized temp dir per invocation
-    val path = s"${sys.props("java.io.tmpdir")}/graft_ivf_index_" +
-      java.lang.Integer.toHexString(sfDir.hashCode)
-    SimilaritySearch.buildIvfIndex(
-      emb.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
-      centroids = 64, assignments = 2, path)
+    // a FIXED per-corpus artifact location (keyed by the FULL sanitized
+    // corpus path — an Int hashCode can collide between corpora and
+    // silently serve the wrong index), published build-dir-then-rename
+    // so a concurrent reader never sees a half-written index; single
+    // writer per corpus is the deployment contract (Artifacts scaladoc)
+    val path = Artifacts.corpusPath("ivf_index", sfDir)
+    Artifacts.publishTree(spark, path) { build =>
+      SimilaritySearch.buildIvfIndex(
+        emb.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+        centroids = 64, assignments = 2, build)
+    }
     SimilaritySearch.ivfTopKFromIndex(
       emb.filter(col("vec_id") % 10 === 0), path, k = 5,
       "vec_id", "embedding", probes = 16)

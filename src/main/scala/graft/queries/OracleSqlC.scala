@@ -6,6 +6,123 @@ package queries
   */
 private[graft] trait OracleSqlC extends OracleShared {
 
+  /** Unrolled deterministic-Lloyd CTE chain shared by the q127/q153/
+    * q154 oracles (milli-quantized embeddings -> smallest-id seeded
+    * codebook -> 2 assign+update rounds -> final assignment
+    * `a2(id, cid)`, with `mv` carrying the original vectors) — one
+    * definition so the capped twin and the width audit cannot drift
+    * from q127's clustering. */
+  private val semdedupLloydCte: String =
+    """mv AS (
+           SELECT vec_id AS id, embedding AS e,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS mv
+           FROM embeddings),
+         c00 AS (SELECT id, mv FROM mv ORDER BY id LIMIT 8),
+         c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, mv AS cv
+                FROM c00),
+         d0 AS (
+           SELECT m.id, c.cid,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, 64),
+                 i -> (m.mv[i] - c.cv[i]) * (m.mv[i] - c.cv[i]))),
+               (x, y) -> x + y) AS d
+           FROM mv m CROSS JOIN c0 c),
+         a0 AS (SELECT id, cid FROM (
+             SELECT id, cid,
+               row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+             FROM d0) WHERE rn = 1),
+         c1 AS (
+           SELECT cid, list(mj ORDER BY j) AS cv FROM (
+             SELECT a.cid, g.j,
+               CAST(floor(CAST(sum(m.mv[g.j]) AS DOUBLE) / count(*)) AS BIGINT)
+                 AS mj
+             FROM a0 a JOIN mv m USING (id)
+             CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) g
+             GROUP BY a.cid, g.j) t
+           GROUP BY cid),
+         d1 AS (
+           SELECT m.id, c.cid,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, 64),
+                 i -> (m.mv[i] - c.cv[i]) * (m.mv[i] - c.cv[i]))),
+               (x, y) -> x + y) AS d
+           FROM mv m CROSS JOIN c1 c),
+         a1 AS (SELECT id, cid FROM (
+             SELECT id, cid,
+               row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+             FROM d1) WHERE rn = 1),
+         c2 AS (
+           SELECT cid, list(mj ORDER BY j) AS cv FROM (
+             SELECT a.cid, g.j,
+               CAST(floor(CAST(sum(m.mv[g.j]) AS DOUBLE) / count(*)) AS BIGINT)
+                 AS mj
+             FROM a1 a JOIN mv m USING (id)
+             CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) g
+             GROUP BY a.cid, g.j) t
+           GROUP BY cid),
+         d2 AS (
+           SELECT m.id, c.cid,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, 64),
+                 i -> (m.mv[i] - c.cv[i]) * (m.mv[i] - c.cv[i]))),
+               (x, y) -> x + y) AS d
+           FROM mv m CROSS JOIN c2 c),
+         a2 AS (SELECT id, cid FROM (
+             SELECT id, cid,
+               row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+             FROM d2) WHERE rn = 1)"""
+
+  /** q127's full SemDeDup oracle, optionally width-capped: with
+    * `cap`, clusters wider than it are excluded from the pair join
+    * (members all kept) — [[operators.SemDedup.semDedup]]'s
+    * `maxClusterWidth` semantics replayed in SQL. */
+  private def semdedupSql(cap: Option[Int]): String = {
+    val src = if (cap.isDefined) "clc" else "cl"
+    val capCtes = cap.map(c => s""",
+         cw AS (SELECT cid, count(*) AS w FROM a2 GROUP BY cid),
+         clc AS (
+           SELECT cl.id, cl.cluster, cl.e FROM cl
+           JOIN cw ON cl.cluster = cw.cid AND cw.w <= $c)""").getOrElse("")
+    s"""WITH $semdedupLloydCte,
+         cl AS (SELECT a2.id, a2.cid AS cluster, m.e
+                FROM a2 JOIN mv m USING (id))$capCtes,
+         p AS (
+           SELECT x.id AS id1, y.id AS id2,
+             CAST(floor(1000000.0 *
+               (CASE WHEN sqrt(
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(generate_series(1, 64),
+                       i -> CAST(x.e[i] AS DOUBLE) * CAST(x.e[i] AS DOUBLE))),
+                     (u, v) -> u + v)) *
+                 sqrt(
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(generate_series(1, 64),
+                       i -> CAST(y.e[i] AS DOUBLE) * CAST(y.e[i] AS DOUBLE))),
+                     (u, v) -> u + v)) = 0 THEN 0.0
+               ELSE
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(generate_series(1, 64),
+                     i -> CAST(x.e[i] AS DOUBLE) * CAST(y.e[i] AS DOUBLE))),
+                   (u, v) -> u + v) /
+                 (sqrt(
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(generate_series(1, 64),
+                       i -> CAST(x.e[i] AS DOUBLE) * CAST(x.e[i] AS DOUBLE))),
+                     (u, v) -> u + v)) *
+                  sqrt(
+                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list_transform(generate_series(1, 64),
+                       i -> CAST(y.e[i] AS DOUBLE) * CAST(y.e[i] AS DOUBLE))),
+                     (u, v) -> u + v)))
+               END)) AS BIGINT) AS cos_micro
+           FROM $src x JOIN $src y ON x.cluster = y.cluster AND x.id < y.id),
+         drp AS (SELECT DISTINCT id2 AS id FROM p WHERE cos_micro >= 350000)
+         SELECT a2.id AS vec_id, a2.cid AS cluster,
+           CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
+         FROM a2 LEFT JOIN drp d ON a2.id = d.id"""
+  }
+
   protected val oracleSqlC: Map[String, String] = Map(
     "q94_revenue_share" ->
       """WITH bn AS (
@@ -910,102 +1027,15 @@ private[graft] trait OracleSqlC extends OracleShared {
              // count(*) AS BIGINT) AS purity_ppm
          FROM r WHERE rn <= 5
          GROUP BY a_id, a_label""",
-    "q127_semdedup" ->
-      """WITH mv AS (
-           SELECT vec_id AS id, embedding AS e,
-             list_transform(embedding,
-               x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS mv
-           FROM embeddings),
-         c00 AS (SELECT id, mv FROM mv ORDER BY id LIMIT 8),
-         c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, mv AS cv
-                FROM c00),
-         d0 AS (
-           SELECT m.id, c.cid,
-             list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(generate_series(1, 64),
-                 i -> (m.mv[i] - c.cv[i]) * (m.mv[i] - c.cv[i]))),
-               (x, y) -> x + y) AS d
-           FROM mv m CROSS JOIN c0 c),
-         a0 AS (SELECT id, cid FROM (
-             SELECT id, cid,
-               row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
-             FROM d0) WHERE rn = 1),
-         c1 AS (
-           SELECT cid, list(mj ORDER BY j) AS cv FROM (
-             SELECT a.cid, g.j,
-               CAST(floor(CAST(sum(m.mv[g.j]) AS DOUBLE) / count(*)) AS BIGINT)
-                 AS mj
-             FROM a0 a JOIN mv m USING (id)
-             CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) g
-             GROUP BY a.cid, g.j) t
-           GROUP BY cid),
-         d1 AS (
-           SELECT m.id, c.cid,
-             list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(generate_series(1, 64),
-                 i -> (m.mv[i] - c.cv[i]) * (m.mv[i] - c.cv[i]))),
-               (x, y) -> x + y) AS d
-           FROM mv m CROSS JOIN c1 c),
-         a1 AS (SELECT id, cid FROM (
-             SELECT id, cid,
-               row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
-             FROM d1) WHERE rn = 1),
-         c2 AS (
-           SELECT cid, list(mj ORDER BY j) AS cv FROM (
-             SELECT a.cid, g.j,
-               CAST(floor(CAST(sum(m.mv[g.j]) AS DOUBLE) / count(*)) AS BIGINT)
-                 AS mj
-             FROM a1 a JOIN mv m USING (id)
-             CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS j) g
-             GROUP BY a.cid, g.j) t
-           GROUP BY cid),
-         d2 AS (
-           SELECT m.id, c.cid,
-             list_reduce(list_prepend(CAST(0 AS BIGINT),
-               list_transform(generate_series(1, 64),
-                 i -> (m.mv[i] - c.cv[i]) * (m.mv[i] - c.cv[i]))),
-               (x, y) -> x + y) AS d
-           FROM mv m CROSS JOIN c2 c),
-         a2 AS (SELECT id, cid FROM (
-             SELECT id, cid,
-               row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
-             FROM d2) WHERE rn = 1),
-         cl AS (SELECT a2.id, a2.cid AS cluster, m.e
-                FROM a2 JOIN mv m USING (id)),
-         p AS (
-           SELECT x.id AS id1, y.id AS id2,
-             CAST(floor(1000000.0 *
-               (CASE WHEN sqrt(
-                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                     list_transform(generate_series(1, 64),
-                       i -> CAST(x.e[i] AS DOUBLE) * CAST(x.e[i] AS DOUBLE))),
-                     (u, v) -> u + v)) *
-                 sqrt(
-                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                     list_transform(generate_series(1, 64),
-                       i -> CAST(y.e[i] AS DOUBLE) * CAST(y.e[i] AS DOUBLE))),
-                     (u, v) -> u + v)) = 0 THEN 0.0
-               ELSE
-                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                   list_transform(generate_series(1, 64),
-                     i -> CAST(x.e[i] AS DOUBLE) * CAST(y.e[i] AS DOUBLE))),
-                   (u, v) -> u + v) /
-                 (sqrt(
-                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                     list_transform(generate_series(1, 64),
-                       i -> CAST(x.e[i] AS DOUBLE) * CAST(x.e[i] AS DOUBLE))),
-                     (u, v) -> u + v)) *
-                  sqrt(
-                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-                     list_transform(generate_series(1, 64),
-                       i -> CAST(y.e[i] AS DOUBLE) * CAST(y.e[i] AS DOUBLE))),
-                     (u, v) -> u + v)))
-               END)) AS BIGINT) AS cos_micro
-           FROM cl x JOIN cl y ON x.cluster = y.cluster AND x.id < y.id),
-         drp AS (SELECT DISTINCT id2 AS id FROM p WHERE cos_micro >= 350000)
-         SELECT a2.id AS vec_id, a2.cid AS cluster,
-           CAST(CASE WHEN d.id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept
-         FROM a2 LEFT JOIN drp d ON a2.id = d.id""",
+    "q127_semdedup" -> semdedupSql(None),
+    "q153_capped_semdedup" -> semdedupSql(Some(65)),
+    "q154_semdedup_widths" ->
+      s"""WITH $semdedupLloydCte
+         SELECT CAST(cid AS BIGINT) AS cluster,
+           CAST(count(*) AS BIGINT) AS width,
+           CAST(CASE WHEN count(*) > 65 THEN 1 ELSE 0 END AS BIGINT)
+             AS dropped
+         FROM a2 GROUP BY cid""",
     "q128_dup_ngrams" ->
       """WITH tk AS (
            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks

@@ -29,11 +29,17 @@ private[graft] trait OracleSqlD {
            FROM (SELECT w, freq, sym, unnest(generate_series(1, len(sym))) AS i
                  FROM ${np}sym$i)),
          ${np}f$i AS (
+           -- LEFT JOIN (not a cross join) against the 1-row winner: on
+           -- a degenerate corpus the pair table exhausts before the
+           -- last round, t$i is empty, and a cross join would silently
+           -- drop the whole symbol table; with NULL l/r no row can
+           -- satisfy the merge predicate, so symbols pass through
+           -- unchanged — Bpe.train's early-stop semantics
            SELECT e.*, t.l, t.r,
              CASE WHEN lag(e.s) OVER (PARTITION BY e.w ORDER BY e.i)
                IS DISTINCT FROM e.s THEN 1 ELSE 0 END AS chg,
              lead(e.s) OVER (PARTITION BY e.w ORDER BY e.i) AS nxt
-           FROM ${np}e$i e, ${np}t$i t),
+           FROM ${np}e$i e LEFT JOIN ${np}t$i t ON TRUE),
          ${np}g$i AS (
            SELECT *, sum(chg) OVER (PARTITION BY w ORDER BY i) AS run_id
            FROM ${np}f$i),
@@ -509,18 +515,31 @@ private[graft] trait OracleSqlD {
          FROM nbfinal""",
     "q141_score_calibration" ->
       s"""$nbScoredSql,
+         -- decile boundaries by EXPLICIT integer rank arithmetic (not
+         -- quantile_disc, whose index/tie convention is engine-lore):
+         -- boundary p = the ceil(p*n/10)-th smallest score, which is
+         -- precisely the ANSI percentile_disc definition Spark
+         -- implements (smallest value whose cume_dist >= p) — the
+         -- value at a given rank in the sorted multiset is well-
+         -- defined regardless of tie order, so both engines agree by
+         -- construction
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nbfinal),
+         rkd AS (
+           SELECT nb_score,
+             row_number() OVER (ORDER BY nb_score) AS rk
+           FROM nbfinal),
          b AS (
            SELECT
-             CAST(quantile_disc(nb_score, 0.1) AS BIGINT) AS b1,
-             CAST(quantile_disc(nb_score, 0.2) AS BIGINT) AS b2,
-             CAST(quantile_disc(nb_score, 0.3) AS BIGINT) AS b3,
-             CAST(quantile_disc(nb_score, 0.4) AS BIGINT) AS b4,
-             CAST(quantile_disc(nb_score, 0.5) AS BIGINT) AS b5,
-             CAST(quantile_disc(nb_score, 0.6) AS BIGINT) AS b6,
-             CAST(quantile_disc(nb_score, 0.7) AS BIGINT) AS b7,
-             CAST(quantile_disc(nb_score, 0.8) AS BIGINT) AS b8,
-             CAST(quantile_disc(nb_score, 0.9) AS BIGINT) AS b9
-           FROM nbfinal),
+             CAST(max(CASE WHEN rk = (1*n + 9) // 10 THEN nb_score END) AS BIGINT) AS b1,
+             CAST(max(CASE WHEN rk = (2*n + 9) // 10 THEN nb_score END) AS BIGINT) AS b2,
+             CAST(max(CASE WHEN rk = (3*n + 9) // 10 THEN nb_score END) AS BIGINT) AS b3,
+             CAST(max(CASE WHEN rk = (4*n + 9) // 10 THEN nb_score END) AS BIGINT) AS b4,
+             CAST(max(CASE WHEN rk = (5*n + 9) // 10 THEN nb_score END) AS BIGINT) AS b5,
+             CAST(max(CASE WHEN rk = (6*n + 9) // 10 THEN nb_score END) AS BIGINT) AS b6,
+             CAST(max(CASE WHEN rk = (7*n + 9) // 10 THEN nb_score END) AS BIGINT) AS b7,
+             CAST(max(CASE WHEN rk = (8*n + 9) // 10 THEN nb_score END) AS BIGINT) AS b8,
+             CAST(max(CASE WHEN rk = (9*n + 9) // 10 THEN nb_score END) AS BIGINT) AS b9
+           FROM rkd, nn),
          x AS (
            SELECT nb_score, y,
              (CASE WHEN nb_score > b1 THEN 1 ELSE 0 END) +

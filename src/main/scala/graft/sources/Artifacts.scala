@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Build-once/read-many parquet ARTIFACTS — the deployment shape of
+  * every expensive corpus derivative (IVF codebooks+assignments, the
+  * near-dup clustering, the winnowing decontamination index): at
+  * 100 TB these are the costliest relations in the shop, and no real
+  * pipeline recomputes them per consumer. This helper owns the two
+  * things every artifact needs and no operator should re-derive:
+  *
+  *  1. a STABLE per-corpus location, keyed by the full (sanitized)
+  *     corpus directory string — not its `hashCode`, which can collide
+  *     between different corpora and silently serve the wrong index;
+  *  2. a publish protocol readers can trust: the build writes to a
+  *     private `<path>.build` directory and the finished tree is
+  *     MOVED into place with a filesystem rename, so a reader never
+  *     sees a half-written artifact. (Replacing an existing artifact
+  *     is delete-then-rename — two metadata ops, so a concurrent
+  *     reader could catch the gap between them. Single writer per
+  *     artifact path is the deployment contract, same as any
+  *     Hive/Iceberg overwrite without a transactional catalog.)
+  *
+  * Within one JVM, [[ensure]] additionally memoizes by key so a suite
+  * touching the same artifact from many queries builds it exactly
+  * once per run — and always rebuilds on the FIRST touch of a run
+  * (never trusts a leftover on disk), so a corpus edit between runs
+  * can't serve a stale index.
+  */
+object Artifacts {
+
+  /** Stable artifact directory for (`kind`, corpus dir): the
+    * system temp root + `graft_<kind>_<sanitized corpus path>`. */
+  def corpusPath(kind: String, corpusDir: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_${kind}_" +
+      corpusDir.replaceAll("[^A-Za-z0-9._-]", "_")
+
+  /** Publish `df` as a parquet artifact at `path`: write the complete
+    * tree to `<path>.build`, then swap it into place (delete old,
+    * rename new). Readers see either the previous complete artifact
+    * or the new one — never a partial write. Single-writer per path. */
+  def publish(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    val target = new Path(path)
+    val build = new Path(path + ".build")
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    df.write.mode("overwrite").parquet(build.toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    require(fs.rename(build, target), s"artifact publish rename failed: $path")
+  }
+
+  /** Publish a MULTI-RELATION artifact (e.g. an IVF index's codebook +
+    * assignments): `write` receives the build directory, produces the
+    * full tree under it, and the finished tree is renamed into place
+    * as one unit — the same torn-read guarantee as [[publish]]. */
+  def publishTree(spark: SparkSession, path: String)(write: String => Unit): Unit = {
+    val target = new Path(path)
+    val build = new Path(path + ".build")
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(build)) fs.delete(build, true)
+    write(build.toString)
+    if (fs.exists(target)) fs.delete(target, true)
+    require(fs.rename(build, target), s"artifact publish rename failed: $path")
+  }
+
+  private val builtOnce = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Build-once-per-run memo: the first call for (`kind`, corpus)
+    * runs `build` (which must [[publish]]/[[publishTree]] to the
+    * given path); every later call this JVM returns the path
+    * directly. Thread-safe via computeIfAbsent's per-key lock. */
+  def ensure(kind: String, corpusDir: String)(build: String => Unit): String =
+    builtOnce.computeIfAbsent(s"$kind|$corpusDir", { _ =>
+      val path = corpusPath(kind, corpusDir)
+      build(path)
+      path
+    })
+
+  /** Test hook: forget the per-run memo so a spec can exercise the
+    * build path repeatedly. */
+  private[graft] def resetMemo(): Unit = builtOnce.clear()
+}

@@ -64,4 +64,48 @@ class SemDedupSpec extends SparkSpec {
       .orderBy("vec_id").collect().map(_.toSeq).toSeq
     assert(run() == run())
   }
+
+  test("width cap excludes over-wide clusters: their members are all kept") {
+    // k=2 on the 6-vector corpus gives two width-3 clusters; cap=2
+    // trips both, so the pair join sees nothing and every near-dup
+    // that an uncapped run drops (11, 21) survives — the documented
+    // "cap drops the whole cluster, members kept" contract
+    val out = SemDedup.semDedup(corpus, "vec_id", "embedding",
+      k = 2, iters = 2, minCosineMicro = 990000L,
+      maxClusterWidth = Some(2))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.values.forall(_ == 1L))
+    assert(out.size == 6)
+  }
+
+  test("cap at or above the max width is a no-op vs the uncapped run") {
+    def rows(cap: Option[Int]) =
+      SemDedup.semDedup(corpus, "vec_id", "embedding",
+        k = 2, iters = 2, minCosineMicro = 990000L, maxClusterWidth = cap)
+        .orderBy("vec_id").collect().map(_.toSeq).toSeq
+    assert(rows(Some(3)) == rows(None))
+  }
+
+  test("clusterWidthAudit reports widths and the dropped flag under the cap") {
+    val audit = SemDedup.clusterWidthAudit(corpus, "vec_id", "embedding",
+      k = 2, iters = 2, maxClusterWidth = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // both clusters are width 3 > cap 2 => both flagged dropped
+    assert(audit.map(_._2) == Set(3L))
+    assert(audit.forall(_._3 == 1L))
+    assert(audit.size == 2)
+    // and the audit's widths agree with the assignment it describes
+    val widths = SemDedup.kmeansAssign(corpus, "vec_id", "embedding", 2, 2)
+      .groupBy(col("cluster")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(audit.map(t => t._1 -> t._2).toMap == widths)
+  }
+
+  test("cap below 2 is rejected") {
+    intercept[IllegalArgumentException] {
+      SemDedup.semDedup(corpus, "vec_id", "embedding",
+        k = 2, iters = 2, minCosineMicro = 990000L, maxClusterWidth = Some(1))
+        .collect()
+    }
+  }
 }

@@ -1,0 +1,64 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The artifact publish/ensure contract (q152/q155/q146 substrate):
+  * stable full-string path keys, torn-read-free publish, build-once
+  * memoization, and multi-relation trees. */
+class ArtifactsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpKey(): String =
+    Files.createTempDirectory("graft_artifacts_spec").toString
+
+  test("corpusPath keys by the FULL sanitized corpus dir, not a hash") {
+    val a = Artifacts.corpusPath("x", "/data/corpus/v1")
+    val b = Artifacts.corpusPath("x", "/data/corpus/v2")
+    assert(a != b)
+    assert(a.endsWith("graft_x__data_corpus_v1"))
+    // different kinds never collide on the same corpus
+    assert(Artifacts.corpusPath("y", "/data/corpus/v1") != a)
+  }
+
+  test("publish round-trips the relation and replaces a previous artifact") {
+    val path = tmpKey() + "/art"
+    Artifacts.publish(Seq(1L, 2L, 3L).toDF("v"), path)
+    assert(spark.read.parquet(path).as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    Artifacts.publish(Seq(9L).toDF("v"), path)
+    assert(spark.read.parquet(path).as[Long].collect().toSeq == Seq(9L))
+    // no build residue left behind
+    assert(!new java.io.File(path + ".build").exists())
+  }
+
+  test("publishTree renames the whole multi-relation tree as one unit") {
+    val path = tmpKey() + "/tree"
+    Artifacts.publishTree(spark, path) { build =>
+      Seq(1L).toDF("a").write.parquet(s"$build/left")
+      Seq(2L).toDF("b").write.parquet(s"$build/right")
+    }
+    assert(spark.read.parquet(s"$path/left").as[Long].head() == 1L)
+    assert(spark.read.parquet(s"$path/right").as[Long].head() == 2L)
+    assert(!new java.io.File(path + ".build").exists())
+  }
+
+  test("ensure builds once per run key and memoizes the path") {
+    val corpus = tmpKey()
+    var builds = 0
+    def run() = Artifacts.ensure("spec_kind", corpus) { p =>
+      builds += 1
+      Artifacts.publish(Seq(42L).toDF("v"), p)
+    }
+    val p1 = run(); val p2 = run()
+    assert(p1 == p2)
+    assert(builds == 1)
+    assert(spark.read.parquet(p1).as[Long].head() == 42L)
+    // first touch after a memo reset REBUILDS (never trusts disk residue)
+    Artifacts.resetMemo()
+    run()
+    assert(builds == 2)
+  }
+}
