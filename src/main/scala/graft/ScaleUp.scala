@@ -52,6 +52,19 @@ import org.apache.spark.sql.functions._
   *    order-invariant token-multiset functions, every per-doc
   *    statistic the pipeline filters on is preserved bit-for-bit.
   *    `n_chars` is recomputed from the reassembled text.
+  *    Beyond 12 replicas the positional-perm space is exhausted (the
+  *    strides live mod 13), so reps 12..59 add a second orthogonal
+  *    axis: GENERATIONS. Replica `r` decomposes as
+  *    `(base = r mod 12, gen = r / 12)`; base picks the positional
+  *    perm above and gen applies a same-length vocabulary rename
+  *    ([[scaleDocuments]] → `vocabRenames`: affine-permute each
+  *    length class of the realized vocab with a per-gen stride,
+  *    stopwords / blocklist / langId markers fixed), so two replicas
+  *    in different generations share a word 3-gram only across the
+  *    scorer-fixed words plus ≤ 1 coinciding word per length class —
+  *    far below every near-dup gate — while every per-doc statistic
+  *    stays preserved (renames are length- and stopword-preserving
+  *    bijections).
   *  - `embeddings.embedding`: cyclic rotation by `rep mod dim`
   *    positions — norm-preserving, within-replica cosine structure
   *    intact, cross-replica neighborhoods decorrelated.
@@ -126,13 +139,86 @@ object ScaleUp {
   private def withReps(spark: SparkSession, df: DataFrame, reps: Int): DataFrame =
     df.crossJoin(broadcast(spark.range(reps).toDF("rep")))
 
+  /** Fixed-point words a generation rename must NOT move: every word
+    * an engine-side per-doc scorer tests by NAME — the quality/Gopher
+    * stopword seed set, the q144 blocklist terms, and every langId
+    * marker word — so stopword ratios, stopword-kind counts,
+    * blocklist densities, and language guesses are preserved
+    * bit-for-bit across generations. Pulled from the scorers'
+    * own lists so the two cannot drift. */
+  private val RenameFixed: Set[String] =
+    graft.functions.TextFunctions.EnglishStopwords.toSet ++
+      graft.functions.TextFunctions.LangMarkers.flatMap(_._2) ++
+      Set("the", "a", "an", "of", "and", "is", "in", "to", "it", "that") ++
+      Set("slow", "drop", "error")
+
+  /** Per-GENERATION vocabulary renames for reps > 12 (see
+    * [[scaleDocuments]]): generation g ≥ 1 permutes each same-LENGTH
+    * class of the corpus's realized vocabulary by the AFFINE map
+    * `i → i·u_g + g  (mod s)` over the class's sorted index space
+    * (s = class size, u_g = the g-th unit ≥ 2 of ℤ/s), leaving
+    * [[RenameFixed]] words and singleton classes in place.
+    *
+    * Length preservation keeps per-doc char sums and mean word length
+    * exact; each map is a bijection, so corpus-wide df profiles are
+    * permuted among same-length words, not changed. The STRIDE is what
+    * distinct generations cannot share (u_g pairwise distinct mod s,
+    * and never 1): a plain rotation (stride 1) maps consecutive
+    * sorted-class indices to consecutive indices, so a corpus whose
+    * texts enumerate the vocabulary in order would keep ~all its
+    * shingles across generations; distinct strides map a consecutive
+    * run to runs of different spacing, which can never coincide as an
+    * ordered 3-gram. Two affine maps agree on at most ONE index per
+    * class (their difference is affine with a unit slope), so two
+    * generations share at most one movable word per length class —
+    * a shared 3-gram needs three consecutive tokens drawn from that
+    * handful plus the fixed stopwords, far below any near-dup gate
+    * (spec-asserted, including on an adversarial enumerating corpus).
+    * The realized vocabulary is vocab-bounded driver traffic (the BPE
+    * wordTable rule). */
+  private[graft] def vocabRenames(src: DataFrame, maxGen: Int): Seq[Map[String, String]] = {
+    val vocab = src.select(explode(split(col("text"), " ")).as("t"))
+      .distinct().collect().map(_.getString(0)).filter(_.nonEmpty).sorted.toSeq
+    val classes = vocab.filterNot(RenameFixed)
+      .groupBy(_.length).values.map(_.sorted).toSeq
+    val movable = classes.filter(_.size >= 2)
+    def units(s: Int): Seq[Int] =
+      (2 until s).filter(u => BigInt(u).gcd(BigInt(s)) == 1)
+    movable.foreach { c =>
+      require(units(c.size).size >= maxGen,
+        s"maxGen=$maxGen: movable length class of size ${c.size} " +
+          s"(${c.take(3).mkString(",")},…) has only ${units(c.size).size} " +
+          "distinct affine strides — generations would collide on it")
+    }
+    (1 to maxGen).map { g =>
+      movable.flatMap { c =>
+        val s = c.size
+        val u = units(s)(g - 1)
+        c.indices.map(i => c(i) -> c((i * u + g) % s))
+      }.toMap
+    }
+  }
+
   def scaleDocuments(spark: SparkSession, src: DataFrame, reps: Int): DataFrame = {
-    // strides rep+1 must all be units mod 13: rep ≤ 11
-    require(reps >= 1 && reps <= 12, s"reps=$reps: block stride needs rep+1 < 13")
+    // Two orthogonal axes span the replica space:
+    //  - base = rep mod 12: the positional permutation (block stride +
+    //    tail deal/table) — strides base+1 must be units mod 13;
+    //  - gen = rep / 12: a vocabulary rename (vocabRenames) applied
+    //    AFTER the positional perm, so replicas in different
+    //    generations share (almost) no tokens and therefore no
+    //    shingles, extending the zero-cross-replica-near-dup guarantee
+    //    past the 12-perm positional ceiling. 60 = 12 × 5 generations,
+    //    bounded by the corpus's smallest movable length class (and by
+    //    the embedding rotation space, dim ≥ reps).
+    require(reps >= 1 && reps <= 60, s"reps=$reps: supported range is 1..60")
+    val maxGen = (reps - 1) / 12
+    val renames = if (maxGen >= 1) vocabRenames(src, maxGen) else Nil
     val B = 13
     val toks = split(col("text"), " ")
     val sz = size(toks)
-    val stride = (col("rep") + 1).cast("int")
+    val base = pmod(col("rep"), lit(12)).cast("int")
+    val gen = floor(col("rep") / 12).cast("int")
+    val stride = (base + 1).cast("int")
     val tailStart = sz - pmod(sz, lit(B)) // 0-based start of the ragged tail
     val tailLen = pmod(sz, lit(B))
     // output position o (0-based) reads source position
@@ -188,10 +274,22 @@ object ScaleUp {
               .otherwise(when(rev, tailLen - 1 - dealPos)
                 .otherwise(dealPos))))
     })
+    // base 0 in a later generation is the IDENTITY positional perm
+    // (the perm machinery is only defined for base ≥ 1) — the
+    // generation rename still applies, so gen ≥ 1 base-0 replicas are
+    // renamed verbatim-order copies, disjoint from every other replica
+    val permutedToks = when(base === 0, toks).otherwise(permuted)
+    val renamed =
+      if (renames.isEmpty) permutedToks
+      else transform(permutedToks, t =>
+        renames.zipWithIndex.foldLeft(t) { case (acc, (m, i)) =>
+          when(gen === (i + 1), coalesce(element_at(typedlit(m), t), t))
+            .otherwise(acc)
+        })
     withReps(spark, src, reps)
       .select((col("doc_id") + col("rep") * KeyShift).as("doc_id"),
         when(col("rep") === 0, col("text"))
-          .otherwise(concat_ws(" ", permuted)).as("text"),
+          .otherwise(concat_ws(" ", renamed)).as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
   }

@@ -26,7 +26,10 @@ class ScaleUpSpec extends SparkSpec {
   private val long26 = (1 to 26).map(i => f"a$i%02d").mkString(" ")
   private val short10 = (1 to 10).map(i => f"b$i%02d").mkString(" ")
   private val prefix26 = (1 to 26).map(i => f"c$i%02d").mkString(" ")
-  private val stoppy = "the cat sat on the mat and it is that good stuff here now ok yes"
+  // every movable length class must offer ≥ 2 affine strides (size 5
+  // gives units {2,3,4}) so the generation rename (reps > 12) supports
+  // maxGen 2 — vocabRenames rejects thinner corpora loudly (spec'd below)
+  private val stoppy = "the cat sat bat the mat and it is that good mood here nows yess"
   private val docs = Seq(
     (0L, long26, "en", "src0"),
     (1L, long26, "en", "src1"), // exact dup of 0
@@ -177,6 +180,76 @@ class ScaleUpSpec extends SparkSpec {
       .groupBy("orig").agg(countDistinct(col("q"), col("lg"), col("nt")).as("n"))
       .filter(col("n") =!= 1L)
     assert(distinctStats.count() === 0L)
+  }
+
+  test("generations (reps > 12): cross-generation clones decorrelated, stats preserved") {
+    // 26 reps = bases 0..11 over generations 0, 1, 2. Replicas that
+    // share a base but differ in generation have IDENTICAL positional
+    // structure — only the vocabulary rename separates them, so this
+    // pins the rename axis in isolation.
+    val reps = 26
+    val out = ScaleUp.scaleDocuments(spark, docs, reps).cache()
+    assert(out.count() === docs.count() * reps)
+    assert(out.select("doc_id").distinct().count() === docs.count() * reps)
+    for (orig <- Seq(0L, 2L, 5L)) { // full-block, pure-tail, stopword-heavy
+      val t = textsOf(out, orig, reps)
+      // same base, different generation: the hardest pair (identical
+      // perm) — gen 2 exists only for bases 0..1 (26 = 12+12+2 reps)
+      for (b <- Seq(0, 1, 3); (g1, g2) <- Seq((0, 1), (0, 2), (1, 2))
+           if b + 12 * g2 < reps) {
+        val j = jac(t(b + 12 * g1), t(b + 12 * g2))
+        assert(j < 0.5, s"doc $orig base $b gens $g1/$g2: jaccard $j")
+      }
+      // different base AND generation stays decorrelated too
+      assert(jac(t(1), t(14)) < 0.5, s"doc $orig reps 1/14")
+    }
+    // order-invariant per-doc statistics identical across ALL 26 reps
+    import graft.functions.TextFunctions
+    val distinctStats = out.select(
+        pmod(col("doc_id"), lit(10000000L)).as("orig"),
+        TextFunctions.qualityScore(col("text")).as("q"),
+        TextFunctions.langId(col("text")).as("lg"),
+        TextFunctions.tokenCount(col("text")).as("nt"),
+        length(col("text")).as("nc"))
+      .groupBy("orig")
+      .agg(countDistinct(col("q"), col("lg"), col("nt"), col("nc")).as("n"))
+      .filter(col("n") =!= 1L)
+    assert(distinctStats.count() === 0L)
+  }
+
+  test("generations: renames are bijections, so within-generation structure is intact") {
+    val reps = 26
+    val out = ScaleUp.scaleDocuments(spark, docs, reps).cache()
+    // exact-dup pair (0, 1) stays an exact pair inside EVERY replica
+    for (r <- 0 until reps)
+      assert(textsOf(out, 0L, reps)(r) === textsOf(out, 1L, reps)(r),
+        s"rep $r: exact-dup pair broken")
+    // prefix-aligned near-dup pair keeps its Jaccard in a renamed
+    // generation (a token bijection is a shingle bijection)
+    val t3 = textsOf(out, 3L, reps); val t4 = textsOf(out, 4L, reps)
+    for (r <- Seq(13, 25))
+      assert(jac(t3(r), t4(r)) >= 0.8, s"rep $r: ${jac(t3(r), t4(r))}")
+    // token multiset sizes preserved (rename never merges two words)
+    val badCounts = out.select(pmod(col("doc_id"), lit(10000000L)).as("orig"),
+        size(split(col("text"), " ")).as("n"))
+      .groupBy("orig").agg(countDistinct(col("n")).as("d"))
+      .filter(col("d") =!= 1L)
+    assert(badCounts.count() === 0L)
+  }
+
+  test("generations: a corpus with a too-small movable length class is rejected loudly") {
+    // {on, ok} is a 2-member movable class — generations 0 and 2 would
+    // collide on it (rotation by 2 mod 2 = identity), silently sharing
+    // those words' shingles across generations; the generator must
+    // refuse rather than degrade the cross-replica guarantee
+    val thin = Seq((0L, "the on ok cat sat mat rat bat hat pat vat fat " +
+        "tat oat eat", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val e = intercept[IllegalArgumentException] {
+      ScaleUp.scaleDocuments(spark, thin, 26).collect()
+    }
+    assert(e.getMessage.contains("movable length class"))
   }
 
   private val embs = Seq(

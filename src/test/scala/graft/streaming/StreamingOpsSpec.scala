@@ -586,4 +586,76 @@ class StreamingOpsSpec extends SparkSpec {
       assert(kept === Map(0L -> 1L, 1L -> 0L, 2L -> 0L, 3L -> 1L), s"$kept")
     } finally q.stop()
   }
+
+  test("ingestPipelineStream: restart from checkpoint recovers dedup state, watermark, and emits exactly once") {
+    // The one durability property the keyed-state paths pin that the
+    // COMPOSED ingest pipeline didn't: kill the query mid-stream and
+    // restore from its checkpoint across a batch boundary. Recovery
+    // must carry (a) the within-stream dedup hash state — a dup of a
+    // PRE-restart doc arriving after the restart is still dropped;
+    // (b) the watermark — the pre-restart doc's window closes exactly
+    // once, after the restart, with no replayed emission; (c) novel
+    // post-restart docs flow through. The memory sink refuses
+    // checkpoint recovery by design, so the ledger is a foreachBatch
+    // append into a concurrent buffer — the fault-tolerant sink shape
+    // a real ingest ledger uses.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{lit => l}
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_ingest_ckpt").toString
+    val corpusText = (1 to 60).map(i => s"k${i % 13}m${(i * 3) % 7}").mkString(" ")
+    val corpus = Seq((900L, corpusText)).toDF("doc_id", "text")
+    def quality(t: String): Long =
+      graft.SparkSpec.session.range(1).select(
+        graft.functions.TextFunctions.qualityScore(l(t))).head().getLong(0)
+    val good = (1 to 80).map(i => if (i % 3 == 0) "the" else s"g${i}x").mkString(" ")
+    val novel = (1 to 80).map(i => if (i % 3 == 0) "the" else s"n${i}y").mkString(" ")
+    assert(quality(good) >= 300 && quality(novel) >= 300)
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamingOps.ingestPipelineStream(
+      in.toDF().toDF("doc_id", "text", "ts"), corpus, "ts")
+    val ledger = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def start() = out.writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select($"doc_id", $"dup_chunk_ppm").collect()
+          .foreach(r => ledger.add((r.getLong(0), r.getLong(1))))
+      }
+      .start()
+    var q = start()
+    try {
+      in.addData(
+        (1L, good, ts("2024-01-01 10:00:00")),
+        (2L, good, ts("2024-01-01 10:01:00"))) // within-stream dup of 1
+      q.processAllAvailable()
+      // kill mid-stream: nothing has emitted yet (watermark below the
+      // 10:00 window close), all survivor knowledge lives in the
+      // checkpointed state store
+      q.stop()
+      assert(ledger.isEmpty, s"no window closed before the kill: $ledger")
+      // data arriving while the query is down, processed on restore:
+      // 6 duplicates the PRE-restart doc 1 within the watermark
+      // horizon — only recovered dedup state can drop it; 7 is novel
+      in.addData(
+        (6L, good, ts("2024-01-01 10:10:00")),
+        (7L, novel, ts("2024-01-01 10:12:00")))
+      q = start()
+      q.processAllAvailable()
+      // advance the watermark past 11:00 → the 10:00 window finalizes
+      in.addData((99L, novel + " later", ts("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      val got = ledger.toArray(Array.empty[(Long, Long)]).toSeq
+      assert(got.map(_._1).sorted == Seq(1L, 7L),
+        s"survivors must be 1 (first copy, pre-restart) and 7 (novel); " +
+          s"2 and 6 are dups — 6 provable only via recovered state: $got")
+      assert(got.count(_._1 == 1L) == 1,
+        s"doc 1's window must finalize exactly once across the restart: $got")
+      assert(got.forall(_._2 == 0L),
+        s"neither survivor shares corpus chunks: $got")
+    } finally {
+      q.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
+    }
+  }
 }
