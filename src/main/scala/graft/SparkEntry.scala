@@ -199,7 +199,9 @@ object Queries
     "q152_cluster_index" -> (neardupClustersPersisted _),
     "q153_capped_semdedup" -> (cappedSemDedup _),
     "q154_semdedup_widths" -> (semDedupWidthAudit _),
-    "q155_winnow_index" -> (winnowDecontamPersisted _))
+    "q155_winnow_index" -> (winnowDecontamPersisted _),
+    "q156_capped_clusters" -> (cappedNeardupClusters _),
+    "q157_clustering_agreement" -> (clusteringAgreement _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = {

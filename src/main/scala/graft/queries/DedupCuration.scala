@@ -945,6 +945,58 @@ private[graft] trait DedupCurationQueries extends QueryContext {
     spark.read.parquet(path)
   }
 
+  /** q43's clustering over CAPPED pair discovery — the 100 TB path for
+    * the clustering family, shipped the round its need was measured
+    * (BASELINE round-11): at sf3 the uncapped exact-Jaccard join under
+    * q43 went quadratic (candidate pairs 125 M → 1.06 B at 3× data —
+    * shingle df grows with corpus size once the shingle universe
+    * saturates, and boilerplate shingles saturate ANY corpus
+    * eventually), while the df-cap held q34/q113 at ≤ 2.6×. Same
+    * discovery as q34 (shingles in > 5 docs dropped from the universe,
+    * Jaccard recomputed over survivors), same checkpointed CC and
+    * singleton coalesce as q43 — so the only semantic delta vs q43 is
+    * pairs discoverable ONLY through stop-shingles, and q157 measures
+    * that delta as data. The q79→q113 / q19→q123 twin discipline: q43
+    * stays the exact worst-case gate; this is the production path. */
+  def cappedNeardupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, minJaccardMicro = 500000L, maxDocFreq = Some(5L))
+    val clusters = Dedup.nearDupClusters(pairs)
+    docs.select(col("doc_id"))
+      .join(clusters.select(col("id").as("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
+  /** Exact-vs-capped clustering AGREEMENT audit — the number that
+    * licenses running q156 instead of q43 in production: for every
+    * doc, do the two clusterings elect the same representative
+    * (cluster_id = smallest member, so equality of cluster_id IS
+    * same-verdict)? Emitted as one row (n_docs, n_same, same_ppm,
+    * n_clusters_exact, n_clusters_capped). A same_ppm drop between
+    * corpus snapshots means stop-shingle-only duplicate families are
+    * growing — the signal to tighten the cap or add template rules,
+    * read as data exactly like q122's bucket audit. The exact side
+    * reads the q152 artifact (one parquet scan); only the capped side
+    * is computed. */
+  def clusteringAgreement(spark: SparkSession, sfDir: String): DataFrame = {
+    val exact = neardupClustersPersisted(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id").as("c_exact"))
+    val capped = cappedNeardupClusters(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id").as("c_capped"))
+    exact.join(capped.hint("shuffle_hash"), "doc_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("c_exact") === col("c_capped"), 1L).otherwise(0L))
+          .as("n_same"),
+        countDistinct(col("c_exact")).as("n_clusters_exact"),
+        countDistinct(col("c_capped")).as("n_clusters_capped"))
+      .select(col("n_docs"), col("n_same"),
+        expr("(n_same * 1000000) DIV n_docs").as("same_ppm"),
+        col("n_clusters_exact"), col("n_clusters_capped"))
+  }
+
   /** Near-dup cluster-size DISTRIBUTION — the dedup-health audit run
     * after clustering ([[neardupClusters]]): how many clusters exist at
     * each size, and how many docs they hold. The number ops teams watch

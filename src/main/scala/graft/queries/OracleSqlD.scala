@@ -127,6 +127,42 @@ private[graft] trait OracleSqlD {
                        ELSE least(m.mr, d.doc_id) END AS BIGINT) AS cluster_id
            FROM documents d LEFT JOIN mins m ON d.doc_id = m.a)"""
 
+  /** Capped-discovery clustering chain (q156 semantics; expects
+    * `shh(doc_id, sh)` from [[jaccardPairsCte]] upstream): the q34
+    * df-cap (shingles in > 5 docs dropped, Jaccard over survivors)
+    * feeding the same recursive reachability as [[clusterCte]] —
+    * CTE names prefixed `c` so q157 can run both chains in one
+    * statement. */
+  private val cappedClusterCte: String =
+    """ex0 AS (SELECT doc_id, unnest(sh) AS s FROM shh),
+         ckeep AS (SELECT s FROM ex0 GROUP BY s HAVING count(*) <= 5),
+         ckept AS (SELECT doc_id, s FROM ex0 JOIN ckeep USING (s)),
+         cn AS (SELECT doc_id, count(*) AS n FROM ckept GROUP BY doc_id),
+         ccommon AS (
+           SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS na, b.n AS nb,
+             count(*) AS c
+           FROM (SELECT k.doc_id, k.s, cn.n FROM ckept k JOIN cn USING (doc_id)) a
+           JOIN (SELECT k.doc_id, k.s, cn.n FROM ckept k JOIN cn USING (doc_id)) b
+             ON a.s = b.s AND a.doc_id < b.doc_id
+           GROUP BY 1, 2, 3, 4),
+         cpairs AS (
+           SELECT id1, id2 FROM ccommon
+           WHERE floor(c * 1000000.0 / (na + nb - c)) >= 500000),
+         cedges AS (
+           SELECT id1 AS a, id2 AS b FROM cpairs
+           UNION ALL
+           SELECT id2, id1 FROM cpairs),
+         creach AS (
+           SELECT a, b AS r FROM cedges
+           UNION
+           SELECT e.a, t.r FROM cedges e JOIN creach t ON e.b = t.a),
+         cmins AS (SELECT a, min(r) AS mr FROM creach GROUP BY a),
+         ccl AS (
+           SELECT d.doc_id,
+             CAST(CASE WHEN m.a IS NULL THEN d.doc_id
+                       ELSE least(m.mr, d.doc_id) END AS BIGINT) AS cluster_id
+           FROM documents d LEFT JOIN cmins m ON d.doc_id = m.a)"""
+
   /** Shared winnowing CTE chain (q143 semantics): per-token polynomial
     * hashes → 4-gram rolling hashes → window-minimum fingerprints →
     * `fpx(doc_id, fp)` distinct. Shared with q145 so the two
@@ -579,6 +615,23 @@ private[graft] trait OracleSqlD {
          SELECT cluster_id, CAST(cs AS BIGINT) AS cluster_size,
            doc_id AS keep_id, quality AS keep_quality
          FROM sel WHERE rn = 1""",
+    "q156_capped_clusters" ->
+      s"""WITH RECURSIVE $tokCte,
+         $jaccardPairsCte,
+         $cappedClusterCte
+         SELECT doc_id, cluster_id FROM ccl""",
+    "q157_clustering_agreement" ->
+      s"""WITH RECURSIVE $tokCte,
+         $clusterCte,
+         $cappedClusterCte
+         SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN cl.cluster_id = ccl.cluster_id
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+           CAST((sum(CASE WHEN cl.cluster_id = ccl.cluster_id
+             THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS same_ppm,
+           CAST(count(DISTINCT cl.cluster_id) AS BIGINT) AS n_clusters_exact,
+           CAST(count(DISTINCT ccl.cluster_id) AS BIGINT) AS n_clusters_capped
+         FROM cl JOIN ccl USING (doc_id)""",
     "q134_shard_layout" ->
       """WITH s AS (
            SELECT doc_id, source,
