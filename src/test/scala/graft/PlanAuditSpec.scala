@@ -848,6 +848,56 @@ class PlanAuditSpec extends SparkSpec {
       counts.mkString(","))
   }
 
+  test("q152/q155 artifact reads: a parquet scan, not a recompute") {
+    // the whole point of the persisted artifacts — the consumer plan
+    // must be a file scan (plus the probe join for q155), with zero
+    // trace of the build lineage (no shingle explode, no iterative CC)
+    val p152 = planOf(Queries.neardupClustersPersisted(spark, sf))
+    assert(p152.contains("parquet"), p152.take(800))
+    assert(!p152.contains("Join"), p152.take(800))
+    assert(!p152.contains("Generate"), p152.take(800))
+    val p155 = planOf(Queries.winnowDecontamPersisted(spark, sf))
+    val f155 = p155.split("== Initial Plan ==")(0)
+    assert(f155.contains("parquet"), f155.take(800))
+    assert(f155.contains("ShuffledHashJoin"), f155.take(800))
+    assert(!f155.contains("BroadcastExchange"), f155.take(800))
+    assert(!f155.contains("Window"), f155.take(800))
+  }
+
+  test("q153 capped semdedup: cap is a left-anti exclusion; corpus-derived sides never broadcast") {
+    val plan = planOf(Queries.cappedSemDedup(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    assert(finalTree.toLowerCase.contains("leftanti"), finalTree.take(1500))
+    assert(finalTree.contains("ShuffledHashJoin"), finalTree.take(1500))
+    assert(!finalTree.contains("BroadcastExchange"), finalTree.take(1500))
+    assert(!finalTree.contains("Window"), finalTree.take(1500))
+    assert(!finalTree.contains("CartesianProduct"), finalTree.take(1500))
+  }
+
+  test("q154 width audit: one partial-agged groupBy, no join") {
+    val plan = planOf(Queries.semDedupWidthAudit(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    assert(finalTree.contains("partial_count"), finalTree.take(1200))
+    assert(!finalTree.contains("Join"), finalTree.take(1200))
+    assert(!finalTree.contains("Window"), finalTree.take(1200))
+  }
+
+  test("q156/q157: capped clustering rides keyed joins; no Window, no cartesian") {
+    for ((name, df) <- Seq(
+        "q156" -> Queries.cappedNeardupClusters(spark, sf),
+        "q157" -> Queries.clusteringAgreement(spark, sf))) {
+      val plan = planOf(df)
+      val finalTree = plan.split("== Initial Plan ==")(0)
+      assert(!finalTree.contains("Window"), s"$name: ${finalTree.take(800)}")
+      assert(!finalTree.contains("CartesianProduct"), s"$name")
+    }
+    // the agreement join itself (exact artifact × capped clustering,
+    // both corpus-derived) must be shuffle-hash, never broadcast
+    val p157 = planOf(Queries.clusteringAgreement(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert(p157.contains("ShuffledHashJoin"), p157.take(1200))
+  }
+
   test("global-window census: q74 is the ONLY query planning a partition-less Window") {
     // A Window with an empty partitionSpec is a single-task sort of
     // the whole input — q74's global ntile carries it deliberately
