@@ -201,7 +201,9 @@ object Queries
     "q154_semdedup_widths" -> (semDedupWidthAudit _),
     "q155_winnow_index" -> (winnowDecontamPersisted _),
     "q156_capped_clusters" -> (cappedNeardupClusters _),
-    "q157_clustering_agreement" -> (clusteringAgreement _))
+    "q157_clustering_agreement" -> (clusteringAgreement _),
+    "q158_uncertainty_sample" -> (uncertaintySample _),
+    "q159_dim_stats" -> (embeddingDimStats _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = {

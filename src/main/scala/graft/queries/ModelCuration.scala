@@ -352,6 +352,67 @@ private[graft] trait ModelCurationQueries extends QueryContext {
         col("hi_score"), expr("(n_hi * 1000000) DIV n").as("hi_rate_ppm"))
   }
 
+  /** Uncertainty sampling — the ACTIVE-LEARNING batch selector every
+    * trained-filter loop (q132's classifier included) runs next: the
+    * 64 documents whose score sits closest to the decision boundary
+    * (smallest |nb_score|, ties to the smaller doc_id) are exactly the
+    * ones whose human labels most improve the model. Emitted with the
+    * SIGNED score so the labeling queue shows which side of the
+    * boundary each candidate leans.
+    *
+    * Scale shape: rides q132's scoring, then ONE ungrouped bounded-heap
+    * [[operators.TopK]] aggregation — O(64) state per partition,
+    * map-side partial heaps, no global sort of the corpus (the q44
+    * sampled-gate discipline: a `orderBy(abs).limit(64)` would plan a
+    * TakeOrdered over every scored row, which is fine, but the heap
+    * agg composes into further aggregations without a sort at all). */
+  def uncertaintySample(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = nbQualityClassifier(spark, sfDir)
+      .select(col("doc_id"), col("nb_score"))
+    scored
+      .agg(operators.TopK.topK(64)(
+        abs(col("nb_score")).cast("double"), col("doc_id"),
+        col("nb_score")).as("top"))
+      .select(posexplode(col("top")).as(Seq("i", "n")))
+      .select((col("i") + 1).cast("long").as("rank"),
+        col("n.id").as("doc_id"), col("n.label").as("nb_score"))
+  }
+
+  /** Per-DIMENSION embedding statistics — the feature-standardization
+    * pass every vector pipeline runs before quantization (q62) or IVF
+    * cell assignment (q39): per dimension, the exact integer
+    * sufficient statistics (n, Σx, Σx², min, max over milli-quantized
+    * values — the q81 sufficient-statistics discipline) plus derived
+    * mean and variance. A dimension whose variance collapses (dead
+    * feature) or whose range explodes (scaling bug upstream) is the
+    * audit signal; the stats table itself is the input to a
+    * standardize-then-quantize step.
+    *
+    * Determinism: values are milli-quantized ([[operators.SemDedup
+    * .quantizeMilli]]) so Σ and Σx² are exact 64-bit integers in any
+    * engine; mean is a single floored IEEE divide (exact per the FP
+    * rule — |Σ| ≪ 2⁵³); variance numerator `n·Σx² − (Σx)²` stays
+    * integer and non-negative, so integer DIV is engine-portable.
+    *
+    * Scale shape: one positional explode + a dim-keyed partial agg —
+    * output rows = vector dimensionality, independent of corpus size. */
+  def embeddingDimStats(spark: SparkSession, sfDir: String): DataFrame =
+    t(spark, sfDir, "embeddings")
+      .select(posexplode(
+        operators.SemDedup.quantizeMilli(col("embedding"))).as(Seq("dim", "x")))
+      .groupBy(col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sum_milli"),
+        sum(col("x") * col("x")).as("sumsq_milli"),
+        min(col("x")).as("min_milli"),
+        max(col("x")).as("max_milli"))
+      .select(col("dim"), col("n"), col("sum_milli"), col("sumsq_milli"),
+        col("min_milli"), col("max_milli"),
+        floor(col("sum_milli").cast("double") / col("n")).cast("long")
+          .as("mean_milli"),
+        expr("(n * sumsq_milli - sum_milli * sum_milli) DIV (n * n)")
+          .as("var_milli2"))
+
   /** Cluster-aware train/test split — the ACTION for q107's finding:
     * q107 measures how many near-dup pairs straddle a doc-hash split
     * (train/test leakage); this query prevents them BY CONSTRUCTION by

@@ -615,6 +615,33 @@ private[graft] trait OracleSqlD {
          SELECT cluster_id, CAST(cs AS BIGINT) AS cluster_size,
            doc_id AS keep_id, quality AS keep_quality
          FROM sel WHERE rn = 1""",
+    "q158_uncertainty_sample" ->
+      s"""$nbScoredSql,
+         r AS (
+           SELECT doc_id, nb_score,
+             row_number() OVER (ORDER BY abs(nb_score), doc_id) AS rank
+           FROM nbfinal)
+         SELECT CAST(rank AS BIGINT) AS rank, doc_id, nb_score
+         FROM r WHERE rank <= 64""",
+    "q159_dim_stats" ->
+      """WITH e AS (
+           SELECT unnest(list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))) AS x,
+             unnest(generate_series(1, len(embedding))) AS dimpos
+           FROM embeddings),
+         s AS (
+           SELECT CAST(dimpos - 1 AS BIGINT) AS dim,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sum_milli,
+             CAST(sum(x * x) AS BIGINT) AS sumsq_milli,
+             CAST(min(x) AS BIGINT) AS min_milli,
+             CAST(max(x) AS BIGINT) AS max_milli
+           FROM e GROUP BY 1)
+         SELECT dim, n, sum_milli, sumsq_milli, min_milli, max_milli,
+           CAST(floor(CAST(sum_milli AS DOUBLE) / n) AS BIGINT) AS mean_milli,
+           CAST((n * sumsq_milli - sum_milli * sum_milli) // (n * n)
+             AS BIGINT) AS var_milli2
+         FROM s""",
     "q156_capped_clusters" ->
       s"""WITH RECURSIVE $tokCte,
          $jaccardPairsCte,

@@ -28,6 +28,9 @@ import graft.operators.{Dedup, Knn}
   *    over precomputed signatures (SimHash / image dHash) — the
   *    ingest-time twin of the batch `hammingPairs`, emitting verified
   *    pairs (signatures are small enough to live in state).
+  *  - [[winnowDecontamStream]]: ingest-time eval-contamination flags —
+  *    per-row winnow fingerprinting probed against the static eval
+  *    index (the q148/q155 relation, evaluated at arrival).
   *  - [[semDedupStream]]: streaming semantic dedup against a static
   *    Lloyd codebook — per-cluster keyed state, the ingest-time twin
   *    of the batch `SemDedup.semDedup`.
@@ -160,6 +163,45 @@ object StreamingOps {
         Seq("fp"), "left_outer")
       .select(col(idCol), col("fp"), col("len"),
         coalesce(col("known"), lit(0L)).as("in_corpus"))
+  }
+
+  /** Streaming winnow DECONTAMINATION — the ingest-time twin of the
+    * batch q148/q155 scan: each arriving train doc is winnow-
+    * fingerprinted in place (a per-row projection — `array_distinct`
+    * BEFORE the explode keeps the fp set per doc, so no stream-side
+    * dedup state is needed) and probed against the STATIC eval-suite
+    * fingerprint index via a stream-static inner join (stateless);
+    * the per-doc shared-fp count is the one stateful step — a
+    * watermark-bounded tumbling-window aggregation (the
+    * [[ingestPipelineStream]] stage-4 discipline), finalized
+    * append-mode within ≤ 2× the configured delay. Emits
+    * `(doc_id, n_shared_fps)` per CONTAMINATED arrival — exactly
+    * q148's relation, evaluated at ingest instead of by corpus
+    * rescan. Eval-side fps are computed batch-side once per query
+    * start (a deployment reads the q155 parquet index here — same
+    * relation).
+    */
+  def winnowDecontamStream(
+      stream: DataFrame,
+      evalDocs: DataFrame,
+      tsCol: String,
+      watermarkDelay: String = "1 hour",
+      k: Int = 4,
+      w: Int = 4): DataFrame = {
+    import graft.functions.{TextFunctions, WinnowFingerprintsExpr}
+    import graft.operators.Winnow
+    val evalFps = Winnow.fingerprints(evalDocs, "doc_id", "text", k, w)
+      .select(col("fp")).distinct()
+    stream
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col("doc_id"), col(tsCol),
+        explode(array_distinct(WinnowFingerprintsExpr(
+          TextFunctions.tokenHashArray(TextFunctions.tokens(col("text"))),
+          k, w))).as("fp"))
+      .join(evalFps, Seq("fp"))
+      .groupBy(window(col(tsCol), watermarkDelay), col("doc_id"))
+      .agg(count(lit(1)).as("n_shared_fps"))
+      .select(col("doc_id"), col("n_shared_fps"))
   }
 
   /** The standing corpus's distinct chunk-fingerprint relation with a

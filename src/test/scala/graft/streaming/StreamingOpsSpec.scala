@@ -587,6 +587,47 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("winnowDecontamStream: contaminated arrivals flagged with q148's exact shared-fp counts") {
+    implicit val sqlCtx = spark.sqlContext
+    // eval doc plants a 12-token run; 101 embeds it mid-doc (≥ 7-token
+    // shared run ⇒ winnowing GUARANTEES a shared fingerprint at any
+    // alignment), 102 shares nothing
+    val evalRun = (1 to 12).map(i => s"e${i}v").mkString(" ")
+    val evalDocs = Seq((900L, evalRun)).toDF("doc_id", "text")
+    val contaminated = "lead tokens here then " + evalRun + " trailing bits"
+    val clean = (1 to 20).map(i => s"c${i}x").mkString(" ")
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamingOps.winnowDecontamStream(
+      in.toDF().toDF("doc_id", "text", "ts"), evalDocs, "ts")
+    val q = out.writeStream.format("memory").queryName("winnow_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        (101L, contaminated, ts("2024-01-01 10:00:00")),
+        (102L, clean, ts("2024-01-01 10:01:00")))
+      q.processAllAvailable()
+      in.addData((103L, clean + " later", ts("2024-01-01 14:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("winnow_stream")
+        .as[(Long, Long)].collect().toMap
+      // batch twin: the q148 shape on the same two relations
+      val batch = {
+        import graft.operators.Winnow
+        val ev = Winnow.fingerprints(evalDocs, "doc_id", "text")
+          .select(col("fp")).distinct()
+        Winnow.fingerprints(
+            Seq((101L, contaminated), (102L, clean)).toDF("doc_id", "text"),
+            "doc_id", "text")
+          .join(ev, Seq("fp"))
+          .groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+          .as[(Long, Long)].collect().toMap
+      }
+      assert(batch.contains(101L) && !batch.contains(102L), s"batch: $batch")
+      assert(got === batch,
+        s"stream flags must equal the batch q148 computation: $got vs $batch")
+    } finally q.stop()
+  }
+
   test("ingestPipelineStream: restart from checkpoint recovers dedup state, watermark, and emits exactly once") {
     // The one durability property the keyed-state paths pin that the
     // COMPOSED ingest pipeline didn't: kill the query mid-stream and
