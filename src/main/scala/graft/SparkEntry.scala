@@ -203,7 +203,9 @@ object Queries
     "q156_capped_clusters" -> (cappedNeardupClusters _),
     "q157_clustering_agreement" -> (clusteringAgreement _),
     "q158_uncertainty_sample" -> (uncertaintySample _),
-    "q159_dim_stats" -> (embeddingDimStats _))
+    "q159_dim_stats" -> (embeddingDimStats _),
+    "q160_source_copy_matrix" -> (sourceCopyMatrix _),
+    "q161_shingle_saturation" -> (shingleSaturation _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = {

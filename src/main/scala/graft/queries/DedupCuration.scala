@@ -997,6 +997,68 @@ private[graft] trait DedupCurationQueries extends QueryContext {
         col("n_clusters_exact"), col("n_clusters_capped"))
   }
 
+  /** Cross-source COPY matrix — dedup provenance: for every unordered
+    * source pair, how many near-dup pairs straddle it (and how many
+    * stay within one source — the diagonal). The table that answers
+    * "which feeds mirror which": a hot off-diagonal cell is two crawls
+    * of the same site (drop one feed), a hot diagonal cell is a
+    * self-duplicating source (templating). Rides q156's df-CAPPED
+    * discovery — the provenance audit must run at corpus scale, where
+    * the uncapped q17 join is quadratic (BASELINE round 11); sources
+    * are canonicalized `least/greatest` so the matrix is one triangle.
+    *
+    * Scale shape: the capped pair join + two shuffle-hash id→source
+    * probes + a source²-bounded partial agg. */
+  def sourceCopyMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val src = docs.select(col("doc_id"), col("source"))
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, minJaccardMicro = 500000L, maxDocFreq = Some(5L))
+    pairs
+      .join(src.select(col("doc_id").as("id1"), col("source").as("s1"))
+        .hint("shuffle_hash"), Seq("id1"))
+      .join(src.select(col("doc_id").as("id2"), col("source").as("s2"))
+        .hint("shuffle_hash"), Seq("id2"))
+      .groupBy(least(col("s1"), col("s2")).as("source_a"),
+        greatest(col("s1"), col("s2")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** Shingle SATURATION audit — the alarm that predicts exactly the
+    * failure the round-11 sf3 bench measured: once a corpus's distinct
+    * shingle count stops growing (tiny realized vocab, or boilerplate
+    * dominating a web crawl), per-shingle document frequency grows
+    * linearly with corpus size and every shingle-keyed discovery join
+    * (q17/q43) goes QUADRATIC. One row of integer health numbers:
+    * shingle occurrences vs distinct shingles (mean df), the max df,
+    * and the occurrence mass sitting in stop-shingles (df > 5 — the
+    * exact mass the q34/q156 cap drops, so `stop_mass_ppm` is also
+    * the cap's predicted recall exposure). Trended across snapshots,
+    * rising `mean_df_milli` at flat `n_distinct_shingles` is the
+    * signal to switch clustering from q43 to q156.
+    *
+    * Scale shape: one exploded distinct-(doc,shingle) stream, one
+    * partial-agged df count, one 1-row rollup — strictly cheaper than
+    * any discovery join it gates. */
+  def shingleSaturation(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val ex = docs.select(col("doc_id"),
+      explode(Dedup.shingleSet(col("text"), 3)).as("sh"))
+    val dfs = ex.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val nd = docs.select(count(lit(1)).as("n_docs"))
+    dfs.agg(
+        count(lit(1)).as("n_distinct_shingles"),
+        sum(col("df")).as("n_occurrences"),
+        max(col("df")).as("max_df"),
+        sum(when(col("df") > 5L, 1L).otherwise(0L)).as("n_stop_shingles"),
+        sum(when(col("df") > 5L, col("df")).otherwise(0L)).as("stop_occurrences"))
+      .crossJoin(broadcast(nd))
+      .select(col("n_docs"), col("n_distinct_shingles"), col("n_occurrences"),
+        col("max_df"), col("n_stop_shingles"), col("stop_occurrences"),
+        expr("(n_occurrences * 1000) DIV n_distinct_shingles").as("mean_df_milli"),
+        expr("(stop_occurrences * 1000000) DIV n_occurrences").as("stop_mass_ppm"))
+  }
+
   /** Near-dup cluster-size DISTRIBUTION — the dedup-health audit run
     * after clustering ([[neardupClusters]]): how many clusters exist at
     * each size, and how many docs they hold. The number ops teams watch

@@ -615,6 +615,39 @@ private[graft] trait OracleSqlD {
          SELECT cluster_id, CAST(cs AS BIGINT) AS cluster_size,
            doc_id AS keep_id, quality AS keep_quality
          FROM sel WHERE rn = 1""",
+    "q160_source_copy_matrix" ->
+      s"""WITH RECURSIVE $tokCte,
+         $jaccardPairsCte,
+         $cappedClusterCte
+         SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+         FROM cpairs p
+         JOIN documents da ON p.id1 = da.doc_id
+         JOIN documents db ON p.id2 = db.doc_id
+         GROUP BY 1, 2""",
+    "q161_shingle_saturation" ->
+      s"""WITH $tokCte,
+         $jaccardPairsCte,
+         sx AS (SELECT doc_id, unnest(sh) AS s FROM shh),
+         dfs AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM sx GROUP BY s),
+         nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_distinct_shingles,
+             CAST(sum(df) AS BIGINT) AS n_occurrences,
+             CAST(max(df) AS BIGINT) AS max_df,
+             CAST(sum(CASE WHEN df > 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_stop_shingles,
+             CAST(sum(CASE WHEN df > 5 THEN df ELSE 0 END) AS BIGINT)
+               AS stop_occurrences
+           FROM dfs)
+         SELECT n_docs, n_distinct_shingles, n_occurrences, max_df,
+           n_stop_shingles, stop_occurrences,
+           CAST((n_occurrences * 1000) // n_distinct_shingles AS BIGINT)
+             AS mean_df_milli,
+           CAST((stop_occurrences * 1000000) // n_occurrences AS BIGINT)
+             AS stop_mass_ppm
+         FROM agg, nd""",
     "q158_uncertainty_sample" ->
       s"""$nbScoredSql,
          r AS (

@@ -898,6 +898,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(p157.contains("ShuffledHashJoin"), p157.take(1200))
   }
 
+  test("q160/q161: capped provenance matrix and saturation audit ride keyed aggs; no Window") {
+    val p160 = planOf(Queries.sourceCopyMatrix(spark, sf))
+      .split("== Initial Plan ==")(0)
+    // the id→source probes are corpus-derived — shuffle-hash, never broadcast
+    assert(p160.contains("ShuffledHashJoin"), p160.take(1200))
+    assert(!p160.contains("BroadcastExchange"), p160.take(1200))
+    assert(!p160.contains("Window"), p160.take(1200))
+    val p161 = planOf(Queries.shingleSaturation(spark, sf))
+      .split("== Initial Plan ==")(0)
+    // one df count + a 1-row rollup; the only broadcast is the 1-row n_docs
+    assert(p161.contains("partial_count") || p161.contains("partial_sum"),
+      p161.take(1200))
+    assert(!p161.contains("Window"), p161.take(1200))
+    assert(!p161.contains("SortMergeJoin"), p161.take(1200))
+  }
+
   test("global-window census: q74 is the ONLY query planning a partition-less Window") {
     // A Window with an empty partitionSpec is a single-task sort of
     // the whole input — q74's global ntile carries it deliberately
