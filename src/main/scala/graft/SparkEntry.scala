@@ -205,7 +205,10 @@ object Queries
     "q158_uncertainty_sample" -> (uncertaintySample _),
     "q159_dim_stats" -> (embeddingDimStats _),
     "q160_source_copy_matrix" -> (sourceCopyMatrix _),
-    "q161_shingle_saturation" -> (shingleSaturation _))
+    "q161_shingle_saturation" -> (shingleSaturation _),
+    "q162_pq_encode" -> (pqEncode _),
+    "q163_pq_adc" -> (pqAdcTopK _),
+    "q164_pq_rerank" -> (pqRerank _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = {

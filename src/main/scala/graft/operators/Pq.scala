@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011) — THE vector-compression
+  * operator for corpus-scale ANN: split each `dim`-vector into `m`
+  * equal subvectors, learn an independent `k`-centroid codebook per
+  * subspace, and store each vector as `m` small codes (m·log₂k bits —
+  * 64 float dims → 4 bytes at m=4/k=16, a 64× compression) plus
+  * nothing else. Distances are then computed code-to-centroid
+  * (asymmetric distance computation, ADC): the query stays exact,
+  * every corpus vector is approximated by its per-subspace centroids,
+  * and the error is bounded by the per-subspace quantization error
+  * this module also measures.
+  *
+  * Everything reuses [[SemDedup]]'s deterministic integer Lloyd
+  * machinery (milli-quantization, smallest-id seeding, floored
+  * integer means, lexicographic argmin), so the ENTIRE train + encode
+  * + error pipeline replays bit-for-bit in the DuckDB oracle — the
+  * q127 discipline applied per subspace.
+  *
+  * Scale shape: training collects only `m·k·(dim/m) = k·dim` longs to
+  * the driver (the IVF-codebook rule; one corpus pass per subspace —
+  * m is small and fixed); encoding and reconstruction error are pure
+  * per-row projections against codebook literals (no join, no
+  * shuffle); ADC search is the q21 broadcast-query / streaming-corpus
+  * discipline with the bounded-heap [[TopK]] per query.
+  */
+object Pq {
+
+  /** Per-subspace deterministic Lloyd codebooks over the
+    * milli-quantized subvectors: `codebooks(s)` = the subspace-`s`
+    * `(code, centroid)` list. `k·dim` longs of driver traffic. */
+  def codebooks(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      k: Int,
+      iters: Int): Seq[Seq[(Long, Seq[Long])]] = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    (0 until m).map { s =>
+      SemDedup.lloydCentroids(
+        df.select(col(idCol).cast("long").as("id"),
+          slice(col(vecCol), s * sub + 1, sub).as("subv")),
+        "id", "subv", k, iters)
+    }
+  }
+
+  /** PQ-encode every vector and measure its reconstruction error:
+    * one row per vector — the `m` assigned codes plus
+    * `recon_err` = Σ over subspaces of the exact integer milli²
+    * squared distance to the assigned centroid. The error column is
+    * the operator's own quality audit (rising recon error at a fixed
+    * bit budget = the corpus outgrew the codebooks — retrain), and
+    * the codes table is what an ADC index stores.
+    */
+  def encodeWithError(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      k: Int,
+      iters: Int): DataFrame = {
+    val cbs = codebooks(df, idCol, vecCol, dim, m, k, iters)
+    encodeWith(df, idCol, vecCol, dim, cbs)
+  }
+
+  /** [[encodeWithError]] against already-trained codebooks (the
+    * build-once/encode-many split a deployment uses). */
+  def encodeWith(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      cbs: Seq[Seq[(Long, Seq[Long])]]): DataFrame = {
+    val m = cbs.size
+    val sub = dim / m
+    // milli subvectors must be NAMED attributes before the
+    // struct-argmin (the kmeansAssign analysis quirk)
+    val stage1 = df.select(
+      col(idCol).cast("long").as("vec_id") +:
+        (0 until m).map(s =>
+          SemDedup.quantizeMilli(slice(col(vecCol), s * sub + 1, sub))
+            .as(s"mv$s")): _*)
+    val stage2 = stage1.select(
+      col("vec_id") +:
+        (0 until m).flatMap(s => Seq(
+          col(s"mv$s"),
+          SemDedup.assignClusterMilli(col(s"mv$s"), cbs(s)).as(s"code$s"))): _*)
+    val err = (0 until m).map { s =>
+      SemDedup.sqDistInt(col(s"mv$s"),
+        element_at(typedLit(cbs(s).toMap), col(s"code$s")))
+    }.reduce(_ + _)
+    stage2.select(
+      col("vec_id") +:
+        (0 until m).map(s => col(s"code$s")) :+
+        err.as("recon_err"): _*)
+  }
+
+  /** ADC (asymmetric distance) top-`topK` search: queries stay exact
+    * (milli), corpus vectors are their codes — per pair the distance
+    * is Σ over subspaces of ||q_sub − centroid(code_s)||², i.e. the
+    * per-query lookup-table formulation inlined as codebook literals.
+    * Queries broadcast (bounded by construction), the coded corpus
+    * streams into the bounded-heap [[TopK]] — the q21 plan shape with
+    * a 64×-smaller corpus side, which is the whole point at 100 TB:
+    * the scan reads codes, not vectors.
+    *
+    * @return (query_id, rank, neighbor_id, adc_dist)
+    */
+  def adcTopK(
+      queries: DataFrame,
+      coded: DataFrame,
+      cbs: Seq[Seq[(Long, Seq[Long])]],
+      dim: Int,
+      topK: Int,
+      queryId: String,
+      queryVec: String): DataFrame = {
+    val m = cbs.size
+    val sub = dim / m
+    val q = queries.select(
+      col(queryId).cast("long").as("q_id") +:
+        (0 until m).map(s =>
+          SemDedup.quantizeMilli(slice(col(queryVec), s * sub + 1, sub))
+            .as(s"qv$s")): _*)
+    val dist = (0 until m).map { s =>
+      SemDedup.sqDistInt(col(s"qv$s"),
+        element_at(typedLit(cbs(s).toMap), col(s"code$s")))
+    }.reduce(_ + _)
+    coded.crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"), dist.as("adc"))
+      .groupBy(col("q_id").as("query_id"))
+      .agg(TopK.topK(topK)(col("adc").cast("double"), col("vec_id"),
+        col("vec_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "n")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("n.id").as("neighbor_id"), col("n.dist").cast("long").as("adc_dist"))
+  }
+}

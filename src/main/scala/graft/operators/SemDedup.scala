@@ -47,8 +47,10 @@ import graft.functions.VectorFunctions
   */
 object SemDedup {
 
-  /** Σ (aᵢ−bᵢ)² in exact long arithmetic (milli-quantized inputs). */
-  private def sqDistInt(a: Column, b: Column): Column =
+  /** Σ (aᵢ−bᵢ)² in exact long arithmetic (milli-quantized inputs).
+    * Shared with [[Pq]] (per-subspace assignment + reconstruction
+    * error run on the same integer contract). */
+  private[operators] def sqDistInt(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, v) => acc + v)
 

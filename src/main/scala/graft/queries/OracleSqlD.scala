@@ -163,6 +163,101 @@ private[graft] trait OracleSqlD {
                        ELSE least(m.mr, d.doc_id) END AS BIGINT) AS cluster_id
            FROM documents d LEFT JOIN cmins m ON d.doc_id = m.a)"""
 
+  /** One unrolled deterministic-Lloyd chain over the embedding
+    * SUBVECTOR `[lo:hi]` (the q127 oracle parameterized for PQ): seed
+    * from the k smallest-id subvectors, two assign+update rounds,
+    * final assignment — ends at `{p}a2(id, cid)` with live centroids
+    * `{p}c2(cid, cv)` and milli subvectors `{p}mv(id, mv)`. `where`
+    * restricts the training rows (q163 trains on the corpus split
+    * only). */
+  private def pqChainSql(p: String, lo: Int, hi: Int, k: Int,
+      where: String): String = {
+    val L = hi - lo + 1
+    def dStep(i: Int, cSrc: String): String =
+      s"""${p}d$i AS (
+           SELECT m.id, c.cid,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, $L),
+                 i -> (m.mv[i] - c.cv[i]) * (m.mv[i] - c.cv[i]))),
+               (x, y) -> x + y) AS d
+           FROM ${p}mv m CROSS JOIN $cSrc c),
+         ${p}a$i AS (SELECT id, cid FROM (
+             SELECT id, cid,
+               row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+             FROM ${p}d$i) WHERE rn = 1)"""
+    def cStep(i: Int, aPrev: String): String =
+      s"""${p}c$i AS (
+           SELECT cid, list(mj ORDER BY j) AS cv FROM (
+             SELECT a.cid, g.j,
+               CAST(floor(CAST(sum(m.mv[g.j]) AS DOUBLE) / count(*)) AS BIGINT)
+                 AS mj
+             FROM $aPrev a JOIN ${p}mv m USING (id)
+             CROSS JOIN (SELECT unnest(generate_series(1, $L)) AS j) g
+             GROUP BY a.cid, g.j) t
+           GROUP BY cid)"""
+    s"""${p}mv AS (
+           SELECT vec_id AS id,
+             list_transform(embedding[$lo:$hi],
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS mv
+           FROM embeddings $where),
+         ${p}c00 AS (SELECT id, mv FROM ${p}mv ORDER BY id LIMIT $k),
+         ${p}c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, mv AS cv
+                    FROM ${p}c00),
+         ${dStep(0, s"${p}c0")},
+         ${cStep(1, s"${p}a0")},
+         ${dStep(1, s"${p}c1")},
+         ${cStep(2, s"${p}a1")},
+         ${dStep(2, s"${p}c2")}"""
+  }
+
+  /** Per-subspace assignment + reconstruction-error CTE (`{p}e(id,
+    * cid, err)`) on top of [[pqChainSql]]'s endpoints. */
+  private def pqErrCte(p: String, L: Int): String =
+    s"""${p}e AS (
+           SELECT a.id, a.cid,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(generate_series(1, $L),
+                 j -> (m.mv[j] - c.cv[j]) * (m.mv[j] - c.cv[j]))),
+               (x, y) -> x + y) AS err
+           FROM ${p}a2 a JOIN ${p}mv m USING (id)
+           JOIN ${p}c2 c ON a.cid = c.cid)"""
+
+  // m = 8 subspaces of 8 dims, k = 64 codes (48-bit vectors, 42×
+  // compression) — chosen by the TunePq sweep: ADC-top-50 + exact
+  // re-rank recalls 0.90 of the exact top-5 at this budget
+  private val pqSubspaces: Seq[(String, Int, Int)] =
+    (0 until 8).map(s => (s"s$s", s * 8 + 1, (s + 1) * 8))
+  private val pqK = 64
+
+  /** The shared ADC candidate-distance CTE chain for q163/q164:
+    * trained-on-corpus chains + query subvectors + per-pair summed
+    * subspace distances `adc(qid, id, dist)`. */
+  private def pqAdcCtes(): String =
+    s"""${pqSubspaces.map { case (p, lo, hi) =>
+          pqChainSql(p, lo, hi, pqK, "WHERE vec_id % 10 <> 0") }
+          .mkString(",\n         ")},
+         qv AS (
+           SELECT vec_id AS qid,
+             ${pqSubspaces.map { case (p, lo, hi) =>
+               s"""list_transform(embedding[$lo:$hi],
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qm$p"""}
+               .mkString(",\n             ")}
+           FROM embeddings WHERE vec_id % 10 = 0),
+         adc AS (
+           SELECT q.qid, s0a2.id,
+             ${pqSubspaces.map { case (p, lo, hi) =>
+               s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(generate_series(1, ${hi - lo + 1}),
+                   j -> (q.qm$p[j] - ${p}cv.cv[j]) * (q.qm$p[j] - ${p}cv.cv[j]))),
+                 (x, y) -> x + y)"""}.mkString("\n             + ")}
+             AS dist
+           FROM qv q CROSS JOIN s0a2
+           ${pqSubspaces.drop(1).map { case (p, _, _) =>
+             s"JOIN ${p}a2 ON s0a2.id = ${p}a2.id" }.mkString("\n           ")}
+           ${pqSubspaces.map { case (p, _, _) =>
+             s"JOIN ${p}c2 ${p}cv ON ${p}a2.cid = ${p}cv.cid" }
+             .mkString("\n           ")})"""
+
   /** Shared winnowing CTE chain (q143 semantics): per-token polynomial
     * hashes → 4-gram rolling hashes → window-minimum fingerprints →
     * `fpx(doc_id, fp)` distinct. Shared with q145 so the two
@@ -615,6 +710,52 @@ private[graft] trait OracleSqlD {
          SELECT cluster_id, CAST(cs AS BIGINT) AS cluster_size,
            doc_id AS keep_id, quality AS keep_quality
          FROM sel WHERE rn = 1""",
+    "q162_pq_encode" ->
+      s"""WITH ${pqSubspaces.map { case (p, lo, hi) =>
+            pqChainSql(p, lo, hi, pqK, "") }.mkString(",\n         ")},
+         ${pqSubspaces.map { case (p, lo, hi) =>
+            pqErrCte(p, hi - lo + 1) }.mkString(",\n         ")}
+         SELECT s0e.id AS vec_id,
+           ${pqSubspaces.zipWithIndex.map { case ((p, _, _), i) =>
+             s"CAST(${p}e.cid AS BIGINT) AS code$i" }.mkString(",\n           ")},
+           CAST(${pqSubspaces.map { case (p, _, _) => s"${p}e.err" }
+             .mkString(" + ")} AS BIGINT) AS recon_err
+         FROM s0e ${pqSubspaces.drop(1).map { case (p, _, _) =>
+           s"JOIN ${p}e USING (id)" }.mkString(" ")}""",
+    "q163_pq_adc" ->
+      s"""WITH ${pqAdcCtes()},
+         r AS (
+           SELECT qid, id, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+           FROM adc)
+         SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank,
+           id AS neighbor_id, CAST(dist AS BIGINT) AS adc_dist
+         FROM r WHERE rank <= 5""",
+    "q164_pq_rerank" ->
+      s"""WITH ${pqAdcCtes()},
+         cand AS (
+           SELECT qid, id FROM (
+             SELECT qid, id,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+             FROM adc) WHERE rank <= 50),
+         ex AS (
+           SELECT c.qid, c.id,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_transform(generate_series(1, 64),
+                 i -> (CAST(qe.embedding[i] AS DOUBLE) - CAST(ie.embedding[i] AS DOUBLE))
+                   * (CAST(qe.embedding[i] AS DOUBLE) - CAST(ie.embedding[i] AS DOUBLE)))),
+               (x, y) -> x + y) AS dist
+           FROM cand c
+           JOIN embeddings qe ON c.qid = qe.vec_id
+           JOIN embeddings ie ON c.id = ie.vec_id),
+         rr AS (
+           SELECT qid, id, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+           FROM ex)
+         SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank,
+           id AS neighbor_id,
+           CAST(floor(dist * 1000000.0) AS BIGINT) AS dist_micro
+         FROM rr WHERE rank <= 5""",
     "q160_source_copy_matrix" ->
       s"""WITH RECURSIVE $tokCte,
          $jaccardPairsCte,

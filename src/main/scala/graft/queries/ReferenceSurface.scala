@@ -283,6 +283,78 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
       floor(col("hits") * 1000000.0 / col("possible")).cast("long").as("recall_micro"))
   }
 
+  /** Product quantization ([[operators.Pq]]): every embedding encoded
+    * as 8 subspace codes (8×8 dims, 64 centroids each — 48-bit codes,
+    * 42× compression; parameters from the `TunePq` sweep) with its
+    * exact integer reconstruction error. The gate replays the WHOLE
+    * pipeline in the oracle — eight independent unrolled
+    * deterministic-Lloyd chains (the q127 discipline per subspace),
+    * assignment ties, and the milli² error arithmetic — so codebook
+    * training, encoding, and the quality audit are all hash-pinned. */
+  def pqEncode(spark: SparkSession, sfDir: String): DataFrame =
+    operators.Pq.encodeWithError(t(spark, sfDir, "embeddings"),
+      "vec_id", "embedding", dim = 64, m = 8, k = 64, iters = 2)
+
+  /** PQ asymmetric-distance (ADC) top-5 — the search the codes exist
+    * for: queries stay exact, the corpus side is its 48-bit codes
+    * (trained on the corpus split only — queries never leak into the
+    * codebooks), per-pair distance = Σ per-subspace ||q_sub −
+    * centroid(code)||² in exact longs. Same broadcast-query /
+    * streaming-corpus / bounded-heap plan as q21 but scanning codes
+    * instead of vectors — the 42×-smaller scan IS the operator's
+    * value at 100 TB. Deterministic end to end, so the gate pins the
+    * SEARCH RESULTS, not just a recall summary; q164 adds the exact
+    * re-rank that makes the candidates production-grade. */
+  def pqAdcTopK(spark: SparkSession, sfDir: String): DataFrame = {
+    val (q, coded, cbs) = pqSearchParts(spark, sfDir)
+    operators.Pq.adcTopK(q, coded, cbs,
+      dim = 64, topK = 5, "vec_id", "embedding")
+  }
+
+  /** PQ candidates + EXACT re-rank — the IVF-PQ deployment pattern:
+    * ADC proposes a wide top-50 from the compressed scan, exact float
+    * squared-Euclidean re-scores only those 50 per query, the final
+    * top-5 ships. Measured by `TunePq`: recall@5 vs exact = 0.90 at
+    * this bit budget where raw ADC is 0.36 — the re-rank is where PQ
+    * earns its compression. The re-rank join touches 50 vectors per
+    * query (not the corpus), so the full-vector relation is read
+    * ~50·|Q| rows regardless of corpus size. */
+  def pqRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorFunctions
+    val emb = t(spark, sfDir, "embeddings")
+    val (q, coded, cbs) = pqSearchParts(spark, sfDir)
+    val cand = operators.Pq.adcTopK(q, coded, cbs,
+        dim = 64, topK = 50, "vec_id", "embedding")
+      .select(col("query_id").as("q_id"), col("neighbor_id").as("i_id"))
+    cand
+      .join(q.select(col("vec_id").as("q_id"), col("embedding").as("qe")), "q_id")
+      .join(emb.select(col("vec_id").as("i_id"), col("embedding").as("ie"))
+        .hint("shuffle_hash"), "i_id")
+      .select(col("q_id"),
+        VectorFunctions.squaredEuclidean(col("qe"), col("ie")).as("dist"),
+        col("i_id"))
+      .groupBy(col("q_id").as("query_id"))
+      .agg(operators.TopK.topK(5)(col("dist"), col("i_id"), col("i_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "n")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("n.id").as("neighbor_id"),
+        floor(col("n.dist") * 1000000.0).cast("long").as("dist_micro"))
+  }
+
+  /** Shared q163/q164 pieces: the query split, the coded corpus, and
+    * the corpus-trained codebooks (one definition — the two gates
+    * cannot drift). */
+  private def pqSearchParts(spark: SparkSession, sfDir: String) = {
+    import operators.Pq
+    val emb = t(spark, sfDir, "embeddings")
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val cbs = Pq.codebooks(corpus, "vec_id", "embedding",
+      dim = 64, m = 8, k = 64, iters = 2)
+    val coded = Pq.encodeWith(corpus, "vec_id", "embedding", 64, cbs)
+      .select(col("vec_id") +: (0 until 8).map(s => col(s"code$s")): _*)
+    (emb.filter(col("vec_id") % 10 === 0), coded, cbs)
+  }
+
   // ---------------------------------------------------------------------
   // Relational surface beyond the reference (sorts, set ops, semi/anti,
   // grouping sets, time windows) — all built-in Catalyst

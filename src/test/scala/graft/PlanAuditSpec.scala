@@ -914,6 +914,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p161.contains("SortMergeJoin"), p161.take(1200))
   }
 
+  test("q162-q164 PQ: encode is a pure projection; ADC is broadcast-query + partial top-k") {
+    // encode: codebooks are driver literals, so the encoding plan is a
+    // single projection over the scan — no join, no exchange at all
+    val p162 = planOf(Queries.pqEncode(spark, sf))
+    assert(!p162.contains("Join"), p162.take(1000))
+    assert(!p162.contains("Exchange"), p162.take(1000))
+    // ADC: q21's shape — bounded queries broadcast, coded corpus
+    // streams into the bounded-heap partial aggregation
+    val p163 = planOf(Queries.pqAdcTopK(spark, sf))
+    assert(p163.contains("BroadcastNestedLoopJoin"), p163.take(1200))
+    assert(p163.toLowerCase.contains("partial_topkaggregator"), p163.take(1200))
+    // re-rank: the full-vector relation joins candidates shuffle-hash
+    // (corpus-derived), then the same bounded heap
+    val p164 = planOf(Queries.pqRerank(spark, sf))
+      .split("== Initial Plan ==")(0)
+    assert(p164.contains("ShuffledHashJoin"), p164.take(1200))
+    assert(!p164.contains("Window"), p164.take(1200))
+  }
+
   test("global-window census: q74 is the ONLY query planning a partition-less Window") {
     // A Window with an empty partitionSpec is a single-task sort of
     // the whole input — q74's global ntile carries it deliberately
