@@ -208,7 +208,8 @@ object Queries
     "q161_shingle_saturation" -> (shingleSaturation _),
     "q162_pq_encode" -> (pqEncode _),
     "q163_pq_adc" -> (pqAdcTopK _),
-    "q164_pq_rerank" -> (pqRerank _))
+    "q164_pq_rerank" -> (pqRerank _),
+    "q165_pq_persisted" -> (pqAdcPersisted _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = {
@@ -221,6 +222,7 @@ object Queries
     // decontamination from the parquet winnow index.
     base + ("q146_ivf_persisted" -> base("q39_ann_ivf")) +
       ("q152_cluster_index" -> base("q43_neardup_clusters")) +
-      ("q155_winnow_index" -> base("q148_winnow_decontam"))
+      ("q155_winnow_index" -> base("q148_winnow_decontam")) +
+      ("q165_pq_persisted" -> base("q163_pq_adc"))
   }
 }

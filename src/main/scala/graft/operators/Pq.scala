@@ -103,6 +103,58 @@ object Pq {
         err.as("recon_err"): _*)
   }
 
+  /** Build the PQ index as a persisted ARTIFACT (the q146 IVF / q152
+    * clustering discipline): codebooks (m·k rows of (subspace, code,
+    * centroid)) + the coded corpus (one row of m codes per vector) as
+    * one atomically-published parquet tree. At 100 TB the coded
+    * relation is the ~42×-compressed scan every ADC query reads —
+    * re-deriving it per query batch would re-pay the full-vector
+    * corpus pass the compression exists to avoid. */
+  def buildIndex(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      k: Int,
+      iters: Int,
+      path: String): Unit = {
+    import df.sparkSession.implicits._
+    val cbs = codebooks(df, idCol, vecCol, dim, m, k, iters)
+    graft.sources.Artifacts.publishTree(df.sparkSession, path) { build =>
+      cbs.zipWithIndex
+        .flatMap { case (cb, s) => cb.map { case (code, cv) => (s, code, cv) } }
+        .toDF("subspace", "code", "cv")
+        .coalesce(1).write.parquet(s"$build/codebooks")
+      encodeWith(df, idCol, vecCol, dim, cbs)
+        .drop("recon_err")
+        .write.parquet(s"$build/codes")
+    }
+  }
+
+  /** ADC search served from a [[buildIndex]] artifact: the codebooks
+    * (m·k·dim/m longs — a few KB) are collected and inlined as
+    * literals exactly like the inline path; the coded relation is
+    * scanned from parquet. Bit-equal to [[adcTopK]] over the same
+    * training corpus (the q146/q152 shared-oracle contract). */
+  def adcTopKFromIndex(
+      queries: DataFrame,
+      path: String,
+      dim: Int,
+      topK: Int,
+      queryId: String,
+      queryVec: String): DataFrame = {
+    val spark = queries.sparkSession
+    val cbs: Seq[Seq[(Long, Seq[Long])]] =
+      spark.read.parquet(s"$path/codebooks")
+        .orderBy(col("subspace"), col("code")).collect()
+        .map(r => (r.getInt(0), (r.getLong(1), r.getSeq[Long](2).toSeq)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.map(_._2).toSeq)
+    adcTopK(queries, spark.read.parquet(s"$path/codes"), cbs,
+      dim, topK, queryId, queryVec)
+  }
+
   /** ADC (asymmetric distance) top-`topK` search: queries stay exact
     * (milli), corpus vectors are their codes — per pair the distance
     * is Σ over subspaces of ||q_sub − centroid(code_s)||², i.e. the

@@ -341,6 +341,24 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
         floor(col("n.dist") * 1000000.0).cast("long").as("dist_micro"))
   }
 
+  /** q163's ADC search served from a PERSISTED PQ index — the q146/
+    * q152/q155 artifact discipline applied to the compressed-corpus
+    * relation: build once per corpus (codebooks + codes,
+    * atomically published), probe per query batch from the 42×-smaller
+    * parquet scan. Shares q163's oracle VERBATIM, so any index
+    * round-trip drift is a hash flip against the same ground truth. */
+  def pqAdcPersisted(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.Artifacts
+    import operators.Pq
+    val emb = t(spark, sfDir, "embeddings")
+    val path = Artifacts.ensure("pq_index", sfDir) { p =>
+      Pq.buildIndex(emb.filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", dim = 64, m = 8, k = 64, iters = 2, p)
+    }
+    Pq.adcTopKFromIndex(emb.filter(col("vec_id") % 10 === 0), path,
+      dim = 64, topK = 5, "vec_id", "embedding")
+  }
+
   /** Shared q163/q164 pieces: the query split, the coded corpus, and
     * the corpus-trained codebooks (one definition — the two gates
     * cannot drift). */

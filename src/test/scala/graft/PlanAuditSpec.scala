@@ -931,6 +931,13 @@ class PlanAuditSpec extends SparkSpec {
       .split("== Initial Plan ==")(0)
     assert(p164.contains("ShuffledHashJoin"), p164.take(1200))
     assert(!p164.contains("Window"), p164.take(1200))
+    // persisted index: the corpus side is the parquet CODES scan (no
+    // full-vector scan, no re-encode lineage), same search shape
+    val p165 = planOf(Queries.pqAdcPersisted(spark, sf))
+    assert(p165.contains("BroadcastNestedLoopJoin"), p165.take(1200))
+    assert(p165.toLowerCase.contains("partial_topkaggregator"), p165.take(1200))
+    assert("ReadSchema:[^\\n]*code0".r.findFirstIn(p165).isDefined,
+      "the ADC probe must scan the persisted codes relation")
   }
 
   test("global-window census: q74 is the ONLY query planning a partition-less Window") {
