@@ -209,7 +209,8 @@ object Queries
     "q162_pq_encode" -> (pqEncode _),
     "q163_pq_adc" -> (pqAdcTopK _),
     "q164_pq_rerank" -> (pqRerank _),
-    "q165_pq_persisted" -> (pqAdcPersisted _))
+    "q165_pq_persisted" -> (pqAdcPersisted _),
+    "q166_incr_cluster_merge" -> (incrClusterMerge _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = {
@@ -223,6 +224,9 @@ object Queries
     base + ("q146_ivf_persisted" -> base("q39_ann_ivf")) +
       ("q152_cluster_index" -> base("q43_neardup_clusters")) +
       ("q155_winnow_index" -> base("q148_winnow_decontam")) +
-      ("q165_pq_persisted" -> base("q163_pq_adc"))
+      ("q165_pq_persisted" -> base("q163_pq_adc")) +
+      // q166's incremental merge must equal a FULL rebuild — the
+      // bit-equality contract of clustering maintenance
+      ("q166_incr_cluster_merge" -> base("q43_neardup_clusters"))
   }
 }

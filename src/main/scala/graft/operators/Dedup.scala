@@ -194,6 +194,49 @@ object Dedup {
     }
   }
 
+  /** EXACT cross-side Jaccard pairs — every (batch doc, corpus doc)
+    * pair sharing ≥ 1 shingle, scored exactly like [[jaccardPairs]],
+    * canonicalized `id1 < id2`. The exact counterpart of
+    * [[lshDedupAgainst]]'s banded discovery, for consumers that need
+    * the FULL pair set a whole-corpus run would find restricted to
+    * pairs touching the batch (incremental clustering maintenance —
+    * the bit-equality contract of q166 — needs exactness; ingest
+    * FILTERING should keep using the banded path). The two sides must
+    * be id-disjoint (a shared id would pair with itself's twin rows);
+    * within-batch pairs come from [[jaccardPairs]] on the batch alone.
+    *
+    * Scale shape: shingle-keyed cross-side equi-join — shuffle =
+    * batch shingles + corpus shingles, fan-out bounded by real
+    * per-shingle collisions (the [[jaccardPairs]] skew warning
+    * applies; at saturated-shingle scale use the banded path).
+    */
+  def jaccardPairsAgainst(
+      batch: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      minJaccardMicro: Long = 500000L): DataFrame = {
+    def ex(df: DataFrame) =
+      df.repartition(computeParallelism(df), col(idCol))
+        .select(col(idCol).cast("long").as("id"),
+          shingleSet(col(textCol), shingleN).as("sh"))
+        .select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+        .hint("shuffle_hash")
+    ex(batch).as("a")
+      .join(ex(corpus).as("b"), col("a.s") === col("b.s"))
+      .groupBy(
+        least(col("a.id"), col("b.id")).as("id1"),
+        greatest(col("a.id"), col("b.id")).as("id2"),
+        when(col("a.id") < col("b.id"), col("a.n")).otherwise(col("b.n")).as("na"),
+        when(col("a.id") < col("b.id"), col("b.n")).otherwise(col("a.n")).as("nb"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("jac_micro",
+        floor(col("c") * lit(1000000.0) / (col("na") + col("nb") - col("c"))).cast("long"))
+      .filter(col("jac_micro") >= minJaccardMicro)
+      .select(col("id1"), col("id2"), col("jac_micro"))
+  }
+
   /** MinHash signature from a *precomputed* distinct-shingle-hash array
     * column: `numHashes` permutations `hᵢ(s) = ((2i+1)·s + i·1000003)
     * mod P`; element i of the result is `min hᵢ`. One fused codegen

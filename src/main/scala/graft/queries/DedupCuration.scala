@@ -970,6 +970,52 @@ private[graft] trait DedupCurationQueries extends QueryContext {
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
+  /** INCREMENTAL clustering maintenance — merge an ingest batch into
+    * an existing clustering WITHOUT re-running pair discovery over the
+    * standing corpus, and prove the result identical to a full rebuild
+    * (this query shares q43's oracle VERBATIM — the merge is
+    * bit-equal to clustering the whole corpus from scratch, which is
+    * the correctness contract incremental maintenance must meet).
+    *
+    * Why it works: the standing clustering's `(cluster_id, id)`
+    * assignments are a spanning set of edges for every old component,
+    * so connected components over `old-assignment edges ∪ pairs
+    * touching the batch` equals components over ALL pairs — two old
+    * docs connected only through a new doc still merge via their
+    * batch edges, and old-old connectivity is preserved by the
+    * assignment edges. Pair discovery therefore runs only on
+    * within-batch ([[Dedup.jaccardPairs]] on the batch) and
+    * batch-vs-corpus ([[Dedup.jaccardPairsAgainst]], exact) — at a
+    * 1% ingest rate that is ~1% of the full discovery's shuffle; the
+    * old side contributes one already-computed assignment relation
+    * (in deployment: the q152 artifact of the PREVIOUS snapshot).
+    *
+    * Batch split = the q85/q106 ingest convention (`doc_id % 5 == 0`).
+    */
+  def incrClusterMerge(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val old = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val oldEdges = Dedup.nearDupClusters(
+        Dedup.jaccardPairs(old, "doc_id", "text",
+          shingleN = 3, minJaccardMicro = 500000L))
+      .filter(col("cluster_id") =!= col("id"))
+      .select(col("cluster_id").as("id1"), col("id").as("id2"))
+    val withinBatch = Dedup.jaccardPairs(batch, "doc_id", "text",
+        shingleN = 3, minJaccardMicro = 500000L)
+      .select(col("id1"), col("id2"))
+    val crossPairs = Dedup.jaccardPairsAgainst(batch, old, "doc_id", "text",
+        shingleN = 3, minJaccardMicro = 500000L)
+      .select(col("id1"), col("id2"))
+    val merged = Dedup.nearDupClusters(
+      oldEdges.unionAll(withinBatch).unionAll(crossPairs))
+    docs.select(col("doc_id"))
+      .join(merged.select(col("id").as("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
   /** Exact-vs-capped clustering AGREEMENT audit — the number that
     * licenses running q156 instead of q43 in production: for every
     * doc, do the two clusterings elect the same representative
