@@ -32,7 +32,19 @@ object Pq {
 
   /** Per-subspace deterministic Lloyd codebooks over the
     * milli-quantized subvectors: `codebooks(s)` = the subspace-`s`
-    * `(code, centroid)` list. `k·dim` longs of driver traffic. */
+    * `(code, centroid)` list. `k·dim` longs of driver traffic.
+    *
+    * All `m` subspaces train FUSED in one job chain — one exploded
+    * `(id, s, mv)` relation persisted once, one assignment+update agg
+    * per Lloyd round covering every subspace (grouped on `(s,
+    * cluster, pos)`) — instead of `m` independent chains each paying
+    * seed/iterate jobs; at m=8 that is 4 corpus-touching jobs instead
+    * of 32. Bit-identical to running [[SemDedup.lloydCentroids]] per
+    * subspace ([[PqSpec]] pins it; the q162 oracle replays the
+    * per-subspace formulation): the k smallest ids seed EVERY
+    * subspace (every id carries all m subvectors), assignment argmin,
+    * floored integer means, and per-subspace cluster death all
+    * commute with the fusion. */
   def codebooks(
       df: DataFrame,
       idCol: String,
@@ -42,13 +54,55 @@ object Pq {
       k: Int,
       iters: Int): Seq[Seq[(Long, Seq[Long])]] = {
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(k >= 1 && iters >= 0)
     val sub = dim / m
-    (0 until m).map { s =>
-      SemDedup.lloydCentroids(
-        df.select(col(idCol).cast("long").as("id"),
-          slice(col(vecCol), s * sub + 1, sub).as("subv")),
-        "id", "subv", k, iters)
-    }
+    import org.apache.spark.storage.StorageLevel
+    val milli = df
+      .select(col(idCol).cast("long").as("id"),
+        array((0 until m).map(s =>
+          SemDedup.quantizeMilli(slice(col(vecCol), s * sub + 1, sub))): _*)
+          .as("subs"))
+      .select(col("id"), posexplode(col("subs")).as(Seq("s", "mv")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      // seed: the k smallest-id rows of EVERY subspace are the same k
+      // ids — one collect returns all m seed codebooks
+      var cbs: Seq[Seq[(Long, Seq[Long])]] = {
+        val seeds = milli.orderBy(col("id"), col("s")).limit(k * m).collect()
+        (0 until m).map { s =>
+          seeds.filter(_.getInt(1) == s).sortBy(_.getLong(0)).take(k)
+            .zipWithIndex
+            .map { case (r, i) => (i.toLong, r.getSeq[Long](2).toSeq) }
+            .toSeq
+        }
+      }
+      def assignExpr(cs: Seq[Seq[(Long, Seq[Long])]]): Column =
+        (0 until m).foldLeft(lit(-1L)) { (acc, s) =>
+          when(col("s") === s,
+            SemDedup.assignClusterMilli(col("mv"), cs(s))).otherwise(acc)
+        }
+      for (_ <- 1 to iters) {
+        cbs = {
+          val rows = milli
+            .select(col("s"), col("mv"), assignExpr(cbs).as("cluster"))
+            .select(col("s"), col("cluster"), posexplode(col("mv")).as(Seq("pos", "x")))
+            .groupBy(col("s"), col("cluster"), col("pos"))
+            .agg(sum(col("x")).as("sum"), count(lit(1)).as("n"))
+            .select(col("s"), col("cluster"), col("pos"),
+              floor(col("sum").cast("double") / col("n")).cast("long").as("mval"))
+            .collect()
+          (0 until m).map { s =>
+            rows.filter(_.getInt(0) == s)
+              .groupBy(_.getLong(1))
+              .map { case (cid, rs) =>
+                (cid, rs.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq)
+              }
+              .toSeq.sortBy(_._1)
+          }
+        }
+      }
+      cbs
+    } finally milli.unpersist()
   }
 
   /** PQ-encode every vector and measure its reconstruction error:

@@ -322,8 +322,11 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
   def pqRerank(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.VectorFunctions
     val emb = t(spark, sfDir, "embeddings")
-    val (q, coded, cbs) = pqSearchParts(spark, sfDir)
-    val cand = operators.Pq.adcTopK(q, coded, cbs,
+    val q = emb.filter(col("vec_id") % 10 === 0)
+    // candidates from the SHARED persisted index (the q165 artifact,
+    // bit-equal to inline by its own gate) — the deployment reads the
+    // index it already has rather than retraining codebooks per batch
+    val cand = operators.Pq.adcTopKFromIndex(q, pqIndexPath(spark, sfDir),
         dim = 64, topK = 50, "vec_id", "embedding")
       .select(col("query_id").as("q_id"), col("neighbor_id").as("i_id"))
     cand
@@ -348,20 +351,26 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
     * parquet scan. Shares q163's oracle VERBATIM, so any index
     * round-trip drift is a hash flip against the same ground truth. */
   def pqAdcPersisted(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.sources.Artifacts
     import operators.Pq
     val emb = t(spark, sfDir, "embeddings")
-    val path = Artifacts.ensure("pq_index", sfDir) { p =>
-      Pq.buildIndex(emb.filter(col("vec_id") % 10 =!= 0),
-        "vec_id", "embedding", dim = 64, m = 8, k = 64, iters = 2, p)
-    }
-    Pq.adcTopKFromIndex(emb.filter(col("vec_id") % 10 === 0), path,
-      dim = 64, topK = 5, "vec_id", "embedding")
+    Pq.adcTopKFromIndex(emb.filter(col("vec_id") % 10 === 0),
+      pqIndexPath(spark, sfDir), dim = 64, topK = 5, "vec_id", "embedding")
   }
 
-  /** Shared q163/q164 pieces: the query split, the coded corpus, and
-    * the corpus-trained codebooks (one definition — the two gates
-    * cannot drift). */
+  /** The per-corpus PQ index artifact (one build per run, shared by
+    * q164/q165 — one definition, the gates cannot drift). */
+  private def pqIndexPath(spark: SparkSession, sfDir: String): String = {
+    import graft.sources.Artifacts
+    Artifacts.ensure("pq_index", sfDir) { p =>
+      operators.Pq.buildIndex(
+        t(spark, sfDir, "embeddings").filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", dim = 64, m = 8, k = 64, iters = 2, p)
+    }
+  }
+
+  /** Shared q163 pieces: the query split, the coded corpus, and the
+    * corpus-trained codebooks (inline — q163 is the DEFINITION the
+    * persisted q165 is gated against). */
   private def pqSearchParts(spark: SparkSession, sfDir: String) = {
     import operators.Pq
     val emb = t(spark, sfDir, "embeddings")

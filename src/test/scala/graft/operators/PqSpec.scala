@@ -55,6 +55,18 @@ class PqSpec extends SparkSpec {
     assert(top == Seq(0L, 1L, 2L), top)
   }
 
+  test("fused training is bit-identical to per-subspace lloydCentroids") {
+    val fused = Pq.codebooks(corpus, "vec_id", "embedding",
+      dim = 4, m = 2, k = 2, iters = 2)
+    val perSub = (0 until 2).map { s =>
+      SemDedup.lloydCentroids(
+        corpus.select(col("vec_id").as("id"),
+          slice(col("embedding"), s * 2 + 1, 2).as("subv")),
+        "id", "subv", k = 2, iters = 2)
+    }
+    assert(fused == perSub)
+  }
+
   test("m must divide dim") {
     intercept[IllegalArgumentException] {
       Pq.codebooks(corpus, "vec_id", "embedding", dim = 4, m = 3, k = 2, iters = 1)
