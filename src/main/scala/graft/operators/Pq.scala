@@ -230,16 +230,43 @@ object Pq {
       queryVec: String): DataFrame = {
     val m = cbs.size
     val sub = dim / m
-    val q = queries.select(
+    val k = cbs.map(_.map(_._1).max).max.toInt + 1
+    // the TEXTBOOK ADC split: each query precomputes its m lookup
+    // tables — LUT_s[cid] = ||q_sub − centroid_cid||², k·m longs per
+    // query, built ONCE per query row from the codebook literals —
+    // and the per-PAIR distance collapses to m array indexes + adds.
+    // Folding the codebook into the pair expression instead (the
+    // naive formulation) pays k centroid probes per subspace per
+    // PAIR: measured 5× slower at sf1. Dead centroids (cluster
+    // death) leave a 0 slot no live code ever indexes.
+    val q0 = queries.select(
       col(queryId).cast("long").as("q_id") +:
         (0 until m).map(s =>
           SemDedup.quantizeMilli(slice(col(queryVec), s * sub + 1, sub))
             .as(s"qv$s")): _*)
+    val q = q0.select(
+      col("q_id") +:
+        (0 until m).map { s =>
+          val live = cbs(s).toMap
+          array((0 until k).map { cid =>
+            live.get(cid.toLong)
+              .map(cv => SemDedup.sqDistInt(col(s"qv$s"), typedLit(cv)))
+              .getOrElse(lit(0L))
+          }: _*).as(s"lut$s")
+        }: _*)
     val dist = (0 until m).map { s =>
-      SemDedup.sqDistInt(col(s"qv$s"),
-        element_at(typedLit(cbs(s).toMap), col(s"code$s")))
+      element_at(col(s"lut$s"), col(s"code$s").cast("int") + 1)
     }.reduce(_ + _)
-    coded.crossJoin(broadcast(q))
+    // pin full parallelism on the coded side BEFORE the fan-out: the
+    // codes relation is tiny in BYTES (that is the point of PQ), so
+    // both the scan split count and AQE's byte-based coalescing put
+    // the whole ×|Q| ADC fan-out into one task (observed: a single
+    // task carrying the entire sf1 search; the
+    // Dedup.computeParallelism discipline)
+    coded
+      .repartition(coded.sparkSession.sparkContext.defaultParallelism,
+        col("vec_id"))
+      .crossJoin(broadcast(q))
       .select(col("q_id"), col("vec_id"), dist.as("adc"))
       .groupBy(col("q_id").as("query_id"))
       .agg(TopK.topK(topK)(col("adc").cast("double"), col("vec_id"),
