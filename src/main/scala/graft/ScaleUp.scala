@@ -149,52 +149,60 @@ object ScaleUp {
   private val RenameFixed: Set[String] =
     graft.functions.TextFunctions.EnglishStopwords.toSet ++
       graft.functions.TextFunctions.LangMarkers.flatMap(_._2) ++
-      Set("the", "a", "an", "of", "and", "is", "in", "to", "it", "that") ++
-      Set("slow", "drop", "error")
+      graft.functions.TextFunctions.BlocklistTerms
 
   /** Per-GENERATION vocabulary renames for reps > 12 (see
-    * [[scaleDocuments]]): generation g ≥ 1 permutes each same-LENGTH
-    * class of the corpus's realized vocabulary by the AFFINE map
-    * `i → i·u_g + g  (mod s)` over the class's sorted index space
-    * (s = class size, u_g = the g-th unit ≥ 2 of ℤ/s), leaving
-    * [[RenameFixed]] words and singleton classes in place.
+    * [[scaleDocuments]]): generation g ≥ 1 permutes the first `p`
+    * words of each same-LENGTH class of the corpus's realized
+    * vocabulary — `p` = the largest PRIME ≤ the class size — by the
+    * affine map `i → i·(g+1) + g  (mod p)` over the sorted index
+    * space, leaving [[RenameFixed]] words, singleton classes, and the
+    * (size − p) class remainder in place.
     *
     * Length preservation keeps per-doc char sums and mean word length
     * exact; each map is a bijection, so corpus-wide df profiles are
-    * permuted among same-length words, not changed. The STRIDE is what
-    * distinct generations cannot share (u_g pairwise distinct mod s,
-    * and never 1): a plain rotation (stride 1) maps consecutive
+    * permuted among same-length words, not changed. The STRIDE is
+    * what distinct generations cannot share (g+1, pairwise distinct,
+    * never 1): a plain rotation (stride 1) maps consecutive
     * sorted-class indices to consecutive indices, so a corpus whose
     * texts enumerate the vocabulary in order would keep ~all its
     * shingles across generations; distinct strides map a consecutive
     * run to runs of different spacing, which can never coincide as an
-    * ordered 3-gram. Two affine maps agree on at most ONE index per
-    * class (their difference is affine with a unit slope), so two
-    * generations share at most one movable word per length class —
-    * a shared 3-gram needs three consecutive tokens drawn from that
-    * handful plus the fixed stopwords, far below any near-dup gate
-    * (spec-asserted, including on an adversarial enumerating corpus).
-    * The realized vocabulary is vocab-bounded driver traffic (the BPE
-    * wordTable rule). */
+    * ordered 3-gram. The PRIME modulus is what makes the agreement
+    * bound real: two maps `i·u+g` and `i·u'+g'` agree where
+    * `(u−u')·i ≡ g'−g (mod p)` — over a prime, a nonzero slope has
+    * EXACTLY one solution (and vs the gen-0 identity, slope
+    * `u−1 = g ≠ 0` likewise), whereas over a composite s the slope
+    * can share a factor with s and the maps agree on gcd(u−u', s)
+    * indices (e.g. s=15, strides 2 and 8: three shared words).
+    * So any two generations share AT MOST one movable word per class
+    * plus the fixed/remainder words — a cross-generation 3-gram
+    * needs three consecutive tokens from that handful, far below any
+    * near-dup gate (spec-asserted, including on an adversarial
+    * enumerating corpus). The realized vocabulary is vocab-bounded
+    * driver traffic (the BPE wordTable rule). */
   private[graft] def vocabRenames(src: DataFrame, maxGen: Int): Seq[Map[String, String]] = {
     val vocab = src.select(explode(split(col("text"), " ")).as("t"))
       .distinct().collect().map(_.getString(0)).filter(_.nonEmpty).sorted.toSeq
     val classes = vocab.filterNot(RenameFixed)
       .groupBy(_.length).values.map(_.sorted).toSeq
-    val movable = classes.filter(_.size >= 2)
-    def units(s: Int): Seq[Int] =
-      (2 until s).filter(u => BigInt(u).gcd(BigInt(s)) == 1)
+    def isPrime(x: Int): Boolean =
+      x >= 2 && (2 to math.sqrt(x.toDouble).toInt).forall(x % _ != 0)
+    val movable = classes.filter(_.size >= 2).map { c =>
+      c.take((c.size to 2 by -1).find(isPrime).getOrElse(0))
+    }
     movable.foreach { c =>
-      require(units(c.size).size >= maxGen,
-        s"maxGen=$maxGen: movable length class of size ${c.size} " +
-          s"(${c.take(3).mkString(",")},…) has only ${units(c.size).size} " +
-          "distinct affine strides — generations would collide on it")
+      // strides are 2..maxGen+1 and must stay below the prime modulus
+      require(c.size >= maxGen + 2,
+        s"maxGen=$maxGen: movable length class with prime prefix " +
+          s"${c.size} (${c.take(3).mkString(",")},…) supports only " +
+          s"${math.max(c.size - 2, 0)} generations — they would collide on it")
     }
     (1 to maxGen).map { g =>
       movable.flatMap { c =>
-        val s = c.size
-        val u = units(s)(g - 1)
-        c.indices.map(i => c(i) -> c((i * u + g) % s))
+        val p = c.size
+        val u = g + 1
+        c.indices.map(i => c(i) -> c((i * u + g) % p))
       }.toMap
     }
   }

@@ -40,8 +40,6 @@ object TunePq {
       // re-rank shape: wide ADC candidate set, exact distances on it
       val cand = Pq.adcTopK(q, coded, cbs, 64, 50, "vec_id", "embedding")
         .select(col("query_id").as("q_id"), col("neighbor_id").as("i_id"))
-      val rr = Knn.knnJoin(q, it, 5, "vec_id", "vec_id",
-          "embedding", "embedding", metric = "squaredEuclidean")
       val rerank = {
         import graft.functions.VectorFunctions
         val joined = cand

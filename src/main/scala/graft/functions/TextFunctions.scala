@@ -58,6 +58,12 @@ object TextFunctions {
   val EnglishStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "is", "in", "to", "it", "that")
 
+  /** The q144 blocklist terms — ONE definition shared by the
+    * blocklist screen and every consumer that must treat these words
+    * as fixed points (e.g. ScaleUp's generation renames preserve
+    * per-doc blocklist density only if these never move). */
+  val BlocklistTerms: Seq[String] = Seq("slow", "drop", "error")
+
   def stopwordCount(text: Column, stopwords: Seq[String] = EnglishStopwords): Column =
     size(filter(tokens(text), t => t.isin(stopwords: _*))).cast("long")
 

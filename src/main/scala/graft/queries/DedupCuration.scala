@@ -953,16 +953,32 @@ private[graft] trait DedupCurationQueries extends QueryContext {
     * saturates, and boilerplate shingles saturate ANY corpus
     * eventually), while the df-cap held q34/q113 at ≤ 2.6×. Same
     * discovery as q34 (shingles in > 5 docs dropped from the universe,
-    * Jaccard recomputed over survivors), same checkpointed CC and
+    * Jaccard recomputed over survivors; read from the shared
+    * `cappedPairsShared` artifact), same checkpointed CC and
     * singleton coalesce as q43 — so the only semantic delta vs q43 is
     * pairs discoverable ONLY through stop-shingles, and q157 measures
     * that delta as data. The q79→q113 / q19→q123 twin discipline: q43
     * stays the exact worst-case gate; this is the production path. */
+  /** The df-capped pair relation (q34's exact parameters) as a
+    * build-once-per-run ARTIFACT — the capped discovery is the
+    * production pipeline's materialized output, and THREE consumers
+    * here (q156's clustering, q157 via q156, q160's provenance
+    * matrix) would otherwise each re-pay the shingle join per run.
+    * The discovery arithmetic itself stays inline-gated by q34 (the
+    * q43-inline/q152-artifact split applied to pairs). */
+  private def cappedPairsShared(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.Artifacts
+    val path = Artifacts.ensure("capped_pairs", sfDir) { p =>
+      Artifacts.publish(
+        Dedup.jaccardPairs(t(spark, sfDir, "documents"), "doc_id", "text",
+          shingleN = 3, minJaccardMicro = 500000L, maxDocFreq = Some(5L)), p)
+    }
+    spark.read.parquet(path)
+  }
+
   def cappedNeardupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = t(spark, sfDir, "documents")
-    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
-      shingleN = 3, minJaccardMicro = 500000L, maxDocFreq = Some(5L))
-    val clusters = Dedup.nearDupClusters(pairs)
+    val clusters = Dedup.nearDupClusters(cappedPairsShared(spark, sfDir))
     docs.select(col("doc_id"))
       .join(clusters.select(col("id").as("doc_id"), col("cluster_id")),
         Seq("doc_id"), "left")
@@ -1048,19 +1064,19 @@ private[graft] trait DedupCurationQueries extends QueryContext {
     * stay within one source — the diagonal). The table that answers
     * "which feeds mirror which": a hot off-diagonal cell is two crawls
     * of the same site (drop one feed), a hot diagonal cell is a
-    * self-duplicating source (templating). Rides q156's df-CAPPED
-    * discovery — the provenance audit must run at corpus scale, where
-    * the uncapped q17 join is quadratic (BASELINE round 11); sources
-    * are canonicalized `least/greatest` so the matrix is one triangle.
+    * self-duplicating source (templating). Reads the SHARED
+    * df-capped pair artifact (`cappedPairsShared` — q34's relation,
+    * built once per run, also feeding q156/q157): the provenance
+    * audit must run at corpus scale, where the uncapped q17 join is
+    * quadratic (BASELINE round 11); sources are canonicalized
+    * `least/greatest` so the matrix is one triangle.
     *
-    * Scale shape: the capped pair join + two shuffle-hash id→source
-    * probes + a source²-bounded partial agg. */
+    * Scale shape: one pairs-artifact scan + two shuffle-hash
+    * id→source probes + a source²-bounded partial agg. */
   def sourceCopyMatrix(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = t(spark, sfDir, "documents")
     val src = docs.select(col("doc_id"), col("source"))
-    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text",
-      shingleN = 3, minJaccardMicro = 500000L, maxDocFreq = Some(5L))
-    pairs
+    cappedPairsShared(spark, sfDir)
       .join(src.select(col("doc_id").as("id1"), col("source").as("s1"))
         .hint("shuffle_hash"), Seq("id1"))
       .join(src.select(col("doc_id").as("id2"), col("source").as("s2"))

@@ -741,7 +741,7 @@ private[graft] trait ModelCurationQueries extends QueryContext {
     * so policy drift is a hash flip. */
   def blocklistFilter(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.TextFunctions
-    val bad = Seq("slow", "drop", "error")
+    val bad = TextFunctions.BlocklistTerms
     val toks = TextFunctions.tokens(col("text"))
     t(spark, sfDir, "documents")
       .select(col("doc_id"),

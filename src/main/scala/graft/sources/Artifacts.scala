@@ -30,11 +30,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Artifacts {
 
-  /** Stable artifact directory for (`kind`, corpus dir): the
-    * system temp root + `graft_<kind>_<sanitized corpus path>`. */
-  def corpusPath(kind: String, corpusDir: String): String =
+  /** Stable artifact directory for (`kind`, corpus dir): the system
+    * temp root + `graft_<kind>_<sanitized corpus path>_<digest>`. The
+    * sanitized path keeps the location human-readable; the SHA-256
+    * digest suffix makes the key INJECTIVE — sanitization alone maps
+    * `/` and `_` to the same `_`, so `/data/corpus_v1` and
+    * `/data/corpus/v1` would otherwise share a path and one corpus's
+    * build would silently serve the other's reads (the same
+    * wrong-index bug class the full-string key replaced `hashCode`
+    * collisions to avoid; a 64-bit-truncated cryptographic digest of
+    * the FULL string has no practically reachable collisions, unlike
+    * a 32-bit `hashCode`). */
+  def corpusPath(kind: String, corpusDir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(corpusDir.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
     s"${sys.props("java.io.tmpdir")}/graft_${kind}_" +
-      corpusDir.replaceAll("[^A-Za-z0-9._-]", "_")
+      corpusDir.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + digest
+  }
 
   /** Publish `df` as a parquet artifact at `path`: write the complete
     * tree to `<path>.build`, then swap it into place (delete old,

@@ -180,6 +180,14 @@ object StreamingOps {
     * rescan. Eval-side fps are computed batch-side once per query
     * start (a deployment reads the q155 parquet index here — same
     * relation).
+    *
+    * At-least-once sources replay rows: a redelivered doc would pair
+    * its whole fp set with the index again and double its count, so
+    * arrivals are deduplicated by `doc_id` FIRST (watermark-bounded
+    * state, first delivery wins — the [[dedupDocStream]] contract at
+    * id granularity). A replay arriving after the watermark passed
+    * its first delivery is a new row by definition; the dedup horizon
+    * IS the watermark horizon, as everywhere else in this module.
     */
   def winnowDecontamStream(
       stream: DataFrame,
@@ -194,6 +202,7 @@ object StreamingOps {
       .select(col("fp")).distinct()
     stream
       .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates("doc_id")
       .select(col("doc_id"), col(tsCol),
         explode(array_distinct(WinnowFingerprintsExpr(
           TextFunctions.tokenHashArray(TextFunctions.tokens(col("text"))),

@@ -237,6 +237,30 @@ class ScaleUpSpec extends SparkSpec {
     assert(badCounts.count() === 0L)
   }
 
+  test("generations: any two renames agree on at most ONE movable word per class") {
+    // 15 same-length words — the size where composite-modulus affine
+    // maps collide on up to gcd(u−u′, 15) = 3 words; the prime-prefix
+    // scheme (p = 13 here) must hold the ≤ 1 bound for every pair of
+    // generations INCLUDING gen 0 (the identity)
+    val words = (1 to 15).map(i => f"w$i%02d")
+    val corpus = Seq((0L, (words ++ Seq("the", "a")).mkString(" "), "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val maxGen = 4
+    val renames = ScaleUp.vocabRenames(corpus, maxGen)
+    val maps: Seq[Map[String, String]] =
+      words.map(w => w -> w).toMap +: renames.map(m => words.map(w => w -> m.getOrElse(w, w)).toMap)
+    for (g1 <- maps.indices; g2 <- maps.indices if g1 < g2) {
+      val agree = words.count(w => maps(g1)(w) == maps(g2)(w))
+      // p = 13 movable under the prime prefix; the 2-word remainder is
+      // fixed in every generation and counts toward the overlap budget
+      assert(agree <= 1 + (words.size - 13),
+        s"gens $g1/$g2 agree on $agree movable words")
+    }
+    // and every rename is a bijection over its movable prefix
+    renames.foreach { m => assert(m.values.toSet.size == m.size) }
+  }
+
   test("generations: a corpus with a too-small movable length class is rejected loudly") {
     // {on, ok} is a 2-member movable class — generations 0 and 2 would
     // collide on it (rotation by 2 mod 2 = identity), silently sharing

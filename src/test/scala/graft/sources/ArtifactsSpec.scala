@@ -15,13 +15,18 @@ class ArtifactsSpec extends SparkSpec {
   private def tmpKey(): String =
     Files.createTempDirectory("graft_artifacts_spec").toString
 
-  test("corpusPath keys by the FULL sanitized corpus dir, not a hash") {
+  test("corpusPath keys are injective: readable sanitized path + digest suffix") {
     val a = Artifacts.corpusPath("x", "/data/corpus/v1")
     val b = Artifacts.corpusPath("x", "/data/corpus/v2")
     assert(a != b)
-    assert(a.endsWith("graft_x__data_corpus_v1"))
+    assert(a.contains("graft_x__data_corpus_v1"), a)
     // different kinds never collide on the same corpus
     assert(Artifacts.corpusPath("y", "/data/corpus/v1") != a)
+    // sanitization alone is NOT injective ('/' and '_' both map to
+    // '_') — the digest suffix must separate such corpora
+    assert(Artifacts.corpusPath("x", "/data/corpus_v1") != a)
+    // stable across calls
+    assert(Artifacts.corpusPath("x", "/data/corpus/v1") == a)
   }
 
   test("publish round-trips the relation and replaces a previous artifact") {

@@ -606,10 +606,16 @@ class StreamingOpsSpec extends SparkSpec {
         (101L, contaminated, ts("2024-01-01 10:00:00")),
         (102L, clean, ts("2024-01-01 10:01:00")))
       q.processAllAvailable()
+      // at-least-once replay of 101 within the watermark horizon: the
+      // doc_id dedup must swallow it, or the count would double
+      in.addData((101L, contaminated, ts("2024-01-01 10:00:00")))
+      q.processAllAvailable()
       in.addData((103L, clean + " later", ts("2024-01-01 14:00:00")))
       q.processAllAvailable()
-      val got = spark.table("winnow_stream")
-        .as[(Long, Long)].collect().toMap
+      val rows = spark.table("winnow_stream").as[(Long, Long)].collect()
+      assert(rows.length == rows.toMap.size,
+        s"exactly one finalized row per doc (replay must not re-emit): ${rows.toSeq}")
+      val got = rows.toMap
       // batch twin: the q148 shape on the same two relations
       val batch = {
         import graft.operators.Winnow
