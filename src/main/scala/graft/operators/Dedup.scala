@@ -202,8 +202,12 @@ object Dedup {
     * pairs touching the batch (incremental clustering maintenance —
     * the bit-equality contract of q166 — needs exactness; ingest
     * FILTERING should keep using the banded path). The two sides must
-    * be id-disjoint (a shared id would pair with itself's twin rows);
-    * within-batch pairs come from [[jaccardPairs]] on the batch alone.
+    * be id-disjoint; the join GUARDS the worst violation (a shared id
+    * pairing with its own twin rows — `a.id =!= b.id` in the join
+    * condition, free on disjoint inputs) but a doc present on both
+    * sides still double-counts its pairs with third docs, so
+    * disjointness stays the caller's contract. Within-batch pairs
+    * come from [[jaccardPairs]] on the batch alone.
     *
     * Scale shape: shingle-keyed cross-side equi-join — shuffle =
     * batch shingles + corpus shingles, fan-out bounded by real
@@ -223,8 +227,13 @@ object Dedup {
           shingleSet(col(textCol), shingleN).as("sh"))
         .select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
         .hint("shuffle_hash")
+    // The id-disjointness precondition is ENFORCED, not assumed: a
+    // shared id would otherwise pair with its own twin rows (id1==id2
+    // self-pairs with inconsistent na/nb) and corrupt downstream CC
+    // silently. The extra conjunct is free on disjoint inputs.
     ex(batch).as("a")
-      .join(ex(corpus).as("b"), col("a.s") === col("b.s"))
+      .join(ex(corpus).as("b"),
+        col("a.s") === col("b.s") && col("a.id") =!= col("b.id"))
       .groupBy(
         least(col("a.id"), col("b.id")).as("id1"),
         greatest(col("a.id"), col("b.id")).as("id2"),

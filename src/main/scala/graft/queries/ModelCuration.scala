@@ -393,6 +393,12 @@ private[graft] trait ModelCurationQueries extends QueryContext {
     * engine; mean is a single floored IEEE divide (exact per the FP
     * rule — |Σ| ≪ 2⁵³); variance numerator `n·Σx² − (Σx)²` stays
     * integer and non-negative, so integer DIV is engine-portable.
+    * The numerator is computed in 128-bit integers (Spark
+    * decimal(38,0), DuckDB HUGEINT — both exact): in 64 bits `n·Σx²`
+    * wraps silently once n·Σx² > 2⁶³ (≈1.5 M rows at |x|≤2000 milli),
+    * far below corpus scale; the widened product holds to ~10³⁸
+    * (n ≤ ~10¹² rows at this magnitude) and the final quotient is a
+    * per-dim variance ≤ max(x)², safely back in long range.
     *
     * Scale shape: one positional explode + a dim-keyed partial agg —
     * output rows = vector dimensionality, independent of corpus size. */
@@ -410,7 +416,9 @@ private[graft] trait ModelCurationQueries extends QueryContext {
         col("min_milli"), col("max_milli"),
         floor(col("sum_milli").cast("double") / col("n")).cast("long")
           .as("mean_milli"),
-        expr("(n * sumsq_milli - sum_milli * sum_milli) DIV (n * n)")
+        expr("""(CAST(n AS DECIMAL(38,0)) * sumsq_milli
+                - CAST(sum_milli AS DECIMAL(38,0)) * sum_milli)
+               DIV (CAST(n AS DECIMAL(38,0)) * n)""")
           .as("var_milli2"))
 
   /** Cluster-aware train/test split — the ACTION for q107's finding:

@@ -813,7 +813,9 @@ private[graft] trait OracleSqlD {
            FROM e GROUP BY 1)
          SELECT dim, n, sum_milli, sumsq_milli, min_milli, max_milli,
            CAST(floor(CAST(sum_milli AS DOUBLE) / n) AS BIGINT) AS mean_milli,
-           CAST((n * sumsq_milli - sum_milli * sum_milli) // (n * n)
+           CAST((CAST(n AS HUGEINT) * sumsq_milli
+                 - CAST(sum_milli AS HUGEINT) * sum_milli)
+                // (CAST(n AS HUGEINT) * n)
              AS BIGINT) AS var_milli2
          FROM s""",
     "q156_capped_clusters" ->

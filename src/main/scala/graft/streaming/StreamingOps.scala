@@ -202,7 +202,13 @@ object StreamingOps {
       .select(col("fp")).distinct()
     stream
       .withWatermark(tsCol, watermarkDelay)
-      .dropDuplicates("doc_id")
+      // dropDuplicatesWithinWatermark, NOT dropDuplicates: plain
+      // dropDuplicates on a non-event-time subset never evicts its
+      // state (Spark only ages out dedup state when the event-time
+      // column is part of the key), so doc_id state would grow with
+      // the stream; the WithinWatermark variant evicts at the
+      // watermark horizon — which is exactly the documented contract.
+      .dropDuplicatesWithinWatermark("doc_id")
       .select(col("doc_id"), col(tsCol),
         explode(array_distinct(WinnowFingerprintsExpr(
           TextFunctions.tokenHashArray(TextFunctions.tokens(col("text"))),
