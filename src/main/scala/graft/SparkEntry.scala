@@ -210,7 +210,10 @@ object Queries
     "q163_pq_adc" -> (pqAdcTopK _),
     "q164_pq_rerank" -> (pqRerank _),
     "q165_pq_persisted" -> (pqAdcPersisted _),
-    "q166_incr_cluster_merge" -> (incrClusterMerge _))
+    "q166_incr_cluster_merge" -> (incrClusterMerge _),
+    "q167_ivfpq_rerank" -> (ivfPqRerank _),
+    "q168_incr_cluster_deployed" -> (incrClusterMergeDeployed _),
+    "q169_clustering_policy" -> (clusteringPolicy _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = {
@@ -226,7 +229,10 @@ object Queries
       ("q155_winnow_index" -> base("q148_winnow_decontam")) +
       ("q165_pq_persisted" -> base("q163_pq_adc")) +
       // q166's incremental merge must equal a FULL rebuild — the
-      // bit-equality contract of clustering maintenance
-      ("q166_incr_cluster_merge" -> base("q43_neardup_clusters"))
+      // bit-equality contract of clustering maintenance — and q168
+      // (the artifact-fed deployment merge) inherits the same
+      // contract against the same ground truth
+      ("q166_incr_cluster_merge" -> base("q43_neardup_clusters")) +
+      ("q168_incr_cluster_deployed" -> base("q43_neardup_clusters"))
   }
 }

@@ -59,6 +59,44 @@ object TunePq {
       val bits = m * (math.log(k) / math.log(2)).round
       println(f"TUNE pq m=$m k=$k iters=$iters bits=$bits adc_recall@5=$top5%.3f rerank50_recall@5=$rerank%.3f time=$dt%.1fs")
     }
+
+    // IVF-PQ sweep: does residual encoding earn its place (Jégou §IV
+    // says yes), and how many probes buy back the cell-pruning recall
+    // loss? rerank50 is the production number (the q167 shape).
+    for ((centroids, probes, residual, assignments) <- Seq(
+        (16, 2, true, 1), (16, 4, true, 1), (16, 4, false, 1),
+        (16, 8, true, 1), (32, 8, true, 1),
+        (16, 2, true, 2), (16, 4, true, 2), (16, 4, false, 2),
+        (16, 6, true, 2), (32, 8, true, 2), (32, 12, true, 2),
+        (16, 4, true, 3))) {
+      val t0 = System.nanoTime()
+      val path = s"${sys.props("java.io.tmpdir")}/graft_tune_ivfpq"
+      Pq.buildIvfPqIndex(it, "vec_id", "embedding", dim = 64, m = 8,
+        k = 64, iters = 2, centroids = centroids, path = path,
+        residual = residual, assignments = assignments)
+      val cand = Pq.ivfPqCandidates(q, path, dim = 64, topK = 50,
+          probes = probes, "vec_id", "embedding", residual = residual,
+          dedupCells = assignments > 1)
+        .select(col("query_id").as("q_id"), col("neighbor_id").as("i_id"))
+      val rerank = {
+        import graft.functions.VectorFunctions
+        val joined = cand
+          .join(q.select(col("vec_id").as("q_id"), col("embedding").as("qe")), "q_id")
+          .join(it.select(col("vec_id").as("i_id"), col("embedding").as("ie"))
+            .hint("shuffle_hash"), "i_id")
+          .select(col("q_id"),
+            VectorFunctions.squaredEuclidean(col("qe"), col("ie")).as("dist"),
+            col("i_id"))
+          .groupBy(col("q_id").as("query_id"))
+          .agg(operators.TopK.topK(5)(col("dist"), col("i_id"), col("i_id")).as("top"))
+          .select(col("query_id"), explode(col("top")).as("n"))
+          .select(col("query_id"), col("n.id").as("neighbor_id"))
+        recall(joined)
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val frac = probes.toDouble * assignments / centroids
+      println(f"TUNE ivfpq centroids=$centroids probes=$probes assign=$assignments residual=$residual scan_frac=$frac%.3f rerank50_recall@5=$rerank%.3f time=$dt%.1fs")
+    }
     spark.stop()
   }
 }

@@ -54,16 +54,25 @@ object Pq {
       k: Int,
       iters: Int): Seq[Seq[(Long, Seq[Long])]] = {
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
-    require(k >= 1 && iters >= 0)
     val sub = dim / m
-    import org.apache.spark.storage.StorageLevel
-    val milli = df
+    trainFused(df
       .select(col(idCol).cast("long").as("id"),
         array((0 until m).map(s =>
           SemDedup.quantizeMilli(slice(col(vecCol), s * sub + 1, sub))): _*)
           .as("subs"))
-      .select(col("id"), posexplode(col("subs")).as(Seq("s", "mv")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select(col("id"), posexplode(col("subs")).as(Seq("s", "mv"))),
+      m, k, iters)
+  }
+
+  /** The fused Lloyd loop over an already-exploded `(id, s, mv)`
+    * relation — mv-source-agnostic, so the RESIDUAL codebooks of the
+    * IVF-PQ index ([[residualCodebooks]]) train through the identical
+    * job chain as the raw-subvector ones. */
+  private def trainFused(
+      subs: DataFrame, m: Int, k: Int, iters: Int): Seq[Seq[(Long, Seq[Long])]] = {
+    require(k >= 1 && iters >= 0)
+    import org.apache.spark.storage.StorageLevel
+    val milli = subs.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       // seed: the k smallest-id rows of EVERY subspace are the same k
       // ids — one collect returns all m seed codebooks
@@ -268,6 +277,263 @@ object Pq {
         col("vec_id"))
       .crossJoin(broadcast(q))
       .select(col("q_id"), col("vec_id"), dist.as("adc"))
+      .groupBy(col("q_id").as("query_id"))
+      .agg(TopK.topK(topK)(col("adc").cast("double"), col("vec_id"),
+        col("vec_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "n")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("n.id").as("neighbor_id"), col("n.dist").cast("long").as("adc_dist"))
+  }
+
+  // ---------------------------------------------------------------------
+  // IVF-PQ: the composed index (FAISS IVFADC; Jégou et al. §IV)
+  // ---------------------------------------------------------------------
+
+  /** (integer distance, cell id) structs of a milli vector against
+    * the milli coarse codebook — the IVF scoring projection. Argmin /
+    * sort over these is lexicographic `(dist, cid)` — the shop-wide
+    * total order. Coarse centroids are LLOYD-TRAINED in milli space
+    * ([[SemDedup.lloydCentroids]]) rather than hash-sampled items:
+    * the TunePq sweep measured sampled-item cells costing ~0.3 of
+    * recall@5 at equal scan fraction (bad cells put true neighbors in
+    * unprobed lists — no downstream stage can recover that), and
+    * trained cells are what make residual encoding worth its name. */
+  private def coarseScoresMilli(
+      mv: Column, ivfCb: Seq[(Long, Seq[Long])]): Column =
+    array(ivfCb.map { case (cid, cv) =>
+      struct(SemDedup.sqDistInt(mv, typedLit(cv)).as("d"), lit(cid).as("c"))
+    }: _*)
+
+  /** Subspace-`s` milli subvector for IVF-PQ: the RESIDUAL to the
+    * row's assigned coarse centroid — `milli(x)ⱼ − cⱼ`, pure LONG
+    * subtraction (both sides already milli), with the centroid slice
+    * looked up from an inlined `c_id → slice` map literal — or the
+    * raw milli subvector when `residual` is off. Residual encoding is
+    * the accuracy half of IVFADC (Jégou §IV): the PQ codebooks only
+    * have to cover the spread WITHIN a cell, not the whole space, so
+    * the same bit budget quantizes much finer. Integer end to end —
+    * nothing for an engine to diverge on. */
+  private def subMilli(milliVec: Column, cId: Column,
+      ivfCb: Seq[(Long, Seq[Long])], s: Int, sub: Int,
+      residual: Boolean): Column = {
+    val mvSlice = slice(milliVec, s * sub + 1, sub)
+    if (!residual) mvSlice
+    else {
+      val sliceMap = typedLit(
+        ivfCb.map { case (cid, cv) => cid -> cv.slice(s * sub, (s + 1) * sub) }
+          .toMap)
+      zip_with(mvSlice, element_at(sliceMap, cId), (x, c) => x - c)
+    }
+  }
+
+  /** Per-subspace codebooks over the cell-residual subvectors — ONE
+    * global codebook set trained on every row's residual (the
+    * textbook IVFADC layout: per-cell codebooks would multiply
+    * codebook storage ×centroids for marginal gain). Same fused
+    * deterministic-Lloyd chain as [[codebooks]]; `k·dim` longs of
+    * driver traffic. */
+  private def residualCodebooks(
+      it: DataFrame,
+      dim: Int, m: Int, k: Int, iters: Int,
+      ivfCb: Seq[(Long, Seq[Long])],
+      residual: Boolean): Seq[Seq[(Long, Seq[Long])]] = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    trainFused(it
+      .select(col("i_id").as("id"),
+        SemDedup.quantizeMilli(col("i_vec")).as("mv"))
+      .select(col("id"), col("mv"),
+        SemDedup.assignClusterMilli(col("mv"), ivfCb).as("c_id"))
+      .select(col("id"),
+        array((0 until m).map(s =>
+          subMilli(col("mv"), col("c_id"), ivfCb, s, sub, residual)): _*)
+          .as("subs"))
+      .select(col("id"), posexplode(col("subs")).as(Seq("s", "mv"))),
+      m, k, iters)
+  }
+
+  /** Build the COMPOSED IVF-PQ index as one persisted artifact tree —
+    * the 100 TB ANN layout (FAISS IVFADC): coarse cells prune the
+    * scan, PQ codes compress what's left, residual encoding keeps the
+    * codes accurate. Three relations under `path`:
+    *
+    *  - `ivf/` — the coarse codebook (c_id, c_vec; `centroids` rows,
+    *    derived deterministically like [[SimilaritySearch
+    *    .buildIvfIndex]]);
+    *  - `codebooks/` — the PQ codebooks over cell residuals
+    *    (subspace, code, cv; m·k rows);
+    *  - `codes/` — the coded corpus (vec_id, code0..m−1),
+    *    PARTITIONED BY c_id, so a probe-bounded search reads only the
+    *    probed cells' files (the q146 partition-pruning lever) AND
+    *    each file holds codes, not vectors (the q165 compression
+    *    lever) — the composition is what neither half delivers alone:
+    *    scan bytes ≈ corpus · (probes/centroids) / compression.
+    */
+  def buildIvfPqIndex(
+      items: DataFrame,
+      itemId: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      k: Int,
+      iters: Int,
+      centroids: Int,
+      path: String,
+      residual: Boolean = true,
+      assignments: Int = 1): Unit = {
+    require(centroids >= 1)
+    require(assignments >= 1 && assignments <= centroids)
+    import items.sparkSession.implicits._
+    val it = items.select(col(itemId).cast("long").as("i_id"),
+      col(vecCol).as("i_vec"))
+    // coarse codebook: deterministic integer Lloyd over the FULL milli
+    // vectors — k·dim longs of driver traffic, same budget rule as the
+    // PQ codebooks
+    val ivfCb = SemDedup.lloydCentroids(it, "i_id", "i_vec",
+      k = centroids, iters = 2)
+    // PQ codebooks train on PRIMARY-cell residuals only: replicas of
+    // one id would seed duplicate rows nondeterministically (two rows
+    // tie on the seed's (id, subspace) sort key with different
+    // residuals) — and the primary residual distribution is the one
+    // the codes must cover anyway
+    val cbs = residualCodebooks(it, dim, m, k, iters, ivfCb, residual)
+    val sub = dim / m
+    val effAssign = math.min(assignments, ivfCb.size)
+    graft.sources.Artifacts.publishTree(items.sparkSession, path) { build =>
+      ivfCb.toDF("c_id", "cv")
+        .coalesce(1).write.parquet(s"$build/ivf")
+      cbs.zipWithIndex
+        .flatMap { case (cb, s) => cb.map { case (code, cv) => (s, code, cv) } }
+        .toDF("subspace", "code", "cv")
+        .coalesce(1).write.parquet(s"$build/codebooks")
+      // staged selects: milli + c_id as NAMED attributes before the
+      // residual projections, residual subvectors named before the
+      // struct-argmin (the kmeansAssign analysis quirk). Under
+      // multi-assignment each item is replicated into its
+      // `assignments` nearest cells (the q39 recall lever) and
+      // encoded against EACH cell's residual — the replica's codes
+      // describe it from that cell's vantage.
+      val s1 = it.select(col("i_id").as("vec_id"),
+        SemDedup.quantizeMilli(col("i_vec")).as("mv"))
+      val s2 =
+        if (effAssign == 1)
+          s1.select(col("vec_id"), col("mv"),
+            SemDedup.assignClusterMilli(col("mv"), ivfCb).as("c_id"))
+        else
+          s1.select(col("vec_id"), col("mv"),
+              explode(slice(array_sort(coarseScoresMilli(col("mv"), ivfCb)),
+                1, effAssign)).as("cs"))
+            .select(col("vec_id"), col("mv"), col("cs.c").as("c_id"))
+      val s3 = s2.select(col("vec_id") +: col("c_id") +:
+        (0 until m).map(s =>
+          subMilli(col("mv"), col("c_id"), ivfCb, s, sub, residual).as(s"mv$s")): _*)
+      s3.select(col("vec_id") +: col("c_id") +:
+          (0 until m).map(s =>
+            SemDedup.assignClusterMilli(col(s"mv$s"), cbs(s)).as(s"code$s")): _*)
+        .write.partitionBy("c_id").parquet(s"$build/codes")
+    }
+  }
+
+  /** Probe-bounded ADC candidate search over a [[buildIvfPqIndex]]
+    * artifact — the IVFADC query plan:
+    *
+    *  1. both codebooks (a few KB each) are collected and inlined as
+    *     literals, like every codebook in this shop;
+    *  2. each query ranks the coarse centroids per-row and keeps its
+    *     `probes` nearest cells; per (query, cell) it precomputes the
+    *     m RESIDUAL lookup tables — LUT_s[code] = ||(q−c)_sub −
+    *     centroid_code||² in exact longs (the [[adcTopK]] LUT
+    *     discipline; residual LUTs are per-cell by definition, which
+    *     is why IVFADC batches queries: the broadcast relation is
+    *     |Q|·probes rows × m·k longs, the operator's explicit
+    *     query-batch budget);
+    *  3. the DISTINCT probed cell ids (≤ `centroids` longs — a
+    *     driver-bounded collect like the codebooks) become a static
+    *     partition filter on the coded scan, so only the probed
+    *     cells' files are READ — scan bytes ≈ corpus ·
+    *     (probes/centroids) / 42, vs [[adcTopKFromIndex]]'s full
+    *     coded scan;
+    *  4. parallelism is re-pinned on the byte-tiny filtered scan (the
+    *     q163 single-task trap), then the broadcast-LUT equi-join on
+    *     c_id fans out into the bounded-heap [[TopK]].
+    *
+    * Recall < 1 two ways (cell pruning + code quantization); both are
+    * priced by the TunePq sweep and recovered by the exact re-rank
+    * the q167 gate runs on these candidates.
+    *
+    * @return (query_id, rank, neighbor_id, adc_dist)
+    */
+  def ivfPqCandidates(
+      queries: DataFrame,
+      path: String,
+      dim: Int,
+      topK: Int,
+      probes: Int,
+      queryId: String,
+      queryVec: String,
+      residual: Boolean = true,
+      dedupCells: Boolean = false): DataFrame = {
+    require(probes >= 1)
+    val spark = queries.sparkSession
+    graft.GraftSession.tune(spark)
+    val ivfCb: Seq[(Long, Seq[Long])] =
+      spark.read.parquet(s"$path/ivf")
+        .orderBy(col("c_id")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    val cbs: Seq[Seq[(Long, Seq[Long])]] =
+      spark.read.parquet(s"$path/codebooks")
+        .orderBy(col("subspace"), col("code")).collect()
+        .map(r => (r.getInt(0), (r.getLong(1), r.getSeq[Long](2).toSeq)))
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.map(_._2).toSeq)
+    val m = cbs.size
+    val sub = dim / m
+    val k = cbs.map(_.map(_._1).max).max.toInt + 1
+    val effProbes = math.min(probes, ivfCb.size)
+
+    val q0 = queries.select(col(queryId).cast("long").as("q_id"),
+      SemDedup.quantizeMilli(col(queryVec)).as("qmv"))
+    val probed = q0.select(col("q_id"), col("qmv"),
+        explode(slice(array_sort(
+          coarseScoresMilli(col("qmv"), ivfCb)), 1, effProbes))
+          .as("cs"))
+      .select(col("q_id"), col("qmv"), col("cs.c").as("c_id"))
+    val qrm = probed.select(col("q_id") +: col("c_id") +:
+      (0 until m).map(s =>
+        subMilli(col("qmv"), col("c_id"), ivfCb, s, sub, residual).as(s"qv$s")): _*)
+    val luts = qrm.select(col("q_id") +: col("c_id") +:
+      (0 until m).map { s =>
+        val live = cbs(s).toMap
+        array((0 until k).map { cid =>
+          live.get(cid.toLong)
+            .map(cv => SemDedup.sqDistInt(col(s"qv$s"), typedLit(cv)))
+            .getOrElse(lit(0L))
+        }: _*).as(s"lut$s")
+      }: _*)
+
+    // static probe-bounded partition pruning: ≤ `centroids` cell ids
+    val cells = probed.select(col("c_id")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("c_id").isin(cells: _*))
+      .select(col("vec_id") +: col("c_id").cast("long").as("c_id") +:
+        (0 until m).map(s => col(s"code$s")): _*)
+      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+
+    val dist = (0 until m).map { s =>
+      element_at(col(s"lut$s"), col(s"code$s").cast("int") + 1)
+    }.reduce(_ + _)
+    val scored0 = codes.join(broadcast(luts), "c_id")
+      .select(col("q_id"), col("vec_id"), dist.as("adc"))
+    // under multi-assignment a pair can meet in up to
+    // min(assignments, probes) cells with different residual codes —
+    // keep the smallest estimate (one candidate-sized exchange, only
+    // paid when the index was built with assignments > 1)
+    val scored =
+      if (!dedupCells) scored0
+      else scored0.groupBy(col("q_id"), col("vec_id"))
+        .agg(min(col("adc")).as("adc"))
+    scored
       .groupBy(col("q_id").as("query_id"))
       .agg(TopK.topK(topK)(col("adc").cast("double"), col("vec_id"),
         col("vec_id")).as("top"))

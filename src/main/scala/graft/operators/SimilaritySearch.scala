@@ -136,7 +136,7 @@ object SimilaritySearch {
   /** Deterministic codebook: first `centroids` items in content-hash
     * order (ties by id); collected — a TakeOrdered job over the items
     * scan — and inlined as literals by the consumers. */
-  private def deriveCodebook(
+  private[operators] def deriveCodebook(
       it: DataFrame, centroids: Int): Seq[(Long, Seq[Double])] =
     it.orderBy(Sampling.bucket(col("i_id"), 1000003), col("i_id"))
       .limit(centroids)
@@ -147,7 +147,7 @@ object SimilaritySearch {
 
   /** (dist, centroid id) structs against the codebook literals — a
     * per-row expression, no join. */
-  private def centroidScores(
+  private[operators] def centroidScores(
       vec: Column, codebook: Seq[(Long, Seq[Double])]): Column =
     array(codebook.map { case (cid, cvec) =>
       struct(

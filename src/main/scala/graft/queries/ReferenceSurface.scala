@@ -320,16 +320,26 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
     * query (not the corpus), so the full-vector relation is read
     * ~50·|Q| rows regardless of corpus size. */
   def pqRerank(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.functions.VectorFunctions
     val emb = t(spark, sfDir, "embeddings")
     val q = emb.filter(col("vec_id") % 10 === 0)
     // candidates from the SHARED persisted index (the q165 artifact,
     // bit-equal to inline by its own gate) — the deployment reads the
     // index it already has rather than retraining codebooks per batch
-    val cand = operators.Pq.adcTopKFromIndex(q, pqIndexPath(spark, sfDir),
-        dim = 64, topK = 50, "vec_id", "embedding")
+    rerankTop5(emb, q,
+      operators.Pq.adcTopKFromIndex(q, pqIndexPath(spark, sfDir),
+        dim = 64, topK = 50, "vec_id", "embedding"))
+  }
+
+  /** The shared exact re-rank tail of every PQ candidate path
+    * (q164/q167): exact float squared-Euclidean on the ≤ 50
+    * candidates per query — the re-rank join touches 50·|Q| vectors,
+    * not the corpus — then the final top-5 with floored micro
+    * distances. One definition, the gates cannot drift. */
+  private def rerankTop5(emb: DataFrame, q: DataFrame,
+      candidates: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions
+    candidates
       .select(col("query_id").as("q_id"), col("neighbor_id").as("i_id"))
-    cand
       .join(q.select(col("vec_id").as("q_id"), col("embedding").as("qe")), "q_id")
       .join(emb.select(col("vec_id").as("i_id"), col("embedding").as("ie"))
         .hint("shuffle_hash"), "i_id")
@@ -342,6 +352,48 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
         col("n.id").as("neighbor_id"),
         floor(col("n.dist") * 1000000.0).cast("long").as("dist_micro"))
+  }
+
+  /** IVFADC — the COMPOSED index (q167): Lloyd-trained coarse cells
+    * prune the scan to `probes/centroids` of the (×`assignments`)
+    * coded corpus, residual-encoded PQ codes compress what survives
+    * ~42×, exact re-rank of the wide top-50 restores production
+    * recall. This is the 100 TB ANN plan both halves existed for:
+    * q146 pruned cells but scanned VECTORS, q165 scanned codes but
+    * ALL of them — here scan bytes ≈ corpus · (probes·assignments /
+    * centroids) / 42. Parameters from the TunePq sweep
+    * (32/12/2/residual → rerank50 recall@5 = 0.708 at sf0.1, ≥ the
+    * q164 full-scan 0.697; on this synthetic near-uniform corpus
+    * recall tracks scan fraction — no cluster structure to exploit —
+    * so the sweep table in BASELINE.md is the dial, and clustered
+    * real corpora prune far deeper at equal recall). Candidates come
+    * from the per-corpus persisted artifact ([[ivfPqIndexPath]]); the
+    * oracle replays the ENTIRE pipeline — coarse Lloyd, residual
+    * quantization, eight Lloyd chains over residuals, replica
+    * encoding, probe-bounded ADC, exact re-rank — so index build and
+    * search are both hash-pinned. */
+  def ivfPqRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") % 10 === 0)
+    rerankTop5(emb, q,
+      operators.Pq.ivfPqCandidates(q, ivfPqIndexPath(spark, sfDir),
+        dim = 64, topK = 50, probes = 12, "vec_id", "embedding",
+        dedupCells = true))
+  }
+
+  /** The per-corpus IVF-PQ index artifact: 32 Lloyd-trained coarse
+    * cells, 8×64 residual PQ codebooks, each item coded into its 2
+    * nearest cells, codes partitioned by cell (one build per run; the
+    * q164/q165 artifact discipline). Parameters are the TunePq
+    * sweep's pick — see the q167 scaladoc. */
+  private def ivfPqIndexPath(spark: SparkSession, sfDir: String): String = {
+    import graft.sources.Artifacts
+    Artifacts.ensure("ivfpq_index", sfDir) { p =>
+      operators.Pq.buildIvfPqIndex(
+        t(spark, sfDir, "embeddings").filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", dim = 64, m = 8, k = 64, iters = 2,
+        centroids = 32, path = p, assignments = 2)
+    }
   }
 
   /** q163's ADC search served from a PERSISTED PQ index — the q146/

@@ -79,14 +79,98 @@ object Artifacts {
 
   private val builtOnce = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Fingerprint of the corpus STATE (not just its path): a SHA-256
+    * over the recursive `(file path, length, mtime)` listing of the
+    * corpus directory, listed in sorted order. Any file added,
+    * removed, resized, or rewritten-in-place changes the digest; a
+    * byte-identical re-listing reproduces it. This is the
+    * metadata-only snapshot-version convention every table format
+    * uses (a content digest would re-read the corpus — paying the
+    * very scan the artifact exists to amortize). */
+  def corpusFingerprint(spark: SparkSession, corpusDir: String): String = {
+    val root = new Path(corpusDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    def walk(dir: Path): Unit =
+      fs.listStatus(dir).sortBy(_.getPath.toString).foreach { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else md.update(
+          s"${st.getPath}|${st.getLen}|${st.getModificationTime}\n"
+            .getBytes("UTF-8"))
+      }
+    try walk(root)
+    catch {
+      // a corpus key that is not a listable directory (synthetic test
+      // keys, in-memory relations) has no state to version — the
+      // sentinel still round-trips through the record/compare cycle
+      case _: java.io.FileNotFoundException => return "corpus-unlisted"
+    }
+    md.digest().map(b => f"$b%02x").mkString
+  }
+
   /** Build-once-per-run memo: the first call for (`kind`, corpus)
     * runs `build` (which must [[publish]]/[[publishTree]] to the
     * given path); every later call this JVM returns the path
-    * directly. Thread-safe via computeIfAbsent's per-key lock. */
+    * directly. Thread-safe via computeIfAbsent's per-key lock.
+    *
+    * Cross-RUN reuse is an explicit, VERSIONED choice (round-11
+    * verdict: always-rebuild is the right default for a test suite
+    * and a silent anti-pattern at 100 TB, where the rebuild IS the
+    * dominant cost): with `-Dgraft.artifacts.trust=true` (or
+    * `trust = true`) the first touch of a run compares the corpus
+    * [[corpusFingerprint]] against the one recorded beside the
+    * artifact and SKIPS the build on a match — a leftover is trusted
+    * exactly when the corpus state it was built from is provably the
+    * current one. On any mismatch (corpus edited, fingerprint
+    * missing, artifact missing) it rebuilds and re-records. The
+    * correctness gates run with the default (trust off), so every
+    * CORRECTNESS round still exercises the build path. */
   def ensure(kind: String, corpusDir: String)(build: String => Unit): String =
+    ensureImpl(kind, corpusDir, trustDefault, build)
+
+  /** [[ensure]] with the cross-run trust mode chosen per call site. */
+  def ensureVersioned(kind: String, corpusDir: String, trust: Boolean)(
+      build: String => Unit): String =
+    ensureImpl(kind, corpusDir, trust, build)
+
+  private def trustDefault: Boolean =
+    sys.props.get("graft.artifacts.trust").contains("true")
+
+  /** Artifacts reused from a previous run this JVM (trust-on-match
+    * hits) — surfaced so a bench record can state what was NOT
+    * rebuilt. */
+  def reusedThisRun: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    reused.asScala.toSeq.sorted
+  }
+  private val reused = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def ensureImpl(kind: String, corpusDir: String, trust: Boolean,
+      build: String => Unit): String =
     builtOnce.computeIfAbsent(s"$kind|$corpusDir", { _ =>
       val path = corpusPath(kind, corpusDir)
-      build(path)
+      val spark = SparkSession.active
+      val fpPath = new Path(path + ".fingerprint")
+      val target = new Path(path)
+      val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+      lazy val fp = corpusFingerprint(spark, corpusDir)
+      val matches = trust && fs.exists(fpPath) && fs.exists(target) && {
+        val in = fs.open(fpPath)
+        try {
+          val recorded = new String(
+            in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
+          recorded == fp
+        } finally in.close()
+      }
+      if (matches) reused.add(s"$kind|$corpusDir")
+      else {
+        // stale fingerprint must never outlive its artifact: delete
+        // BEFORE building, re-record only after a successful publish
+        if (fs.exists(fpPath)) fs.delete(fpPath, false)
+        build(path)
+        val out = fs.create(fpPath, true)
+        try out.write(fp.getBytes("UTF-8")) finally out.close()
+      }
       path
     })
 

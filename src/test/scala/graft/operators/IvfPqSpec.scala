@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[Pq.buildIvfPqIndex]] / [[Pq.ivfPqCandidates]] — the composed
+  * IVFADC index: cell-partitioned layout on disk, probe-bounded file
+  * pruning in the scan plan, multi-assignment replication with
+  * min-merge dedup, and search semantics on a separable corpus. */
+class IvfPqSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the PqSpec corpus: two tight groups per subspace half
+  private def corpus = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f, 1.0f)),
+    (1L, Seq(1.1f, 0.0f, 0.0f, 1.1f)),
+    (2L, Seq(0.9f, 0.1f, 0.1f, 0.9f)),
+    (10L, Seq(5.0f, 5.0f, 5.0f, 5.0f)),
+    (11L, Seq(5.1f, 4.9f, 5.1f, 4.9f)),
+    (12L, Seq(4.9f, 5.1f, 4.9f, 5.1f)))
+    .toDF("vec_id", "embedding")
+
+  private def query = Seq((100L, Seq(1.0f, 0.05f, 0.05f, 1.0f)))
+    .toDF("vec_id", "embedding")
+
+  private def build(path: String, assignments: Int = 1): Unit =
+    Pq.buildIvfPqIndex(corpus, "vec_id", "embedding", dim = 4, m = 2,
+      k = 2, iters = 2, centroids = 2, path = path,
+      assignments = assignments)
+
+  test("index tree: ivf + codebooks + codes partitioned by c_id") {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_tree"
+    build(path)
+    val ivf = spark.read.parquet(s"$path/ivf")
+    assert(ivf.columns.toSet == Set("c_id", "cv"))
+    assert(ivf.count() <= 2)
+    val cells = new java.io.File(s"$path/codes").listFiles()
+      .filter(_.getName.startsWith("c_id=")).map(_.getName).toSet
+    assert(cells.nonEmpty, "codes must be hive-partitioned by c_id")
+    // every corpus row coded exactly once at assignments=1
+    assert(spark.read.parquet(s"$path/codes").count() == 6)
+  }
+
+  test("probe scan reads ONLY the probed cells' files (static partition pruning)") {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_prune"
+    build(path)
+    val cand = Pq.ivfPqCandidates(query, path, dim = 4, topK = 3,
+      probes = 1, "vec_id", "embedding")
+    val scan = cand.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("codes"))
+      .getOrElse(fail("no codes scan in plan"))
+    // the probed-cell in-list must reach the scan as a PARTITION
+    // filter (file-level pruning), not a post-scan data filter
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("c_id"), scan.take(800))
+    // and the pruning MECHANISM: the same shape of scan+in-list (no
+    // AQE wrapping on a scan-only plan, so the scan node is reachable)
+    // reads exactly one of the two cell directories
+    val oneCell = spark.read.parquet(s"$path/codes")
+      .filter(col("c_id").isin(spark.read.parquet(s"$path/ivf")
+        .orderBy("c_id").collect().head.getLong(0)))
+    val files = oneCell.queryExecution.executedPlan.collectLeaves()
+      .collect { case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount }
+    assert(files.nonEmpty && files.head == 1,
+      s"expected 1 of 2 cell partitions read, got $files")
+  }
+
+  test("search ranks the query's own group first; ADC dists are nonneg longs") {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_search"
+    build(path)
+    val top = Pq.ivfPqCandidates(query, path, dim = 4, topK = 3,
+        probes = 2, "vec_id", "embedding")
+      .orderBy("rank").collect()
+    // the query's own (low) group fills the top-3 — within-group order
+    // is a quantization artifact (codes can tie or split residuals),
+    // and the exact re-rank downstream restores it
+    assert(top.map(_.getLong(2)).toSet == Set(0L, 1L, 2L), top.toSeq)
+    assert(top.forall(_.getLong(3) >= 0L))
+  }
+
+  test("multi-assignment: replicas on disk, min-merged in search (no duplicate pairs)") {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_multi"
+    build(path, assignments = 2)
+    assert(spark.read.parquet(s"$path/codes").count() == 12,
+      "each vector coded into its 2 nearest cells")
+    val out = Pq.ivfPqCandidates(query, path, dim = 4, topK = 6,
+        probes = 2, "vec_id", "embedding", dedupCells = true)
+      .collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(2)))
+    assert(pairs.distinct.length == pairs.length, "pairs must be deduped")
+    assert(out.length == 6, "all corpus vectors reachable, once each")
+  }
+
+  test("residual=false index round-trips and searches too") {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_raw"
+    Pq.buildIvfPqIndex(corpus, "vec_id", "embedding", dim = 4, m = 2,
+      k = 2, iters = 2, centroids = 2, path = path, residual = false)
+    val top = Pq.ivfPqCandidates(query, path, dim = 4, topK = 3,
+        probes = 2, "vec_id", "embedding", residual = false)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(top == Seq(0L, 1L, 2L), top)
+  }
+}

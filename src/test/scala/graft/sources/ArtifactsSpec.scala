@@ -66,4 +66,37 @@ class ArtifactsSpec extends SparkSpec {
     run()
     assert(builds == 2)
   }
+
+  test("ensureVersioned: trust-on-match reuses across runs, corpus change rebuilds") {
+    // a REAL corpus directory — the fingerprint is its (path, size,
+    // mtime) listing
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_spec_corpus")
+    val f = corpusDir.resolve("part-0.parquet")
+    java.nio.file.Files.writeString(f, "state-1")
+    val corpus = corpusDir.toString
+    var builds = 0
+    def run(trust: Boolean) = Artifacts.ensureVersioned("spec_vkind", corpus,
+      trust = trust) { p =>
+      builds += 1
+      Artifacts.publish(Seq(42L).toDF("v"), p)
+    }
+    run(trust = true)
+    assert(builds == 1)
+    // "next run" (fresh memo), same corpus state → trusted, NO rebuild
+    Artifacts.resetMemo()
+    val p2 = run(trust = true)
+    assert(builds == 1, "unchanged corpus must be reused across runs")
+    assert(Artifacts.reusedThisRun.exists(_.startsWith("spec_vkind|")))
+    assert(spark.read.parquet(p2).as[Long].head() == 42L)
+    // corpus state changes (size here; mtime alone also flips the
+    // digest) → fingerprint mismatch → rebuild
+    java.nio.file.Files.writeString(f, "state-2-longer")
+    Artifacts.resetMemo()
+    run(trust = true)
+    assert(builds == 2, "changed corpus must rebuild")
+    // trust OFF stays the gate default: rebuild even when unchanged
+    Artifacts.resetMemo()
+    run(trust = false)
+    assert(builds == 3, "trust off must always rebuild per run")
+  }
 }
