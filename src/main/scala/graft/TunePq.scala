@@ -76,7 +76,7 @@ object TunePq {
         residual = residual, assignments = assignments)
       val cand = Pq.ivfPqCandidates(q, path, dim = 64, topK = 50,
           probes = probes, "vec_id", "embedding", residual = residual,
-          dedupCells = assignments > 1)
+          assignments = assignments)
         .select(col("query_id").as("q_id"), col("neighbor_id").as("i_id"))
       val rerank = {
         import graft.functions.VectorFunctions

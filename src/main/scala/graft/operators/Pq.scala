@@ -247,24 +247,19 @@ object Pq {
     // Folding the codebook into the pair expression instead (the
     // naive formulation) pays k centroid probes per subspace per
     // PAIR: measured 5× slower at sf1. Dead centroids (cluster
-    // death) leave a 0 slot no live code ever indexes.
-    val q0 = queries.select(
-      col(queryId).cast("long").as("q_id") +:
-        (0 until m).map(s =>
-          SemDedup.quantizeMilli(slice(col(queryVec), s * sub + 1, sub))
-            .as(s"qv$s")): _*)
-    val q = q0.select(
-      col("q_id") +:
-        (0 until m).map { s =>
-          val live = cbs(s).toMap
-          array((0 until k).map { cid =>
-            live.get(cid.toLong)
-              .map(cv => SemDedup.sqDistInt(col(s"qv$s"), typedLit(cv)))
-              .getOrElse(lit(0L))
-          }: _*).as(s"lut$s")
-        }: _*)
+    // death) leave a 0 slot no live code ever indexes. The LUT build
+    // itself is ONE fused native loop per row
+    // ([[graft.functions.AdcLutsExpr]] — the m·k HOF-fold formulation
+    // it replaces bit-equally is interpreted per fold and dominated
+    // the probe cost); the zero cell centroid makes it raw (not
+    // residual) ADC.
+    val q = queries.select(
+      col(queryId).cast("long").as("q_id"),
+      graft.functions.AdcLutsExpr(
+        SemDedup.quantizeMilli(col(queryVec)),
+        typedLit(Seq.fill(dim)(0L)), cbs, k).as("luts"))
     val dist = (0 until m).map { s =>
-      element_at(col(s"lut$s"), col(s"code$s").cast("int") + 1)
+      element_at(col("luts"), lit(s * k) + col(s"code$s").cast("int") + 1)
     }.reduce(_ + _)
     // pin full parallelism on the coded side BEFORE the fan-out: the
     // codes relation is tiny in BYTES (that is the point of PQ), so
@@ -472,8 +467,9 @@ object Pq {
       queryId: String,
       queryVec: String,
       residual: Boolean = true,
-      dedupCells: Boolean = false): DataFrame = {
+      assignments: Int = 1): DataFrame = {
     require(probes >= 1)
+    require(assignments >= 1)
     val spark = queries.sparkSession
     graft.GraftSession.tune(spark)
     val ivfCb: Seq[(Long, Seq[Long])] =
@@ -493,23 +489,29 @@ object Pq {
 
     val q0 = queries.select(col(queryId).cast("long").as("q_id"),
       SemDedup.quantizeMilli(col(queryVec)).as("qmv"))
-    val probed = q0.select(col("q_id"), col("qmv"),
-        explode(slice(array_sort(
-          coarseScoresMilli(col("qmv"), ivfCb)), 1, effProbes))
-          .as("cs"))
+    // coarse probe scoring is ITSELF one native LUT build — a single
+    // "subspace" of full width over the coarse codebook (the
+    // m·k-fold HOF scorer was the other interpreted hot spot on the
+    // probe path); the (dist, cid) structs then just index it
+    val coarseK = ivfCb.map(_._1).max.toInt + 1
+    val qs = q0.select(col("q_id"), col("qmv"),
+      graft.functions.AdcLutsExpr(col("qmv"),
+        typedLit(Seq.fill(dim)(0L)), Seq(ivfCb), coarseK).as("cluts"))
+    val probed = qs.select(col("q_id"), col("qmv"),
+        explode(slice(array_sort(array(ivfCb.map { case (cid, _) =>
+          struct(element_at(col("cluts"), lit(cid.toInt) + 1).as("d"),
+            lit(cid).as("c"))
+        }: _*)), 1, effProbes)).as("cs"))
       .select(col("q_id"), col("qmv"), col("cs.c").as("c_id"))
-    val qrm = probed.select(col("q_id") +: col("c_id") +:
-      (0 until m).map(s =>
-        subMilli(col("qmv"), col("c_id"), ivfCb, s, sub, residual).as(s"qv$s")): _*)
-    val luts = qrm.select(col("q_id") +: col("c_id") +:
-      (0 until m).map { s =>
-        val live = cbs(s).toMap
-        array((0 until k).map { cid =>
-          live.get(cid.toLong)
-            .map(cv => SemDedup.sqDistInt(col(s"qv$s"), typedLit(cv)))
-            .getOrElse(lit(0L))
-        }: _*).as(s"lut$s")
-      }: _*)
+    // per (query, cell): all m residual LUTs in ONE fused native loop
+    // ([[graft.functions.AdcLutsExpr]]; the cell centroid comes from
+    // an inlined c_id → centroid map literal, zeros when the index
+    // holds raw codes)
+    val cellCv =
+      if (residual) element_at(typedLit(ivfCb.toMap), col("c_id"))
+      else typedLit(Seq.fill(dim)(0L))
+    val luts = probed.select(col("q_id"), col("c_id"),
+      graft.functions.AdcLutsExpr(col("qmv"), cellCv, cbs, k).as("luts"))
 
     // static probe-bounded partition pruning: ≤ `centroids` cell ids
     val cells = probed.select(col("c_id")).distinct()
@@ -521,19 +523,36 @@ object Pq {
       .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
 
     val dist = (0 until m).map { s =>
-      element_at(col(s"lut$s"), col(s"code$s").cast("int") + 1)
+      element_at(col("luts"), lit(s * k) + col(s"code$s").cast("int") + 1)
     }.reduce(_ + _)
-    val scored0 = codes.join(broadcast(luts), "c_id")
+    val scored = codes.join(broadcast(luts), "c_id")
       .select(col("q_id"), col("vec_id"), dist.as("adc"))
-    // under multi-assignment a pair can meet in up to
-    // min(assignments, probes) cells with different residual codes —
-    // keep the smallest estimate (one candidate-sized exchange, only
-    // paid when the index was built with assignments > 1)
-    val scored =
-      if (!dedupCells) scored0
-      else scored0.groupBy(col("q_id"), col("vec_id"))
+    // Under multi-assignment a pair can meet in up to
+    // min(assignments, probes) cells with different residual codes;
+    // the merged estimate is the per-pair MIN. A groupBy(q, item)
+    // BEFORE the heap would shuffle the ENTIRE scored pair relation
+    // (measured 6× slower than the full-scan ADC at sf1 — the one
+    // exchange this operator exists to avoid), so instead the heap
+    // runs FIRST at width topK·assignments: every entry of a distinct
+    // pair's ≤ `assignments` copies sorts at-or-after its min copy,
+    // so the k-th smallest distinct merged pair sits within the first
+    // k·assignments heap entries — the widened prefix provably
+    // contains the true top-k. The min-merge + re-trim then run on
+    // ≤ topK·assignments rows PER QUERY (two tiny aggregations), and
+    // the scored relation itself only ever feeds map-side partial
+    // heaps, exactly like the full-scan ADC plan.
+    val merged =
+      if (assignments == 1) scored
+      else scored
+        .groupBy(col("q_id"))
+        .agg(TopK.topK(topK * assignments)(col("adc").cast("double"),
+          col("vec_id"), col("vec_id")).as("top"))
+        .select(col("q_id"), explode(col("top")).as("n"))
+        .select(col("q_id"), col("n.id").as("vec_id"),
+          col("n.dist").cast("long").as("adc"))
+        .groupBy(col("q_id"), col("vec_id"))
         .agg(min(col("adc")).as("adc"))
-    scored
+    merged
       .groupBy(col("q_id").as("query_id"))
       .agg(TopK.topK(topK)(col("adc").cast("double"), col("vec_id"),
         col("vec_id")).as("top"))

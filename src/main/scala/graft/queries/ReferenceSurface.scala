@@ -378,7 +378,7 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
     rerankTop5(emb, q,
       operators.Pq.ivfPqCandidates(q, ivfPqIndexPath(spark, sfDir),
         dim = 64, topK = 50, probes = 12, "vec_id", "embedding",
-        dedupCells = true))
+        assignments = 2))
   }
 
   /** The per-corpus IVF-PQ index artifact: 32 Lloyd-trained coarse

@@ -87,7 +87,7 @@ class IvfPqSpec extends SparkSpec {
     assert(spark.read.parquet(s"$path/codes").count() == 12,
       "each vector coded into its 2 nearest cells")
     val out = Pq.ivfPqCandidates(query, path, dim = 4, topK = 6,
-        probes = 2, "vec_id", "embedding", dedupCells = true)
+        probes = 2, "vec_id", "embedding", assignments = 2)
       .collect()
     val pairs = out.map(r => (r.getLong(0), r.getLong(2)))
     assert(pairs.distinct.length == pairs.length, "pairs must be deduped")
