@@ -34,6 +34,10 @@ import graft.operators.{Dedup, Knn}
   *  - [[semDedupStream]]: streaming semantic dedup against a static
   *    Lloyd codebook — per-cluster keyed state, the ingest-time twin
   *    of the batch `SemDedup.semDedup`.
+  *  - [[adcTopKStream]]: streaming ADC vector search against the
+  *    standing PQ-coded corpus — static codebook literals, native
+  *    per-arrival LUT build, watermark-bounded per-query heaps; the
+  *    ingest-time twin of the batch `Pq.adcTopK`/q165.
   */
 object StreamingOps {
 
@@ -708,5 +712,66 @@ object StreamingOps {
             out.iterator
           }
       }
+  }
+
+  /** Streaming ADC top-k — the ingest-time twin of
+    * [[graft.operators.Pq.adcTopK]]/q165: arriving QUERY vectors are
+    * searched against the STANDING coded corpus (the persisted PQ
+    * index's `codes/` relation — static, re-planned per micro-batch
+    * like every stream-static side in this module, so the scan reads
+    * codes, not vectors). Per arrival the m ADC lookup tables are ONE
+    * native fused projection against the codebook literals
+    * ([[graft.functions.AdcLutsExpr]] — codebooks are literals by
+    * construction, a few KB collected once at plan time, exactly the
+    * batch discipline); the join with the coded side is stateless;
+    * the per-query bounded top-k heap is the one stateful step — a
+    * watermark-bounded tumbling-window aggregation (the
+    * [[ingestPipelineStream]] stage-4 discipline), finalized
+    * append-mode when the watermark passes the window.
+    *
+    * Batch parity: on the same query rows this emits exactly
+    * `Pq.adcTopK(queries, coded, cbs, …)`'s rows (spec-pinned) — the
+    * heap state merges partial heaps across micro-batches, so a query
+    * whose candidates span batches still converges to the batch
+    * verdict as long as its event-time window is open; the watermark
+    * horizon IS the result-finality horizon, as everywhere else in
+    * this module.
+    *
+    * @return append stream of (query_id, rank, neighbor_id, adc_dist)
+    */
+  def adcTopKStream(
+      queries: DataFrame,
+      coded: DataFrame,
+      cbs: Seq[Seq[(Long, Seq[Long])]],
+      dim: Int,
+      topK: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      tsCol: String = "ts",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    import graft.operators.{SemDedup, TopK}
+    require(cbs.nonEmpty, "codebooks must be non-empty")
+    val m = cbs.size
+    val k = cbs.map(_.map(_._1).max).max.toInt + 1
+    val q = queries
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(idCol).cast("long").as("q_id"), col(tsCol).as("__ts"),
+        graft.functions.AdcLutsExpr(
+          SemDedup.quantizeMilli(col(vecCol)),
+          typedLit(Seq.fill(dim)(0L)), cbs, k).as("luts"))
+      .withColumn("__one", lit(1))
+    val dist = (0 until m).map { s =>
+      element_at(col("luts"), lit(s * k) + col(s"code$s").cast("int") + 1)
+    }.reduce(_ + _)
+    q.join(coded.withColumn("__one", lit(1)), Seq("__one"))
+      .select(col("q_id"), col("__ts"), col("vec_id"), dist.as("adc"))
+      .groupBy(window(col("__ts"), watermarkDelay), col("q_id"))
+      .agg(TopK.topK(topK)(col("adc").cast("double"), col("vec_id"),
+        col("vec_id")).as("top"))
+      .select(col("q_id").as("query_id"),
+        posexplode(col("top")).as(Seq("pos", "n")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("n.id").as("neighbor_id"),
+        col("n.dist").cast("long").as("adc_dist"))
   }
 }
