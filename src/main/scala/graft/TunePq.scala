@@ -74,9 +74,9 @@ object TunePq {
       Pq.buildIvfPqIndex(it, "vec_id", "embedding", dim = 64, m = 8,
         k = 64, iters = 2, centroids = centroids, path = path,
         residual = residual, assignments = assignments)
+      // residual/assignments now travel in the index's meta sidecar
       val cand = Pq.ivfPqCandidates(q, path, dim = 64, topK = 50,
-          probes = probes, "vec_id", "embedding", residual = residual,
-          assignments = assignments)
+          probes = probes, "vec_id", "embedding")
         .select(col("query_id").as("q_id"), col("neighbor_id").as("i_id"))
       val rerank = {
         import graft.functions.VectorFunctions

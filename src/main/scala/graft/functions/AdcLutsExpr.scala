@@ -72,9 +72,20 @@ case class AdcLutsExpr(
     t
   }
 
+  /** Input arrays shorter than m·sub would hit UnsafeArrayData's
+    * UNCHECKED accessor and fold garbage into every LUT entry (wrong
+    * dim, mis-sliced caller) — fail loudly instead; the check is one
+    * compare per ROW next to an m·k·sub loop (round-12 advice). */
+  private def checkLen(n: Int, side: String): Unit =
+    if (n < m * sub)
+      throw new IllegalArgumentException(
+        s"adc_luts: $side array has $n elements, need >= ${m * sub} (m=$m x sub=$sub)")
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val c = r.asInstanceOf[ArrayData]
+    checkLen(a.numElements(), "query")
+    checkLen(c.numElements(), "cell-centroid")
     val out = new Array[Long](m * k)
     var s = 0
     while (s < m) {
@@ -112,6 +123,11 @@ case class AdcLutsExpr(
       val d = ctx.freshName("d")
       val gad = classOf[GenericArrayData].getName
       s"""
+         |if ($a.numElements() < ${m * sub} || $c.numElements() < ${m * sub}) {
+         |  throw new IllegalArgumentException(
+         |    "adc_luts: input arrays have " + $a.numElements() + "/" +
+         |    $c.numElements() + " elements, need >= ${m * sub} (m=$m x sub=$sub)");
+         |}
          |long[] $out = new long[${m * k}];
          |for (int $s = 0; $s < $m; $s++) {
          |  int $base = $s * $sub;

@@ -392,42 +392,158 @@ object Pq {
     // residuals) — and the primary residual distribution is the one
     // the codes must cover anyway
     val cbs = residualCodebooks(it, dim, m, k, iters, ivfCb, residual)
-    val sub = dim / m
     val effAssign = math.min(assignments, ivfCb.size)
     graft.sources.Artifacts.publishTree(items.sparkSession, path) { build =>
+      // meta travels WITH the index: the probe path derives every
+      // layout parameter (dim, m, k, residual, assignments) from here
+      // instead of trusting the caller to re-supply matching values —
+      // a residual or assignments mismatch fails silently (duplicate
+      // neighbors, wrong distances), not loudly (round-12 advice)
+      Seq((dim, m, k, centroids, iters, residual, effAssign))
+        .toDF("dim", "m", "k", "centroids", "iters", "residual", "assignments")
+        .coalesce(1).write.parquet(s"$build/meta")
       ivfCb.toDF("c_id", "cv")
         .coalesce(1).write.parquet(s"$build/ivf")
       cbs.zipWithIndex
         .flatMap { case (cb, s) => cb.map { case (code, cv) => (s, code, cv) } }
         .toDF("subspace", "code", "cv")
         .coalesce(1).write.parquet(s"$build/codebooks")
-      // staged selects: milli + c_id as NAMED attributes before the
-      // residual projections, residual subvectors named before the
-      // struct-argmin (the kmeansAssign analysis quirk). Under
-      // multi-assignment each item is replicated into its
-      // `assignments` nearest cells (the q39 recall lever) and
-      // encoded against EACH cell's residual — the replica's codes
-      // describe it from that cell's vantage.
-      val s1 = it.select(col("i_id").as("vec_id"),
-        SemDedup.quantizeMilli(col("i_vec")).as("mv"))
-      val s2 =
-        if (effAssign == 1)
-          s1.select(col("vec_id"), col("mv"),
-            SemDedup.assignClusterMilli(col("mv"), ivfCb).as("c_id"))
-        else
-          s1.select(col("vec_id"), col("mv"),
-              explode(slice(array_sort(coarseScoresMilli(col("mv"), ivfCb)),
-                1, effAssign)).as("cs"))
-            .select(col("vec_id"), col("mv"), col("cs.c").as("c_id"))
-      val s3 = s2.select(col("vec_id") +: col("c_id") +:
-        (0 until m).map(s =>
-          subMilli(col("mv"), col("c_id"), ivfCb, s, sub, residual).as(s"mv$s")): _*)
-      s3.select(col("vec_id") +: col("c_id") +:
-          (0 until m).map(s =>
-            SemDedup.assignClusterMilli(col(s"mv$s"), cbs(s)).as(s"code$s")): _*)
+      encodeCodes(it, ivfCb, cbs, dim, residual, effAssign)
         .write.partitionBy("c_id").parquet(s"$build/codes")
     }
   }
+
+  /** The encode projection shared by [[buildIvfPqIndex]] and
+    * [[appendIvfPqIndex]]: `(i_id, i_vec)` rows → `(vec_id, c_id,
+    * code0..m−1)` against FIXED codebooks. Staged selects: milli +
+    * c_id as NAMED attributes before the residual projections,
+    * residual subvectors named before the struct-argmin (the
+    * kmeansAssign analysis quirk). Under multi-assignment each item
+    * is replicated into its `assignments` nearest cells (the q39
+    * recall lever) and encoded against EACH cell's residual — the
+    * replica's codes describe it from that cell's vantage. Codebooks
+    * fixed ⇒ this is a pure per-row projection, which is what makes
+    * the incremental append bit-equal to a full re-encode. */
+  private def encodeCodes(
+      it: DataFrame,
+      ivfCb: Seq[(Long, Seq[Long])],
+      cbs: Seq[Seq[(Long, Seq[Long])]],
+      dim: Int,
+      residual: Boolean,
+      effAssign: Int): DataFrame = {
+    val m = cbs.size
+    val sub = dim / m
+    val s1 = it.select(col("i_id").as("vec_id"),
+      SemDedup.quantizeMilli(col("i_vec")).as("mv"))
+    val s2 =
+      if (effAssign == 1)
+        s1.select(col("vec_id"), col("mv"),
+          SemDedup.assignClusterMilli(col("mv"), ivfCb).as("c_id"))
+      else
+        s1.select(col("vec_id"), col("mv"),
+            explode(slice(array_sort(coarseScoresMilli(col("mv"), ivfCb)),
+              1, effAssign)).as("cs"))
+          .select(col("vec_id"), col("mv"), col("cs.c").as("c_id"))
+    val s3 = s2.select(col("vec_id") +: col("c_id") +:
+      (0 until m).map(s =>
+        subMilli(col("mv"), col("c_id"), ivfCb, s, sub, residual).as(s"mv$s")): _*)
+    s3.select(col("vec_id") +: col("c_id") +:
+      (0 until m).map(s =>
+        SemDedup.assignClusterMilli(col(s"mv$s"), cbs(s)).as(s"code$s")): _*)
+  }
+
+  /** The build parameters persisted beside a [[buildIvfPqIndex]]
+    * tree — the probe/append paths derive layout from here rather
+    * than trusting call-site arguments. */
+  case class IvfPqMeta(dim: Int, m: Int, k: Int, centroids: Int,
+      iters: Int, residual: Boolean, assignments: Int)
+
+  /** Read the one-row `meta/` relation of an IVF-PQ artifact. */
+  def readIvfPqMeta(spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfPqMeta = {
+    val r = spark.read.parquet(s"$path/meta").collect() match {
+      case Array(row) => row
+      case rows => throw new IllegalStateException(
+        s"ivf-pq index at $path: meta must be exactly 1 row, got ${rows.length}")
+    }
+    IvfPqMeta(r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3),
+      r.getInt(4), r.getBoolean(5), r.getInt(6))
+  }
+
+  /** Incremental IVFADC maintenance — the q168 move applied to ANN:
+    * encode an ingest batch against the STANDING coarse + PQ
+    * codebooks and APPEND its code files into the existing cell
+    * partitions, leaving the rest of the tree untouched. Codebooks
+    * fixed ⇒ codes are a pure per-row projection of the batch
+    * ([[encodeCodes]]) ⇒ the appended index is BIT-EQUAL to a full
+    * re-encode of old ∪ batch against the same codebooks (the q166
+    * bit-equality argument; q170's gate pins it against an
+    * independent oracle) — at the cost of the BATCH share instead of
+    * a full-corpus rebuild, which at a bounded ingest rate is the
+    * whole difference at 100 TB.
+    *
+    * Publish protocol: the batch codes are written cell-partitioned
+    * into a private `<path>.append` staging tree, then each finished
+    * part file is RENAMED into its live `codes/c_id=…/` directory
+    * (creating the directory when the batch opens a new cell). File
+    * renames are atomic per file, and append-only means a concurrent
+    * reader sees some prefix of the new files — results only grow,
+    * never tear; single writer per artifact path, as everywhere in
+    * [[graft.sources.Artifacts]]. What the append does NOT do is
+    * retrain: drift of the standing codebooks against the grown
+    * corpus is the separate q171 audit's job.
+    */
+  def appendIvfPqIndex(
+      batch: DataFrame,
+      itemId: String,
+      vecCol: String,
+      path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val spark = batch.sparkSession
+    val meta = readIvfPqMeta(spark, path)
+    val ivfCb = readIvfCb(spark, path)
+    val cbs = readPqCbs(spark, path)
+    val it = batch.select(col(itemId).cast("long").as("i_id"),
+      col(vecCol).as("i_vec"))
+    val stage = path + ".append"
+    val stagePath = new Path(stage)
+    val fs = stagePath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(stagePath)) fs.delete(stagePath, true)
+    encodeCodes(it, ivfCb, cbs, meta.dim, meta.residual,
+        math.min(meta.assignments, ivfCb.size))
+      .write.partitionBy("c_id").parquet(s"$stage/codes")
+    fs.listStatus(new Path(s"$stage/codes"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("c_id="))
+      .foreach { cell =>
+        val target = new Path(s"$path/codes/${cell.getPath.getName}")
+        if (!fs.exists(target)) fs.mkdirs(target)
+        fs.listStatus(cell.getPath)
+          .filter(f => !f.isDirectory && !f.getPath.getName.startsWith("_"))
+          .foreach { f =>
+            require(fs.rename(f.getPath,
+              new Path(target, f.getPath.getName)),
+              s"ivf-pq append rename failed: ${f.getPath}")
+          }
+      }
+    fs.delete(stagePath, true)
+  }
+
+  /** Collect the coarse codebook relation of an index tree (≤
+    * `centroids` rows — driver-bounded like every codebook). */
+  private def readIvfCb(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Long, Seq[Long])] =
+    spark.read.parquet(s"$path/ivf")
+      .orderBy(col("c_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+
+  /** Collect the PQ codebooks relation of an index tree (m·k rows). */
+  private def readPqCbs(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Seq[(Long, Seq[Long])]] =
+    spark.read.parquet(s"$path/codebooks")
+      .orderBy(col("subspace"), col("code")).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getSeq[Long](2).toSeq)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(_._2).toSeq)
 
   /** Probe-bounded ADC candidate search over a [[buildIvfPqIndex]]
     * artifact — the IVFADC query plan:
@@ -456,6 +572,23 @@ object Pq {
     * priced by the TunePq sweep and recovered by the exact re-rank
     * the q167 gate runs on these candidates.
     *
+    * Layout parameters (m, k, residual, assignments) are DERIVED from
+    * the index's persisted `meta/` relation — the caller supplies
+    * only search knobs; `dim` is cross-checked against meta and a
+    * mismatch fails loudly (round-12 advice: a trusted-argument
+    * mismatch fails silently with duplicate neighbors or wrong
+    * distances).
+    *
+    * The LUT broadcast is |Q|·probes rows × m·k longs — ~49 KB per
+    * query at the shipped m=8/k=64/probes=12 — so `maxQueryBatch`
+    * ENFORCES the documented query-batch budget instead of just
+    * stating it: a larger query relation is split into
+    * ⌈|Q|/maxQueryBatch⌉ hash-disjoint chunks, each searched under
+    * its own bounded broadcast, and the per-chunk top-k union IS the
+    * whole answer (queries are independent — the split partitions
+    * them, it never splits one query's candidates). Default 256 ≈ a
+    * 13 MB broadcast ceiling.
+    *
     * @return (query_id, rank, neighbor_id, adc_dist)
     */
   def ivfPqCandidates(
@@ -466,29 +599,47 @@ object Pq {
       probes: Int,
       queryId: String,
       queryVec: String,
-      residual: Boolean = true,
-      assignments: Int = 1): DataFrame = {
+      maxQueryBatch: Int = 256): DataFrame = {
     require(probes >= 1)
-    require(assignments >= 1)
+    require(maxQueryBatch >= 1)
+    val spark = queries.sparkSession
+    val meta = readIvfPqMeta(spark, path)
+    require(meta.dim == dim,
+      s"ivf-pq index at $path was built at dim=${meta.dim}, searched at dim=$dim")
+    val q = queries.select(col(queryId).cast("long").as("q_id"),
+      col(queryVec).as("q_vec"))
+    val nq = q.count() // the query side is batch-bounded by contract
+    val nChunks = math.max(1, math.ceil(nq.toDouble / maxQueryBatch).toInt)
+    (0 until nChunks).map { i =>
+      val chunk =
+        if (nChunks == 1) q
+        else q.filter(pmod(xxhash64(col("q_id")), lit(nChunks)) === i)
+      ivfPqCandidatesBatch(chunk, path, meta, topK, probes)
+    }.reduce(_ union _)
+  }
+
+  /** One bounded query chunk of [[ivfPqCandidates]] — the plan the
+    * scaladoc above describes, with the LUT broadcast bounded by the
+    * chunk size. */
+  private def ivfPqCandidatesBatch(
+      queries: DataFrame,
+      path: String,
+      meta: IvfPqMeta,
+      topK: Int,
+      probes: Int): DataFrame = {
     val spark = queries.sparkSession
     graft.GraftSession.tune(spark)
-    val ivfCb: Seq[(Long, Seq[Long])] =
-      spark.read.parquet(s"$path/ivf")
-        .orderBy(col("c_id")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
-    val cbs: Seq[Seq[(Long, Seq[Long])]] =
-      spark.read.parquet(s"$path/codebooks")
-        .orderBy(col("subspace"), col("code")).collect()
-        .map(r => (r.getInt(0), (r.getLong(1), r.getSeq[Long](2).toSeq)))
-        .groupBy(_._1).toSeq.sortBy(_._1)
-        .map(_._2.map(_._2).toSeq)
+    val dim = meta.dim
+    val residual = meta.residual
+    val assignments = meta.assignments
+    val ivfCb = readIvfCb(spark, path)
+    val cbs = readPqCbs(spark, path)
     val m = cbs.size
-    val sub = dim / m
     val k = cbs.map(_.map(_._1).max).max.toInt + 1
     val effProbes = math.min(probes, ivfCb.size)
 
-    val q0 = queries.select(col(queryId).cast("long").as("q_id"),
-      SemDedup.quantizeMilli(col(queryVec)).as("qmv"))
+    val q0 = queries.select(col("q_id"),
+      SemDedup.quantizeMilli(col("q_vec")).as("qmv"))
     // coarse probe scoring is ITSELF one native LUT build — a single
     // "subspace" of full width over the coarse codebook (the
     // m·k-fold HOF scorer was the other interpreted hot spot on the
@@ -537,24 +688,18 @@ object Pq {
     // pair's ≤ `assignments` copies sorts at-or-after its min copy,
     // so the k-th smallest distinct merged pair sits within the first
     // k·assignments heap entries — the widened prefix provably
-    // contains the true top-k. The min-merge + re-trim then run on
-    // ≤ topK·assignments rows PER QUERY (two tiny aggregations), and
-    // the scored relation itself only ever feeds map-side partial
-    // heaps, exactly like the full-scan ADC plan.
-    val merged =
-      if (assignments == 1) scored
-      else scored
-        .groupBy(col("q_id"))
-        .agg(TopK.topK(topK * assignments)(col("adc").cast("double"),
-          col("vec_id"), col("vec_id")).as("top"))
-        .select(col("q_id"), explode(col("top")).as("n"))
-        .select(col("q_id"), col("n.id").as("vec_id"),
-          col("n.dist").cast("long").as("adc"))
-        .groupBy(col("q_id"), col("vec_id"))
-        .agg(min(col("adc")).as("adc"))
-    merged
+    // contains the true top-k. Since round 13 the widened heap, the
+    // min-merge, and the re-trim are ONE aggregation
+    // ([[TopK.topKDistinctMin]] — dedup-by-id at heap FINISH over
+    // ≤ topK·assignments in-memory entries), so the whole merge is a
+    // single exchange and the scored relation only ever feeds
+    // map-side partial heaps, exactly like the full-scan ADC plan.
+    val heap =
+      if (assignments == 1) TopK.topK(topK)
+      else TopK.topKDistinctMin(topK, assignments)
+    scored
       .groupBy(col("q_id").as("query_id"))
-      .agg(TopK.topK(topK)(col("adc").cast("double"), col("vec_id"),
+      .agg(heap(col("adc").cast("double"), col("vec_id"),
         col("vec_id")).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "n")))
       .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),

@@ -105,6 +105,25 @@ object TopK {
   def topK(k: Int): UserDefinedFunction =
     udaf(new TopKAggregator(k), Encoders.product[Neighbor])
 
+  /** Bounded top-k with per-id MIN-MERGE, in ONE aggregation: a
+    * [[TopKBuffer]] widened to k·`widen` entries, deduped by id
+    * (keeping each id's smallest dist) and re-trimmed to k at finish.
+    *
+    * This is the IVFADC multi-assignment merge as a single operator:
+    * a pair replicated into up to `widen` cells scores once per
+    * replica, and every copy sorts at-or-after its min copy, so the
+    * k-th smallest DISTINCT merged pair provably sits inside the
+    * widened k·widen prefix — the same containment argument as the
+    * explicit heap→explode→min→re-heap pipeline (spec-pinned equal),
+    * minus its two extra exchanges over the per-query lists. The
+    * finish-time dedup touches ≤ k·widen in-memory entries. One
+    * aggregation also means ONE stateful operator, which is what lets
+    * the streaming IVFADC twin run the merge under a single windowed
+    * aggregation.
+    */
+  def topKDistinctMin(k: Int, widen: Int): UserDefinedFunction =
+    udaf(new TopKDistinctMinAggregator(k, widen), Encoders.product[Neighbor])
+
   /** DataFrame-facing UDAF for per-group top-k TERMS:
     * `topTerms(k)(score, term, tf, df)` → `array<struct<score,term,tf,df>>`
     * sorted by (score desc, term asc). Same bounded-heap discipline as
@@ -114,6 +133,30 @@ object TopK {
     */
   def topTerms(k: Int): UserDefinedFunction =
     udaf(new TermTopKAggregator(k), Encoders.product[ScoredTerm])
+}
+
+/** [[TopK.topKDistinctMin]]'s Aggregator: accumulate into a widened
+  * [[TopKBuffer]] (capacity k·widen), dedup by id keeping the min
+  * dist and trim to k only at [[finish]]. */
+class TopKDistinctMinAggregator(k: Int, widen: Int)
+    extends Aggregator[Neighbor, TopKBuffer, Seq[Neighbor]] {
+  require(k >= 0 && widen >= 1)
+  override def zero: TopKBuffer = new TopKBuffer(k * widen)
+  override def reduce(b: TopKBuffer, n: Neighbor): TopKBuffer = {
+    b.insert(n.dist, n.id, n.label); b
+  }
+  override def merge(b1: TopKBuffer, b2: TopKBuffer): TopKBuffer =
+    b1.mergeFrom(b2)
+  override def finish(b: TopKBuffer): Seq[Neighbor] =
+    b.sorted
+      .groupBy(_.id).valuesIterator
+      .map(_.head) // sorted ascending (dist, id): head = the id's min
+      .toSeq
+      .sortBy(n => (n.dist, n.id))
+      .take(k)
+  override def bufferEncoder: Encoder[TopKBuffer] = Encoders.kryo[TopKBuffer]
+  override def outputEncoder: Encoder[Seq[Neighbor]] =
+    ExpressionEncoder[Seq[Neighbor]]()
 }
 
 /** One scored term flowing into a per-group top-k-terms aggregation.

@@ -377,8 +377,7 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
     val q = emb.filter(col("vec_id") % 10 === 0)
     rerankTop5(emb, q,
       operators.Pq.ivfPqCandidates(q, ivfPqIndexPath(spark, sfDir),
-        dim = 64, topK = 50, probes = 12, "vec_id", "embedding",
-        assignments = 2))
+        dim = 64, topK = 50, probes = 12, "vec_id", "embedding"))
   }
 
   /** The per-corpus IVF-PQ index artifact: 32 Lloyd-trained coarse

@@ -90,6 +90,17 @@ object Artifacts {
   def corpusFingerprint(spark: SparkSession, corpusDir: String): String = {
     val root = new Path(corpusDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // a corpus key that is not a listable directory (synthetic test
+    // keys, in-memory relations) has no state to version — the
+    // sentinel still round-trips through the record/compare cycle.
+    // The check is on the ROOT only: a FileNotFoundException thrown
+    // MID-WALK (file deleted concurrently, corpus root transiently
+    // unmounted mid-listing) must propagate, not collapse to the
+    // sentinel — two different corpus states fingerprinting to the
+    // same sentinel would trust-match each other and silently reuse
+    // a stale artifact (round-12 advice).
+    if (!fs.exists(root) || !fs.getFileStatus(root).isDirectory)
+      return "corpus-unlisted"
     val md = java.security.MessageDigest.getInstance("SHA-256")
     def walk(dir: Path): Unit =
       fs.listStatus(dir).sortBy(_.getPath.toString).foreach { st =>
@@ -98,13 +109,7 @@ object Artifacts {
           s"${st.getPath}|${st.getLen}|${st.getModificationTime}\n"
             .getBytes("UTF-8"))
       }
-    try walk(root)
-    catch {
-      // a corpus key that is not a listable directory (synthetic test
-      // keys, in-memory relations) has no state to version — the
-      // sentinel still round-trips through the record/compare cycle
-      case _: java.io.FileNotFoundException => return "corpus-unlisted"
-    }
+    walk(root)
     md.digest().map(b => f"$b%02x").mkString
   }
 
@@ -153,7 +158,12 @@ object Artifacts {
       val fpPath = new Path(path + ".fingerprint")
       val target = new Path(path)
       val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
-      lazy val fp = corpusFingerprint(spark, corpusDir)
+      // fingerprint BEFORE the build, so the recorded version reflects
+      // the corpus state the build actually read — a lazy/post-build
+      // snapshot would stamp a mid-build corpus edit's fingerprint
+      // onto an artifact built from the pre-edit state, and a later
+      // trust-on run would reuse it as current (round-12 advice)
+      val fp = corpusFingerprint(spark, corpusDir)
       val matches = trust && fs.exists(fpPath) && fs.exists(target) && {
         val in = fs.open(fpPath)
         try {
@@ -168,8 +178,14 @@ object Artifacts {
         // BEFORE building, re-record only after a successful publish
         if (fs.exists(fpPath)) fs.delete(fpPath, false)
         build(path)
-        val out = fs.create(fpPath, true)
-        try out.write(fp.getBytes("UTF-8")) finally out.close()
+        // refuse to version an artifact whose input CHANGED under the
+        // build: re-list and record only on a match — an unversioned
+        // artifact forces the next trust-on run to rebuild, which is
+        // the safe side of the race
+        if (corpusFingerprint(spark, corpusDir) == fp) {
+          val out = fs.create(fpPath, true)
+          try out.write(fp.getBytes("UTF-8")) finally out.close()
+        }
       }
       path
     })

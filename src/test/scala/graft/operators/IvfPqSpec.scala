@@ -87,7 +87,7 @@ class IvfPqSpec extends SparkSpec {
     assert(spark.read.parquet(s"$path/codes").count() == 12,
       "each vector coded into its 2 nearest cells")
     val out = Pq.ivfPqCandidates(query, path, dim = 4, topK = 6,
-        probes = 2, "vec_id", "embedding", assignments = 2)
+        probes = 2, "vec_id", "embedding")
       .collect()
     val pairs = out.map(r => (r.getLong(0), r.getLong(2)))
     assert(pairs.distinct.length == pairs.length, "pairs must be deduped")
@@ -98,9 +98,98 @@ class IvfPqSpec extends SparkSpec {
     val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_raw"
     Pq.buildIvfPqIndex(corpus, "vec_id", "embedding", dim = 4, m = 2,
       k = 2, iters = 2, centroids = 2, path = path, residual = false)
+    // residual mode is DERIVED from the persisted meta, not re-supplied
     val top = Pq.ivfPqCandidates(query, path, dim = 4, topK = 3,
-        probes = 2, "vec_id", "embedding", residual = false)
+        probes = 2, "vec_id", "embedding")
       .orderBy("rank").collect().map(_.getLong(2)).toSeq
     assert(top == Seq(0L, 1L, 2L), top)
+  }
+
+  test("meta sidecar: layout derived from the tree; a dim mismatch fails loudly") {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_meta"
+    build(path, assignments = 2)
+    val meta = Pq.readIvfPqMeta(spark, path)
+    assert(meta == Pq.IvfPqMeta(dim = 4, m = 2, k = 2, centroids = 2,
+      iters = 2, residual = true, assignments = 2))
+    val e = intercept[IllegalArgumentException] {
+      Pq.ivfPqCandidates(query, path, dim = 8, topK = 3, probes = 2,
+        "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("built at dim=4"))
+  }
+
+  test("chunked query batches: maxQueryBatch=1 union == unchunked result") {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_chunk"
+    build(path, assignments = 2)
+    val qs = corpus.select(col("vec_id") + 100, col("embedding"))
+      .toDF("vec_id", "embedding") // 6 queries
+    def run(batch: Int) =
+      Pq.ivfPqCandidates(qs, path, dim = 4, topK = 3, probes = 2,
+          "vec_id", "embedding", maxQueryBatch = batch)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sortBy(t => (t._1, t._2)).toSeq
+    assert(run(1) == run(Int.MaxValue), "per-query chunks must union to the unchunked answer")
+    assert(run(4) == run(Int.MaxValue))
+  }
+
+  test("append: batch codes land in cell partitions, search == full re-encode build") {
+    val old = corpus.filter(col("vec_id") =!= 2 && col("vec_id") =!= 12)
+    val batch = corpus.filter(col("vec_id") === 2 || col("vec_id") === 12)
+    // standing index trained + encoded on OLD rows only
+    val incr = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_incr"
+    Pq.buildIvfPqIndex(old, "vec_id", "embedding", dim = 4, m = 2,
+      k = 2, iters = 2, centroids = 2, path = incr, assignments = 2)
+    val before = spark.read.parquet(s"$incr/codes").count()
+    Pq.appendIvfPqIndex(batch, "vec_id", "embedding", incr)
+    assert(spark.read.parquet(s"$incr/codes").count() == before + 4,
+      "2 batch rows x 2 assignments appended")
+    // reference: same codebooks (trained on OLD), full re-encode of
+    // old ∪ batch — codes are a pure projection of fixed codebooks,
+    // so the appended index must be BIT-EQUAL
+    val full = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_incr_full"
+    Pq.buildIvfPqIndex(old, "vec_id", "embedding", dim = 4, m = 2,
+      k = 2, iters = 2, centroids = 2, path = full, assignments = 2)
+    Pq.appendIvfPqIndex(batch, "vec_id", "embedding", full)
+    val a = spark.read.parquet(s"$incr/codes")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val b = spark.read.parquet(s"$full/codes")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(a == b)
+    def search(p: String) =
+      Pq.ivfPqCandidates(query, p, dim = 4, topK = 6, probes = 2,
+          "vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).sortBy(t => (t._1, t._2)).toSeq
+    assert(search(incr) == search(full))
+    // and the appended rows are reachable: batch member 2 surfaces
+    assert(search(incr).map(_._3).contains(2L))
+  }
+
+  test("single-agg distinct-min merge == explicit heap/explode/min/re-heap") {
+    import spark.implicits._
+    val scored = Seq(
+      (1L, 10L, 5.0), (1L, 10L, 3.0), (1L, 11L, 4.0), (1L, 12L, 6.0),
+      (1L, 13L, 1.0), (2L, 10L, 2.0), (2L, 10L, 2.0), (2L, 14L, 7.0))
+      .toDF("q_id", "vec_id", "adc")
+    val k = 2; val widen = 2
+    val one = scored.groupBy(col("q_id"))
+      .agg(TopK.topKDistinctMin(k, widen)(col("adc"), col("vec_id"),
+        col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "n")))
+      .select(col("q_id"), col("pos"), col("n.id"), col("n.dist"))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val three = scored.groupBy(col("q_id"))
+      .agg(TopK.topK(k * widen)(col("adc"), col("vec_id"),
+        col("vec_id")).as("top"))
+      .select(col("q_id"), explode(col("top")).as("n"))
+      .select(col("q_id"), col("n.id").as("vec_id"),
+        col("n.dist").as("adc"))
+      .groupBy(col("q_id"), col("vec_id")).agg(min(col("adc")).as("adc"))
+      .groupBy(col("q_id"))
+      .agg(TopK.topK(k)(col("adc"), col("vec_id"), col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "n")))
+      .select(col("q_id"), col("pos"), col("n.id"), col("n.dist"))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(one == three)
   }
 }

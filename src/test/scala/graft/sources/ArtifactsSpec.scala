@@ -99,4 +99,44 @@ class ArtifactsSpec extends SparkSpec {
     run(trust = false)
     assert(builds == 3, "trust off must always rebuild per run")
   }
+
+  test("a corpus edited DURING the build is never versioned (no stale trust-match)") {
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_spec_corpus_race")
+    val f = corpusDir.resolve("part-0.parquet")
+    java.nio.file.Files.writeString(f, "state-1")
+    val corpus = corpusDir.toString
+    var builds = 0
+    Artifacts.ensureVersioned("spec_race", corpus, trust = true) { p =>
+      builds += 1
+      // the corpus changes UNDER the build: the pre-build fingerprint
+      // no longer matches, so this build must not be recorded as the
+      // post-change corpus state
+      java.nio.file.Files.writeString(f, "state-2-longer")
+      Artifacts.publish(Seq(1L).toDF("v"), p)
+    }
+    assert(builds == 1)
+    // next trust-on run: no fingerprint recorded → rebuild (safe side)
+    Artifacts.resetMemo()
+    Artifacts.ensureVersioned("spec_race", corpus, trust = true) { p =>
+      builds += 1
+      Artifacts.publish(Seq(2L).toDF("v"), p)
+    }
+    assert(builds == 2, "mid-build corpus edit must force the next run to rebuild")
+    // and a STABLE build after that versions normally again
+    Artifacts.resetMemo()
+    Artifacts.ensureVersioned("spec_race", corpus, trust = true) { p =>
+      builds += 1
+      Artifacts.publish(Seq(3L).toDF("v"), p)
+    }
+    assert(builds == 2, "stable corpus state recorded by the previous build is trusted")
+  }
+
+  test("fingerprint sentinel is root-missing ONLY; a real directory digests its listing") {
+    assert(Artifacts.corpusFingerprint(spark,
+      "/definitely/not/a/real/dir") == "corpus-unlisted")
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_spec_fp")
+    java.nio.file.Files.writeString(corpusDir.resolve("a"), "x")
+    val fp = Artifacts.corpusFingerprint(spark, corpusDir.toString)
+    assert(fp != "corpus-unlisted" && fp.length == 64)
+  }
 }
