@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** One-off scale-up generator for the sf1 spot-bench: replicates the
@@ -53,21 +53,28 @@ import org.apache.spark.sql.functions._
   *    statistic the pipeline filters on is preserved bit-for-bit.
   *    `n_chars` is recomputed from the reassembled text.
   *    Beyond 12 replicas the positional-perm space is exhausted (the
-  *    strides live mod 13), so reps 12..59 add a second orthogonal
-  *    axis: GENERATIONS. Replica `r` decomposes as
-  *    `(base = r mod 12, gen = r / 12)`; base picks the positional
-  *    perm above and gen applies a same-length vocabulary rename
+  *    strides live mod 13), so larger reps add two more orthogonal
+  *    axes. Replica `r` decomposes as `(base = r mod 12,
+  *    gen = (r / 12) mod 4, era = r / 48)`; base picks the positional
+  *    perm above; gen applies a same-length vocabulary rename
   *    ([[scaleDocuments]] → `vocabRenames`: affine-permute each
   *    length class of the realized vocab with a per-gen stride,
   *    stopwords / blocklist / langId markers fixed), so two replicas
   *    in different generations share a word 3-gram only across the
-  *    scorer-fixed words plus ≤ 1 coinciding word per length class —
-  *    far below every near-dup gate — while every per-doc statistic
-  *    stays preserved (renames are length- and stopword-preserving
-  *    bijections).
+  *    scorer-fixed words plus ≤ 1 coinciding word per length class;
+  *    era applies an affine CHARACTER cipher to every movable word
+  *    ([[eraRenames]] — the third axis the sf10 decade needs), so two
+  *    replicas in different eras share ONLY the scorer-fixed words.
+  *    All three transformations are far below every near-dup gate
+  *    (spec-asserted) while every per-doc statistic stays preserved
+  *    (renames and ciphers are length- and stopword-preserving
+  *    bijections on the realized vocabulary).
   *  - `embeddings.embedding`: cyclic rotation by `rep mod dim`
   *    positions — norm-preserving, within-replica cosine structure
-  *    intact, cross-replica neighborhoods decorrelated.
+  *    intact, cross-replica neighborhoods decorrelated; rotation eras
+  *    past `dim` replicas (`rep / dim` odd) additionally sign-flip
+  *    the odd coordinates (orthogonal, so within-replica structure
+  *    stays exact — see [[scaleEmbeddings]]).
   *  - `events` / `lineitem`: key shifts only (timestamps untouched, so
   *    the one-month event span keeps its density profile — 10× events
   *    per day, the realistic growth axis).
@@ -137,7 +144,17 @@ object ScaleUp {
       Seq(4, 2, 8, 5, 0, 3, 7, 6, 1), Seq(2, 7, 4, 3, 6, 0, 5, 1, 8)))
 
   private def withReps(spark: SparkSession, df: DataFrame, reps: Int): DataFrame =
+    // repartition AFTER the fan-out: the source tables are one small
+    // parquet file each (one input split), and the broadcast cross
+    // join preserves partitioning — without the exchange the whole
+    // reps× expansion plus the per-token permutation/rename
+    // expressions run as ONE task (measured: a single core pegged for
+    // the entire reps=100 documents write while 31 idled). The rows
+    // shuffled are the SOURCE rows × reps, paid once, and every
+    // downstream transform is per-row, so content is partitioning-
+    // independent.
     df.crossJoin(broadcast(spark.range(reps).toDF("rep")))
+      .repartition(spark.sparkContext.defaultParallelism)
 
   /** Fixed-point words a generation rename must NOT move: every word
     * an engine-side per-doc scorer tests by NAME — the quality/Gopher
@@ -150,6 +167,95 @@ object ScaleUp {
     graft.functions.TextFunctions.EnglishStopwords.toSet ++
       graft.functions.TextFunctions.LangMarkers.flatMap(_._2) ++
       graft.functions.TextFunctions.BlocklistTerms
+
+  /** The corpus's realized vocabulary (distinct space-split tokens,
+    * sorted) — vocab-bounded driver traffic (the BPE wordTable rule),
+    * collected once and shared by the generation renames and the era
+    * ciphers. */
+  private def realizedVocab(src: DataFrame): Seq[String] =
+    src.select(explode(split(col("text"), " ")).as("t"))
+      .distinct().collect().map(_.getString(0)).filter(_.nonEmpty).sorted.toSeq
+
+  /** Per-ERA affine character ciphers — the third replica axis (reps
+    * > 48). Era `e ≥ 1` maps every lowercase letter `c →
+    * (c−'a')·a + bₑ (mod 26)` inside every MOVABLE word (the
+    * [[RenameFixed]] scorer-tested words never move); non-letter
+    * characters pass through. Parameter discipline (the same
+    * no-shared-agreement argument the generation strides make over
+    * their prime modulus, here over the letter ring):
+    *
+    *  - vs the IDENTITY (era 0): `bₑ` ODD ⇒ `(a−1)c ≡ −bₑ (mod 26)`
+    *    has no solution (a−1 even, so the left side is always even) —
+    *    NO fixed letters, every movable word changes in every era;
+    *  - era vs era: the SAME multiplier `a` with distinct odd offsets
+    *    ⇒ two eras agree where `0·c ≡ bₑ′−bₑ (mod 26)` — nowhere —
+    *    so the same word NEVER collides across eras. (Distinct
+    *    multipliers would agree on gcd(aₑ−aₑ′, 26) = 2 letters, and a
+    *    word spelled entirely in those two letters would be shared.)
+    *
+    * What the letter algebra cannot exclude is two DIFFERENT realized
+    * words colliding across eras (with one multiplier that requires
+    * the vocabulary to contain a word AND its constant-letter-shift
+    * partner) — [[eraRenames]] checks image-set disjointness over the
+    * realized vocab and rejects loudly, the vocabRenames thin-class
+    * discipline. */
+  private val EraCiphers: Seq[(Int, Int)] = Seq((3, 7), (3, 9))
+
+  private def cipherWord(w: String, a: Int, b: Int): String =
+    w.map { c =>
+      if (c >= 'a' && c <= 'z') (((c - 'a') * a + b) % 26 + 'a').toChar
+      else c
+    }
+
+  /** Per-era rename maps over the realized movable vocabulary. A
+    * letterwise bijection is injective on words, so an era never
+    * merges two words (df profiles are permuted, not changed) and is
+    * length-preserving (per-doc char sums exact). Two hazards, both
+    * handled loudly rather than silently: a cipher image COLLIDING
+    * with a [[RenameFixed]] scorer word (it would inflate a stopword/
+    * marker/blocklist count — such words are excluded to a fixpoint,
+    * which then trips the disjointness check below), and any overlap
+    * between the TOKEN SETS of two eras (which would share shingles
+    * across eras and re-grow the reps² candidate cliques) — the
+    * corpus is rejected with the offending words named, the
+    * vocabRenames thin-class discipline. The bench corpus passes
+    * cleanly (spec-asserted). */
+  private[graft] def eraRenames(
+      vocab: Seq[String], maxEra: Int): Seq[Map[String, String]] = {
+    require(maxEra <= EraCiphers.size,
+      s"maxEra=$maxEra: only ${EraCiphers.size} era ciphers are defined")
+    val movable = vocab.filterNot(RenameFixed)
+    val maps = (1 to maxEra).map { e =>
+      val (a, b) = EraCiphers(e - 1)
+      var excluded = Set.empty[String]
+      var grew = true
+      while (grew) {
+        val staying = RenameFixed ++ excluded
+        val bad = movable
+          .filterNot(excluded)
+          .filter(w => staying(cipherWord(w, a, b)))
+        grew = bad.nonEmpty
+        excluded ++= bad
+      }
+      movable.filterNot(excluded)
+        .map(w => w -> cipherWord(w, a, b)).toMap
+    }
+    // cross-era image disjointness over the REALIZED vocab: the
+    // cipher algebra already makes same-word collisions impossible
+    // (see EraCiphers); a different-word collision needs the corpus
+    // to realize both a word and its constant-shift partner — refuse
+    // loudly rather than silently share shingles across eras
+    val tokenSets = movable.toSet +: maps.map(m =>
+      movable.map(w => m.getOrElse(w, w)).toSet)
+    for (i <- tokenSets.indices; j <- tokenSets.indices if i < j) {
+      val shared = tokenSets(i).intersect(tokenSets(j))
+      require(shared.isEmpty,
+        s"era ciphers collide on the realized vocabulary between eras " +
+          s"$i and $j (${shared.take(3).mkString(",")},…) — this corpus " +
+          s"does not support ${maxEra + 1} eras")
+    }
+    maps
+  }
 
   /** Per-GENERATION vocabulary renames for reps > 12 (see
     * [[scaleDocuments]]): generation g ≥ 1 permutes the first `p`
@@ -181,9 +287,10 @@ object ScaleUp {
     * near-dup gate (spec-asserted, including on an adversarial
     * enumerating corpus). The realized vocabulary is vocab-bounded
     * driver traffic (the BPE wordTable rule). */
-  private[graft] def vocabRenames(src: DataFrame, maxGen: Int): Seq[Map[String, String]] = {
-    val vocab = src.select(explode(split(col("text"), " ")).as("t"))
-      .distinct().collect().map(_.getString(0)).filter(_.nonEmpty).sorted.toSeq
+  private[graft] def vocabRenames(src: DataFrame, maxGen: Int): Seq[Map[String, String]] =
+    vocabRenamesFrom(realizedVocab(src), maxGen)
+
+  private def vocabRenamesFrom(vocab: Seq[String], maxGen: Int): Seq[Map[String, String]] = {
     val classes = vocab.filterNot(RenameFixed)
       .groupBy(_.length).values.map(_.sorted).toSeq
     def isPrime(x: Int): Boolean =
@@ -207,25 +314,44 @@ object ScaleUp {
     }
   }
 
+  /** Generations per era: maxGen = 3 (strides 2..4) needs every
+    * movable length class's prime prefix ≥ 5 — which the bench
+    * corpus's thinnest classes (5 members) supply exactly; a larger
+    * per-era generation count would demand thicker classes than the
+    * corpus has (vocabRenames rejects loudly). */
+  private val GensPerEra = 4
+
   def scaleDocuments(spark: SparkSession, src: DataFrame, reps: Int): DataFrame = {
-    // Two orthogonal axes span the replica space:
+    // THREE orthogonal axes span the replica space
+    // (rep = base + 12·gen + 48·era):
     //  - base = rep mod 12: the positional permutation (block stride +
     //    tail deal/table) — strides base+1 must be units mod 13;
-    //  - gen = rep / 12: a vocabulary rename (vocabRenames) applied
-    //    AFTER the positional perm, so replicas in different
+    //  - gen = (rep / 12) mod 4: a vocabulary rename (vocabRenames)
+    //    applied AFTER the positional perm, so replicas in different
     //    generations share (almost) no tokens and therefore no
-    //    shingles, extending the zero-cross-replica-near-dup guarantee
-    //    past the 12-perm positional ceiling. 60 = 12 × 5 generations,
-    //    bounded by the corpus's smallest movable length class (and by
-    //    the embedding rotation space, dim ≥ reps).
-    require(reps >= 1 && reps <= 60, s"reps=$reps: supported range is 1..60")
-    val maxGen = (reps - 1) / 12
-    val renames = if (maxGen >= 1) vocabRenames(src, maxGen) else Nil
+    //    shingles — ≤ 1 coinciding movable word per length class;
+    //  - era = rep / 48: an affine character cipher over every
+    //    movable word ([[eraRenames]]) applied after the generation
+    //    rename, so replicas in different eras share ONLY the
+    //    scorer-fixed words — the axis that extends the
+    //    zero-cross-replica-near-dup guarantee past the 48-replica
+    //    positional×generation ceiling (round-12 verdict: reps = 100,
+    //    the sf10 decade, needs a third verified-independent axis).
+    // Capacity: 12 × 4 × (1 + |EraCiphers|) = 144; the embedding flip
+    // space (2·dim = 128 at dim 64) is the binding cap.
+    require(reps >= 1 && reps <= 128, s"reps=$reps: supported range is 1..128")
+    val maxGen = math.min(GensPerEra - 1, (reps - 1) / 12)
+    val maxEra = (reps - 1) / (12 * GensPerEra)
+    val vocab =
+      if (maxGen >= 1 || maxEra >= 1) realizedVocab(src) else Nil
+    val renames = if (maxGen >= 1) vocabRenamesFrom(vocab, maxGen) else Nil
+    val eras = if (maxEra >= 1) eraRenames(vocab, maxEra) else Nil
     val B = 13
     val toks = split(col("text"), " ")
     val sz = size(toks)
     val base = pmod(col("rep"), lit(12)).cast("int")
-    val gen = floor(col("rep") / 12).cast("int")
+    val gen = pmod(floor(col("rep") / 12), lit(GensPerEra)).cast("int")
+    val era = floor(col("rep") / (12 * GensPerEra)).cast("int")
     val stride = (base + 1).cast("int")
     val tailStart = sz - pmod(sz, lit(B)) // 0-based start of the ragged tail
     val tailLen = pmod(sz, lit(B))
@@ -287,13 +413,25 @@ object ScaleUp {
     // generation rename still applies, so gen ≥ 1 base-0 replicas are
     // renamed verbatim-order copies, disjoint from every other replica
     val permutedToks = when(base === 0, toks).otherwise(permuted)
+    // per-token map = era cipher ∘ generation rename (both map within
+    // or out of the realized vocabulary, so the composition is one
+    // nested fold over two tiny literal maps per token); era 0 / gen 0
+    // are identities
+    def genRenamed(t: Column): Column =
+      if (renames.isEmpty) t
+      else renames.zipWithIndex.foldLeft(t) { case (acc, (m, i)) =>
+        when(gen === (i + 1), coalesce(element_at(typedlit(m), t), t))
+          .otherwise(acc)
+      }
+    def eraRenamed(t: Column): Column =
+      if (eras.isEmpty) t
+      else eras.zipWithIndex.foldLeft(t) { case (acc, (m, i)) =>
+        when(era === (i + 1), coalesce(element_at(typedlit(m), t), t))
+          .otherwise(acc)
+      }
     val renamed =
-      if (renames.isEmpty) permutedToks
-      else transform(permutedToks, t =>
-        renames.zipWithIndex.foldLeft(t) { case (acc, (m, i)) =>
-          when(gen === (i + 1), coalesce(element_at(typedlit(m), t), t))
-            .otherwise(acc)
-        })
+      if (renames.isEmpty && eras.isEmpty) permutedToks
+      else transform(permutedToks, t => eraRenamed(genRenamed(t)))
     withReps(spark, src, reps)
       .select((col("doc_id") + col("rep") * KeyShift).as("doc_id"),
         when(col("rep") === 0, col("text"))
@@ -307,9 +445,23 @@ object ScaleUp {
     val dim = size(v)
     val off = pmod(col("rep"), dim).cast("int")
     val rotated = concat(slice(v, off + lit(1), dim - off), slice(v, lit(1), off))
+    // second axis for reps > dim (the rotation space is exhausted —
+    // rep and rep+dim would otherwise be IDENTICAL copies and the ANN
+    // workload would collapse cross-replica neighborhoods): replicas
+    // in odd rotation ERAS (rep / dim odd) additionally negate the
+    // odd-indexed coordinates. The flip is a diagonal ±1 orthogonal
+    // map, so within-replica dot products / distances / norms are
+    // EXACT (D² = I), while a flipped replica's vectors sit near-
+    // orthogonal to every unflipped replica's (Σ even x² − Σ odd x²
+    // ≈ 0 for generic vectors) — 2·dim distinct transforms, the
+    // reps ≤ 128 cap at dim 64.
+    val flip = pmod(floor(col("rep") / dim), lit(2)) === 1
+    val transformed = when(flip,
+      transform(rotated, (x, i) => when(pmod(i, lit(2)) === 1, -x).otherwise(x)))
+      .otherwise(rotated)
     withReps(spark, src, reps)
       .select((col("vec_id") + col("rep") * KeyShift).as("vec_id"),
-        when(col("rep") === 0, v).otherwise(rotated).as("embedding"),
+        when(col("rep") === 0, v).otherwise(transformed).as("embedding"),
         col("label"))
   }
 

@@ -276,6 +276,94 @@ class ScaleUpSpec extends SparkSpec {
     assert(e.getMessage.contains("movable length class"))
   }
 
+  test("eras (reps > 48): cross-era clones decorrelated, stats preserved") {
+    // 100 reps = bases 0..11 × generations 0..3 × eras 0..2 — the sf10
+    // decomposition. Same-base same-gen cross-era pairs are the
+    // hardest (identical positional structure AND identical generation
+    // rename — only the character cipher separates them).
+    val reps = 100
+    val out = ScaleUp.scaleDocuments(spark, docs, reps).cache()
+    assert(out.count() === docs.count() * reps)
+    assert(out.select("doc_id").distinct().count() === docs.count() * reps)
+    for (orig <- Seq(0L, 2L, 5L)) { // full-block, pure-tail, stopword-heavy
+      val t = textsOf(out, orig, reps)
+      // (base, gen) fixed, era varies: reps r, r+48, r+96
+      for (r <- Seq(0, 1, 13); (e1, e2) <- Seq((0, 1), (0, 2), (1, 2))
+           if r + 48 * e2 < reps) {
+        val j = jac(t(r + 48 * e1), t(r + 48 * e2))
+        assert(j < 0.5, s"doc $orig rep $r eras $e1/$e2: jaccard $j")
+      }
+      // different base AND gen AND era stays decorrelated too
+      assert(jac(t(1), t(62)) < 0.5, s"doc $orig reps 1/62")
+    }
+    // order-invariant per-doc statistics identical across ALL 100 reps
+    import graft.functions.TextFunctions
+    val distinctStats = out.select(
+        pmod(col("doc_id"), lit(10000000L)).as("orig"),
+        TextFunctions.qualityScore(col("text")).as("q"),
+        TextFunctions.langId(col("text")).as("lg"),
+        TextFunctions.tokenCount(col("text")).as("nt"),
+        TextFunctions.stopwordCount(col("text")).as("sw"),
+        length(col("text")).as("nc"))
+      .groupBy("orig")
+      .agg(countDistinct(col("q"), col("lg"), col("nt"), col("sw"),
+        col("nc")).as("n"))
+      .filter(col("n") =!= 1L)
+    assert(distinctStats.count() === 0L)
+    // the cipher is a token bijection: within-replica structure intact
+    // in the deepest era — exact dups stay exact, near-dups keep Jaccard
+    val t0 = textsOf(out, 0L, reps); val t1 = textsOf(out, 1L, reps)
+    for (r <- Seq(50, 99)) assert(t0(r) === t1(r), s"rep $r: exact-dup pair broken")
+    val t3 = textsOf(out, 3L, reps); val t4 = textsOf(out, 4L, reps)
+    for (r <- Seq(50, 99))
+      assert(jac(t3(r), t4(r)) >= 0.8, s"rep $r: ${jac(t3(r), t4(r))}")
+  }
+
+  test("eras: token sets of distinct eras share ONLY scorer-fixed words") {
+    val reps = 100
+    val out = ScaleUp.scaleDocuments(spark, docs, reps).cache()
+    def toks(rep: Long): Set[String] =
+      out.filter(col("doc_id") >= rep * 10000000L &&
+          col("doc_id") < (rep + 1) * 10000000L)
+        .select(explode(split(col("text"), " ")).as("t"))
+        .distinct().as[String].collect().toSet
+    // reps 0 / 48 / 96 = eras 0 / 1 / 2 at base 0, gen 0
+    val fixedish = Set("the", "a", "an", "of", "and", "is", "in", "to",
+      "it", "that", "slow", "drop", "error") ++
+      Seq("der", "die", "das", "und", "ist", "nicht", "el", "la", "de",
+        "y", "es", "no", "le", "et", "est", "pas", "not")
+    for ((r1, r2) <- Seq((0L, 48L), (0L, 96L), (48L, 96L))) {
+      val shared = toks(r1).intersect(toks(r2))
+      assert(shared.subsetOf(fixedish),
+        s"reps $r1/$r2 share movable words: ${shared.diff(fixedish)}")
+    }
+  }
+
+  test("eras: a vocabulary realizing constant-shift partner words is rejected loudly") {
+    // eras 1 and 2 share a multiplier (3) and differ by offset 2, so
+    // cipher1(w') == cipher2(w) exactly when w' = w shifted by
+    // 2·3⁻¹ = 18 letters: 'ace' + 18 = 'suw'. With one era the pair
+    // is harmless (era 1 never collides with era 0 — no fixed
+    // letters), but at 2 eras the generator must refuse rather than
+    // share shingles across eras
+    val v = Seq("ace", "suw", "cat", "dog", "pig", "bat", "rat",
+      "mole", "lion", "wolf", "hare", "toad",
+      "zebra", "tiger", "otter", "stoat", "moose")
+    val e = intercept[IllegalArgumentException] {
+      ScaleUp.eraRenames(v, 2)
+    }
+    assert(e.getMessage.contains("era ciphers collide"))
+    // one era is fine on the same vocabulary
+    assert(ScaleUp.eraRenames(v, 1).head.size == v.size)
+  }
+
+  test("reps beyond the replica space are rejected loudly") {
+    val e = intercept[IllegalArgumentException] {
+      ScaleUp.scaleDocuments(spark, docs, 129).collect()
+    }
+    assert(e.getMessage.contains("1..128"))
+  }
+
   private val embs = Seq(
     (0L, Seq(1.0f, 2.0f, 3.0f, 4.0f), 0),
     (1L, Seq(4.0f, 3.0f, 2.0f, 1.0f), 1),
@@ -304,6 +392,41 @@ class ScaleUpSpec extends SparkSpec {
     val v0 = out.filter(col("vec_id") === 0L).select("embedding").as[Seq[Float]].head()
     val v1 = out.filter(col("vec_id") === 10000000L).select("embedding").as[Seq[Float]].head()
     assert(v0 != v1 && v0.sorted === v1.sorted)
+  }
+
+  test("embeddings past the rotation space: sign-flip era keeps dots exact, decorrelates replicas") {
+    // dim 4 → reps 5..8 re-enter rotations 0..3 with the odd-coordinate
+    // sign flip (rep/dim odd). The flip is diagonal ±1 (orthogonal):
+    // within-replica pairwise dot products stay EXACT, while the same
+    // base vector never repeats across the 8 transforms.
+    val reps = 8
+    val out = ScaleUp.scaleEmbeddings(spark, embs, reps).cache()
+    assert(out.count() === 3L * reps)
+    def dots(rep: Long): Map[(Long, Long), Double] = {
+      val v = out.filter(col("vec_id") >= rep * 10000000L &&
+          col("vec_id") < (rep + 1) * 10000000L)
+        .select(pmod(col("vec_id"), lit(10000000L)).as("id"), col("embedding"))
+      v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id"),
+          aggregate(zip_with(col("a.embedding"), col("b.embedding"),
+            (x, y) => x * y), lit(0.0d), (acc, x) => acc + x).as("dot"))
+        .as[(Long, Long, Double)].collect()
+        .map { case (i, j, d) => (i, j) -> d }.toMap
+    }
+    val d0 = dots(0)
+    for (r <- 1 until reps) assert(dots(r) === d0, s"rep $r dots drifted")
+    // all 8 transforms of vector 0 are pairwise distinct (no replica
+    // is a verbatim copy of another), and every one preserves the
+    // value multiset up to sign
+    val vs = (0 until reps).map { r =>
+      out.filter(col("vec_id") === r * 10000000L)
+        .select("embedding").as[Seq[Float]].head()
+    }
+    assert(vs.distinct.size === reps, s"duplicate embedding transforms: $vs")
+    assert(vs.forall(_.map(math.abs).sorted == vs.head.map(math.abs).sorted))
+    // the flip half really flips: rep 4 = rotation 0 + odd flips
+    assert(vs(4) === vs(0).zipWithIndex.map { case (x, i) =>
+      if (i % 2 == 1) -x else x })
   }
 
   test("events/lineitem: key shifts only — payloads untouched, counts scale") {
