@@ -213,7 +213,9 @@ object Queries
     "q166_incr_cluster_merge" -> (incrClusterMerge _),
     "q167_ivfpq_rerank" -> (ivfPqRerank _),
     "q168_incr_cluster_deployed" -> (incrClusterMergeDeployed _),
-    "q169_clustering_policy" -> (clusteringPolicy _))
+    "q169_clustering_policy" -> (clusteringPolicy _),
+    "q170_ivfpq_incr" -> (ivfPqIncrRerank _),
+    "q171_pq_drift" -> (pqDriftAudit _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = {

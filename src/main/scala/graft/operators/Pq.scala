@@ -530,14 +530,14 @@ object Pq {
 
   /** Collect the coarse codebook relation of an index tree (≤
     * `centroids` rows — driver-bounded like every codebook). */
-  private def readIvfCb(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def readIvfCb(spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[(Long, Seq[Long])] =
     spark.read.parquet(s"$path/ivf")
       .orderBy(col("c_id")).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
 
   /** Collect the PQ codebooks relation of an index tree (m·k rows). */
-  private def readPqCbs(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def readPqCbs(spark: org.apache.spark.sql.SparkSession,
       path: String): Seq[Seq[(Long, Seq[Long])]] =
     spark.read.parquet(s"$path/codebooks")
       .orderBy(col("subspace"), col("code")).collect()

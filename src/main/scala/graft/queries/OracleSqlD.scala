@@ -272,13 +272,29 @@ private[graft] trait OracleSqlD {
     * against each cell's residual (`{p}rcode`), probe-bounded ADC
     * restricted to each query's `probes` nearest cells under the same
     * integer metric, replica estimates merged by min. Ends at
-    * `adc(qid, id, dist)`. */
-  private def ivfPqCtes(): String =
+    * `adc(qid, id, dist)`.
+    *
+    * `trainWhere` vs `corpusWhere` split (round 13): the codebooks —
+    * coarse AND residual — train over `trainWhere` rows only, while
+    * replication/encoding (`rep`, `{p}rcode`) covers `corpusWhere`.
+    * For q167 the two coincide; for q170 (incremental append) the
+    * training side excludes the appended batch, replaying an index
+    * built before the batch arrived whose codes nonetheless cover
+    * old ∪ batch — the bit-equality contract of codebook-fixed
+    * encoding. */
+  private def ivfPqCtes(
+      corpusWhere: String = "vec_id % 10 <> 0",
+      trainWhere: String = "vec_id % 10 <> 0"): String =
     s"""cmv AS (
            SELECT vec_id AS id,
              list_transform(embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS mv
-           FROM embeddings WHERE vec_id % 10 <> 0),
+           FROM embeddings WHERE $trainWhere),
+         xmv AS (
+           SELECT vec_id AS id,
+             list_transform(embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS mv
+           FROM embeddings WHERE $corpusWhere),
          ${pqChainFromMv("c", 64, ivfPqCentroids)},
          qmv AS (
            SELECT vec_id AS qid,
@@ -298,13 +314,13 @@ private[graft] trait OracleSqlD {
              SELECT m.id, c.cid,
                row_number() OVER (PARTITION BY m.id ORDER BY
                  ${sqDistIntSql("m.mv", "c.cv", "64")}, c.cid) AS rn
-             FROM cmv m CROSS JOIN cc2 c) WHERE rn <= $ivfPqAssign),
+             FROM xmv m CROSS JOIN cc2 c) WHERE rn <= $ivfPqAssign),
          ${pqSubspaces.map { case (p, lo, hi) =>
             s"""${p}rmv AS (
              SELECT r.id, r.cid,
                list_transform(generate_series($lo, $hi),
                  j -> m.mv[j] - c.cv[j]) AS mv
-             FROM rep r JOIN cmv m USING (id)
+             FROM rep r JOIN xmv m USING (id)
              JOIN cc2 c ON r.cid = c.cid),
            ${p}rcode AS (
              SELECT id, cid, code FROM (
@@ -346,6 +362,33 @@ private[graft] trait OracleSqlD {
              .mkString("\n           ")}),
          adc AS (
            SELECT qid, id, min(dist) AS dist FROM adc0 GROUP BY qid, id)"""
+
+  /** The IVF-PQ probe + exact-re-rank query over an [[ivfPqCtes]]
+    * chain (ends at `adc(qid, id, dist)`): wide top-50 candidates,
+    * exact double squared-Euclidean re-score, final top-5 with
+    * floored micro distances — q167's tail, shared verbatim by q170
+    * so the two gates cannot drift on the re-rank. */
+  private def ivfPqRerankSql(ctes: String): String =
+    s"""WITH $ctes,
+         cand AS (
+           SELECT qid, id FROM (
+             SELECT qid, id,
+               row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+             FROM adc) WHERE rank <= 50),
+         ex AS (
+           SELECT c.qid, c.id,
+             ${sqDistDoubleSql("qe.embedding", "ie.embedding", "64")} AS dist
+           FROM cand c
+           JOIN embeddings qe ON c.qid = qe.vec_id
+           JOIN embeddings ie ON c.id = ie.vec_id),
+         rr AS (
+           SELECT qid, id, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
+           FROM ex)
+         SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank,
+           id AS neighbor_id,
+           CAST(floor(dist * 1000000.0) AS BIGINT) AS dist_micro
+         FROM rr WHERE rank <= 5"""
 
   /** The shared ADC candidate-distance CTE chain for q163/q164:
     * trained-on-corpus chains + query subvectors + per-pair summed
@@ -874,27 +917,59 @@ private[graft] trait OracleSqlD {
            id AS neighbor_id,
            CAST(floor(dist * 1000000.0) AS BIGINT) AS dist_micro
          FROM rr WHERE rank <= 5""",
-    "q167_ivfpq_rerank" ->
-      s"""WITH ${ivfPqCtes()},
-         cand AS (
-           SELECT qid, id FROM (
-             SELECT qid, id,
-               row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
-             FROM adc) WHERE rank <= 50),
-         ex AS (
-           SELECT c.qid, c.id,
-             ${sqDistDoubleSql("qe.embedding", "ie.embedding", "64")} AS dist
-           FROM cand c
-           JOIN embeddings qe ON c.qid = qe.vec_id
-           JOIN embeddings ie ON c.id = ie.vec_id),
-         rr AS (
-           SELECT qid, id, dist,
-             row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
-           FROM ex)
-         SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank,
-           id AS neighbor_id,
-           CAST(floor(dist * 1000000.0) AS BIGINT) AS dist_micro
-         FROM rr WHERE rank <= 5""",
+    "q167_ivfpq_rerank" -> ivfPqRerankSql(ivfPqCtes()),
+    // q170: the INCREMENTALLY MAINTAINED index — codebooks trained
+    // before the batch arrived (vec_id % 7 = 3 excluded from
+    // training), codes covering old ∪ batch (the appended files).
+    // Same probe + rerank pipeline; an independent replay, not a
+    // shared oracle, because the training subset genuinely differs
+    // from q167's.
+    "q170_ivfpq_incr" -> ivfPqRerankSql(ivfPqCtes(
+      corpusWhere = "vec_id % 10 <> 0",
+      trainWhere = "vec_id % 10 <> 0 AND vec_id % 7 <> 3")),
+    // q171: codebook-drift audit — the q149 pattern for the ANN
+    // index. Two full PQ trainings (m=4 × 16-dim subspaces, k=16,
+    // the audit budget) over the standing corpus (batch excluded)
+    // and the grown corpus; both codebook sets price the GROWN
+    // corpus's reconstruction error; the retrain decision is a pure
+    // integer comparison (drift > 5% ⟺ 20·(standing − retrained) >
+    // retrained), no division rounding to diverge on.
+    "q171_pq_drift" -> {
+      val auditSubs = (0 until 4).map(s => (s"ta$s", s"tb$s", s * 16 + 1, (s + 1) * 16))
+      s"""WITH ${auditSubs.map { case (pa, _, lo, hi) =>
+            pqChainSql(pa, lo, hi, 16,
+              "WHERE vec_id % 10 <> 0 AND vec_id % 7 <> 3") }
+            .mkString(",\n         ")},
+         ${auditSubs.map { case (_, pb, lo, hi) =>
+            pqChainSql(pb, lo, hi, 16, "WHERE vec_id % 10 <> 0") }
+            .mkString(",\n         ")},
+         ${auditSubs.map { case (pa, pb, lo, hi) =>
+            // reconstruction error of every GROWN-corpus row (the
+            // {pb}mv relations cover vec_id % 10 <> 0) under each
+            // codebook set = min over centroids of the integer
+            // squared distance (assignment is the argmin, so the
+            // assigned-centroid error IS the min)
+            s"""${pa}err AS (
+             SELECT m.id, min(${sqDistIntSql("m.mv", "c.cv", (hi - lo + 1).toString)}) AS d
+             FROM ${pb}mv m CROSS JOIN ${pa}c2 c GROUP BY m.id),
+           ${pb}err AS (
+             SELECT m.id, min(${sqDistIntSql("m.mv", "c.cv", (hi - lo + 1).toString)}) AS d
+             FROM ${pb}mv m CROSS JOIN ${pb}c2 c GROUP BY m.id)"""
+          }.mkString(",\n         ")},
+         tot AS (
+           SELECT
+             CAST((SELECT count(*) FROM tb0mv) AS BIGINT) AS n_rows,
+             CAST((${auditSubs.map { case (pa, _, _, _) =>
+               s"(SELECT sum(d) FROM ${pa}err)" }.mkString(" + ")}) AS BIGINT)
+               AS err_standing,
+             CAST((${auditSubs.map { case (_, pb, _, _) =>
+               s"(SELECT sum(d) FROM ${pb}err)" }.mkString(" + ")}) AS BIGINT)
+               AS err_retrained)
+         SELECT n_rows, err_standing, err_retrained,
+           CASE WHEN (err_standing - err_retrained) * 20 > err_retrained
+                THEN 'retrain' ELSE 'keep' END AS decision
+         FROM tot"""
+    },
     "q160_source_copy_matrix" ->
       s"""WITH RECURSIVE $tokCte,
          $jaccardPairsCte,

@@ -395,6 +395,87 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
     }
   }
 
+  /** IVFADC incremental maintenance, gated (q170): the q168 move
+    * applied to ANN. The standing index is built on the corpus MINUS
+    * an ingest batch (vec_id % 7 = 3 of the item split), the batch is
+    * then APPENDED — encoded against the standing codebooks, its code
+    * files renamed into the live cell partitions
+    * ([[graft.operators.Pq.appendIvfPqIndex]]) — and the search runs
+    * q167's verbatim probe + re-rank over the grown index. Codebooks
+    * fixed ⇒ codes are a pure projection ⇒ the appended index is
+    * bit-equal to a full re-encode (the q166 argument), which the
+    * independent oracle replays: codebooks trained WITHOUT the batch,
+    * encoding covering old ∪ batch. At a bounded ingest rate the
+    * refresh costs the BATCH share instead of `buildIvfPqIndex`'s
+    * full-corpus rebuild — measured at sf1 in BASELINE.md. The search
+    * also runs CHUNKED (maxQueryBatch = 16 → 4 chunks at the sf0.01
+    * gate), so the enforced query-batch budget path is oracle-gated
+    * end to end, not just spec-pinned. */
+  def ivfPqIncrRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") % 10 === 0)
+    rerankTop5(emb, q,
+      operators.Pq.ivfPqCandidates(q, ivfPqIncrIndexPath(spark, sfDir),
+        dim = 64, topK = 50, probes = 12, "vec_id", "embedding",
+        maxQueryBatch = 16))
+  }
+
+  /** The per-corpus incrementally-maintained IVF-PQ artifact: build
+    * on the batch-less corpus, append the batch (one build+append per
+    * run; the artifact discipline). */
+  private def ivfPqIncrIndexPath(spark: SparkSession, sfDir: String): String = {
+    import graft.sources.Artifacts
+    Artifacts.ensure("ivfpq_incr_index", sfDir) { p =>
+      val items = t(spark, sfDir, "embeddings")
+        .filter(col("vec_id") % 10 =!= 0)
+      operators.Pq.buildIvfPqIndex(
+        items.filter(col("vec_id") % 7 =!= 3),
+        "vec_id", "embedding", dim = 64, m = 8, k = 64, iters = 2,
+        centroids = 32, path = p, assignments = 2)
+      operators.Pq.appendIvfPqIndex(
+        items.filter(col("vec_id") % 7 === 3), "vec_id", "embedding", p)
+    }
+  }
+
+  /** Codebook-drift audit (q171) — the q149 pattern for the ANN
+    * index, the alarm that tells q170's append path when retraining
+    * is due: retrain PQ codebooks WITH vs WITHOUT the ingest batch
+    * (m=4/k=16, the audit budget — the pattern is the point, and the
+    * audit must stay cheap next to the index it audits), price the
+    * GROWN corpus's reconstruction error under both, and decide
+    * `retrain` when the standing codebooks cost > 5% more error than
+    * a retrain would buy back. Pure integer throughout: recon error
+    * is the exact milli² distance to the assigned (= argmin)
+    * centroid, and the 5% threshold is the multiplication
+    * `20·(err_standing − err_retrained) > err_retrained` — no
+    * division, no rounding mode to diverge on. On this near-uniform
+    * synthetic corpus a random batch barely moves the codebooks
+    * (decision = keep); the alarm fires when ingest shifts the
+    * embedding distribution — exactly the q161/q169 discipline. */
+  def pqDriftAudit(spark: SparkSession, sfDir: String): DataFrame = {
+    import operators.Pq
+    val emb = t(spark, sfDir, "embeddings")
+    val grown = emb.filter(col("vec_id") % 10 =!= 0)
+    val standingSrc = grown.filter(col("vec_id") % 7 =!= 3)
+    val (m, k, iters) = (4, 16, 2)
+    val standing = Pq.codebooks(standingSrc, "vec_id", "embedding",
+      dim = 64, m = m, k = k, iters = iters)
+    val retrained = Pq.codebooks(grown, "vec_id", "embedding",
+      dim = 64, m = m, k = k, iters = iters)
+    val eOld = Pq.encodeWith(grown, "vec_id", "embedding", 64, standing)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("recon_err")).as("err_standing"))
+    val eNew = Pq.encodeWith(grown, "vec_id", "embedding", 64, retrained)
+      .agg(sum(col("recon_err")).as("err_retrained"))
+    eOld.crossJoin(eNew).select(
+      col("n_rows"),
+      col("err_standing"),
+      col("err_retrained"),
+      when((col("err_standing") - col("err_retrained")) * 20 >
+        col("err_retrained"), lit("retrain"))
+        .otherwise(lit("keep")).as("decision"))
+  }
+
   /** q163's ADC search served from a PERSISTED PQ index — the q146/
     * q152/q155 artifact discipline applied to the compressed-corpus
     * relation: build once per corpus (codebooks + codes,

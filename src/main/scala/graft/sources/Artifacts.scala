@@ -139,7 +139,9 @@ object Artifacts {
     ensureImpl(kind, corpusDir, trust, build)
 
   private def trustDefault: Boolean =
-    sys.props.get("graft.artifacts.trust").contains("true")
+    sys.props.get("graft.artifacts.trust")
+      .orElse(sys.env.get("GRAFT_ARTIFACTS_TRUST"))
+      .contains("true")
 
   /** Artifacts reused from a previous run this JVM (trust-on-match
     * hits) — surfaced so a bench record can state what was NOT

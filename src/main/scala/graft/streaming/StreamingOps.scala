@@ -774,4 +774,96 @@ object StreamingOps {
         col("n.id").as("neighbor_id"),
         col("n.dist").cast("long").as("adc_dist"))
   }
+
+  /** Streaming IVFADC top-k — the PROBE-BOUNDED ingest-time twin of
+    * [[graft.operators.Pq.ivfPqCandidates]]/q167, replacing
+    * [[adcTopKStream]]'s full coded cross-join with the deployment
+    * plan: per arriving query, coarse-probe scoring and the
+    * per-(query, cell) residual LUT builds are STATELESS native
+    * projections (the same [[graft.functions.AdcLutsExpr]] fused
+    * loops as the batch path — the machinery is stateless per query,
+    * which is why it lifts to a stream unchanged), and the scored
+    * relation is a stream-static EQUI-JOIN on `c_id` against the
+    * index's cell-partitioned codes, so each query row fans out to
+    * its `probes` cells' codes only — |arrivals|·(probes/centroids)·
+    * |corpus|/42 pairs per micro-batch where the full-scan twin pays
+    * |arrivals|·|corpus| — instead of a broadcast LUT relation (the
+    * batch side's query-batch budget is the micro-batch itself here).
+    * What a stream CANNOT do is the batch path's static partition
+    * pruning (probed cells are per-arrival, not known at plan time):
+    * the static side is re-planned per micro-batch and the join
+    * discards unprobed cells' rows after the scan — on a cluster,
+    * dynamic file pruning on the `c_id` join key is the lever that
+    * restores scan-byte pruning.
+    *
+    * Multi-assignment replica estimates min-merge inside the ONE
+    * stateful operator ([[graft.operators.TopK.topKDistinctMin]] —
+    * widened heap, dedup-by-id at finish), the same single-exchange
+    * merge the batch path plans; layout (m, k, residual, assignments)
+    * derives from the index's meta sidecar exactly like the batch
+    * probe. Batch parity on the same arrivals is spec-pinned against
+    * q167's candidate relation.
+    *
+    * @return append stream of (query_id, rank, neighbor_id, adc_dist)
+    */
+  def ivfPqTopKStream(
+      queries: DataFrame,
+      indexPath: String,
+      dim: Int,
+      topK: Int,
+      probes: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      tsCol: String = "ts",
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    import graft.operators.{Pq, SemDedup, TopK}
+    val spark = queries.sparkSession
+    val meta = Pq.readIvfPqMeta(spark, indexPath)
+    require(meta.dim == dim,
+      s"ivf-pq index at $indexPath was built at dim=${meta.dim}, searched at dim=$dim")
+    val ivfCb = Pq.readIvfCb(spark, indexPath)
+    val cbs = Pq.readPqCbs(spark, indexPath)
+    val m = cbs.size
+    val k = cbs.map(_.map(_._1).max).max.toInt + 1
+    val effProbes = math.min(probes, ivfCb.size)
+    val coarseK = ivfCb.map(_._1).max.toInt + 1
+    val q0 = queries
+      .withWatermark(tsCol, watermarkDelay)
+      .select(col(idCol).cast("long").as("q_id"), col(tsCol).as("__ts"),
+        SemDedup.quantizeMilli(col(vecCol)).as("qmv"))
+    val probed = q0
+      .select(col("q_id"), col("__ts"), col("qmv"),
+        graft.functions.AdcLutsExpr(col("qmv"),
+          typedLit(Seq.fill(dim)(0L)), Seq(ivfCb), coarseK).as("cluts"))
+      .select(col("q_id"), col("__ts"), col("qmv"),
+        explode(slice(array_sort(array(ivfCb.map { case (cid, _) =>
+          struct(element_at(col("cluts"), lit(cid.toInt) + 1).as("d"),
+            lit(cid).as("c"))
+        }: _*)), 1, effProbes)).as("cs"))
+      .select(col("q_id"), col("__ts"), col("qmv"), col("cs.c").as("c_id"))
+    val cellCv =
+      if (meta.residual) element_at(typedLit(ivfCb.toMap), col("c_id"))
+      else typedLit(Seq.fill(dim)(0L))
+    val luts = probed.select(col("q_id"), col("__ts"), col("c_id"),
+      graft.functions.AdcLutsExpr(col("qmv"), cellCv, cbs, k).as("luts"))
+    val codes = spark.read.parquet(s"$indexPath/codes")
+      .select(col("vec_id") +: col("c_id").cast("long").as("c_id") +:
+        (0 until m).map(s => col(s"code$s")): _*)
+    val dist = (0 until m).map { s =>
+      element_at(col("luts"), lit(s * k) + col(s"code$s").cast("int") + 1)
+    }.reduce(_ + _)
+    val heap =
+      if (meta.assignments == 1) TopK.topK(topK)
+      else TopK.topKDistinctMin(topK, meta.assignments)
+    luts.join(codes, Seq("c_id"))
+      .select(col("q_id"), col("__ts"), col("vec_id"), dist.as("adc"))
+      .groupBy(window(col("__ts"), watermarkDelay), col("q_id"))
+      .agg(heap(col("adc").cast("double"), col("vec_id"),
+        col("vec_id")).as("top"))
+      .select(col("q_id").as("query_id"),
+        posexplode(col("top")).as(Seq("pos", "n")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("n.id").as("neighbor_id"),
+        col("n.dist").cast("long").as("adc_dist"))
+  }
 }

@@ -599,6 +599,48 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ivfPqTopKStream: probe-bounded streamed search matches batch ivfPqCandidates") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Pq
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Seq(1.1f, 0.0f, 0.0f, 1.1f)),
+      (2L, Seq(0.9f, 0.1f, 0.1f, 0.9f)),
+      (10L, Seq(5.0f, 5.0f, 5.0f, 5.0f)),
+      (11L, Seq(5.1f, 4.9f, 5.1f, 4.9f)),
+      (12L, Seq(4.9f, 5.1f, 4.9f, 5.1f)))
+      .toDF("vec_id", "embedding")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_stream_spec"
+    Pq.buildIvfPqIndex(corpus, "vec_id", "embedding", dim = 4, m = 2,
+      k = 2, iters = 2, centroids = 2, path = path, assignments = 2)
+    val queries = Seq(
+      (100L, Seq(1.0f, 0.05f, 0.05f, 1.0f), ts("2024-01-01 10:00:00")),
+      (200L, Seq(5.0f, 5.05f, 5.05f, 5.0f), ts("2024-01-01 10:01:00")))
+    val in = MemoryStream[(Long, Seq[Float], Timestamp)]
+    val out = StreamingOps.ivfPqTopKStream(
+      in.toDF().toDF("vec_id", "embedding", "ts"), path,
+      dim = 4, topK = 3, probes = 2, watermarkDelay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("ivfpq_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      queries.foreach { row => in.addData(row); q.processAllAvailable() }
+      in.addData((999L, Seq(0.0f, 0.0f, 0.0f, 0.0f), ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("ivfpq_stream")
+        .filter($"query_id" =!= 999L)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batch = Pq.ivfPqCandidates(
+        queries.map { case (id, v, _) => (id, v) }.toDF("vec_id", "embedding"),
+        path, dim = 4, topK = 3, probes = 2, "vec_id", "embedding")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got === batch, s"stream $got != batch $batch")
+      assert(got.size == 6, s"two queries × top-3: $got")
+      // multi-assignment replicas min-merged: no duplicate neighbor per query
+      val pairs = got.toSeq.map(r => (r._1, r._3))
+      assert(pairs.distinct.size == pairs.size)
+    } finally q.stop()
+  }
+
   test("semDedupStream: cluster-width cap bounds state; beyond it arrivals pass unchecked") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.SemDedup
