@@ -589,6 +589,16 @@ object Pq {
     * them, it never splits one query's candidates). Default 256 ≈ a
     * 13 MB broadcast ceiling.
     *
+    * Chunks run as SEQUENTIAL JOBS, each `localCheckpoint`ed before
+    * the union: the codebooks/cell-map literals appear in every
+    * chunk's plan, so a lazy N-way union would hand the analyzer one
+    * plan that grows with |Q| (measured: a 1250-chunk union pinned
+    * the driver in `DeduplicateRelations` for over half an hour at
+    * sf10 — analysis cost must NOT scale with the data-dependent
+    * chunk count). Checkpointing truncates each chunk to its ≤
+    * topK·|chunk| result rows, which is also the deployment shape: a
+    * query stream drains budget-bounded batches one at a time.
+    *
     * @return (query_id, rank, neighbor_id, adc_dist)
     */
   def ivfPqCandidates(
@@ -606,15 +616,18 @@ object Pq {
     val meta = readIvfPqMeta(spark, path)
     require(meta.dim == dim,
       s"ivf-pq index at $path was built at dim=${meta.dim}, searched at dim=$dim")
+    // codebooks read ONCE for all chunks (tiny driver-bounded collects)
+    val ivfCb = readIvfCb(spark, path)
+    val cbs = readPqCbs(spark, path)
     val q = queries.select(col(queryId).cast("long").as("q_id"),
       col(queryVec).as("q_vec"))
     val nq = q.count() // the query side is batch-bounded by contract
     val nChunks = math.max(1, math.ceil(nq.toDouble / maxQueryBatch).toInt)
-    (0 until nChunks).map { i =>
-      val chunk =
-        if (nChunks == 1) q
-        else q.filter(pmod(xxhash64(col("q_id")), lit(nChunks)) === i)
-      ivfPqCandidatesBatch(chunk, path, meta, topK, probes)
+    if (nChunks == 1) ivfPqCandidatesBatch(q, path, meta, ivfCb, cbs, topK, probes)
+    else (0 until nChunks).map { i =>
+      val chunk = q.filter(pmod(xxhash64(col("q_id")), lit(nChunks)) === i)
+      ivfPqCandidatesBatch(chunk, path, meta, ivfCb, cbs, topK, probes)
+        .localCheckpoint()
     }.reduce(_ union _)
   }
 
@@ -625,6 +638,8 @@ object Pq {
       queries: DataFrame,
       path: String,
       meta: IvfPqMeta,
+      ivfCb: Seq[(Long, Seq[Long])],
+      cbs: Seq[Seq[(Long, Seq[Long])]],
       topK: Int,
       probes: Int): DataFrame = {
     val spark = queries.sparkSession
@@ -632,8 +647,6 @@ object Pq {
     val dim = meta.dim
     val residual = meta.residual
     val assignments = meta.assignments
-    val ivfCb = readIvfCb(spark, path)
-    val cbs = readPqCbs(spark, path)
     val m = cbs.size
     val k = cbs.map(_.map(_._1).max).max.toInt + 1
     val effProbes = math.min(probes, ivfCb.size)

@@ -408,7 +408,7 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
     * encoding covering old ∪ batch. At a bounded ingest rate the
     * refresh costs the BATCH share instead of `buildIvfPqIndex`'s
     * full-corpus rebuild — measured at sf1 in BASELINE.md. The search
-    * also runs CHUNKED (maxQueryBatch = 16 → 4 chunks at the sf0.01
+    * also runs CHUNKED (maxQueryBatch = 32 → 2 chunks at the sf0.01
     * gate), so the enforced query-batch budget path is oracle-gated
     * end to end, not just spec-pinned. */
   def ivfPqIncrRerank(spark: SparkSession, sfDir: String): DataFrame = {
@@ -417,7 +417,7 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
     rerankTop5(emb, q,
       operators.Pq.ivfPqCandidates(q, ivfPqIncrIndexPath(spark, sfDir),
         dim = 64, topK = 50, probes = 12, "vec_id", "embedding",
-        maxQueryBatch = 16))
+        maxQueryBatch = 32))
   }
 
   /** The per-corpus incrementally-maintained IVF-PQ artifact: build
