@@ -171,8 +171,12 @@ object Bench {
     val extraF = extraFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullQs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -v) }
       .mkString("{", ",", "}")
+    // cross-run artifact reuse (GRAFT_ARTIFACTS_TRUST) — named so a
+    // warm-path bench record can state what was NOT rebuilt this JVM
+    val reusedJ = graft.sources.Artifacts.reusedThisRun
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failed":$failed,"extra_failed":$extraF,"runs":$repeat,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failed":$failed,"extra_failed":$extraF,"runs":$repeat,"sf":"$sfDir","artifacts_reused":$reusedJ}"""
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(benchOut),
       (fullLine + "\n").getBytes("UTF-8"))

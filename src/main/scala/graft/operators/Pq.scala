@@ -589,7 +589,7 @@ object Pq {
     * them, it never splits one query's candidates). Default 256 ≈ a
     * 13 MB broadcast ceiling.
     *
-    * Chunks run as SEQUENTIAL JOBS, each `localCheckpoint`ed before
+    * Chunks run as INDEPENDENT JOBS, each `localCheckpoint`ed before
     * the union: the codebooks/cell-map literals appear in every
     * chunk's plan, so a lazy N-way union would hand the analyzer one
     * plan that grows with |Q| (measured: a 1250-chunk union pinned
@@ -598,6 +598,14 @@ object Pq {
     * chunk count). Checkpointing truncates each chunk to its ≤
     * topK·|chunk| result rows, which is also the deployment shape: a
     * query stream drains budget-bounded batches one at a time.
+    * Up to [[ChunkConcurrency]] chunk jobs run at once (each chunk
+    * has per-job fixed costs — scheduling, the LUT broadcast, the
+    * checkpoint write — measured ~0.85 s/chunk when sequential:
+    * 63 sequential chunks cost 56 s where one batch costs ~4 s).
+    * Concurrency bounds wall-clock at ⌈chunks/4⌉ waves while at most
+    * 4 × the per-chunk LUT budget is broadcast-live at any moment;
+    * the query relation is checkpointed ONCE so the per-chunk filter
+    * scans |Q| materialized rows, not the query source plan.
     *
     * @return (query_id, rank, neighbor_id, adc_dist)
     */
@@ -624,12 +632,29 @@ object Pq {
     val nq = q.count() // the query side is batch-bounded by contract
     val nChunks = math.max(1, math.ceil(nq.toDouble / maxQueryBatch).toInt)
     if (nChunks == 1) ivfPqCandidatesBatch(q, path, meta, ivfCb, cbs, topK, probes)
-    else (0 until nChunks).map { i =>
-      val chunk = q.filter(pmod(xxhash64(col("q_id")), lit(nChunks)) === i)
-      ivfPqCandidatesBatch(chunk, path, meta, ivfCb, cbs, topK, probes)
-        .localCheckpoint()
-    }.reduce(_ union _)
+    else {
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val qc = q.localCheckpoint()
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(ChunkConcurrency)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+      try {
+        val fs = (0 until nChunks).map { i =>
+          Future {
+            val chunk = qc.filter(pmod(xxhash64(col("q_id")), lit(nChunks)) === i)
+            ivfPqCandidatesBatch(chunk, path, meta, ivfCb, cbs, topK, probes)
+              .localCheckpoint() // eager: runs the chunk job in this thread
+          }
+        }
+        // chunk-index order kept, so the union plan is deterministic
+        Await.result(Future.sequence(fs), Duration.Inf).reduce(_ union _)
+      } finally pool.shutdown()
+    }
   }
+
+  /** Concurrent chunk jobs in [[ivfPqCandidates]]: caps live LUT
+    * broadcasts at this × the per-chunk budget. */
+  private val ChunkConcurrency = 4
 
   /** One bounded query chunk of [[ivfPqCandidates]] — the plan the
     * scaladoc above describes, with the LUT broadcast bounded by the
