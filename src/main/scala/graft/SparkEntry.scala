@@ -215,7 +215,8 @@ object Queries
     "q168_incr_cluster_deployed" -> (incrClusterMergeDeployed _),
     "q169_clustering_policy" -> (clusteringPolicy _),
     "q170_ivfpq_incr" -> (ivfPqIncrRerank _),
-    "q171_pq_drift" -> (pqDriftAudit _))
+    "q171_pq_drift" -> (pqDriftAudit _),
+    "q172_ivfpq_occupancy" -> (ivfPqOccupancy _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = {

@@ -1105,10 +1105,19 @@ private[graft] trait DedupCurationQueries extends QueryContext {
       .select(col("doc_id"), col("cluster_id").as("c_exact"))
     val capped = cappedNeardupClusters(spark, sfDir)
       .select(col("doc_id"), col("cluster_id").as("c_capped"))
+    // two-level agg: the per-(c_exact, c_capped) rollup shrinks the
+    // relation to |distinct cluster pairs| BEFORE the dual-distinct
+    // aggregate, so the Expand that two countDistincts plan (3
+    // projections per input row) runs over cluster-count rows, not
+    // n_docs rows — at corpus scale the Expand over docs tripled the
+    // pre-shuffle volume of a 1-row query
     exact.join(capped.hint("shuffle_hash"), "doc_id")
-      .agg(count(lit(1)).as("n_docs"),
+      .groupBy(col("c_exact"), col("c_capped"))
+      .agg(count(lit(1)).as("n_pair_docs"),
         sum(when(col("c_exact") === col("c_capped"), 1L).otherwise(0L))
-          .as("n_same"),
+          .as("n_pair_same"))
+      .agg(sum(col("n_pair_docs")).as("n_docs"),
+        sum(col("n_pair_same")).as("n_same"),
         countDistinct(col("c_exact")).as("n_clusters_exact"),
         countDistinct(col("c_capped")).as("n_clusters_capped"))
       .select(col("n_docs"), col("n_same"),

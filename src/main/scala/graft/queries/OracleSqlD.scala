@@ -927,6 +927,33 @@ private[graft] trait OracleSqlD {
     "q170_ivfpq_incr" -> ivfPqRerankSql(ivfPqCtes(
       corpusWhere = "vec_id % 10 <> 0",
       trainWhere = "vec_id % 10 <> 0 AND vec_id % 7 <> 3")),
+    // q172: cell-occupancy audit of the appended index — cell
+    // membership is q170's `rep` chain verbatim (coarse trained
+    // without the batch, replication over old ∪ batch; unreferenced
+    // CTEs of the shared chain cost nothing), rolled up to one row
+    // of integer occupancy stats + the rebalance decision.
+    "q172_ivfpq_occupancy" -> {
+      s"""WITH ${ivfPqCtes(
+            corpusWhere = "vec_id % 10 <> 0",
+            trainWhere = "vec_id % 10 <> 0 AND vec_id % 7 <> 3")},
+         percell AS (
+           SELECT cid, count(*) AS cell_n FROM rep GROUP BY cid),
+         occ AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_cells_occupied,
+             CAST(sum(cell_n) AS BIGINT) AS n_codes,
+             CAST(max(cell_n) AS BIGINT) AS max_cell,
+             CAST(min(cell_n) AS BIGINT) AS min_cell
+           FROM percell)
+         SELECT n_cells_occupied,
+           CAST($ivfPqCentroids - n_cells_occupied AS BIGINT)
+             AS n_cells_empty,
+           n_codes, max_cell, min_cell,
+           (max_cell * n_cells_occupied * 1000) // n_codes AS skew_milli,
+           CASE WHEN (max_cell * n_cells_occupied * 1000) // n_codes > 4000
+                  OR ($ivfPqCentroids - n_cells_occupied) * 4 > $ivfPqCentroids
+                THEN 'rebalance' ELSE 'keep' END AS decision
+         FROM occ"""
+    },
     // q171: codebook-drift audit — the q149 pattern for the ANN
     // index. Two full PQ trainings (m=4 × 16-dim subspaces, k=16,
     // the audit budget) over the standing corpus (batch excluded)

@@ -476,6 +476,48 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
         .otherwise(lit("keep")).as("decision"))
   }
 
+  /** Cell-occupancy audit of the incrementally-maintained IVF-PQ
+    * index (q172) — the SECOND maintenance alarm, next to q171's
+    * codebook drift: q170's append path grows cells in place, and a
+    * drifted ingest distribution skews occupancy even while
+    * per-subspace reconstruction error stays flat (codebooks can be
+    * fine while the COARSE partition is not). Probe cost is
+    * proportional to the probed cells' occupancy, so a hot cell
+    * inflates every query that probes it and an empty cell wastes a
+    * probe slot — occupancy skew IS the probe-latency forecast. One
+    * row from a codes-only scan of the artifact (c_id is the
+    * PARTITION column: the audit reads directory names + row counts,
+    * never decoding a code): occupied/empty cell counts,
+    * max/min/total rows, `skew_milli` = max·occupied·1000 DIV total
+    * (1000 = perfectly balanced), and the integer decision —
+    * `rebalance` when the hottest cell exceeds 4× the mean or > 25%
+    * of cells sit empty. Near-uniform synthetic corpus ⇒ `keep`; the
+    * alarm fires when appends concentrate, the q161/q169/q171
+    * data-not-config discipline. The oracle replays cell membership
+    * from q170's `rep` chain (coarse codebooks trained WITHOUT the
+    * batch, replication covering old ∪ batch — replicas count, as
+    * they must: each replica's codes live in its cell's files). */
+  def ivfPqOccupancy(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = ivfPqIncrIndexPath(spark, sfDir)
+    val centroids = operators.Pq.readIvfPqMeta(spark, path).centroids
+    spark.read.parquet(s"$path/codes")
+      .groupBy(col("c_id")).agg(count(lit(1)).as("cell_n"))
+      .agg(count(lit(1)).as("n_cells_occupied"),
+        sum(col("cell_n")).as("n_codes"),
+        max(col("cell_n")).as("max_cell"),
+        min(col("cell_n")).as("min_cell"))
+      .select(col("n_cells_occupied"),
+        (lit(centroids.toLong) - col("n_cells_occupied"))
+          .as("n_cells_empty"),
+        col("n_codes"), col("max_cell"), col("min_cell"),
+        expr("max_cell * n_cells_occupied * 1000 DIV n_codes")
+          .as("skew_milli"))
+      .withColumn("decision",
+        when(col("skew_milli") > 4000 ||
+          col("n_cells_empty") * 4 > centroids.toLong, lit("rebalance"))
+          .otherwise(lit("keep")))
+  }
+
   /** q163's ADC search served from a PERSISTED PQ index — the q146/
     * q152/q155 artifact discipline applied to the compressed-corpus
     * relation: build once per corpus (codebooks + codes,
