@@ -15,7 +15,11 @@ import graft.operators.Pq
   *     ONCE, before the batch exists; printed for context);
   *  3. `append` — [[Pq.appendIvfPqIndex]] of the batch into the
   *     standing index (what the incremental deployment pays per
-  *     refresh instead of #1).
+  *     refresh instead of #1);
+  *  4. `rebalance` — [[Pq.rebalanceIvfPqIndex]] of the appended tree
+  *     over the grown corpus (the middle rung: new coarse cells,
+  *     standing PQ codebooks, full re-encode — what the q172
+  *     occupancy alarm triggers).
   *
   * Usage: `runMain graft.IvfPqMaintBench <sfDir>`; prints one
   * `MAINT …` line per timing.
@@ -49,6 +53,10 @@ object IvfPqMaintBench {
     timed("append") {
       Pq.appendIvfPqIndex(batch, "vec_id", "embedding",
         s"$tmp/graft_maint_standing")
+    }
+    timed("rebalance") {
+      Pq.rebalanceIvfPqIndex(items, "vec_id", "embedding",
+        s"$tmp/graft_maint_standing", s"$tmp/graft_maint_rebal")
     }
     // sanity: the appended index covers the full corpus row count
     val n = spark.read.parquet(s"$tmp/graft_maint_standing/codes").count()

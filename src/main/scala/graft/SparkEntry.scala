@@ -216,7 +216,9 @@ object Queries
     "q169_clustering_policy" -> (clusteringPolicy _),
     "q170_ivfpq_incr" -> (ivfPqIncrRerank _),
     "q171_pq_drift" -> (pqDriftAudit _),
-    "q172_ivfpq_occupancy" -> (ivfPqOccupancy _))
+    "q172_ivfpq_occupancy" -> (ivfPqOccupancy _),
+    "q173_ivfpq_rebalance" -> (ivfPqRebalanced _),
+    "q174_ann_maint_policy" -> (annMaintenancePolicy _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = {

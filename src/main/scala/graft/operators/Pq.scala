@@ -528,6 +528,60 @@ object Pq {
     fs.delete(stagePath, true)
   }
 
+  /** Coarse-rebalance of an IVF-PQ index — the MIDDLE rung of the
+    * maintenance ladder between [[appendIvfPqIndex]] (batch share)
+    * and [[buildIvfPqIndex]] (full retrain): retrain ONLY the coarse
+    * codebook over the grown corpus, keep the STANDING PQ codebooks
+    * verbatim, re-encode every item against the new cells. The q172
+    * occupancy audit is what calls for it: appends grow cells in
+    * place, and a drifted ingest skews the COARSE partition (hot
+    * cells inflate every probe that touches them) even while
+    * per-subspace reconstruction error stays flat — re-cutting the
+    * cells restores probe-cost balance without paying the m
+    * per-subspace Lloyd chains that dominate a full rebuild. Caveat
+    * carried honestly: the standing PQ codebooks were trained on
+    * residuals against the OLD cells; after a rebalance they quantize
+    * residuals against cells they never saw. On a stationary corpus
+    * the residual distribution barely moves (q173's gate pins
+    * end-to-end search quality); under real distribution drift the
+    * q171 audit fires first and the answer is a full rebuild.
+    */
+  def rebalanceIvfPqIndex(
+      items: DataFrame,
+      itemId: String,
+      vecCol: String,
+      path: String,
+      outPath: String): Unit = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val meta = readIvfPqMeta(spark, path)
+    val cbs = readPqCbs(spark, path)
+    val it = items.select(col(itemId).cast("long").as("i_id"),
+      col(vecCol).as("i_vec"))
+    // new coarse cells over the GROWN corpus — the same deterministic
+    // integer Lloyd and driver budget as buildIvfPqIndex's coarse step
+    val ivfCb = SemDedup.lloydCentroids(it, "i_id", "i_vec",
+      k = meta.centroids, iters = 2)
+    val effAssign = math.min(meta.assignments, ivfCb.size)
+    graft.sources.Artifacts.publishTree(spark, outPath) { build =>
+      Seq((meta.dim, meta.m, meta.k, meta.centroids, meta.iters,
+          meta.residual, effAssign))
+        .toDF("dim", "m", "k", "centroids", "iters", "residual",
+          "assignments")
+        .coalesce(1).write.parquet(s"$build/meta")
+      ivfCb.toDF("c_id", "cv")
+        .coalesce(1).write.parquet(s"$build/ivf")
+      // standing PQ codebooks travel verbatim — rebalance retrains
+      // nothing below the coarse level
+      cbs.zipWithIndex
+        .flatMap { case (cb, s) => cb.map { case (code, cv) => (s, code, cv) } }
+        .toDF("subspace", "code", "cv")
+        .coalesce(1).write.parquet(s"$build/codebooks")
+      encodeCodes(it, ivfCb, cbs, meta.dim, meta.residual, effAssign)
+        .write.partitionBy("c_id").parquet(s"$build/codes")
+    }
+  }
+
   /** Collect the coarse codebook relation of an index tree (≤
     * `centroids` rows — driver-bounded like every codebook). */
   private[graft] def readIvfCb(spark: org.apache.spark.sql.SparkSession,

@@ -281,10 +281,30 @@ private[graft] trait OracleSqlD {
     * training side excludes the appended batch, replaying an index
     * built before the batch arrived whose codes nonetheless cover
     * old ∪ batch — the bit-equality contract of codebook-fixed
-    * encoding. */
+    * encoding.
+    *
+    * `rebalance` (round 13, q173): replay a COARSE-only retrain — a
+    * fresh full-width Lloyd chain (prefix `g`) over the GROWN corpus
+    * cuts the cells, and replication (`rep`), residual encoding
+    * (`{p}rmv`), query probes (`probe`) and query residuals (`qrm`)
+    * all run against the NEW centroids `gc2`, while the per-subspace
+    * PQ codebooks still train on the batch-less corpus's residuals
+    * against the OLD cells `cc2` — the standing-codebook asymmetry of
+    * `Pq.rebalanceIvfPqIndex`, replayed in the gate. */
   private def ivfPqCtes(
       corpusWhere: String = "vec_id % 10 <> 0",
-      trainWhere: String = "vec_id % 10 <> 0"): String =
+      trainWhere: String = "vec_id % 10 <> 0",
+      rebalance: Boolean = false): String = {
+    // the ENCODING coarse codebook: the training chain's cells (cc2)
+    // normally; under rebalance a fresh chain (gc2) over the grown
+    // corpus re-cuts them while the PQ codebooks stand
+    val enc = if (rebalance) "gc2" else "cc2"
+    val gChain =
+      if (rebalance)
+        s"""gmv AS (SELECT id, mv FROM xmv),
+         ${pqChainFromMv("g", 64, ivfPqCentroids)},
+         """
+      else ""
     s"""cmv AS (
            SELECT vec_id AS id,
              list_transform(embedding,
@@ -295,7 +315,7 @@ private[graft] trait OracleSqlD {
              list_transform(embedding,
                x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS mv
            FROM embeddings WHERE $corpusWhere),
-         ${pqChainFromMv("c", 64, ivfPqCentroids)},
+         $gChain${pqChainFromMv("c", 64, ivfPqCentroids)},
          qmv AS (
            SELECT vec_id AS qid,
              list_transform(embedding,
@@ -314,14 +334,14 @@ private[graft] trait OracleSqlD {
              SELECT m.id, c.cid,
                row_number() OVER (PARTITION BY m.id ORDER BY
                  ${sqDistIntSql("m.mv", "c.cv", "64")}, c.cid) AS rn
-             FROM xmv m CROSS JOIN cc2 c) WHERE rn <= $ivfPqAssign),
+             FROM xmv m CROSS JOIN $enc c) WHERE rn <= $ivfPqAssign),
          ${pqSubspaces.map { case (p, lo, hi) =>
             s"""${p}rmv AS (
              SELECT r.id, r.cid,
                list_transform(generate_series($lo, $hi),
                  j -> m.mv[j] - c.cv[j]) AS mv
              FROM rep r JOIN xmv m USING (id)
-             JOIN cc2 c ON r.cid = c.cid),
+             JOIN $enc c ON r.cid = c.cid),
            ${p}rcode AS (
              SELECT id, cid, code FROM (
                SELECT v.id, v.cid, c2.cid AS code,
@@ -334,7 +354,7 @@ private[graft] trait OracleSqlD {
              SELECT q.qid, c.cid,
                row_number() OVER (PARTITION BY q.qid ORDER BY
                  ${sqDistIntSql("q.mv", "c.cv", "64")}, c.cid) AS rn
-             FROM qmv q CROSS JOIN cc2 c) WHERE rn <= $ivfPqProbes),
+             FROM qmv q CROSS JOIN $enc c) WHERE rn <= $ivfPqProbes),
          qrm AS (
            SELECT pr.qid, pr.cid,
              ${pqSubspaces.map { case (p, lo, hi) =>
@@ -342,7 +362,7 @@ private[graft] trait OracleSqlD {
                  j -> m.mv[j] - c.cv[j]) AS qm$p"""
              }.mkString(",\n             ")}
            FROM probe pr JOIN qmv m ON pr.qid = m.qid
-           JOIN cc2 c ON pr.cid = c.cid),
+           JOIN $enc c ON pr.cid = c.cid),
          adc0 AS (
            SELECT r.qid, rep.id,
              ${pqSubspaces.map { case (p, lo, hi) =>
@@ -362,6 +382,43 @@ private[graft] trait OracleSqlD {
              .mkString("\n           ")}),
          adc AS (
            SELECT qid, id, min(dist) AS dist FROM adc0 GROUP BY qid, id)"""
+  }
+
+  /** The q171 codebook-drift audit as CTEs ending at `tot(n_rows,
+    * err_standing, err_retrained)`: standing PQ chains (`ta*`,
+    * trained batch-less) and retrained chains (`tb*`, trained on the
+    * grown corpus) at the m=4/k=16 audit budget, reconstruction error
+    * of every grown-corpus row under each codebook set (assignment is
+    * the argmin, so the assigned-centroid error IS the per-row min).
+    * Shared verbatim by q171 and q174 so the two gates cannot drift
+    * on the drift arithmetic. */
+  private def pqDriftCtes(): String = {
+    val auditSubs = (0 until 4).map(s => (s"ta$s", s"tb$s", s * 16 + 1, (s + 1) * 16))
+    s"""${auditSubs.map { case (pa, _, lo, hi) =>
+          pqChainSql(pa, lo, hi, 16,
+            "WHERE vec_id % 10 <> 0 AND vec_id % 7 <> 3") }
+          .mkString(",\n         ")},
+         ${auditSubs.map { case (_, pb, lo, hi) =>
+          pqChainSql(pb, lo, hi, 16, "WHERE vec_id % 10 <> 0") }
+          .mkString(",\n         ")},
+         ${auditSubs.map { case (pa, pb, lo, hi) =>
+          s"""${pa}err AS (
+             SELECT m.id, min(${sqDistIntSql("m.mv", "c.cv", (hi - lo + 1).toString)}) AS d
+             FROM ${pb}mv m CROSS JOIN ${pa}c2 c GROUP BY m.id),
+           ${pb}err AS (
+             SELECT m.id, min(${sqDistIntSql("m.mv", "c.cv", (hi - lo + 1).toString)}) AS d
+             FROM ${pb}mv m CROSS JOIN ${pb}c2 c GROUP BY m.id)"""
+          }.mkString(",\n         ")},
+         tot AS (
+           SELECT
+             CAST((SELECT count(*) FROM tb0mv) AS BIGINT) AS n_rows,
+             CAST((${auditSubs.map { case (pa, _, _, _) =>
+               s"(SELECT sum(d) FROM ${pa}err)" }.mkString(" + ")}) AS BIGINT)
+               AS err_standing,
+             CAST((${auditSubs.map { case (_, pb, _, _) =>
+               s"(SELECT sum(d) FROM ${pb}err)" }.mkString(" + ")}) AS BIGINT)
+               AS err_retrained)"""
+  }
 
   /** The IVF-PQ probe + exact-re-rank query over an [[ivfPqCtes]]
     * chain (ends at `adc(qid, id, dist)`): wide top-50 candidates,
@@ -927,6 +984,13 @@ private[graft] trait OracleSqlD {
     "q170_ivfpq_incr" -> ivfPqRerankSql(ivfPqCtes(
       corpusWhere = "vec_id % 10 <> 0",
       trainWhere = "vec_id % 10 <> 0 AND vec_id % 7 <> 3")),
+    // q173: coarse-rebalance — q170's lineage with the cells re-cut
+    // by a fresh coarse chain over the grown corpus while the PQ
+    // codebooks keep training batch-less against the old cells
+    "q173_ivfpq_rebalance" -> ivfPqRerankSql(ivfPqCtes(
+      corpusWhere = "vec_id % 10 <> 0",
+      trainWhere = "vec_id % 10 <> 0 AND vec_id % 7 <> 3",
+      rebalance = true)),
     // q172: cell-occupancy audit of the appended index — cell
     // membership is q170's `rep` chain verbatim (coarse trained
     // without the batch, replication over old ∪ batch; unreferenced
@@ -961,41 +1025,46 @@ private[graft] trait OracleSqlD {
     // corpus's reconstruction error; the retrain decision is a pure
     // integer comparison (drift > 5% ⟺ 20·(standing − retrained) >
     // retrained), no division rounding to diverge on.
-    "q171_pq_drift" -> {
-      val auditSubs = (0 until 4).map(s => (s"ta$s", s"tb$s", s * 16 + 1, (s + 1) * 16))
-      s"""WITH ${auditSubs.map { case (pa, _, lo, hi) =>
-            pqChainSql(pa, lo, hi, 16,
-              "WHERE vec_id % 10 <> 0 AND vec_id % 7 <> 3") }
-            .mkString(",\n         ")},
-         ${auditSubs.map { case (_, pb, lo, hi) =>
-            pqChainSql(pb, lo, hi, 16, "WHERE vec_id % 10 <> 0") }
-            .mkString(",\n         ")},
-         ${auditSubs.map { case (pa, pb, lo, hi) =>
-            // reconstruction error of every GROWN-corpus row (the
-            // {pb}mv relations cover vec_id % 10 <> 0) under each
-            // codebook set = min over centroids of the integer
-            // squared distance (assignment is the argmin, so the
-            // assigned-centroid error IS the min)
-            s"""${pa}err AS (
-             SELECT m.id, min(${sqDistIntSql("m.mv", "c.cv", (hi - lo + 1).toString)}) AS d
-             FROM ${pb}mv m CROSS JOIN ${pa}c2 c GROUP BY m.id),
-           ${pb}err AS (
-             SELECT m.id, min(${sqDistIntSql("m.mv", "c.cv", (hi - lo + 1).toString)}) AS d
-             FROM ${pb}mv m CROSS JOIN ${pb}c2 c GROUP BY m.id)"""
-          }.mkString(",\n         ")},
-         tot AS (
-           SELECT
-             CAST((SELECT count(*) FROM tb0mv) AS BIGINT) AS n_rows,
-             CAST((${auditSubs.map { case (pa, _, _, _) =>
-               s"(SELECT sum(d) FROM ${pa}err)" }.mkString(" + ")}) AS BIGINT)
-               AS err_standing,
-             CAST((${auditSubs.map { case (_, pb, _, _) =>
-               s"(SELECT sum(d) FROM ${pb}err)" }.mkString(" + ")}) AS BIGINT)
-               AS err_retrained)
+    "q171_pq_drift" ->
+      s"""WITH ${pqDriftCtes()}
          SELECT n_rows, err_standing, err_retrained,
            CASE WHEN (err_standing - err_retrained) * 20 > err_retrained
                 THEN 'retrain' ELSE 'keep' END AS decision
-         FROM tot"""
+         FROM tot""",
+    // q174: the maintenance POLICY — both alarm chains (q171 drift,
+    // q172 occupancy) replayed in ONE oracle, rolled up to the
+    // three-way decision ladder retrain > rebalance > append. The
+    // occupancy side reuses ivfPqCtes' `rep` (only the coarse chain
+    // is referenced; the unreferenced probe/ADC CTEs cost nothing),
+    // the drift side is q171's chains verbatim (disjoint ta*/tb*
+    // prefixes).
+    "q174_ann_maint_policy" -> {
+      s"""WITH ${ivfPqCtes(
+            corpusWhere = "vec_id % 10 <> 0",
+            trainWhere = "vec_id % 10 <> 0 AND vec_id % 7 <> 3")},
+         percell AS (
+           SELECT cid, count(*) AS cell_n FROM rep GROUP BY cid),
+         occ AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_cells_occupied,
+             CAST(sum(cell_n) AS BIGINT) AS n_codes,
+             CAST(max(cell_n) AS BIGINT) AS max_cell
+           FROM percell),
+         occ2 AS (
+           SELECT (max_cell * n_cells_occupied * 1000) // n_codes
+               AS skew_milli,
+             CAST($ivfPqCentroids - n_cells_occupied AS BIGINT)
+               AS n_cells_empty
+           FROM occ),
+         ${pqDriftCtes()}
+         SELECT t.n_rows, t.err_standing, t.err_retrained,
+           o.skew_milli, o.n_cells_empty,
+           CASE WHEN (t.err_standing - t.err_retrained) * 20
+                     > t.err_retrained THEN 'retrain'
+                WHEN o.skew_milli > 4000
+                     OR o.n_cells_empty * 4 > $ivfPqCentroids
+                     THEN 'rebalance'
+                ELSE 'append' END AS decision
+         FROM tot t CROSS JOIN occ2 o"""
     },
     "q160_source_copy_matrix" ->
       s"""WITH RECURSIVE $tokCte,

@@ -518,6 +518,78 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
           .otherwise(lit("keep")))
   }
 
+  /** IVFADC coarse-rebalance, gated (q173) — the MIDDLE rung of the
+    * maintenance ladder (q170 append < q173 rebalance < full
+    * rebuild), the op the q172 occupancy alarm calls for: retrain
+    * ONLY the coarse cells over the grown corpus, keep the standing
+    * PQ codebooks (skipping the m per-subspace Lloyd chains that
+    * dominate a full rebuild), re-encode, then run q167's verbatim
+    * probe + re-rank over the re-cut tree. The standing index is
+    * q170's built-then-appended artifact, so the ladder is gated end
+    * to end on one lineage. The independent oracle replays the
+    * asymmetry exactly: a FRESH coarse Lloyd chain over old ∪ batch
+    * cuts the cells (replication, residuals, probes all against the
+    * NEW centroids) while the per-subspace PQ chains still train on
+    * the batch-less corpus's residuals against the OLD cells — the
+    * standing-codebook caveat lives in the gate, not in prose.
+    * Chunked (maxQueryBatch = 32) like q170, so the enforced
+    * query-batch budget stays oracle-gated. */
+  def ivfPqRebalanced(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") % 10 === 0)
+    rerankTop5(emb, q,
+      operators.Pq.ivfPqCandidates(q, ivfPqRebalIndexPath(spark, sfDir),
+        dim = 64, topK = 50, probes = 12, "vec_id", "embedding",
+        maxQueryBatch = 32))
+  }
+
+  /** The rebalanced per-corpus artifact: q170's incrementally-
+    * maintained tree re-cut over the grown corpus by
+    * [[graft.operators.Pq.rebalanceIvfPqIndex]]. */
+  private def ivfPqRebalIndexPath(spark: SparkSession, sfDir: String): String = {
+    import graft.sources.Artifacts
+    Artifacts.ensure("ivfpq_rebal_index", sfDir) { p =>
+      operators.Pq.rebalanceIvfPqIndex(
+        t(spark, sfDir, "embeddings").filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", ivfPqIncrIndexPath(spark, sfDir), p)
+    }
+  }
+
+  /** ANN maintenance POLICY (q174) — the roll-up that closes the
+    * maintenance loop, the q169 discipline applied to the ANN index:
+    * one row electing the next maintenance op from the two measured
+    * alarms, instead of a config knob or tribal knowledge. Signals:
+    * q171's codebook drift (exact integer reconstruction error of the
+    * grown corpus under standing vs retrained PQ codebooks) and
+    * q172's occupancy skew (integer probe-latency forecast from the
+    * cell partition). Decision ladder, priced in the order the ops
+    * cost: `retrain` (full rebuild) when the drift test fires —
+    * 20·(err_standing − err_retrained) > err_retrained, codebooks no
+    * longer fit and nothing cheaper helps; else `rebalance` (q173's
+    * coarse-only re-cut) when the hottest cell exceeds 4× the mean or
+    * > 25 % of cells sit empty; else `append` (q170's batch-share
+    * path) — the default that costs the least. Pure integer
+    * throughout, both alarm chains replayed in ONE independent
+    * oracle. On this near-uniform corpus with a random batch both
+    * alarms stay quiet ⇒ `append` — the measured statement that the
+    * cheap path is currently the right one. */
+  def annMaintenancePolicy(spark: SparkSession, sfDir: String): DataFrame = {
+    val centroids = operators.Pq
+      .readIvfPqMeta(spark, ivfPqIncrIndexPath(spark, sfDir)).centroids
+    val drift = pqDriftAudit(spark, sfDir)
+      .select(col("n_rows"), col("err_standing"), col("err_retrained"))
+    val occ = ivfPqOccupancy(spark, sfDir)
+      .select(col("skew_milli"), col("n_cells_empty"))
+    drift.crossJoin(occ).select(
+      col("n_rows"), col("err_standing"), col("err_retrained"),
+      col("skew_milli"), col("n_cells_empty"),
+      when((col("err_standing") - col("err_retrained")) * 20 >
+          col("err_retrained"), lit("retrain"))
+        .when(col("skew_milli") > 4000 ||
+          col("n_cells_empty") * 4 > centroids.toLong, lit("rebalance"))
+        .otherwise(lit("append")).as("decision"))
+  }
+
   /** q163's ADC search served from a PERSISTED PQ index — the q146/
     * q152/q155 artifact discipline applied to the compressed-corpus
     * relation: build once per corpus (codebooks + codes,

@@ -165,6 +165,43 @@ class IvfPqSpec extends SparkSpec {
     assert(search(incr).map(_._3).contains(2L))
   }
 
+  test("rebalance: fresh coarse cells, standing PQ codebooks verbatim, search sane") {
+    val old = corpus.filter(col("vec_id") =!= 2 && col("vec_id") =!= 12)
+    val batch = corpus.filter(col("vec_id") === 2 || col("vec_id") === 12)
+    val standing = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_rebal_standing"
+    Pq.buildIvfPqIndex(old, "vec_id", "embedding", dim = 4, m = 2,
+      k = 2, iters = 2, centroids = 2, path = standing, assignments = 2)
+    Pq.appendIvfPqIndex(batch, "vec_id", "embedding", standing)
+    val rebal = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_rebal"
+    Pq.rebalanceIvfPqIndex(corpus, "vec_id", "embedding", standing, rebal)
+    // PQ codebooks travel verbatim — rebalance retrains nothing below
+    // the coarse level
+    val cbA = spark.read.parquet(s"$standing/codebooks")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val cbB = spark.read.parquet(s"$rebal/codebooks")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(cbA == cbB, "PQ codebooks must travel verbatim")
+    // the coarse codebook is retrained over the GROWN corpus
+    val wantIvf = SemDedup.lloydCentroids(
+      corpus.select(col("vec_id").cast("long").as("i_id"),
+        col("embedding").as("i_vec")), "i_id", "i_vec", k = 2, iters = 2)
+    val gotIvf = spark.read.parquet(s"$rebal/ivf").orderBy("c_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq
+    assert(gotIvf == wantIvf.map { case (c, v) => (c, v.toSeq) },
+      "coarse codebook must be retrained over the grown corpus")
+    // all ids re-encoded with `assignments` replicas; meta carried
+    val codes = spark.read.parquet(s"$rebal/codes")
+    assert(codes.count() == 12 &&
+      codes.select("vec_id").distinct().count() == 6)
+    assert(Pq.readIvfPqMeta(spark, rebal) ==
+      Pq.IvfPqMeta(4, 2, 2, 2, 2, residual = true, 2))
+    // search over the rebalanced tree still ranks the query's group
+    val top = Pq.ivfPqCandidates(query, rebal, dim = 4, topK = 3,
+        probes = 2, "vec_id", "embedding")
+      .orderBy("rank").collect().map(_.getLong(2)).toSet
+    assert(top == Set(0L, 1L, 2L))
+  }
+
   test("single-agg distinct-min merge == explicit heap/explode/min/re-heap") {
     import spark.implicits._
     val scored = Seq(

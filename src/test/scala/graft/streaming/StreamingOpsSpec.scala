@@ -641,6 +641,53 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ivfPqTopKStream over a REBALANCED tree: the maintenance ladder composes with the twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Pq
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Seq(1.1f, 0.0f, 0.0f, 1.1f)),
+      (2L, Seq(0.9f, 0.1f, 0.1f, 0.9f)),
+      (10L, Seq(5.0f, 5.0f, 5.0f, 5.0f)),
+      (11L, Seq(5.1f, 4.9f, 5.1f, 4.9f)),
+      (12L, Seq(4.9f, 5.1f, 4.9f, 5.1f)))
+      .toDF("vec_id", "embedding")
+    // build standing on a subset, append the rest, re-cut the cells —
+    // the stream must serve the rebalanced tree like any other index
+    val standing = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_stream_rebal_standing"
+    Pq.buildIvfPqIndex(corpus.filter($"vec_id" =!= 2L && $"vec_id" =!= 12L),
+      "vec_id", "embedding", dim = 4, m = 2, k = 2, iters = 2,
+      centroids = 2, path = standing, assignments = 2)
+    Pq.appendIvfPqIndex(corpus.filter($"vec_id" === 2L || $"vec_id" === 12L),
+      "vec_id", "embedding", standing)
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_stream_rebal"
+    Pq.rebalanceIvfPqIndex(corpus, "vec_id", "embedding", standing, path)
+    val queries = Seq(
+      (100L, Seq(1.0f, 0.05f, 0.05f, 1.0f), ts("2024-01-01 10:00:00")),
+      (200L, Seq(5.0f, 5.05f, 5.05f, 5.0f), ts("2024-01-01 10:01:00")))
+    val in = MemoryStream[(Long, Seq[Float], Timestamp)]
+    val out = StreamingOps.ivfPqTopKStream(
+      in.toDF().toDF("vec_id", "embedding", "ts"), path,
+      dim = 4, topK = 3, probes = 2, watermarkDelay = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("ivfpq_stream_rebal")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      queries.foreach { row => in.addData(row); q.processAllAvailable() }
+      // a late arrival advances the watermark so the two queries emit
+      in.addData((999L, Seq(0.0f, 0.0f, 0.0f, 0.0f), ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val got = spark.table("ivfpq_stream_rebal")
+        .filter($"query_id" =!= 999L)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batch = Pq.ivfPqCandidates(
+        queries.map { case (id, v, _) => (id, v) }.toDF("vec_id", "embedding"),
+        path, dim = 4, topK = 3, probes = 2, "vec_id", "embedding")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got === batch, s"stream $got != batch $batch")
+      assert(got.size == 6, s"two queries × top-3: $got")
+    } finally q.stop()
+  }
+
   test("semDedupStream: cluster-width cap bounds state; beyond it arrivals pass unchecked") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.SemDedup
