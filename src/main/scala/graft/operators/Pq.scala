@@ -582,6 +582,43 @@ object Pq {
     }
   }
 
+  /** Cell-occupancy audit of an IVF-PQ index tree (q172's operator):
+    * one row of integer occupancy statistics + the rebalance decision
+    * from a codes-only scan — `c_id` is the PARTITION column, so the
+    * audit reads directory names and row counts, never decoding a
+    * code. `skew_milli` = max·occupied·1000 DIV total (1000 =
+    * perfectly balanced); decision `rebalance` when the hottest cell
+    * exceeds 4× the mean occupancy or > 25 % of cells sit empty —
+    * probe cost is proportional to the probed cells' occupancy, so
+    * skew IS the probe-latency forecast, and an empty cell wastes a
+    * probe slot. */
+  def occupancyAudit(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    occupancyAuditOf(spark.read.parquet(s"$path/codes"),
+      readIvfPqMeta(spark, path).centroids)
+
+  /** [[occupancyAudit]] over an explicit codes relation — the
+    * formula, separated so the decision branches are spec-testable
+    * without engineering a skewed Lloyd outcome. */
+  private[graft] def occupancyAuditOf(codes: DataFrame,
+      centroids: Int): DataFrame =
+    codes
+      .groupBy(col("c_id")).agg(count(lit(1)).as("cell_n"))
+      .agg(count(lit(1)).as("n_cells_occupied"),
+        sum(col("cell_n")).as("n_codes"),
+        max(col("cell_n")).as("max_cell"),
+        min(col("cell_n")).as("min_cell"))
+      .select(col("n_cells_occupied"),
+        (lit(centroids.toLong) - col("n_cells_occupied"))
+          .as("n_cells_empty"),
+        col("n_codes"), col("max_cell"), col("min_cell"),
+        expr("max_cell * n_cells_occupied * 1000 DIV n_codes")
+          .as("skew_milli"))
+      .withColumn("decision",
+        when(col("skew_milli") > 4000 ||
+          col("n_cells_empty") * 4 > centroids.toLong, lit("rebalance"))
+          .otherwise(lit("keep")))
+
   /** Collect the coarse codebook relation of an index tree (≤
     * `centroids` rows — driver-bounded like every codebook). */
   private[graft] def readIvfCb(spark: org.apache.spark.sql.SparkSession,

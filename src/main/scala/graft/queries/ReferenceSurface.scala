@@ -497,26 +497,8 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
     * from q170's `rep` chain (coarse codebooks trained WITHOUT the
     * batch, replication covering old ∪ batch — replicas count, as
     * they must: each replica's codes live in its cell's files). */
-  def ivfPqOccupancy(spark: SparkSession, sfDir: String): DataFrame = {
-    val path = ivfPqIncrIndexPath(spark, sfDir)
-    val centroids = operators.Pq.readIvfPqMeta(spark, path).centroids
-    spark.read.parquet(s"$path/codes")
-      .groupBy(col("c_id")).agg(count(lit(1)).as("cell_n"))
-      .agg(count(lit(1)).as("n_cells_occupied"),
-        sum(col("cell_n")).as("n_codes"),
-        max(col("cell_n")).as("max_cell"),
-        min(col("cell_n")).as("min_cell"))
-      .select(col("n_cells_occupied"),
-        (lit(centroids.toLong) - col("n_cells_occupied"))
-          .as("n_cells_empty"),
-        col("n_codes"), col("max_cell"), col("min_cell"),
-        expr("max_cell * n_cells_occupied * 1000 DIV n_codes")
-          .as("skew_milli"))
-      .withColumn("decision",
-        when(col("skew_milli") > 4000 ||
-          col("n_cells_empty") * 4 > centroids.toLong, lit("rebalance"))
-          .otherwise(lit("keep")))
-  }
+  def ivfPqOccupancy(spark: SparkSession, sfDir: String): DataFrame =
+    operators.Pq.occupancyAudit(spark, ivfPqIncrIndexPath(spark, sfDir))
 
   /** IVFADC coarse-rebalance, gated (q173) — the MIDDLE rung of the
     * maintenance ladder (q170 append < q173 rebalance < full

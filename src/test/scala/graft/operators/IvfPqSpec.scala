@@ -202,6 +202,37 @@ class IvfPqSpec extends SparkSpec {
     assert(top == Set(0L, 1L, 2L))
   }
 
+  test("occupancy audit: skew and empty-cell branches fire; tree form reads the artifact") {
+    def occ(cells: Seq[(Long, Int)], centroids: Int) =
+      Pq.occupancyAuditOf(
+        cells.flatMap { case (c, n) => (0 until n).map(i => (c * 1000 + i, c)) }
+          .toDF("vec_id", "c_id"), centroids)
+        .collect().head
+    // balanced: 4 cells × 5 codes, no empties → keep, skew 1000
+    val bal = occ(Seq((0L, 5), (1L, 5), (2L, 5), (3L, 5)), 4)
+    assert(bal.getAs[String]("decision") == "keep" &&
+      bal.getAs[Long]("skew_milli") == 1000L, bal)
+    // hot cell: 25 + 5×1 over 6 occupied of 6 → max = 5× mean, skew
+    // 5000 > 4000 → rebalance (the skew branch)
+    val hot = occ(Seq((0L, 25), (1L, 1), (2L, 1), (3L, 1), (4L, 1), (5L, 1)), 6)
+    assert(hot.getAs[String]("decision") == "rebalance" &&
+      hot.getAs[Long]("skew_milli") == 5000L, hot)
+    // empties: 2 balanced cells of 8 declared → 6 empty > 25% →
+    // rebalance even though realized cells are perfectly even
+    val emp = occ(Seq((0L, 5), (1L, 5)), 8)
+    assert(emp.getAs[String]("decision") == "rebalance" &&
+      emp.getAs[Long]("n_cells_empty") == 6L &&
+      emp.getAs[Long]("skew_milli") == 1000L, emp)
+    // the tree form derives centroids from the meta sidecar and reads
+    // the partitioned codes relation
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_occ"
+    build(path, assignments = 2)
+    val tree = Pq.occupancyAudit(spark, path).collect().head
+    assert(tree.getAs[Long]("n_codes") == 12L &&
+      tree.getAs[Long]("n_cells_occupied") +
+        tree.getAs[Long]("n_cells_empty") == 2L, tree)
+  }
+
   test("single-agg distinct-min merge == explicit heap/explode/min/re-heap") {
     import spark.implicits._
     val scored = Seq(
