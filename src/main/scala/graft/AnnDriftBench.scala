@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.{Pq, TopK}
+
+/** Runs the WHOLE ANN maintenance loop on two canonical DRIFTED
+  * ingests — the live demonstration the unit-fired decision branches
+  * and the near-uniform gate corpus cannot give. Each scenario
+  * appends a distribution-shifted copy of the corpus into (a copy of)
+  * the same standing index, audits it with both alarms, then prices
+  * all three ladder arms (append / rebalance / full rebuild) on probe
+  * latency AND exact-re-rank recall@5 for queries drawn from the
+  * drifted region:
+  *
+  *  - `compress` (x → 0.1·x): the corpus collapses toward the origin.
+  *    A CODEBOOK event — occupancy stays balanced (on a norm-uniform
+  *    corpus the ball spreads across cells via the correlation term)
+  *    while the q171-style audit fires `retrain` (~14 % error
+  *    buy-back). And the measured punchline is the honest one: at
+  *    this bit budget NO ladder arm restores recall@5 inside the
+  *    collapsed ball (mutual distances fall below PQ resolution —
+  *    high-dim near-degenerate neighborhoods), so the alarm's real
+  *    message is "this index's bit budget no longer fits the data",
+  *    a parameter decision, not a refresh.
+  *  - `shift` (x → x + 0.3): the corpus translates; mutual distances
+  *    are PRESERVED. An OCCUPANCY event — every shifted point chases
+  *    the few standing centroids with the largest component along the
+  *    shift direction, so the q172 alarm fires on append (measured
+  *    skew 7607, max cell 17k of 72k) and hot-region probes scan the
+  *    bloated cells. Residuals are translation-invariant, so q173's
+  *    coarse-only rebalance restores recall to the rebuild's level
+  *    (0.032 → 0.411 vs 0.417) at ~30 % of the rebuild's cost —
+  *    rebuild-quality results at the middle rung's price.
+  *
+  * Together the two scenarios justify the q174 ladder: alarms
+  * diagnose WHICH event happened, and the cheapest sufficient op
+  * differs per event. Two honest nuances the run surfaces: (1) the
+  * flat-subvector codebook audit ALSO fires on the translation (any
+  * distribution move shifts flat codebooks) although the rebalance
+  * proves sufficient — a residual-space drift audit (residuals vs the
+  * re-cut coarse) would separate the two events and is the documented
+  * refinement; (2) on the bimodal grown corpus the re-cut tree's own
+  * occupancy audit keeps complaining (a balanced cut need not exist
+  * over clustered data) while latency and recall are fine — skew is a
+  * probe-latency FORECAST, not a quality signal, and its alarm is an
+  * upper bound, not a fixpoint criterion.
+  *
+  * Usage: `runMain graft.AnnDriftBench <sfDir>`; prints `DRIFT …`
+  * lines. Probe timings are min of 2 same-JVM runs (warm plan).
+  */
+object AnnDriftBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+    val spark = GraftSession.local(cpus, "graft-ann-drift")
+    val tmp = sys.props("java.io.tmpdir")
+    def timed(name: String)(f: => Unit): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"DRIFT $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    def force(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val emb = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val items = emb.filter(col("vec_id") % 10 =!= 0)
+
+    // ONE standing index, copied per scenario (append mutates it)
+    val standing0 = s"$tmp/graft_drift_standing"
+    timed("standing_build") {
+      Pq.buildIvfPqIndex(items, "vec_id", "embedding", dim = 64, m = 8,
+        k = 64, iters = 2, centroids = 32, path = standing0,
+        assignments = 2)
+    }
+    def copyTree(src: String, dst: String): Unit = {
+      import org.apache.hadoop.fs.{FileUtil, Path}
+      val conf = spark.sessionState.newHadoopConf()
+      val fs = new Path(src).getFileSystem(conf)
+      if (fs.exists(new Path(dst))) fs.delete(new Path(dst), true)
+      FileUtil.copy(fs, new Path(src), fs, new Path(dst), false, conf)
+    }
+
+    val scenarios: Seq[(String, Column => Column)] = Seq(
+      ("compress", c => transform(c, x => x * lit(0.1f))),
+      ("shift", c => transform(c, x => x + lit(0.3f))))
+
+    scenarios.foreach { case (scen, tf) =>
+      val batch = items.select((col("vec_id") + 10000000L).as("vec_id"),
+        tf(col("embedding")).as("embedding"))
+      val grown = items.unionByName(batch)
+
+      val appended = s"$tmp/graft_drift_${scen}_appended"
+      copyTree(standing0, appended)
+      timed(s"${scen}_append") {
+        Pq.appendIvfPqIndex(batch, "vec_id", "embedding", appended)
+      }
+      println(s"DRIFT ${scen} occupancy appended: " +
+        Pq.occupancyAudit(spark, appended).collect().head)
+
+      // the q171-style codebook-drift audit on this ingest (audit
+      // budget m=4/k=16; exact integer reconstruction error)
+      val standingCbs = Pq.codebooks(items, "vec_id", "embedding",
+        dim = 64, m = 4, k = 16, iters = 2)
+      val retrainedCbs = Pq.codebooks(grown, "vec_id", "embedding",
+        dim = 64, m = 4, k = 16, iters = 2)
+      def reconErr(cbs: Seq[Seq[(Long, Seq[Long])]]): Long =
+        Pq.encodeWith(grown, "vec_id", "embedding", 64, cbs)
+          .agg(sum(col("recon_err"))).collect().head.getLong(0)
+      val (eOld, eNew) = (reconErr(standingCbs), reconErr(retrainedCbs))
+      println(s"DRIFT ${scen} codebook audit: err_standing=$eOld " +
+        s"err_retrained=$eNew decision=${
+          if ((eOld - eNew) * 20 > eNew) "retrain" else "keep"}")
+
+      val rebal = s"$tmp/graft_drift_${scen}_rebal"
+      timed(s"${scen}_rebalance") {
+        Pq.rebalanceIvfPqIndex(grown, "vec_id", "embedding", appended, rebal)
+      }
+      println(s"DRIFT ${scen} occupancy rebalanced: " +
+        Pq.occupancyAudit(spark, rebal).collect().head)
+
+      val rebuild = s"$tmp/graft_drift_${scen}_rebuild"
+      timed(s"${scen}_full_rebuild") {
+        Pq.buildIvfPqIndex(grown, "vec_id", "embedding", dim = 64, m = 8,
+          k = 64, iters = 2, centroids = 32, path = rebuild,
+          assignments = 2)
+      }
+
+      // hot-region queries: held-out ids, drifted like the batch (the
+      // AnnProbeBench fixed-|Q| convention — 200 logical queries)
+      val hotQ = emb.filter(col("vec_id") < 2000 && col("vec_id") % 10 === 0)
+        .select(col("vec_id"), tf(col("embedding")).as("embedding"))
+        .localCheckpoint()
+      def candidates(path: String): DataFrame =
+        Pq.ivfPqCandidates(hotQ, path, dim = 64, topK = 50, probes = 12,
+          "vec_id", "embedding")
+      def probeTimed(arm: String, path: String): Unit = {
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          force(candidates(path))
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"DRIFT ${scen} probe_$arm ${ts.min}%.2f s " +
+          s"(runs ${ts.map(t => f"$t%.2f").mkString("/")})")
+      }
+      probeTimed("appended", appended)
+      probeTimed("rebalanced", rebal)
+      probeTimed("rebuilt", rebuild)
+
+      // exact ground truth over the grown corpus, and the
+      // exact-re-rank recall@5 each arm's candidates deliver
+      def top5(scored: DataFrame): Set[(Long, Long)] = scored
+        .groupBy(col("q_id"))
+        .agg(TopK.topK(5)(col("d"), col("i_id"), col("i_id")).as("top"))
+        .select(col("q_id"), explode(col("top")).as("n"))
+        .select(col("q_id"), col("n.id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = top5(
+        hotQ.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+          .crossJoin(grown.select(col("vec_id").as("i_id"),
+            col("embedding").as("ie")))
+          .select(col("q_id"),
+            VectorFunctions.squaredEuclidean(col("qe"), col("ie")).as("d"),
+            col("i_id")))
+      def recall(path: String): Double = {
+        val got = top5(candidates(path)
+          .select(col("query_id").as("q_id"), col("neighbor_id").as("i_id"))
+          .join(hotQ.select(col("vec_id").as("q_id"),
+            col("embedding").as("qe")), "q_id")
+          .join(grown.select(col("vec_id").as("i_id"),
+            col("embedding").as("ie")).hint("shuffle_hash"), "i_id")
+          .select(col("q_id"),
+            VectorFunctions.squaredEuclidean(col("qe"), col("ie")).as("d"),
+            col("i_id")))
+        got.intersect(exact).size.toDouble / exact.size
+      }
+      println(f"DRIFT ${scen} recall5 appended=${recall(appended)}%.3f " +
+        f"rebalanced=${recall(rebal)}%.3f rebuilt=${recall(rebuild)}%.3f")
+    }
+    spark.stop()
+  }
+}
