@@ -115,6 +115,14 @@ object AnnDriftBench {
       println(s"DRIFT ${scen} codebook audit: err_standing=$eOld " +
         s"err_retrained=$eNew decision=${
           if ((eOld - eNew) * 20 > eNew) "retrain" else "keep"}")
+      // the residual-space audit (q175's instrument): prices the
+      // standing codebooks in the post-rebalance representation —
+      // should say `keep` for the translation (rebalance suffices)
+      // and `retrain` for the compression (it does not)
+      println(s"DRIFT ${scen} residual audit: " +
+        Pq.residualDriftAudit(items, grown, "vec_id", "embedding",
+          dim = 64, m = 4, k = 16, iters = 2, centroids = 32)
+          .collect().head)
 
       val rebal = s"$tmp/graft_drift_${scen}_rebal"
       timed(s"${scen}_rebalance") {

@@ -218,7 +218,8 @@ object Queries
     "q171_pq_drift" -> (pqDriftAudit _),
     "q172_ivfpq_occupancy" -> (ivfPqOccupancy _),
     "q173_ivfpq_rebalance" -> (ivfPqRebalanced _),
-    "q174_ann_maint_policy" -> (annMaintenancePolicy _))
+    "q174_ann_maint_policy" -> (annMaintenancePolicy _),
+    "q175_ann_maint_residual" -> (annMaintPolicyResidual _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = {

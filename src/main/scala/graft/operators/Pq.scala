@@ -582,6 +582,75 @@ object Pq {
     }
   }
 
+  /** RESIDUAL-SPACE codebook-drift audit (q175's operator) — the
+    * refined instrument the `AnnDriftBench` measurement called for:
+    * the flat-subvector audit ([[codebooks]] + [[encodeWith]], q171)
+    * fires on ANY distribution move, including pure translations that
+    * a coarse-only rebalance fully absorbs (residuals are
+    * translation-invariant). This audit instead prices the standing
+    * PQ codebooks in the representation a deployment would actually
+    * rebalance INTO: residuals against a freshly re-cut coarse
+    * codebook over the grown corpus. Standing-proxy codebooks train
+    * on the OLD corpus's residuals vs the OLD coarse (the audit-
+    * budget analogue of the index's standing codebooks); retrained
+    * codebooks train on the GROWN corpus's residuals vs the NEW
+    * coarse; BOTH are evaluated on the grown-residuals-vs-new-coarse
+    * rows — exact integer reconstruction error, the q171 arithmetic.
+    * `retrain` fires only when even after a re-cut the standing
+    * codebooks cost > 5 % more error than retraining buys back —
+    * i.e. when the event is genuinely a codebook event, not a
+    * partition event. */
+  def residualDriftAudit(
+      oldItems: DataFrame,
+      grownItems: DataFrame,
+      itemId: String,
+      vecCol: String,
+      dim: Int,
+      m: Int,
+      k: Int,
+      iters: Int,
+      centroids: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val sub = dim / m
+    val o = oldItems.select(col(itemId).cast("long").as("i_id"),
+      col(vecCol).as("i_vec"))
+    val g = grownItems.select(col(itemId).cast("long").as("i_id"),
+      col(vecCol).as("i_vec"))
+    val oldCb = SemDedup.lloydCentroids(o, "i_id", "i_vec",
+      k = centroids, iters = 2)
+    val newCb = SemDedup.lloydCentroids(g, "i_id", "i_vec",
+      k = centroids, iters = 2)
+    val standing = residualCodebooks(o, dim, m, k, iters, oldCb,
+      residual = true)
+    val retrained = residualCodebooks(g, dim, m, k, iters, newCb,
+      residual = true)
+    // grown residuals vs the NEW coarse — the post-rebalance
+    // representation; staged selects per the kmeansAssign quirk
+    val s1 = g.select(col("i_id").as("id"),
+        SemDedup.quantizeMilli(col("i_vec")).as("mv"))
+      .select(col("id"), col("mv"),
+        SemDedup.assignClusterMilli(col("mv"), newCb).as("c_id"))
+      .select(col("id") +: (0 until m).map(s =>
+        subMilli(col("mv"), col("c_id"), newCb, s, sub,
+          residual = true).as(s"mv$s")): _*)
+    val s2 = s1.select(col("id") +: (0 until m).flatMap(s => Seq(
+      col(s"mv$s"),
+      SemDedup.assignClusterMilli(col(s"mv$s"), standing(s)).as(s"ca$s"),
+      SemDedup.assignClusterMilli(col(s"mv$s"), retrained(s)).as(s"cb$s"))): _*)
+    def errOf(cbs: Seq[Seq[(Long, Seq[Long])]], p: String) =
+      (0 until m).map { s =>
+        SemDedup.sqDistInt(col(s"mv$s"),
+          element_at(typedLit(cbs(s).toMap), col(s"$p$s")))
+      }.reduce(_ + _)
+    s2.agg(count(lit(1)).as("n_rows"),
+        sum(errOf(standing, "ca")).as("err_standing"),
+        sum(errOf(retrained, "cb")).as("err_retrained"))
+      .select(col("n_rows"), col("err_standing"), col("err_retrained"),
+        when((col("err_standing") - col("err_retrained")) * 20 >
+          col("err_retrained"), lit("retrain"))
+          .otherwise(lit("keep")).as("residual_decision"))
+  }
+
   /** Cell-occupancy audit of an IVF-PQ index tree (q172's operator):
     * one row of integer occupancy statistics + the rebalance decision
     * from a codes-only scan — `c_id` is the PARTITION column, so the

@@ -1018,6 +1018,75 @@ private[graft] trait OracleSqlD {
                 THEN 'rebalance' ELSE 'keep' END AS decision
          FROM occ"""
     },
+    // q175: the residual-space maintenance policy — q174's refined
+    // twin. Occupancy comes from the APPENDED tree's cells (rep vs
+    // cc2, the rebalance=false chain), the drift side prices the
+    // standing-proxy codebooks in the post-rebalance representation:
+    // a fresh full-width coarse chain over the grown corpus (gc2),
+    // standing-proxy residual chains (ra*: old residuals vs OLD
+    // coarse), retrained chains (rb*: grown residuals vs NEW coarse),
+    // both error-summed over the grown-vs-new-coarse rows.
+    "q175_ann_maint_residual" -> {
+      val auditSubs = (0 until 4).map(s => (s"ra$s", s"rb$s", s * 16 + 1, (s + 1) * 16))
+      s"""WITH ${ivfPqCtes(
+            corpusWhere = "vec_id % 10 <> 0",
+            trainWhere = "vec_id % 10 <> 0 AND vec_id % 7 <> 3")},
+         percell AS (
+           SELECT cid, count(*) AS cell_n FROM rep GROUP BY cid),
+         occ AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_cells_occupied,
+             CAST(sum(cell_n) AS BIGINT) AS n_codes,
+             CAST(max(cell_n) AS BIGINT) AS max_cell
+           FROM percell),
+         occ2 AS (
+           SELECT (max_cell * n_cells_occupied * 1000) // n_codes
+               AS skew_milli,
+             CAST($ivfPqCentroids - n_cells_occupied AS BIGINT)
+               AS n_cells_empty
+           FROM occ),
+         gmv AS (SELECT id, mv FROM xmv),
+         ${pqChainFromMv("g", 64, ivfPqCentroids)},
+         ${auditSubs.map { case (ra, rb, lo, hi) =>
+            s"""${ra}mv AS (
+             SELECT a.id,
+               list_transform(generate_series($lo, $hi),
+                 j -> m.mv[j] - c.cv[j]) AS mv
+             FROM ca2 a JOIN cmv m USING (id) JOIN cc2 c ON a.cid = c.cid),
+           ${pqChainFromMv(ra, hi - lo + 1, 16)},
+           ${rb}mv AS (
+             SELECT a.id,
+               list_transform(generate_series($lo, $hi),
+                 j -> m.mv[j] - c.cv[j]) AS mv
+             FROM ga2 a JOIN gmv m USING (id) JOIN gc2 c ON a.cid = c.cid),
+           ${pqChainFromMv(rb, hi - lo + 1, 16)}"""
+          }.mkString(",\n         ")},
+         ${auditSubs.map { case (ra, rb, lo, hi) =>
+            s"""${ra}xe AS (
+             SELECT m.id, min(${sqDistIntSql("m.mv", "c.cv", (hi - lo + 1).toString)}) AS d
+             FROM ${rb}mv m CROSS JOIN ${ra}c2 c GROUP BY m.id),
+           ${rb}xe AS (
+             SELECT m.id, min(${sqDistIntSql("m.mv", "c.cv", (hi - lo + 1).toString)}) AS d
+             FROM ${rb}mv m CROSS JOIN ${rb}c2 c GROUP BY m.id)"""
+          }.mkString(",\n         ")},
+         rtot AS (
+           SELECT
+             CAST((SELECT count(*) FROM rb0mv) AS BIGINT) AS n_rows,
+             CAST((${auditSubs.map { case (ra, _, _, _) =>
+               s"(SELECT sum(d) FROM ${ra}xe)" }.mkString(" + ")}) AS BIGINT)
+               AS err_standing,
+             CAST((${auditSubs.map { case (_, rb, _, _) =>
+               s"(SELECT sum(d) FROM ${rb}xe)" }.mkString(" + ")}) AS BIGINT)
+               AS err_retrained)
+         SELECT t.n_rows, t.err_standing, t.err_retrained,
+           o.skew_milli, o.n_cells_empty,
+           CASE WHEN (t.err_standing - t.err_retrained) * 20
+                     > t.err_retrained THEN 'retrain'
+                WHEN o.skew_milli > 4000
+                     OR o.n_cells_empty * 4 > $ivfPqCentroids
+                     THEN 'rebalance'
+                ELSE 'append' END AS decision
+         FROM rtot t CROSS JOIN occ2 o"""
+    },
     // q171: codebook-drift audit — the q149 pattern for the ANN
     // index. Two full PQ trainings (m=4 × 16-dim subspaces, k=16,
     // the audit budget) over the standing corpus (batch excluded)

@@ -572,6 +572,45 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
         .otherwise(lit("append")).as("decision"))
   }
 
+  /** RESIDUAL-SPACE maintenance policy (q175) — q174's refined twin,
+    * built from the instrument the AnnDriftBench measurement showed
+    * q174 lacks: the flat-subvector drift audit (q171) fires on ANY
+    * distribution move, including pure translations that q173's
+    * coarse-only rebalance fully absorbs (residuals are
+    * translation-invariant; the bench measured rebalance restoring
+    * recall 0.032 → 0.411 ≈ the rebuild's 0.417 at ~30 % of its
+    * price while the flat audit cried retrain). This policy prices
+    * the standing PQ codebooks in the representation the deployment
+    * would rebalance INTO — residuals against a freshly re-cut
+    * coarse over the grown corpus ([[graft.operators.Pq
+    * .residualDriftAudit]]) — and elects `retrain` only when even
+    * the re-cut cannot save them, `rebalance` when the q172
+    * occupancy alarm fires, `append` otherwise. Same output shape as
+    * q174; on this near-uniform corpus with a random batch both
+    * agree on `append`, and they part ways exactly on the
+    * translation events the bench measured. The oracle replays both
+    * full-width coarse chains (standing AND re-cut), all eight
+    * audit-budget residual Lloyd chains, both error sums, and the
+    * occupancy roll-up — integer end to end. */
+  def annMaintPolicyResidual(spark: SparkSession, sfDir: String): DataFrame = {
+    import operators.Pq
+    val centroids = 32
+    val emb = t(spark, sfDir, "embeddings")
+    val grown = emb.filter(col("vec_id") % 10 =!= 0)
+    val old = grown.filter(col("vec_id") % 7 =!= 3)
+    val drift = Pq.residualDriftAudit(old, grown, "vec_id", "embedding",
+      dim = 64, m = 4, k = 16, iters = 2, centroids = centroids)
+    val occ = Pq.occupancyAudit(spark, ivfPqIncrIndexPath(spark, sfDir))
+      .select(col("skew_milli"), col("n_cells_empty"))
+    drift.crossJoin(occ).select(
+      col("n_rows"), col("err_standing"), col("err_retrained"),
+      col("skew_milli"), col("n_cells_empty"),
+      when(col("residual_decision") === "retrain", lit("retrain"))
+        .when(col("skew_milli") > 4000 ||
+          col("n_cells_empty") * 4 > centroids.toLong, lit("rebalance"))
+        .otherwise(lit("append")).as("decision"))
+  }
+
   /** q163's ADC search served from a PERSISTED PQ index — the q146/
     * q152/q155 artifact discipline applied to the compressed-corpus
     * relation: build once per corpus (codebooks + codes,

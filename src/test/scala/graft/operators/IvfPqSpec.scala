@@ -233,6 +233,16 @@ class IvfPqSpec extends SparkSpec {
         tree.getAs[Long]("n_cells_empty") == 2L, tree)
   }
 
+  test("residual drift audit: identical old and grown corpora → equal errors, keep") {
+    val out = Pq.residualDriftAudit(corpus, corpus, "vec_id", "embedding",
+      dim = 4, m = 2, k = 2, iters = 2, centroids = 2).collect().head
+    assert(out.getAs[Long]("n_rows") == 6L)
+    assert(out.getAs[Long]("err_standing") ==
+      out.getAs[Long]("err_retrained"),
+      "identical inputs must train identical codebooks either side")
+    assert(out.getAs[String]("residual_decision") == "keep")
+  }
+
   test("single-agg distinct-min merge == explicit heap/explode/min/re-heap") {
     import spark.implicits._
     val scored = Seq(
