@@ -609,17 +609,24 @@ object Pq {
       m: Int,
       k: Int,
       iters: Int,
-      centroids: Int): DataFrame = {
+      centroids: Int,
+      oldCoarse: Option[Seq[(Long, Seq[Long])]] = None,
+      newCoarse: Option[Seq[(Long, Seq[Long])]] = None): DataFrame = {
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
     val sub = dim / m
     val o = oldItems.select(col(itemId).cast("long").as("i_id"),
       col(vecCol).as("i_vec"))
     val g = grownItems.select(col(itemId).cast("long").as("i_id"),
       col(vecCol).as("i_vec"))
-    val oldCb = SemDedup.lloydCentroids(o, "i_id", "i_vec",
-      k = centroids, iters = 2)
-    val newCb = SemDedup.lloydCentroids(g, "i_id", "i_vec",
-      k = centroids, iters = 2)
+    // the two coarse codebooks usually already EXIST as artifacts —
+    // the standing tree's ivf/ (old corpus) and the rebalanced
+    // tree's ivf/ (grown corpus) — so callers pass them in instead
+    // of retraining (q175 reads both via [[readIvfCb]]; the audit
+    // then costs only the m audit-budget chains + one eval pass)
+    val oldCb = oldCoarse.getOrElse(SemDedup.lloydCentroids(
+      o, "i_id", "i_vec", k = centroids, iters = 2))
+    val newCb = newCoarse.getOrElse(SemDedup.lloydCentroids(
+      g, "i_id", "i_vec", k = centroids, iters = 2))
     val standing = residualCodebooks(o, dim, m, k, iters, oldCb,
       residual = true)
     val retrained = residualCodebooks(g, dim, m, k, iters, newCb,

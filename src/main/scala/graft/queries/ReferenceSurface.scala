@@ -598,9 +598,17 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
     val emb = t(spark, sfDir, "embeddings")
     val grown = emb.filter(col("vec_id") % 10 =!= 0)
     val old = grown.filter(col("vec_id") % 7 =!= 3)
+    // both coarse codebooks already exist as artifacts: the standing
+    // tree's ivf/ IS lloydCentroids(old) and the rebalanced tree's
+    // ivf/ IS lloydCentroids(grown) — bit-equal by the q170/q173
+    // gate contracts — so the audit reads them instead of retraining
+    // two full-width Lloyd chains (13.8 → ~5 s at sf0.1)
+    val standingTree = ivfPqIncrIndexPath(spark, sfDir)
     val drift = Pq.residualDriftAudit(old, grown, "vec_id", "embedding",
-      dim = 64, m = 4, k = 16, iters = 2, centroids = centroids)
-    val occ = Pq.occupancyAudit(spark, ivfPqIncrIndexPath(spark, sfDir))
+      dim = 64, m = 4, k = 16, iters = 2, centroids = centroids,
+      oldCoarse = Some(Pq.readIvfCb(spark, standingTree)),
+      newCoarse = Some(Pq.readIvfCb(spark, ivfPqRebalIndexPath(spark, sfDir))))
+    val occ = Pq.occupancyAudit(spark, standingTree)
       .select(col("skew_milli"), col("n_cells_empty"))
     drift.crossJoin(occ).select(
       col("n_rows"), col("err_standing"), col("err_retrained"),

@@ -77,7 +77,8 @@ object Artifacts {
     require(fs.rename(build, target), s"artifact publish rename failed: $path")
   }
 
-  private val builtOnce = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val builtOnce =
+    new java.util.concurrent.ConcurrentHashMap[String, () => String]()
 
   /** Fingerprint of the corpus STATE (not just its path): a SHA-256
     * over the recursive `(file path, length, mtime)` listing of the
@@ -116,7 +117,9 @@ object Artifacts {
   /** Build-once-per-run memo: the first call for (`kind`, corpus)
     * runs `build` (which must [[publish]]/[[publishTree]] to the
     * given path); every later call this JVM returns the path
-    * directly. Thread-safe via computeIfAbsent's per-key lock.
+    * directly. Thread-safe via a memoized lazy cell per key (builds
+    * run OUTSIDE the map's bin lock so artifact builds can compose —
+    * ensure() may be called from inside another artifact's build).
     *
     * Cross-RUN reuse is an explicit, VERSIONED choice (round-11
     * verdict: always-rebuild is the right default for a test suite
@@ -153,8 +156,25 @@ object Artifacts {
   private val reused = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   private def ensureImpl(kind: String, corpusDir: String, trust: Boolean,
-      build: String => Unit): String =
-    builtOnce.computeIfAbsent(s"$kind|$corpusDir", { _ =>
+      build: String => Unit): String = {
+    // memoize a LAZY cell, not the built value: the build must run
+    // OUTSIDE computeIfAbsent's bin lock, because builds COMPOSE — an
+    // artifact built on top of another (q173's rebalanced tree reads
+    // q170's standing tree) calls ensure() recursively, and a nested
+    // computeIfAbsent insert under an in-flight compute throws
+    // "Recursive update" (or corrupts the bin) whenever the inner key
+    // lands in the same bin. The lazy val still guarantees exactly
+    // one build per key per run (second caller blocks on the cell's
+    // initializer lock, not the map's).
+    val cell = builtOnce.computeIfAbsent(s"$kind|$corpusDir", { _ =>
+      lazy val built: String = buildOrReuse(kind, corpusDir, trust, build)
+      () => built
+    })
+    cell()
+  }
+
+  private def buildOrReuse(kind: String, corpusDir: String, trust: Boolean,
+      build: String => Unit): String = {
       val path = corpusPath(kind, corpusDir)
       val spark = SparkSession.active
       val fpPath = new Path(path + ".fingerprint")
@@ -190,7 +210,7 @@ object Artifacts {
         }
       }
       path
-    })
+  }
 
   /** Test hook: forget the per-run memo so a spec can exercise the
     * build path repeatedly. */

@@ -29,6 +29,31 @@ class ArtifactsSpec extends SparkSpec {
     assert(Artifacts.corpusPath("x", "/data/corpus/v1") == a)
   }
 
+  test("ensure composes: one artifact's build may ensure() another (no recursive-update)") {
+    Artifacts.resetMemo()
+    spark.range(1).count() // materialize the session before ensure()
+    val corpus = tmpKey()
+    // at many keys, the nested insert reliably lands in an in-flight
+    // bin somewhere if builds run under the map lock (the q173-on-
+    // q170 composition crashed exactly this way)
+    (0 until 64).foreach { i =>
+      var innerBuilt = false
+      val outer = Artifacts.ensure(s"outer$i", corpus) { p =>
+        val inner = Artifacts.ensure(s"inner$i", corpus) { q =>
+          innerBuilt = true
+          Artifacts.publish(Seq(1L).toDF("v"), q)
+        }
+        Artifacts.publish(spark.read.parquet(inner), p)
+      }
+      assert(innerBuilt, s"nested build $i must run")
+      assert(spark.read.parquet(outer).as[Long].head() == 1L)
+      // and the inner key is memoized normally afterwards
+      var again = false
+      Artifacts.ensure(s"inner$i", corpus) { _ => again = true }
+      assert(!again)
+    }
+  }
+
   test("publish round-trips the relation and replaces a previous artifact") {
     val path = tmpKey() + "/art"
     Artifacts.publish(Seq(1L, 2L, 3L).toDF("v"), path)
