@@ -155,14 +155,17 @@ object Bench {
       (name, dt, ok)
     }
     // Two records (the driver captures only the LAST ~2000 chars of
-    // combined output — rounds 1–6 all came back `parsed: null` because
-    // the full-precision line with every long query name outgrew that
-    // window and lost its head):
+    // combined output — rounds 1–6 came back `parsed: null` because
+    // the full-precision line outgrew that window, and the round-7
+    // compact per-query line bought only until ~150 queries before it
+    // ALSO outgrew it — rounds 11–12 regressed to `parsed: null`):
     //  - FULL precision + full names → a file (SPARK_GRAFT_BENCH_OUT,
-    //    default ./BENCH_LOCAL.json) for the per-round record;
-    //  - a COMPACT stdout line (qNN keys, 3-decimal seconds, ≤ ~1.5 KB
-    //    for ~100 queries) printed LAST, after spark.stop(), so the
-    //    tail window always holds the complete parseable line.
+    //    default ./BENCH_LOCAL.json, COMMITTED to the repo each round)
+    //    for the per-query record, and echoed to stdout for log greps;
+    //  - a SHORT summary line (totals, failure lists, counts — no
+    //    per-query map, ~250 bytes at ANY query count) printed LAST,
+    //    after spark.stop(), so the tail window always holds one
+    //    complete parseable line no matter how the suite grows.
     def fmt(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     def shortName(n: String): String = n.takeWhile(_ != '_')
@@ -182,15 +185,18 @@ object Bench {
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $benchOut: ${e.getMessage}") }
-    val compactQs = results.map { case (k, v, ok) =>
-      "\"" + shortName(k) + "\":" + (if (ok) fmt(v) else "-" + fmt(v)) }
-      .mkString("{", ",", "}")
     val compactFailed = results.filterNot(_._3)
       .map(r => "\"" + shortName(r._1) + "\"").mkString("[", ",", "]")
     val compactExtraF = extraFailed.map(n => "\"" + shortName(n) + "\"")
       .mkString("[", ",", "]")
+    // bounded per-query signal for the summary line: the 20 slowest
+    // (the ones a reader acts on), ~300 bytes at any suite size
+    val top20 = results.filter(_._3).sortBy(-_._2).take(20)
+      .map { case (k, v, _) => "\"" + shortName(k) + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     spark.stop()
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$compactQs,"failed":$compactFailed,"extra_failed":$compactExtraF,"runs":$repeat,"sf":"$sfDir"}""")
+    println(fullLine)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$top20,"failed":$compactFailed,"extra_failed":$compactExtraF,"runs":$repeat,"sf":"$sfDir","detail":"$benchOut"}""")
     System.out.flush()
   }
 
