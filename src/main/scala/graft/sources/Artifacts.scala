@@ -175,41 +175,41 @@ object Artifacts {
 
   private def buildOrReuse(kind: String, corpusDir: String, trust: Boolean,
       build: String => Unit): String = {
-      val path = corpusPath(kind, corpusDir)
-      val spark = SparkSession.active
-      val fpPath = new Path(path + ".fingerprint")
-      val target = new Path(path)
-      val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
-      // fingerprint BEFORE the build, so the recorded version reflects
-      // the corpus state the build actually read — a lazy/post-build
-      // snapshot would stamp a mid-build corpus edit's fingerprint
-      // onto an artifact built from the pre-edit state, and a later
-      // trust-on run would reuse it as current (round-12 advice)
-      val fp = corpusFingerprint(spark, corpusDir)
-      val matches = trust && fs.exists(fpPath) && fs.exists(target) && {
-        val in = fs.open(fpPath)
-        try {
-          val recorded = new String(
-            in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
-          recorded == fp
-        } finally in.close()
+    val path = corpusPath(kind, corpusDir)
+    val spark = SparkSession.active
+    val fpPath = new Path(path + ".fingerprint")
+    val target = new Path(path)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    // fingerprint BEFORE the build, so the recorded version reflects
+    // the corpus state the build actually read — a lazy/post-build
+    // snapshot would stamp a mid-build corpus edit's fingerprint
+    // onto an artifact built from the pre-edit state, and a later
+    // trust-on run would reuse it as current (round-12 advice)
+    val fp = corpusFingerprint(spark, corpusDir)
+    val matches = trust && fs.exists(fpPath) && fs.exists(target) && {
+      val in = fs.open(fpPath)
+      try {
+        val recorded = new String(
+          in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8).trim
+        recorded == fp
+      } finally in.close()
+    }
+    if (matches) reused.add(s"$kind|$corpusDir")
+    else {
+      // stale fingerprint must never outlive its artifact: delete
+      // BEFORE building, re-record only after a successful publish
+      if (fs.exists(fpPath)) fs.delete(fpPath, false)
+      build(path)
+      // refuse to version an artifact whose input CHANGED under the
+      // build: re-list and record only on a match — an unversioned
+      // artifact forces the next trust-on run to rebuild, which is
+      // the safe side of the race
+      if (corpusFingerprint(spark, corpusDir) == fp) {
+        val out = fs.create(fpPath, true)
+        try out.write(fp.getBytes("UTF-8")) finally out.close()
       }
-      if (matches) reused.add(s"$kind|$corpusDir")
-      else {
-        // stale fingerprint must never outlive its artifact: delete
-        // BEFORE building, re-record only after a successful publish
-        if (fs.exists(fpPath)) fs.delete(fpPath, false)
-        build(path)
-        // refuse to version an artifact whose input CHANGED under the
-        // build: re-list and record only on a match — an unversioned
-        // artifact forces the next trust-on run to rebuild, which is
-        // the safe side of the race
-        if (corpusFingerprint(spark, corpusDir) == fp) {
-          val out = fs.create(fpPath, true)
-          try out.write(fp.getBytes("UTF-8")) finally out.close()
-        }
-      }
-      path
+    }
+    path
   }
 
   /** Test hook: forget the per-run memo so a spec can exercise the
