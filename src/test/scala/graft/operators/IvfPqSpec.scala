@@ -227,10 +227,21 @@ class IvfPqSpec extends SparkSpec {
     // the partitioned codes relation
     val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_occ"
     build(path, assignments = 2)
-    val tree = Pq.occupancyAudit(spark, path).collect().head
+    val audit = Pq.occupancyAudit(spark, path)
+    val tree = audit.collect().head
     assert(tree.getAs[Long]("n_codes") == 12L &&
       tree.getAs[Long]("n_cells_occupied") +
         tree.getAs[Long]("n_cells_empty") == 2L, tree)
+    // and the scan reads ZERO data columns: c_id is the partition
+    // column, so the audit costs directory listings + row-group
+    // metadata, never a code byte — the property that keeps it at
+    // 0.9 s over a 200k-vector corpus
+    val scan = audit.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("codes"))
+      .getOrElse(fail("no codes scan in plan"))
+    val read = """ReadSchema: struct<([^>]*)>""".r
+      .findFirstMatchIn(scan).map(_.group(1))
+    assert(read.contains(""), s"expected empty ReadSchema, got $read")
   }
 
   test("residual drift audit: identical old and grown corpora → equal errors, keep") {
