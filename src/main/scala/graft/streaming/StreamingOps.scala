@@ -86,6 +86,36 @@ object StreamingOps {
         sink(preds, batchId)
       }
 
+  /** Streaming IVFADC INGEST — q170's append path as a sink: every
+    * micro-batch of arriving vectors is encoded against the STANDING
+    * coarse + PQ codebooks and its code files renamed into the live
+    * cell partitions ([[graft.operators.Pq.appendIvfPqIndex]]).
+    * Micro-batches run serially (Structured Streaming's foreachBatch
+    * contract), so the single-writer-per-artifact rule holds; a
+    * concurrent probe sees some prefix of the appended files — results
+    * only grow, never tear. Delivery is AT-LEAST-ONCE: a replayed
+    * micro-batch appends its codes again under fresh file names.
+    * Search results stay CORRECT under replay — the probe's
+    * distinct-min merge ([[graft.operators.TopK.topKDistinctMin]])
+    * collapses duplicate (id, code) rows to one neighbor — at the
+    * price of scan bytes, so a deployment either checkpoints the
+    * query (normal exactly-once bookkeeping makes replays rare) or
+    * rebuilds the affected cells on the q172 occupancy alarm, which a
+    * replay inflates visibly. Bit-equality of the appended tree to a
+    * batch append of the same rows is spec-pinned. */
+  def ivfPqAppendSink(
+      stream: DataFrame,
+      indexPath: String,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Pq.appendIvfPqIndex(
+            batch.toDF(), idCol, vecCol, indexPath)
+      }
+
   /** Streaming exact dedup: keep the first-seen document per content
     * hash, with state bounded by the event-time watermark
     * (`dropDuplicatesWithinWatermark` evicts a hash once the watermark

@@ -688,6 +688,40 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ivfPqAppendSink: streamed micro-batch appends == one batch append (bit-equal codes)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Pq
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Seq(1.1f, 0.0f, 0.0f, 1.1f)),
+      (10L, Seq(5.0f, 5.0f, 5.0f, 5.0f)),
+      (11L, Seq(5.1f, 4.9f, 5.1f, 4.9f)))
+      .toDF("vec_id", "embedding")
+    val arrivals = Seq(
+      (2L, Seq(0.9f, 0.1f, 0.1f, 0.9f)),
+      (12L, Seq(4.9f, 5.1f, 4.9f, 5.1f)))
+    def build(p: String): Unit =
+      Pq.buildIvfPqIndex(corpus, "vec_id", "embedding", dim = 4, m = 2,
+        k = 2, iters = 2, centroids = 2, path = p, assignments = 2)
+    // streamed: one arrival per micro-batch through the sink
+    val streamed = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_sink_stream"
+    build(streamed)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.ivfPqAppendSink(
+      in.toDF().toDF("vec_id", "embedding"), streamed).start()
+    try arrivals.foreach { row => in.addData(row); q.processAllAvailable() }
+    finally q.stop()
+    // batch twin: the same rows appended in one call
+    val batched = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_sink_batch"
+    build(batched)
+    Pq.appendIvfPqIndex(arrivals.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", batched)
+    def codes(p: String) = spark.read.parquet(s"$p/codes")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(codes(streamed) == codes(batched))
+    assert(codes(streamed).size == 12, "4 standing + 2 appended, x2 assignments")
+  }
+
   test("semDedupStream: cluster-width cap bounds state; beyond it arrivals pass unchecked") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.SemDedup
