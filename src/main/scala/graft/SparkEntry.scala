@@ -219,7 +219,8 @@ object Queries
     "q172_ivfpq_occupancy" -> (ivfPqOccupancy _),
     "q173_ivfpq_rebalance" -> (ivfPqRebalanced _),
     "q174_ann_maint_policy" -> (annMaintenancePolicy _),
-    "q175_ann_maint_residual" -> (annMaintPolicyResidual _))
+    "q175_ann_maint_residual" -> (annMaintPolicyResidual _),
+    "q176_ivfpq_budget" -> (ivfPqBudgetRerank _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = {

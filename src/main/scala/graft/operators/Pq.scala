@@ -786,6 +786,46 @@ object Pq {
       queryVec: String,
       maxQueryBatch: Int = 256): DataFrame = {
     require(probes >= 1)
+    ivfPqCandidatesImpl(queries, path, dim, topK, Left(probes),
+      queryId, queryVec, maxQueryBatch)
+  }
+
+  /** [[ivfPqCandidates]] under a SCAN BUDGET instead of a fixed probe
+    * count — the latency-SLO lever for a skewed index: each query
+    * probes its cells in coarse-distance order and stops once the
+    * strictly-preceding cells already hold `scanBudget` codes (the
+    * nearest cell is always probed). Fixed `probes` bounds the CELL
+    * count, so a hot cell (q172's alarm) inflates every probe that
+    * touches it; a scan budget bounds the ROWS scanned — worst-case
+    * probe cost stays flat no matter how skewed the appends were, at
+    * the price of fewer cells (less recall) exactly where the index
+    * is hottest. Occupancy comes from the same ≤ `centroids`-row
+    * driver-bounded count the q172 audit reads; empty cells cost no
+    * budget. Same chunked-query-batch machinery and min-merge as the
+    * fixed-probe path. */
+  def ivfPqCandidatesBudget(
+      queries: DataFrame,
+      path: String,
+      dim: Int,
+      topK: Int,
+      scanBudget: Long,
+      queryId: String,
+      queryVec: String,
+      maxQueryBatch: Int = 256): DataFrame = {
+    require(scanBudget >= 1)
+    ivfPqCandidatesImpl(queries, path, dim, topK, Right(scanBudget),
+      queryId, queryVec, maxQueryBatch)
+  }
+
+  private def ivfPqCandidatesImpl(
+      queries: DataFrame,
+      path: String,
+      dim: Int,
+      topK: Int,
+      probeSel: Either[Int, Long],
+      queryId: String,
+      queryVec: String,
+      maxQueryBatch: Int): DataFrame = {
     require(maxQueryBatch >= 1)
     val spark = queries.sparkSession
     val meta = readIvfPqMeta(spark, path)
@@ -798,7 +838,7 @@ object Pq {
       col(queryVec).as("q_vec"))
     val nq = q.count() // the query side is batch-bounded by contract
     val nChunks = math.max(1, math.ceil(nq.toDouble / maxQueryBatch).toInt)
-    if (nChunks == 1) ivfPqCandidatesBatch(q, path, meta, ivfCb, cbs, topK, probes)
+    if (nChunks == 1) ivfPqCandidatesBatch(q, path, meta, ivfCb, cbs, topK, probeSel)
     else {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
@@ -809,7 +849,7 @@ object Pq {
         val fs = (0 until nChunks).map { i =>
           Future {
             val chunk = qc.filter(pmod(xxhash64(col("q_id")), lit(nChunks)) === i)
-            ivfPqCandidatesBatch(chunk, path, meta, ivfCb, cbs, topK, probes)
+            ivfPqCandidatesBatch(chunk, path, meta, ivfCb, cbs, topK, probeSel)
               .localCheckpoint() // eager: runs the chunk job in this thread
           }
         }
@@ -833,7 +873,7 @@ object Pq {
       ivfCb: Seq[(Long, Seq[Long])],
       cbs: Seq[Seq[(Long, Seq[Long])]],
       topK: Int,
-      probes: Int): DataFrame = {
+      probeSel: Either[Int, Long]): DataFrame = {
     val spark = queries.sparkSession
     graft.GraftSession.tune(spark)
     val dim = meta.dim
@@ -841,7 +881,6 @@ object Pq {
     val assignments = meta.assignments
     val m = cbs.size
     val k = cbs.map(_.map(_._1).max).max.toInt + 1
-    val effProbes = math.min(probes, ivfCb.size)
 
     val q0 = queries.select(col("q_id"),
       SemDedup.quantizeMilli(col("q_vec")).as("qmv"))
@@ -853,12 +892,38 @@ object Pq {
     val qs = q0.select(col("q_id"), col("qmv"),
       graft.functions.AdcLutsExpr(col("qmv"),
         typedLit(Seq.fill(dim)(0L)), Seq(ivfCb), coarseK).as("cluts"))
-    val probed = qs.select(col("q_id"), col("qmv"),
-        explode(slice(array_sort(array(ivfCb.map { case (cid, _) =>
-          struct(element_at(col("cluts"), lit(cid.toInt) + 1).as("d"),
-            lit(cid).as("c"))
-        }: _*)), 1, effProbes)).as("cs"))
-      .select(col("q_id"), col("qmv"), col("cs.c").as("c_id"))
+    val rankedCells = array_sort(array(ivfCb.map { case (cid, _) =>
+      struct(element_at(col("cluts"), lit(cid.toInt) + 1).as("d"),
+        lit(cid).as("c"))
+    }: _*))
+    val probed = probeSel match {
+      case Left(probes) =>
+        val effProbes = math.min(probes, ivfCb.size)
+        qs.select(col("q_id"), col("qmv"),
+            explode(slice(rankedCells, 1, effProbes)).as("cs"))
+          .select(col("q_id"), col("qmv"), col("cs.c").as("c_id"))
+      case Right(budget) =>
+        // scan-budget probing: walk cells in distance order, keep each
+        // while the strictly-preceding cells hold < `budget` codes
+        // (the nearest cell always probes). Occupancy is the same
+        // ≤ centroids-row driver-bounded count the q172 audit reads;
+        // the window runs over |chunk|·centroids tiny rows.
+        val occ: Map[Long, Long] = spark.read.parquet(s"$path/codes")
+          .groupBy(col("c_id")).count()
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("pos"))
+          .rowsBetween(Long.MinValue, -1)
+        qs.select(col("q_id"), col("qmv"),
+            posexplode(rankedCells).as(Seq("pos", "cs")))
+          .select(col("q_id"), col("qmv"), col("pos"),
+            col("cs.c").as("c_id"),
+            coalesce(element_at(typedLit(occ), col("cs.c")), lit(0L))
+              .as("occ"))
+          .withColumn("prior", coalesce(sum(col("occ")).over(w), lit(0L)))
+          .filter(col("prior") < budget)
+          .select(col("q_id"), col("qmv"), col("c_id"))
+    }
     // per (query, cell): all m residual LUTs in ONE fused native loop
     // ([[graft.functions.AdcLutsExpr]]; the cell centroid comes from
     // an inlined c_id → centroid map literal, zeros when the index

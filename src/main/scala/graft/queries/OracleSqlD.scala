@@ -294,11 +294,42 @@ private[graft] trait OracleSqlD {
   private def ivfPqCtes(
       corpusWhere: String = "vec_id % 10 <> 0",
       trainWhere: String = "vec_id % 10 <> 0",
-      rebalance: Boolean = false): String = {
+      rebalance: Boolean = false,
+      scanBudget: Option[Long] = None): String = {
     // the ENCODING coarse codebook: the training chain's cells (cc2)
     // normally; under rebalance a fresh chain (gc2) over the grown
     // corpus re-cuts them while the PQ codebooks stand
     val enc = if (rebalance) "gc2" else "cc2"
+    // the probe CTE: fixed probe count normally; under a scan budget
+    // (q176) each query walks cells in (distance, cid) order and
+    // keeps them while the strictly-preceding cells' cumulative
+    // occupancy (rep rows — replicas count) is below the budget
+    val probeCte = scanBudget match {
+      case None =>
+        s"""probe AS (
+           SELECT qid, cid FROM (
+             SELECT q.qid, c.cid,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 ${sqDistIntSql("q.mv", "c.cv", "64")}, c.cid) AS rn
+             FROM qmv q CROSS JOIN $enc c) WHERE rn <= $ivfPqProbes)"""
+      case Some(b) =>
+        s"""bpocc AS (
+           SELECT cid, count(*) AS cell_n FROM rep GROUP BY cid),
+         probe AS (
+           SELECT qid, cid FROM (
+             SELECT s.qid, s.cid,
+               coalesce(sum(s.cell_n) OVER (PARTITION BY s.qid
+                 ORDER BY s.d, s.cid
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS prior
+             FROM (
+               SELECT q.qid, c.cid,
+                 ${sqDistIntSql("q.mv", "c.cv", "64")} AS d,
+                 coalesce(p.cell_n, 0) AS cell_n
+               FROM qmv q CROSS JOIN $enc c
+               LEFT JOIN bpocc p ON p.cid = c.cid) s)
+           WHERE prior < $b)"""
+    }
     val gChain =
       if (rebalance)
         s"""gmv AS (SELECT id, mv FROM xmv),
@@ -349,12 +380,7 @@ private[graft] trait OracleSqlD {
                    ${sqDistIntSql("v.mv", "c2.cv", (hi - lo + 1).toString)}, c2.cid) AS rn
                FROM ${p}rmv v CROSS JOIN ${p}c2 c2) WHERE rn = 1)"""
           }.mkString(",\n         ")},
-         probe AS (
-           SELECT qid, cid FROM (
-             SELECT q.qid, c.cid,
-               row_number() OVER (PARTITION BY q.qid ORDER BY
-                 ${sqDistIntSql("q.mv", "c.cv", "64")}, c.cid) AS rn
-             FROM qmv q CROSS JOIN $enc c) WHERE rn <= $ivfPqProbes),
+         $probeCte,
          qrm AS (
            SELECT pr.qid, pr.cid,
              ${pqSubspaces.map { case (p, lo, hi) =>
@@ -984,6 +1010,12 @@ private[graft] trait OracleSqlD {
     "q170_ivfpq_incr" -> ivfPqRerankSql(ivfPqCtes(
       corpusWhere = "vec_id % 10 <> 0",
       trainWhere = "vec_id % 10 <> 0 AND vec_id % 7 <> 3")),
+    // q176: scan-budget probing over q170's appended lineage — the
+    // probe CTE becomes a cumulative-occupancy walk (budget 1200)
+    "q176_ivfpq_budget" -> ivfPqRerankSql(ivfPqCtes(
+      corpusWhere = "vec_id % 10 <> 0",
+      trainWhere = "vec_id % 10 <> 0 AND vec_id % 7 <> 3",
+      scanBudget = Some(1200L))),
     // q173: coarse-rebalance — q170's lineage with the cells re-cut
     // by a fresh coarse chain over the grown corpus while the PQ
     // codebooks keep training batch-less against the old cells

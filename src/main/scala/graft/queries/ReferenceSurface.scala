@@ -619,6 +619,29 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
         .otherwise(lit("append")).as("decision"))
   }
 
+  /** Scan-BUDGET IVFADC search, gated (q176) — the latency-SLO lever
+    * the occupancy story calls for: fixed `probes` bounds the CELL
+    * count, so one hot cell (q172's alarm, measured skew 7607 on the
+    * drifted append) inflates every probe that touches it; a scan
+    * budget bounds the ROWS scanned instead — each query walks its
+    * cells in coarse-distance order and stops once the strictly-
+    * preceding cells already hold `scanBudget` codes (the nearest
+    * cell always probes). Worst-case probe cost is flat by
+    * construction no matter how skewed the appends were, trading
+    * recall exactly where the index is hottest — the dial a
+    * deployment sizes to its SLO. Runs against q170's appended tree
+    * (the lineage the occupancy audit watches), chunked like q170;
+    * the oracle replays the budget walk as a cumulative-occupancy
+    * window over the replica relation, integer end to end. */
+  def ivfPqBudgetRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") % 10 === 0)
+    rerankTop5(emb, q,
+      operators.Pq.ivfPqCandidatesBudget(q, ivfPqIncrIndexPath(spark, sfDir),
+        dim = 64, topK = 50, scanBudget = 1200L, "vec_id", "embedding",
+        maxQueryBatch = 32))
+  }
+
   /** q163's ADC search served from a PERSISTED PQ index — the q146/
     * q152/q155 artifact discipline applied to the compressed-corpus
     * relation: build once per corpus (codebooks + codes,

@@ -244,6 +244,33 @@ class IvfPqSpec extends SparkSpec {
     assert(read.contains(""), s"expected empty ReadSchema, got $read")
   }
 
+  test("scan-budget probing: budget=1 ≡ probes=1; huge budget ≡ all cells probed") {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_budget"
+    build(path, assignments = 2)
+    val qs = corpus.select(col("vec_id") + 100, col("embedding"))
+      .toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(t => (t._1, t._2)).toSeq
+    // budget 1: the strictly-preceding occupancy of the FIRST cell is
+    // 0 < 1 and of the second ≥ 1 — exactly the nearest cell, i.e.
+    // the fixed probes=1 walk
+    assert(rows(Pq.ivfPqCandidatesBudget(qs, path, dim = 4, topK = 3,
+        scanBudget = 1L, "vec_id", "embedding")) ==
+      rows(Pq.ivfPqCandidates(qs, path, dim = 4, topK = 3,
+        probes = 1, "vec_id", "embedding")))
+    // a budget past the corpus size probes every cell
+    assert(rows(Pq.ivfPqCandidatesBudget(qs, path, dim = 4, topK = 6,
+        scanBudget = Long.MaxValue, "vec_id", "embedding")) ==
+      rows(Pq.ivfPqCandidates(qs, path, dim = 4, topK = 6,
+        probes = 2, "vec_id", "embedding")))
+    // and the budget path chunks like the fixed path
+    assert(rows(Pq.ivfPqCandidatesBudget(qs, path, dim = 4, topK = 3,
+        scanBudget = 4L, "vec_id", "embedding", maxQueryBatch = 2)) ==
+      rows(Pq.ivfPqCandidatesBudget(qs, path, dim = 4, topK = 3,
+        scanBudget = 4L, "vec_id", "embedding")))
+  }
+
   test("residual drift audit: identical old and grown corpora → equal errors, keep") {
     val out = Pq.residualDriftAudit(corpus, corpus, "vec_id", "embedding",
       dim = 4, m = 2, k = 2, iters = 2, centroids = 2).collect().head
