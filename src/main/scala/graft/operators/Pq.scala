@@ -458,9 +458,18 @@ object Pq {
   case class IvfPqMeta(dim: Int, m: Int, k: Int, centroids: Int,
       iters: Int, residual: Boolean, assignments: Int)
 
-  /** Read the one-row `meta/` relation of an IVF-PQ artifact. */
+  /** Read the one-row `meta/` relation of an IVF-PQ artifact. A tree
+    * without the sidecar (built before the meta format, or not an
+    * IVF-PQ artifact at all) fails with an actionable message instead
+    * of a bare path-does-not-exist. */
   def readIvfPqMeta(spark: org.apache.spark.sql.SparkSession,
       path: String): IvfPqMeta = {
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = metaPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(metaPath)) throw new IllegalStateException(
+      s"ivf-pq index at $path has no meta/ sidecar — the tree predates " +
+        "the meta format (or is not an IVF-PQ artifact); rebuild it " +
+        "with buildIvfPqIndex")
     val r = spark.read.parquet(s"$path/meta").collect() match {
       case Array(row) => row
       case rows => throw new IllegalStateException(
@@ -492,26 +501,60 @@ object Pq {
     * [[graft.sources.Artifacts]]. What the append does NOT do is
     * retrain: drift of the standing codebooks against the grown
     * corpus is the separate q171 audit's job.
+    *
+    * Delivery semantics hinge on `batchTag`. WITHOUT a tag the call
+    * is AT-LEAST-ONCE: a retry after a crash mid-rename re-encodes
+    * and re-renames the whole batch under fresh names, duplicating
+    * the rows the first attempt already landed — for an
+    * `assignments == 1` index those duplicates surface as duplicate
+    * `neighbor_id`s in top-k (the probe's heap assumes the index
+    * contract "≤ assignments copies per id"). WITH a tag the append
+    * is IDEMPOTENT (effectively-once): a per-batch commit marker
+    * (`<path>/appends/<tag>`, written LAST) short-circuits an
+    * already-applied batch, live file names carry a `<tag>-` prefix,
+    * and a retry with no marker first deletes any tagged files a
+    * partial attempt left behind before re-applying — so callers with
+    * a stable batch identity (Structured Streaming's `batchId`, an
+    * ingest ledger id) get exactly-once index contents under replay.
     */
   def appendIvfPqIndex(
       batch: DataFrame,
       itemId: String,
       vecCol: String,
-      path: String): Unit = {
+      path: String,
+      batchTag: Option[String] = None): Unit = {
     import org.apache.hadoop.fs.Path
+    batchTag.foreach(t => require(t.nonEmpty && t.matches("[A-Za-z0-9._-]+"),
+      s"batchTag must be a plain file-name-safe token, got '$t'"))
     val spark = batch.sparkSession
     val meta = readIvfPqMeta(spark, path)
     val ivfCb = readIvfCb(spark, path)
     val cbs = readPqCbs(spark, path)
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = batchTag.map(t => new Path(s"$path/appends/$t"))
+    if (marker.exists(fs.exists)) return // batch already fully applied
+    val codesRoot = new Path(s"$path/codes")
+    // crash cleanup: a prior tagged attempt may have renamed SOME of
+    // this batch's files before dying — the tag prefix makes them
+    // findable, so the retry starts from a clean slate
+    batchTag.filter(_ => fs.exists(codesRoot)).foreach { t =>
+      fs.listStatus(codesRoot)
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("c_id="))
+        .foreach { cell =>
+          fs.listStatus(cell.getPath)
+            .filter(_.getPath.getName.startsWith(s"$t-"))
+            .foreach(f => fs.delete(f.getPath, false))
+        }
+    }
     val it = batch.select(col(itemId).cast("long").as("i_id"),
       col(vecCol).as("i_vec"))
     val stage = path + ".append"
     val stagePath = new Path(stage)
-    val fs = stagePath.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(stagePath)) fs.delete(stagePath, true)
     encodeCodes(it, ivfCb, cbs, meta.dim, meta.residual,
         math.min(meta.assignments, ivfCb.size))
       .write.partitionBy("c_id").parquet(s"$stage/codes")
+    val prefix = batchTag.map(_ + "-").getOrElse("")
     fs.listStatus(new Path(s"$stage/codes"))
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("c_id="))
       .foreach { cell =>
@@ -521,11 +564,17 @@ object Pq {
           .filter(f => !f.isDirectory && !f.getPath.getName.startsWith("_"))
           .foreach { f =>
             require(fs.rename(f.getPath,
-              new Path(target, f.getPath.getName)),
+              new Path(target, prefix + f.getPath.getName)),
               s"ivf-pq append rename failed: ${f.getPath}")
           }
       }
     fs.delete(stagePath, true)
+    // commit point: the marker lands only after every rename, so a
+    // crash anywhere above leaves no marker and the retry cleans up
+    marker.foreach { mk =>
+      fs.mkdirs(mk.getParent)
+      fs.create(mk, false).close()
+    }
   }
 
   /** Coarse-rebalance of an IVF-PQ index — the MIDDLE rung of the
@@ -673,13 +722,24 @@ object Pq {
     occupancyAuditOf(spark.read.parquet(s"$path/codes"),
       readIvfPqMeta(spark, path).centroids)
 
+  /** Per-cell occupancy of a codes relation — the ONE occupancy
+    * reader shared by [[occupancyAuditOf]] (the q172 audit) and the
+    * scan-budget probe path (the q176 dial), so the two readers can't
+    * drift. `c_id` is the PARTITION column and parquet partition
+    * discovery infers it as int — the cast to long is load-bearing
+    * (collectors read `getLong`, and every other c_id in this file is
+    * a long). */
+  private[graft] def cellCounts(codes: DataFrame): DataFrame =
+    codes
+      .groupBy(col("c_id").cast("long").as("c_id"))
+      .agg(count(lit(1)).as("cell_n"))
+
   /** [[occupancyAudit]] over an explicit codes relation — the
     * formula, separated so the decision branches are spec-testable
     * without engineering a skewed Lloyd outcome. */
   private[graft] def occupancyAuditOf(codes: DataFrame,
       centroids: Int): DataFrame =
-    codes
-      .groupBy(col("c_id")).agg(count(lit(1)).as("cell_n"))
+    cellCounts(codes)
       .agg(count(lit(1)).as("n_cells_occupied"),
         sum(col("cell_n")).as("n_codes"),
         max(col("cell_n")).as("max_cell"),
@@ -694,6 +754,17 @@ object Pq {
         when(col("skew_milli") > 4000 ||
           col("n_cells_empty") * 4 > centroids.toLong, lit("rebalance"))
           .otherwise(lit("keep")))
+      // the SEARCH-side half of the alarm: a rebalance takes time to
+      // land, and until it does every fixed-probe query that touches
+      // the hot cell pays its inflated occupancy — so the same skew
+      // signal that elects `rebalance` ALSO switches searches to the
+      // scan-budget dial ([[ivfPqCandidatesBudget]]), which bounds
+      // ROWS scanned instead of cells probed and is flat under skew
+      // by construction. Empty cells alone don't flip the mode: they
+      // waste probe slots but cost no scan bytes.
+      .withColumn("search_mode",
+        when(col("skew_milli") > 4000, lit("scan_budget"))
+          .otherwise(lit("fixed_probes")))
 
   /** Collect the coarse codebook relation of an index tree (≤
     * `centroids` rows — driver-bounded like every codebook). */
@@ -834,22 +905,36 @@ object Pq {
     // codebooks read ONCE for all chunks (tiny driver-bounded collects)
     val ivfCb = readIvfCb(spark, path)
     val cbs = readPqCbs(spark, path)
+    // scan-budget probing needs the cell-occupancy map: ≤ `centroids`
+    // rows, read ONCE here for all chunks (it is identical per chunk)
+    // via the same aggregation shape the q172 audit reads
+    // ([[cellCounts]] — one reader, the audit and the dial can't drift)
+    val occ: Option[Map[Long, Long]] = probeSel match {
+      case Right(_) => Some(
+        cellCounts(spark.read.parquet(s"$path/codes")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      case Left(_) => None
+    }
     val q = queries.select(col(queryId).cast("long").as("q_id"),
       col(queryVec).as("q_vec"))
-    val nq = q.count() // the query side is batch-bounded by contract
+    // checkpoint FIRST so the query source plan runs exactly once:
+    // the count below and every chunk filter scan the materialized
+    // rows, not the source plan (which for a non-trivial query side
+    // would otherwise run once per consumer)
+    val qc = q.localCheckpoint()
+    val nq = qc.count() // the query side is batch-bounded by contract
     val nChunks = math.max(1, math.ceil(nq.toDouble / maxQueryBatch).toInt)
-    if (nChunks == 1) ivfPqCandidatesBatch(q, path, meta, ivfCb, cbs, topK, probeSel)
+    if (nChunks == 1) ivfPqCandidatesBatch(qc, path, meta, ivfCb, cbs, topK, probeSel, occ)
     else {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
-      val qc = q.localCheckpoint()
       val pool = java.util.concurrent.Executors.newFixedThreadPool(ChunkConcurrency)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
       try {
         val fs = (0 until nChunks).map { i =>
           Future {
             val chunk = qc.filter(pmod(xxhash64(col("q_id")), lit(nChunks)) === i)
-            ivfPqCandidatesBatch(chunk, path, meta, ivfCb, cbs, topK, probeSel)
+            ivfPqCandidatesBatch(chunk, path, meta, ivfCb, cbs, topK, probeSel, occ)
               .localCheckpoint() // eager: runs the chunk job in this thread
           }
         }
@@ -873,7 +958,8 @@ object Pq {
       ivfCb: Seq[(Long, Seq[Long])],
       cbs: Seq[Seq[(Long, Seq[Long])]],
       topK: Int,
-      probeSel: Either[Int, Long]): DataFrame = {
+      probeSel: Either[Int, Long],
+      occ: Option[Map[Long, Long]]): DataFrame = {
     val spark = queries.sparkSession
     graft.GraftSession.tune(spark)
     val dim = meta.dim
@@ -905,12 +991,11 @@ object Pq {
       case Right(budget) =>
         // scan-budget probing: walk cells in distance order, keep each
         // while the strictly-preceding cells hold < `budget` codes
-        // (the nearest cell always probes). Occupancy is the same
-        // ≤ centroids-row driver-bounded count the q172 audit reads;
-        // the window runs over |chunk|·centroids tiny rows.
-        val occ: Map[Long, Long] = spark.read.parquet(s"$path/codes")
-          .groupBy(col("c_id")).count()
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // (the nearest cell always probes). Occupancy is the
+        // ≤ centroids-row driver-bounded map the impl read once for
+        // all chunks; the window runs over |chunk|·centroids tiny rows.
+        val occMap = occ.getOrElse(throw new IllegalStateException(
+          "scan-budget probe reached the chunk without an occupancy map"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("q_id")).orderBy(col("pos"))
           .rowsBetween(Long.MinValue, -1)
@@ -918,7 +1003,7 @@ object Pq {
             posexplode(rankedCells).as(Seq("pos", "cs")))
           .select(col("q_id"), col("qmv"), col("pos"),
             col("cs.c").as("c_id"),
-            coalesce(element_at(typedLit(occ), col("cs.c")), lit(0L))
+            coalesce(element_at(typedLit(occMap), col("cs.c")), lit(0L))
               .as("occ"))
           .withColumn("prior", coalesce(sum(col("occ")).over(w), lit(0L)))
           .filter(col("prior") < budget)

@@ -1047,7 +1047,9 @@ private[graft] trait OracleSqlD {
            (max_cell * n_cells_occupied * 1000) // n_codes AS skew_milli,
            CASE WHEN (max_cell * n_cells_occupied * 1000) // n_codes > 4000
                   OR ($ivfPqCentroids - n_cells_occupied) * 4 > $ivfPqCentroids
-                THEN 'rebalance' ELSE 'keep' END AS decision
+                THEN 'rebalance' ELSE 'keep' END AS decision,
+           CASE WHEN (max_cell * n_cells_occupied * 1000) // n_codes > 4000
+                THEN 'scan_budget' ELSE 'fixed_probes' END AS search_mode
          FROM occ"""
     },
     // q175: the residual-space maintenance policy — q174's refined

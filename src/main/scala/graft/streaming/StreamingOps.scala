@@ -93,16 +93,19 @@ object StreamingOps {
     * Micro-batches run serially (Structured Streaming's foreachBatch
     * contract), so the single-writer-per-artifact rule holds; a
     * concurrent probe sees some prefix of the appended files — results
-    * only grow, never tear. Delivery is AT-LEAST-ONCE: a replayed
-    * micro-batch appends its codes again under fresh file names.
-    * Search results stay CORRECT under replay — the probe's
-    * distinct-min merge ([[graft.operators.TopK.topKDistinctMin]])
-    * collapses duplicate (id, code) rows to one neighbor — at the
-    * price of scan bytes, so a deployment either checkpoints the
-    * query (normal exactly-once bookkeeping makes replays rare) or
-    * rebuilds the affected cells on the q172 occupancy alarm, which a
-    * replay inflates visibly. Bit-equality of the appended tree to a
-    * batch append of the same rows is spec-pinned. */
+    * only grow, never tear. Index contents are EFFECTIVELY-ONCE under
+    * replay: the micro-batch's `batchId` (stable across retries by
+    * the Structured Streaming checkpoint contract) is passed as the
+    * append's idempotence tag, so a replayed batch is detected by its
+    * commit marker and skipped, and a crash mid-append is cleaned up
+    * by the tag-prefix scan before the retry re-applies
+    * ([[graft.operators.Pq.appendIvfPqIndex]]'s delivery contract).
+    * That matters because the probe paths do NOT dedup beyond the
+    * index contract ("≤ assignments copies per id"): for an
+    * `assignments == 1` index a duplicated code row would surface as
+    * a duplicate `neighbor_id` in top-k — prevented here at ingest,
+    * not papered over at query. Bit-equality of the appended tree to
+    * a batch append of the same rows is spec-pinned. */
   def ivfPqAppendSink(
       stream: DataFrame,
       indexPath: String,
@@ -110,10 +113,11 @@ object StreamingOps {
       vecCol: String = "embedding"): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .outputMode(OutputMode.Append())
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty)
           graft.operators.Pq.appendIvfPqIndex(
-            batch.toDF(), idCol, vecCol, indexPath)
+            batch.toDF(), idCol, vecCol, indexPath,
+            batchTag = Some(s"b$batchId"))
       }
 
   /** Streaming exact dedup: keep the first-seen document per content

@@ -165,6 +165,42 @@ class IvfPqSpec extends SparkSpec {
     assert(search(incr).map(_._3).contains(2L))
   }
 
+  test("tagged append is idempotent: replay no-ops, a crashed attempt is cleaned, untagged duplicates") {
+    val old = corpus.filter(col("vec_id") =!= 2 && col("vec_id") =!= 12)
+    val batch = corpus.filter(col("vec_id") === 2 || col("vec_id") === 12)
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_idem"
+    Pq.buildIvfPqIndex(old, "vec_id", "embedding", dim = 4, m = 2,
+      k = 2, iters = 2, centroids = 2, path = path, assignments = 2)
+    def rows() = spark.read.parquet(s"$path/codes")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    Pq.appendIvfPqIndex(batch, "vec_id", "embedding", path,
+      batchTag = Some("b7"))
+    val once = rows()
+    // replay with the same tag: the commit marker short-circuits
+    Pq.appendIvfPqIndex(batch, "vec_id", "embedding", path,
+      batchTag = Some("b7"))
+    assert(rows() == once, "a replayed tagged batch must be a no-op")
+    // crash simulation: marker gone but the renamed files present —
+    // the retry must sweep the tagged files before re-applying, so
+    // the batch still lands exactly once
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/appends/b7"), false)
+    Pq.appendIvfPqIndex(batch, "vec_id", "embedding", path,
+      batchTag = Some("b7"))
+    assert(rows() == once, "a retried partial batch must not duplicate rows")
+    // the UNTAGGED call is the documented at-least-once: a replay
+    // re-lands the batch (2 rows × 2 assignments)
+    Pq.appendIvfPqIndex(batch, "vec_id", "embedding", path)
+    assert(rows().size == once.size + 4)
+    // and a malformed tag fails loudly instead of writing a weird path
+    val e = intercept[IllegalArgumentException] {
+      Pq.appendIvfPqIndex(batch, "vec_id", "embedding", path,
+        batchTag = Some("../escape"))
+    }
+    assert(e.getMessage.contains("file-name-safe"))
+  }
+
   test("rebalance: fresh coarse cells, standing PQ codebooks verbatim, search sane") {
     val old = corpus.filter(col("vec_id") =!= 2 && col("vec_id") =!= 12)
     val batch = corpus.filter(col("vec_id") === 2 || col("vec_id") === 12)
@@ -211,18 +247,23 @@ class IvfPqSpec extends SparkSpec {
     // balanced: 4 cells × 5 codes, no empties → keep, skew 1000
     val bal = occ(Seq((0L, 5), (1L, 5), (2L, 5), (3L, 5)), 4)
     assert(bal.getAs[String]("decision") == "keep" &&
-      bal.getAs[Long]("skew_milli") == 1000L, bal)
+      bal.getAs[Long]("skew_milli") == 1000L &&
+      bal.getAs[String]("search_mode") == "fixed_probes", bal)
     // hot cell: 25 + 5×1 over 6 occupied of 6 → max = 5× mean, skew
-    // 5000 > 4000 → rebalance (the skew branch)
+    // 5000 > 4000 → rebalance (the skew branch), and searches switch
+    // to the scan-budget dial until the rebalance lands
     val hot = occ(Seq((0L, 25), (1L, 1), (2L, 1), (3L, 1), (4L, 1), (5L, 1)), 6)
     assert(hot.getAs[String]("decision") == "rebalance" &&
-      hot.getAs[Long]("skew_milli") == 5000L, hot)
+      hot.getAs[Long]("skew_milli") == 5000L &&
+      hot.getAs[String]("search_mode") == "scan_budget", hot)
     // empties: 2 balanced cells of 8 declared → 6 empty > 25% →
-    // rebalance even though realized cells are perfectly even
+    // rebalance even though realized cells are perfectly even; the
+    // search dial does NOT flip (empty cells cost no scan bytes)
     val emp = occ(Seq((0L, 5), (1L, 5)), 8)
     assert(emp.getAs[String]("decision") == "rebalance" &&
       emp.getAs[Long]("n_cells_empty") == 6L &&
-      emp.getAs[Long]("skew_milli") == 1000L, emp)
+      emp.getAs[Long]("skew_milli") == 1000L &&
+      emp.getAs[String]("search_mode") == "fixed_probes", emp)
     // the tree form derives centroids from the meta sidecar and reads
     // the partitioned codes relation
     val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_occ"
