@@ -174,8 +174,8 @@ object AnnDriftBench {
           .select(col("q_id"),
             VectorFunctions.squaredEuclidean(col("qe"), col("ie")).as("d"),
             col("i_id")))
-      def recall(path: String): Double = {
-        val got = top5(candidates(path)
+      def recallOf(cand: DataFrame): Double = {
+        val got = top5(cand
           .select(col("query_id").as("q_id"), col("neighbor_id").as("i_id"))
           .join(hotQ.select(col("vec_id").as("q_id"),
             col("embedding").as("qe")), "q_id")
@@ -186,8 +186,29 @@ object AnnDriftBench {
             col("i_id")))
         got.intersect(exact).size.toDouble / exact.size
       }
+      def recall(path: String): Double = recallOf(candidates(path))
       println(f"DRIFT ${scen} recall5 appended=${recall(appended)}%.3f " +
         f"rebalanced=${recall(rebal)}%.3f rebuilt=${recall(rebuild)}%.3f")
+
+      // the q176 arm where it matters: the SKEWED appended tree. Fixed
+      // probes=12 pays the hot cell on every probe that touches it; a
+      // scan budget bounds ROWS instead. Budget points at 1/16, 1/8,
+      // 1/4, and 3/8 of the appended tree's total codes, each priced
+      // on probe latency (min of 2 warm) AND exact-re-rank recall@5 —
+      // the probes=12 rows above are the fixed-probe reference.
+      val nCodes = Pq.occupancyAudit(spark, appended)
+        .select(col("n_codes")).collect().head.getLong(0)
+      (Seq(16L, 8L, 4L).map(nCodes / _) :+ nCodes * 3 / 8).foreach { b =>
+        def cand = Pq.ivfPqCandidatesBudget(hotQ, appended, dim = 64,
+          topK = 50, scanBudget = b, "vec_id", "embedding")
+        val ts = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          force(cand)
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"DRIFT ${scen} budget=$b probe ${ts.min}%.2f s " +
+          f"recall5=${recallOf(cand)}%.3f")
+      }
     }
     spark.stop()
   }

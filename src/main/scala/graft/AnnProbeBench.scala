@@ -33,6 +33,12 @@ object AnnProbeBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val repeat = sys.env.get("SPARK_GRAFT_REPEAT").map(_.toInt).getOrElse(2)
+    // builds dominate wall-clock at the 10⁶-vector decade (a vec4m
+    // IVFADC build is ~25 min) — SPARK_GRAFT_BUILD_REPEAT=1 pays each
+    // build once while the probe/fullscan timings keep their
+    // min-of-`repeat` warm-plan discipline
+    val buildRepeat = sys.env.get("SPARK_GRAFT_BUILD_REPEAT")
+      .map(_.toInt).getOrElse(repeat)
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
     val spark = GraftSession.local(cpus, "graft-ann-probe")
@@ -43,31 +49,58 @@ object AnnProbeBench {
     val tmp = sys.props("java.io.tmpdir")
     val ivfPath = s"$tmp/graft_annprobe_ivfpq"
     val pqPath = s"$tmp/graft_annprobe_pq"
-    def timed(name: String)(f: => Unit): Unit = {
-      val best = (1 to repeat).map { _ =>
+    def timedN(name: String, n: Int)(f: => Unit): Unit = {
+      val best = (1 to n).map { _ =>
         val t0 = System.nanoTime()
         f
         (System.nanoTime() - t0) / 1e9
       }.min
       println(f"ANNPROBE $name $best%.2f s")
     }
+    def timed(name: String)(f: => Unit): Unit = timedN(name, repeat)(f)
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    timed("ivfpq_build") {
-      Pq.buildIvfPqIndex(corpus, "vec_id", "embedding", dim = 64, m = 8,
-        k = 64, iters = 2, centroids = 32, path = ivfPath, assignments = 2)
+    // SPARK_GRAFT_REUSE_IVFPQ=<path>: probe an index that already
+    // exists (e.g. IvfPqMaintBench's full-corpus tree, built with the
+    // SAME parameters over the SAME corpus split) instead of paying a
+    // multi-10-minute build twice at the 10⁶-vector decade
+    sys.env.get("SPARK_GRAFT_REUSE_IVFPQ") match {
+      case Some(p) =>
+        println(s"ANNPROBE ivfpq_build reused $p")
+      case None =>
+        timedN("ivfpq_build", buildRepeat) {
+          Pq.buildIvfPqIndex(corpus, "vec_id", "embedding", dim = 64, m = 8,
+            k = 64, iters = 2, centroids = 32, path = ivfPath, assignments = 2)
+        }
     }
+    val probeIdx = sys.env.getOrElse("SPARK_GRAFT_REUSE_IVFPQ", ivfPath)
     timed("ivfpq_probe") {
-      force(Pq.ivfPqCandidates(q, ivfPath, dim = 64, topK = 50,
+      force(Pq.ivfPqCandidates(q, probeIdx, dim = 64, topK = 50,
         probes = 12, "vec_id", "embedding"))
     }
-    timed("pq_build") {
-      Pq.buildIndex(corpus, "vec_id", "embedding", dim = 64, m = 8,
-        k = 64, iters = 2, path = pqPath)
+    // SPARK_GRAFT_BUDGETS=b1,b2,…: time the scan-budget dial (q176's
+    // operator) on the same index and query batch — rows-bounded
+    // probing against the fixed probes=12 reference above
+    sys.env.get("SPARK_GRAFT_BUDGETS").foreach { bs =>
+      bs.split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).foreach { b =>
+        timed(s"ivfpq_budget_$b") {
+          force(Pq.ivfPqCandidatesBudget(q, probeIdx, dim = 64, topK = 50,
+            scanBudget = b, "vec_id", "embedding"))
+        }
+      }
     }
-    timed("pq_fullscan") {
-      force(Pq.adcTopKFromIndex(q, pqPath, dim = 64, topK = 50,
-        "vec_id", "embedding"))
+    // SPARK_GRAFT_SKIP_PQ=1 drops the full-scan contrast (its build is
+    // another multi-10-minute pass at the 10⁶-vector decade; the
+    // scan-share growth contrast is already carried by smaller SFs)
+    if (!sys.env.contains("SPARK_GRAFT_SKIP_PQ")) {
+      timedN("pq_build", buildRepeat) {
+        Pq.buildIndex(corpus, "vec_id", "embedding", dim = 64, m = 8,
+          k = 64, iters = 2, path = pqPath)
+      }
+      timed("pq_fullscan") {
+        force(Pq.adcTopKFromIndex(q, pqPath, dim = 64, topK = 50,
+          "vec_id", "embedding"))
+      }
     }
     println(s"ANNPROBE queries=${q.count()} corpus=${corpus.count()}")
     spark.stop()

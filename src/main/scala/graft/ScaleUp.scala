@@ -337,8 +337,11 @@ object ScaleUp {
     //    zero-cross-replica-near-dup guarantee past the 48-replica
     //    positional×generation ceiling (round-12 verdict: reps = 100,
     //    the sf10 decade, needs a third verified-independent axis).
-    // Capacity: 12 × 4 × (1 + |EraCiphers|) = 144; the embedding flip
-    // space (2·dim = 128 at dim 64) is the binding cap.
+    // Capacity: 12 × 4 × (1 + |EraCiphers|) = 144, capped at 128 — the
+    // historical embedding-flip bound, kept as the four-table corpus
+    // ceiling (the embeddings axis alone now extends to dim·2^⌊log₂
+    // dim⌋ = 4096 via Walsh sign patterns — see [[scaleEmbeddings]]
+    // and the `vectors` mode in [[main]]).
     require(reps >= 1 && reps <= 128, s"reps=$reps: supported range is 1..128")
     val maxGen = math.min(GensPerEra - 1, (reps - 1) / 12)
     val maxEra = (reps - 1) / (12 * GensPerEra)
@@ -447,18 +450,34 @@ object ScaleUp {
     val rotated = concat(slice(v, off + lit(1), dim - off), slice(v, lit(1), off))
     // second axis for reps > dim (the rotation space is exhausted —
     // rep and rep+dim would otherwise be IDENTICAL copies and the ANN
-    // workload would collapse cross-replica neighborhoods): replicas
-    // in odd rotation ERAS (rep / dim odd) additionally negate the
-    // odd-indexed coordinates. The flip is a diagonal ±1 orthogonal
-    // map, so within-replica dot products / distances / norms are
-    // EXACT (D² = I), while a flipped replica's vectors sit near-
-    // orthogonal to every unflipped replica's (Σ even x² − Σ odd x²
-    // ≈ 0 for generic vectors) — 2·dim distinct transforms, the
-    // reps ≤ 128 cap at dim 64.
-    val flip = pmod(floor(col("rep") / dim), lit(2)) === 1
-    val transformed = when(flip,
-      transform(rotated, (x, i) => when(pmod(i, lit(2)) === 1, -x).otherwise(x)))
-      .otherwise(rotated)
+    // workload would collapse cross-replica neighborhoods): the flip
+    // era e = rep / dim picks the WALSH sign pattern
+    // sign_i = (−1)^popcount(i AND e). Each pattern is a diagonal ±1
+    // orthogonal map, so within-replica dot products / distances /
+    // norms stay EXACT (D² = I); the patterns form a group under
+    // composition (Dₑ·Dₑ′ = D_{e XOR e′}, since parities add mod 2
+    // bitwise), so any two DISTINCT eras differ by a nonzero pattern —
+    // and over a power-of-two dim a nonzero mask has odd parity on
+    // EXACTLY half the coordinate indices, so a replica's vectors sit
+    // near-orthogonal to every other era's (the half-positive/half-
+    // negative split of Σ±x² ≈ 0 for generic vectors). Era 1 IS the
+    // historical odd-coordinate flip (popcount(i AND 1) = i mod 2),
+    // so every corpus generated under the two-era scheme (sf1/sf3/
+    // sf10, reps ≤ 128 → e ∈ {0,1}) reproduces bit-for-bit. Capacity:
+    // dim · 2^⌊log₂ dim⌋ transforms — 4096 at dim 64, the headroom
+    // the vectors-only ANN maintenance corpus needs (round-13
+    // verdict: the 2–5 M-vector decade escapes the 128-rep ceiling
+    // on the embeddings axis alone).
+    val dimVal = src.select(size(col("embedding"))).head().getInt(0)
+    val eraSpace = Integer.highestOneBit(dimVal)
+    require(reps >= 1 && reps <= dimVal * eraSpace,
+      s"reps=$reps: embeddings replica space at dim=$dimVal is " +
+        s"1..${dimVal * eraSpace} (rotations × Walsh sign patterns)")
+    val flipEra = floor(col("rep") / dim).cast("long")
+    val transformed = when(flipEra === 0, rotated).otherwise(
+      transform(rotated, (x, i) =>
+        when(pmod(bit_count(i.cast("long").bitwiseAND(flipEra)), lit(2)) === 1,
+          -x).otherwise(x)))
     withReps(spark, src, reps)
       .select((col("vec_id") + col("rep") * KeyShift).as("vec_id"),
         when(col("rep") === 0, v).otherwise(transformed).as("embedding"),
@@ -483,6 +502,13 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     val Array(src, dst, repsS) = args.take(3)
     val reps = repsS.toInt
+    // optional 4th arg `vectors`: embeddings-ONLY corpus. The ANN
+    // maintenance/probe benches need millions of VECTORS but none of
+    // the text axes, and the embeddings replica space (dim·2^⌊log₂
+    // dim⌋ = 4096 at dim 64) extends far past the documents' 128-rep
+    // ceiling — this mode is how the data-bound maintenance decade is
+    // generated without inventing new text perms.
+    val mode = if (args.length > 3) args(3) else "all"
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
       .getOrElse(Runtime.getRuntime.availableProcessors())
     val spark = GraftSession.local(cpus, "graft-scaleup")
@@ -492,10 +518,14 @@ object ScaleUp {
     def read(t: String): DataFrame = Tables.load(spark, src, t)
     def write(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
-    write(scaleDocuments(spark, read("documents"), reps), "documents")
-    write(scaleEmbeddings(spark, read("embeddings"), reps), "embeddings")
-    write(scaleEvents(spark, read("events"), reps), "events")
-    write(scaleLineitem(spark, read("lineitem"), reps), "lineitem")
+    if (mode == "vectors")
+      write(scaleEmbeddings(spark, read("embeddings"), reps), "embeddings")
+    else {
+      write(scaleDocuments(spark, read("documents"), reps), "documents")
+      write(scaleEmbeddings(spark, read("embeddings"), reps), "embeddings")
+      write(scaleEvents(spark, read("events"), reps), "events")
+      write(scaleLineitem(spark, read("lineitem"), reps), "lineitem")
+    }
     spark.stop()
   }
 }

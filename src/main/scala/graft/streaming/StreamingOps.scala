@@ -900,4 +900,40 @@ object StreamingOps {
         col("n.id").as("neighbor_id"),
         col("n.dist").cast("long").as("adc_dist"))
   }
+
+  /** Streaming IVFADC search as a foreachBatch SINK — the micro-batch
+    * twin of [[ivfPqTopKStream]] that RECOVERS the batch path's static
+    * partition pruning: each micro-batch of arriving queries runs the
+    * batch [[graft.operators.Pq.ivfPqCandidates]] plan — probed cells
+    * collected into a static partition filter, so only the probed
+    * cells' FILES are read (the q167 scan shape), per-chunk LUT
+    * broadcasts under the same `maxQueryBatch` budget, one heap-first
+    * merge — and hands (query_id, rank, neighbor_id, adc_dist) to
+    * `sink` with the batch id. The continuous twin keeps per-arrival
+    * cells inside one stream-static equi-join and therefore SCANS
+    * every cell file each micro-batch (its documented cost, dynamic
+    * file pruning being the cluster-side mitigation); this sink pays
+    * per-batch query planning instead and prunes like the batch path
+    * today — the right trade when arrivals come in bursts rather than
+    * a steady trickle. Stateless across batches (queries are
+    * independent), so no watermark or state store: a micro-batch's
+    * results are complete when its job finishes.
+    */
+  def ivfPqSearchWriter(
+      stream: DataFrame,
+      indexPath: String,
+      dim: Int,
+      topK: Int,
+      probes: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxQueryBatch: Int = 256)(
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        if (!batch.isEmpty)
+          sink(graft.operators.Pq.ivfPqCandidates(batch.toDF(), indexPath,
+            dim, topK, probes, idCol, vecCol, maxQueryBatch), batchId)
+      }
 }

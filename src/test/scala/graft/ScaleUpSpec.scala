@@ -429,6 +429,50 @@ class ScaleUpSpec extends SparkSpec {
       if (i % 2 == 1) -x else x })
   }
 
+  test("embeddings Walsh eras (reps > 2·dim): exact within-replica dots, all transforms distinct") {
+    // dim 4 → 4 rotations × 4 Walsh sign patterns (e = rep/4 ∈ 0..3)
+    // = 16 replicas. The two-era scheme cycled e mod 2, so rep ≥ 8
+    // would have been an IDENTICAL copy of rep − 8; the Walsh axis
+    // must keep all 16 pairwise distinct while every diagonal ±1
+    // pattern preserves within-replica dot products exactly.
+    val reps = 16
+    val out = ScaleUp.scaleEmbeddings(spark, embs, reps).cache()
+    assert(out.count() === 3L * reps)
+    def dots(rep: Long): Map[(Long, Long), Double] = {
+      val v = out.filter(col("vec_id") >= rep * 10000000L &&
+          col("vec_id") < (rep + 1) * 10000000L)
+        .select(pmod(col("vec_id"), lit(10000000L)).as("id"), col("embedding"))
+      v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id"),
+          aggregate(zip_with(col("a.embedding"), col("b.embedding"),
+            (x, y) => x * y), lit(0.0d), (acc, x) => acc + x).as("dot"))
+        .as[(Long, Long, Double)].collect()
+        .map { case (i, j, d) => (i, j) -> d }.toMap
+    }
+    val d0 = dots(0)
+    for (r <- 1 until reps) assert(dots(r) === d0, s"rep $r dots drifted")
+    val vs = (0 until reps).map { r =>
+      out.filter(col("vec_id") === r * 10000000L)
+        .select("embedding").as[Seq[Float]].head()
+    }
+    assert(vs.distinct.size === reps, s"duplicate embedding transforms: $vs")
+    // era 1 IS the legacy odd-coordinate flip: corpora generated under
+    // the two-era scheme reproduce bit-for-bit
+    assert(vs(4) === vs(0).zipWithIndex.map { case (x, i) =>
+      if (i % 2 == 1) -x else x })
+    // the Walsh half-difference property the decorrelation claim rests
+    // on: any two distinct patterns disagree on EXACTLY dim/2 indices
+    for (e1 <- 0 until 4; e2 <- 0 until 4 if e1 < e2)
+      assert((0 until 4).count(i =>
+        Integer.bitCount(i & e1) % 2 != Integer.bitCount(i & e2) % 2) == 2,
+        s"patterns $e1 vs $e2")
+    // past the replica space: rejected loudly, not silently duplicated
+    val e = intercept[IllegalArgumentException] {
+      ScaleUp.scaleEmbeddings(spark, embs, 17).collect()
+    }
+    assert(e.getMessage.contains("1..16"))
+  }
+
   test("events/lineitem: key shifts only — payloads untouched, counts scale") {
     val ev = Seq((1L, java.sql.Timestamp.valueOf("2024-01-05 10:00:00"),
       7L, "click", 1.5d, "{}")).toDF(

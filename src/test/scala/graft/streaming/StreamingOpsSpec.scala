@@ -688,6 +688,61 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ivfPqSearchWriter: per-batch search matches batch candidates and prunes to probed cells") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Pq
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Seq(1.1f, 0.0f, 0.0f, 1.1f)),
+      (2L, Seq(0.9f, 0.1f, 0.1f, 0.9f)),
+      (10L, Seq(5.0f, 5.0f, 5.0f, 5.0f)),
+      (11L, Seq(5.1f, 4.9f, 5.1f, 4.9f)),
+      (12L, Seq(4.9f, 5.1f, 4.9f, 5.1f)))
+      .toDF("vec_id", "embedding")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_searchwriter_spec"
+    // assignments = 1 so the two cells hold DISJOINT file sets and the
+    // per-batch pruning is observable as a 1-of-2 partition count
+    Pq.buildIvfPqIndex(corpus, "vec_id", "embedding", dim = 4, m = 2,
+      k = 2, iters = 2, centroids = 2, path = path, assignments = 1)
+    val queries = Seq(
+      (100L, Seq(1.0f, 0.05f, 0.05f, 1.0f)),
+      (200L, Seq(5.0f, 5.05f, 5.05f, 5.0f)))
+    val got = scala.collection.mutable.Set[(Long, Long, Long, Long)]()
+    val parts = scala.collection.mutable.ArrayBuffer[Int]()
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.ivfPqSearchWriter(
+      in.toDF().toDF("vec_id", "embedding"), path,
+      dim = 4, topK = 3, probes = 1) { (res, _) =>
+      got ++= res.as[(Long, Long, Long, Long)].collect()
+      // the collect above finalized the adaptive plan; unwrap AQE to
+      // reach the codes scan (the PlanAuditSpec idiom)
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      val root = res.queryExecution.executedPlan
+      val finalPlan = root.collectFirst {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+      }.getOrElse(root)
+      parts ++= finalPlan.collect {
+        case f: FileSourceScanExec if f.toString.contains("codes") =>
+          f.selectedPartitions.partitionCount
+      }
+    }.start()
+    // one query per micro-batch — each probes exactly one cell
+    try queries.foreach { row => in.addData(row); q.processAllAvailable() }
+    finally q.stop()
+    // parity with the batch plan (and, transitively, with the
+    // continuous twin — its batch parity is pinned two tests up)
+    val batch = Pq.ivfPqCandidates(queries.toDF("vec_id", "embedding"),
+      path, dim = 4, topK = 3, probes = 1, "vec_id", "embedding")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got.toSet === batch, s"stream $got != batch $batch")
+    // the batch path's STATIC pruning survived the stream: each
+    // micro-batch's codes scan read exactly its one probed cell of
+    // the two on disk (the continuous twin reads both every batch)
+    assert(parts.nonEmpty && parts.forall(_ == 1),
+      s"expected 1 of 2 cell partitions read per micro-batch, got $parts")
+  }
+
   test("ivfPqAppendSink: streamed micro-batch appends == one batch append (bit-equal codes)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Pq
