@@ -220,7 +220,8 @@ object Queries
     "q173_ivfpq_rebalance" -> (ivfPqRebalanced _),
     "q174_ann_maint_policy" -> (annMaintenancePolicy _),
     "q175_ann_maint_residual" -> (annMaintPolicyResidual _),
-    "q176_ivfpq_budget" -> (ivfPqBudgetRerank _))
+    "q176_ivfpq_budget" -> (ivfPqBudgetRerank _),
+    "q177_ivfpq_adaptive" -> (ivfPqAdaptiveRerank _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = {

@@ -450,9 +450,26 @@ private[graft] trait OracleSqlD {
     * chain (ends at `adc(qid, id, dist)`): wide top-50 candidates,
     * exact double squared-Euclidean re-score, final top-5 with
     * floored micro distances — q167's tail, shared verbatim by q170
-    * so the two gates cannot drift on the re-rank. */
-  private def ivfPqRerankSql(ctes: String): String =
-    s"""WITH $ctes,
+    * so the two gates cannot drift on the re-rank. `modeCol` (q177)
+    * additionally replays the q172 occupancy arithmetic over the
+    * `rep` chain and carries the elected `search_mode` on every row —
+    * the adaptive dispatch's election, independently recomputed. */
+  private def ivfPqRerankSql(ctes: String, modeCol: Boolean = false): String = {
+    val modeCtes = if (!modeCol) "" else s""",
+         opercell AS (
+           SELECT cid, count(*) AS cell_n FROM rep GROUP BY cid),
+         oocc AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_cells_occupied,
+             CAST(sum(cell_n) AS BIGINT) AS n_codes,
+             CAST(max(cell_n) AS BIGINT) AS max_cell
+           FROM opercell),
+         omode AS (
+           SELECT CASE WHEN (max_cell * n_cells_occupied * 1000) // n_codes > 4000
+                  THEN 'scan_budget' ELSE 'fixed_probes' END AS search_mode
+           FROM oocc)"""
+    val modeSel = if (modeCol) ",\n           m.search_mode" else ""
+    val modeFrom = if (modeCol) " CROSS JOIN omode m" else ""
+    s"""WITH $ctes$modeCtes,
          cand AS (
            SELECT qid, id FROM (
              SELECT qid, id,
@@ -470,8 +487,9 @@ private[graft] trait OracleSqlD {
            FROM ex)
          SELECT qid AS query_id, CAST(rank AS BIGINT) AS rank,
            id AS neighbor_id,
-           CAST(floor(dist * 1000000.0) AS BIGINT) AS dist_micro
-         FROM rr WHERE rank <= 5"""
+           CAST(floor(dist * 1000000.0) AS BIGINT) AS dist_micro$modeSel
+         FROM rr$modeFrom WHERE rank <= 5"""
+  }
 
   /** The shared ADC candidate-distance CTE chain for q163/q164:
     * trained-on-corpus chains + query subvectors + per-pair summed
@@ -1012,6 +1030,14 @@ private[graft] trait OracleSqlD {
       trainWhere = "vec_id % 10 <> 0 AND vec_id % 7 <> 3")),
     // q176: scan-budget probing over q170's appended lineage — the
     // probe CTE becomes a cumulative-occupancy walk (budget 1200)
+    // q177: adaptive dispatch — the q172 occupancy arithmetic elects
+    // the mode (deterministically fixed_probes on this corpus), the
+    // fixed-probe walk runs, and the elected mode is carried on every
+    // row; a flipped election would mismatch BOTH the column and rows
+    "q177_ivfpq_adaptive" -> ivfPqRerankSql(ivfPqCtes(
+      corpusWhere = "vec_id % 10 <> 0",
+      trainWhere = "vec_id % 10 <> 0 AND vec_id % 7 <> 3"),
+      modeCol = true),
     "q176_ivfpq_budget" -> ivfPqRerankSql(ivfPqCtes(
       corpusWhere = "vec_id % 10 <> 0",
       trainWhere = "vec_id % 10 <> 0 AND vec_id % 7 <> 3",

@@ -642,6 +642,36 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
         maxQueryBatch = 32))
   }
 
+  /** ADAPTIVE search-mode dispatch, gated (q177) — the closed loop
+    * the q172 `search_mode` column exists for: read the occupancy
+    * audit of the standing appended tree, then run the search in the
+    * mode the alarm elects — fixed probes while the partition is
+    * balanced, the q176 scan-budget walk once a hot cell would
+    * inflate every fixed probe that touches it ("switch to the
+    * bounded dial until the rebalance lands"). The elected mode is
+    * carried as a result column. On the near-uniform gate corpus the
+    * alarm deterministically says `fixed_probes`, so the oracle
+    * replays the occupancy roll-up (for the carried column) plus the
+    * fixed-probe walk — if a corpus change ever flipped the Spark-side
+    * election, both the carried column and the result rows would
+    * hash-mismatch loudly rather than silently diverge. Same lineage
+    * as q170/q172/q176 (the appended tree), chunked like q170. */
+  def ivfPqAdaptiveRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    val path = ivfPqIncrIndexPath(spark, sfDir)
+    val mode = operators.Pq.occupancyAudit(spark, path)
+      .select(col("search_mode")).collect().head.getString(0)
+    val emb = t(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") % 10 === 0)
+    val cand =
+      if (mode == "scan_budget")
+        operators.Pq.ivfPqCandidatesBudget(q, path, dim = 64, topK = 50,
+          scanBudget = 1200L, "vec_id", "embedding", maxQueryBatch = 32)
+      else
+        operators.Pq.ivfPqCandidates(q, path, dim = 64, topK = 50,
+          probes = 12, "vec_id", "embedding", maxQueryBatch = 32)
+    rerankTop5(emb, q, cand).withColumn("search_mode", lit(mode))
+  }
+
   /** q163's ADC search served from a PERSISTED PQ index — the q146/
     * q152/q155 artifact discipline applied to the compressed-corpus
     * relation: build once per corpus (codebooks + codes,
