@@ -918,6 +918,12 @@ object StreamingOps {
     * a steady trickle. Stateless across batches (queries are
     * independent), so no watermark or state store: a micro-batch's
     * results are complete when its job finishes.
+    *
+    * `scanBudget` switches the per-batch search to the q176
+    * rows-bounded walk ([[graft.operators.Pq.ivfPqCandidatesBudget]])
+    * — the latency-SLO dial for a skewed index, so a streaming
+    * deployment can obey the q172 `search_mode` alarm ("bounded dial
+    * until the rebalance lands") without changing sinks.
     */
   def ivfPqSearchWriter(
       stream: DataFrame,
@@ -927,13 +933,22 @@ object StreamingOps {
       probes: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      maxQueryBatch: Int = 256)(
+      maxQueryBatch: Int = 256,
+      scanBudget: Option[Long] = None)(
       sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty)
-          sink(graft.operators.Pq.ivfPqCandidates(batch.toDF(), indexPath,
-            dim, topK, probes, idCol, vecCol, maxQueryBatch), batchId)
+        if (!batch.isEmpty) {
+          val cand = scanBudget match {
+            case Some(b) => graft.operators.Pq.ivfPqCandidatesBudget(
+              batch.toDF(), indexPath, dim, topK, b, idCol, vecCol,
+              maxQueryBatch)
+            case None => graft.operators.Pq.ivfPqCandidates(
+              batch.toDF(), indexPath, dim, topK, probes, idCol, vecCol,
+              maxQueryBatch)
+          }
+          sink(cand, batchId)
+        }
       }
 }

@@ -741,6 +741,24 @@ class StreamingOpsSpec extends SparkSpec {
     // the two on disk (the continuous twin reads both every batch)
     assert(parts.nonEmpty && parts.forall(_ == 1),
       s"expected 1 of 2 cell partitions read per micro-batch, got $parts")
+    // scan-budget mode: the same sink obeying the q172 search_mode
+    // alarm — a huge budget probes every cell, matching the batch
+    // budget walk on the same arrivals
+    val gotB = scala.collection.mutable.Set[(Long, Long, Long, Long)]()
+    val inB = MemoryStream[(Long, Seq[Float])]
+    val qB = StreamingOps.ivfPqSearchWriter(
+      inB.toDF().toDF("vec_id", "embedding"), path,
+      dim = 4, topK = 3, probes = 1,
+      scanBudget = Some(Long.MaxValue)) { (res, _) =>
+      gotB ++= res.as[(Long, Long, Long, Long)].collect()
+    }.start()
+    try queries.foreach { row => inB.addData(row); qB.processAllAvailable() }
+    finally qB.stop()
+    val batchB = Pq.ivfPqCandidatesBudget(queries.toDF("vec_id", "embedding"),
+      path, dim = 4, topK = 3, scanBudget = Long.MaxValue,
+      "vec_id", "embedding")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(gotB.toSet === batchB, s"budget stream $gotB != batch $batchB")
   }
 
   test("ivfPqAppendSink: streamed micro-batch appends == one batch append (bit-equal codes)") {
