@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions
-import graft.operators.{Pq, TopK}
+import graft.operators.{Pq, SimilaritySearch, TopK}
 
 /** Runs the WHOLE ANN maintenance loop on two canonical DRIFTED
   * ingests — the live demonstration the unit-fired decision branches
@@ -209,6 +209,40 @@ object AnnDriftBench {
         println(f"DRIFT ${scen} budget=$b probe ${ts.min}%.2f s " +
           f"recall5=${recallOf(cand)}%.3f")
       }
+
+      // the q178 resolution audit on all three PQ trees: the verdict
+      // must fire exactly where no refresh helps (the compress
+      // REBUILD — post-retrain, codes still collide) and stay `fit`
+      // on the translation event a rebalance fixes
+      Seq("appended" -> appended, "rebalanced" -> rebal,
+          "rebuilt" -> rebuild).foreach { case (arm, p) =>
+        println(s"DRIFT ${scen} resolution_$arm: " +
+          Pq.resolutionAudit(spark, p).collect().head)
+      }
+
+      // the WIRED fallback (q179's arm) on the same ingest: the q146
+      // exact-vector IVF layout over the grown corpus at the SAME
+      // probe shape as the IVFADC trees (32 cells / 12 probes / 2
+      // assignments — identical 75 % scan share, but the cells store
+      // VECTORS and distances are exact floats, so quantization can't
+      // erase the collapsed ball's mutual distances). This is the arm
+      // the `bit_budget` verdict dispatches to, priced on the event
+      // where every PQ ladder arm fails.
+      val exactIvf = s"$tmp/graft_drift_${scen}_exact_ivf"
+      timed(s"${scen}_exact_ivf_build") {
+        SimilaritySearch.buildIvfIndex(grown, "vec_id", "embedding",
+          centroids = 32, assignments = 2, exactIvf)
+      }
+      def exactCand = SimilaritySearch.ivfTopKFromIndex(hotQ, exactIvf,
+          k = 5, "vec_id", "embedding", probes = 12)
+        .select(col("query_id"), col("neighbor_id"))
+      val tsE = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        force(exactCand)
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"DRIFT ${scen} exact_fallback probe ${tsE.min}%.2f s " +
+        f"recall5=${recallOf(exactCand)}%.3f")
     }
     spark.stop()
   }

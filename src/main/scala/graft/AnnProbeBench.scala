@@ -66,7 +66,22 @@ object AnnProbeBench {
     // multi-10-minute build twice at the 10⁶-vector decade
     sys.env.get("SPARK_GRAFT_REUSE_IVFPQ") match {
       case Some(p) =>
-        println(s"ANNPROBE ivfpq_build reused $p")
+        // the reused tree must have been built with THIS bench's
+        // parameters or the probe timings silently stop being
+        // comparable with the built-here rows (round-15 advice: only
+        // dim was verified downstream). The meta sidecar records the
+        // build layout, so require it and print it on the record.
+        val meta = Pq.readIvfPqMeta(spark, p)
+        require(meta.dim == 64 && meta.m == 8 && meta.k == 64 &&
+          meta.centroids == 32 && meta.assignments == 2,
+          s"SPARK_GRAFT_REUSE_IVFPQ=$p was built with dim=${meta.dim} " +
+            s"m=${meta.m} k=${meta.k} centroids=${meta.centroids} " +
+            s"assignments=${meta.assignments}; this bench's layout is " +
+            "dim=64 m=8 k=64 centroids=32 assignments=2 — timings " +
+            "would not be comparable")
+        println(s"ANNPROBE ivfpq_build reused $p (dim=${meta.dim} " +
+          s"m=${meta.m} k=${meta.k} centroids=${meta.centroids} " +
+          s"assignments=${meta.assignments})")
       case None =>
         timedN("ivfpq_build", buildRepeat) {
           Pq.buildIvfPqIndex(corpus, "vec_id", "embedding", dim = 64, m = 8,

@@ -468,7 +468,22 @@ object ScaleUp {
     // the vectors-only ANN maintenance corpus needs (round-13
     // verdict: the 2–5 M-vector decade escapes the 128-rep ceiling
     // on the embeddings axis alone).
-    val dimVal = src.select(size(col("embedding"))).head().getInt(0)
+    // the replica-space bound is derived from the DATA (first row's
+    // dim). Two contracts made explicit (round-15 advice): an empty
+    // source fails with a clear message instead of a bare
+    // NoSuchElementException, and the capacity check assumes a
+    // UNIFORM dim — the per-row transform uses each row's own
+    // size(embedding), so a mixed-dim source could pass the require
+    // yet realize eras outside the validated space. The generated
+    // tables are uniform by construction; a foreign source is
+    // asserted here rather than trusted.
+    val dims = src.select(size(col("embedding"))).distinct().limit(2).collect()
+    require(dims.nonEmpty, "scaleEmbeddings: empty embeddings source — " +
+      "no rows to derive the replica-space bound from")
+    require(dims.length == 1, "scaleEmbeddings: mixed embedding dims " +
+      s"(${dims.map(_.getInt(0)).sorted.mkString(", ")}…) — the Walsh " +
+      "replica capacity is only valid over a uniform-dim corpus")
+    val dimVal = dims.head.getInt(0)
     val eraSpace = Integer.highestOneBit(dimVal)
     require(reps >= 1 && reps <= dimVal * eraSpace,
       s"reps=$reps: embeddings replica space at dim=$dimVal is " +

@@ -221,7 +221,9 @@ object Queries
     "q174_ann_maint_policy" -> (annMaintenancePolicy _),
     "q175_ann_maint_residual" -> (annMaintPolicyResidual _),
     "q176_ivfpq_budget" -> (ivfPqBudgetRerank _),
-    "q177_ivfpq_adaptive" -> (ivfPqAdaptiveRerank _))
+    "q177_ivfpq_adaptive" -> (ivfPqAdaptiveRerank _),
+    "q178_ann_bit_budget" -> (annBitBudgetAudit _),
+    "q179_ann_exact_fallback" -> (ivfPqExactFallback _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = {

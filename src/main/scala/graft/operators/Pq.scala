@@ -516,7 +516,21 @@ object Pq {
     * partial attempt left behind before re-applying — so callers with
     * a stable batch identity (Structured Streaming's `batchId`, an
     * ingest ledger id) get exactly-once index contents under replay.
-    */
+    *
+    * Tag contract (round-15 advice): the retry cleanup deletes live
+    * files by the `<tag>-` NAME PREFIX, so the tag alphabet excludes
+    * `-` (a tag could otherwise be a proper prefix of another
+    * committed tag — deleting `b7` would sweep `b7-x`'s files while
+    * its marker still stood) and tags starting with `part` are
+    * rejected (Spark names data files `part-*`; tag `part` would
+    * sweep the base build's own files on the first retry). The
+    * marker also binds the index to ONE batch-id lineage: tags
+    * encode identity, not contents, so a stream whose checkpoint is
+    * wiped while the index is kept restarts batchIds at 0 and
+    * genuinely new batches are silently skipped by the stale
+    * markers. Wiping a checkpoint means wiping the index's
+    * `appends/` directory with it (or appending under a fresh tag
+    * namespace). */
   def appendIvfPqIndex(
       batch: DataFrame,
       itemId: String,
@@ -524,8 +538,16 @@ object Pq {
       path: String,
       batchTag: Option[String] = None): Unit = {
     import org.apache.hadoop.fs.Path
-    batchTag.foreach(t => require(t.nonEmpty && t.matches("[A-Za-z0-9._-]+"),
-      s"batchTag must be a plain file-name-safe token, got '$t'"))
+    batchTag.foreach { t =>
+      require(t.nonEmpty && t.matches("[A-Za-z0-9._]+"),
+        s"batchTag must match [A-Za-z0-9._]+ (no '-': cleanup deletes " +
+          s"by '<tag>-' name prefix, and a '-' inside a tag would let " +
+          s"one tag prefix another committed tag's files), got '$t'")
+      require(!t.startsWith("part"),
+        s"batchTag must not start with 'part' (Spark data files are " +
+          s"named part-*; the crash-cleanup prefix sweep would delete " +
+          s"the base build's own files), got '$t'")
+    }
     val spark = batch.sparkSession
     val meta = readIvfPqMeta(spark, path)
     val ivfCb = readIvfCb(spark, path)
@@ -660,9 +682,10 @@ object Pq {
       iters: Int,
       centroids: Int,
       oldCoarse: Option[Seq[(Long, Seq[Long])]] = None,
-      newCoarse: Option[Seq[(Long, Seq[Long])]] = None): DataFrame = {
+      newCoarse: Option[Seq[(Long, Seq[Long])]] = None,
+      standingCbs: Option[Seq[Seq[(Long, Seq[Long])]]] = None,
+      retrainedCbs: Option[Seq[Seq[(Long, Seq[Long])]]] = None): DataFrame = {
     require(m >= 1 && dim % m == 0, s"m=$m must divide dim=$dim")
-    val sub = dim / m
     val o = oldItems.select(col(itemId).cast("long").as("i_id"),
       col(vecCol).as("i_vec"))
     val g = grownItems.select(col(itemId).cast("long").as("i_id"),
@@ -671,15 +694,48 @@ object Pq {
     // the standing tree's ivf/ (old corpus) and the rebalanced
     // tree's ivf/ (grown corpus) — so callers pass them in instead
     // of retraining (q175 reads both via [[readIvfCb]]; the audit
-    // then costs only the m audit-budget chains + one eval pass)
+    // then costs only the m audit-budget chains + one eval pass).
+    // The audit-budget RESIDUAL codebook sets are likewise pure
+    // corpus derivatives ([[auditResidualCodebooks]]), so a caller
+    // that persists them as versioned artifacts pays only the eval
+    // pass on a warm run (round-15: q175's amortization).
     val oldCb = oldCoarse.getOrElse(SemDedup.lloydCentroids(
       o, "i_id", "i_vec", k = centroids, iters = 2))
     val newCb = newCoarse.getOrElse(SemDedup.lloydCentroids(
       g, "i_id", "i_vec", k = centroids, iters = 2))
-    val standing = residualCodebooks(o, dim, m, k, iters, oldCb,
-      residual = true)
-    val retrained = residualCodebooks(g, dim, m, k, iters, newCb,
-      residual = true)
+    residualDriftEval(g, dim, m, newCb,
+      standingCbs.getOrElse(
+        residualCodebooks(o, dim, m, k, iters, oldCb, residual = true)),
+      retrainedCbs.getOrElse(
+        residualCodebooks(g, dim, m, k, iters, newCb, residual = true)))
+  }
+
+  /** The m audit-budget residual Lloyd chains of [[residualDriftAudit]]
+    * as a standalone trainer — public so callers can persist the
+    * codebook sets as versioned artifacts (they are pure derivatives
+    * of (`items`, `coarse`)) and feed them back via the audit's
+    * `standingCbs`/`retrainedCbs`, leaving only the eval pass on the
+    * warm path. */
+  def auditResidualCodebooks(
+      items: DataFrame,
+      itemId: String,
+      vecCol: String,
+      dim: Int, m: Int, k: Int, iters: Int,
+      coarse: Seq[(Long, Seq[Long])]): Seq[Seq[(Long, Seq[Long])]] =
+    residualCodebooks(
+      items.select(col(itemId).cast("long").as("i_id"),
+        col(vecCol).as("i_vec")),
+      dim, m, k, iters, coarse, residual = true)
+
+  /** The EVAL pass of [[residualDriftAudit]]: grown residuals vs the
+    * new coarse, priced under both codebook sets. */
+  private def residualDriftEval(
+      g: DataFrame,
+      dim: Int, m: Int,
+      newCb: Seq[(Long, Seq[Long])],
+      standing: Seq[Seq[(Long, Seq[Long])]],
+      retrained: Seq[Seq[(Long, Seq[Long])]]): DataFrame = {
+    val sub = dim / m
     // grown residuals vs the NEW coarse — the post-rebalance
     // representation; staged selects per the kmeansAssign quirk
     val s1 = g.select(col("i_id").as("id"),
@@ -765,6 +821,74 @@ object Pq {
       .withColumn("search_mode",
         when(col("skew_milli") > 4000, lit("scan_budget"))
           .otherwise(lit("fixed_probes")))
+
+  /** BIT-BUDGET (resolution) audit of an IVF-PQ index tree — the
+    * instrument for the one maintenance outcome the ladder cannot
+    * fix: when an ingest's mutual distances fall below the PQ bit
+    * budget's resolution, retraining measures nothing improved
+    * (AnnDriftBench's compress scenario: recall ~0.02 on append,
+    * rebalance AND full rebuild). The discrete resolution test: two
+    * items in the same cell with the SAME code tuple have ADC
+    * distance zero between them — the index literally cannot rank
+    * them — so a populated cell whose rows collapse onto few code
+    * tuples is a cell the CURRENT bit budget cannot resolve, no
+    * matter how fresh the codebooks are. Run it on the
+    * POST-RETRAIN representation (a tree whose codebooks trained on
+    * the corpus they encode, e.g. q167's artifact): a flag there
+    * means more bits (raise m·log₂k) or the exact-vector IVF path
+    * ([[SimilaritySearch.buildIvfIndex]] — cells store vectors,
+    * distances are exact floats) — the escalation ABOVE `retrain`
+    * on the maintenance ladder.
+    *
+    * One row of integers from a codes-only scan: per cell, row count
+    * and DISTINCT code-tuple count (two chained group-bys — partial
+    * aggs, no countDistinct, no Expand); a cell with ≥ `minCell`
+    * rows is flagged when its rows outnumber its tuples more than
+    * `loadFactor`-fold (tuples·loadFactor < rows ⟺ > loadFactor
+    * rows per indistinguishable tuple on average). Thresholds from
+    * measurement on the drift trees: a healthy or merely-translated
+    * corpus sits at exactly 1.000 rows/tuple (zero collisions, sf1
+    * and the 1.8 M-code vec1m tree alike) while the compress
+    * ingest's REBUILT tree hits 8.65 rows/tuple with 47 % of all
+    * codes in flagged cells — the factor-4 flag sits between two
+    * regimes separated by ~9×.
+    *
+    * Scale shape: group-by over the coded relation (42× smaller than
+    * the corpus), centroids-bounded second level, 1-row output —
+    * strictly cheaper than the drift audit it escalates. */
+  def resolutionAudit(spark: org.apache.spark.sql.SparkSession,
+      path: String, minCell: Long = 16L, loadFactor: Long = 4L): DataFrame = {
+    val meta = readIvfPqMeta(spark, path)
+    resolutionAuditOf(
+      spark.read.parquet(s"$path/codes"), meta.m, minCell, loadFactor)
+  }
+
+  /** [[resolutionAudit]] over an explicit codes relation — the
+    * formula, separated so the decision branches are spec-testable
+    * on constructed code relations. */
+  private[graft] def resolutionAuditOf(codes: DataFrame, m: Int,
+      minCell: Long, loadFactor: Long): DataFrame = {
+    require(minCell >= 1 && loadFactor >= 1)
+    val tupleCols = (0 until m).map(s => col(s"code$s"))
+    val eval = col("cell_n") >= minCell
+    val flagged = eval && col("n_tuples") * loadFactor < col("cell_n")
+    codes
+      .groupBy(col("c_id").cast("long").as("c_id") +: tupleCols: _*)
+      .agg(count(lit(1)).as("tuple_n"))
+      .groupBy(col("c_id"))
+      .agg(sum(col("tuple_n")).as("cell_n"),
+        count(lit(1)).as("n_tuples"))
+      .agg(sum(col("cell_n")).as("n_codes"),
+        sum(eval.cast("long")).as("n_cells_eval"),
+        sum(flagged.cast("long")).as("n_cells_flagged"),
+        sum(when(flagged, col("cell_n")).otherwise(0L)).as("flagged_codes"),
+        coalesce(max(when(eval,
+            expr("cell_n * 1000 DIV n_tuples"))), lit(0L))
+          .as("max_tuple_load_milli"))
+      .withColumn("decision",
+        when(col("n_cells_flagged") > 0, lit("bit_budget"))
+          .otherwise(lit("fit")))
+  }
 
   /** Collect the coarse codebook relation of an index tree (≤
     * `centroids` rows — driver-bounded like every codebook). */
@@ -860,6 +984,37 @@ object Pq {
     ivfPqCandidatesImpl(queries, path, dim, topK, Left(probes),
       queryId, queryVec, maxQueryBatch)
   }
+
+  /** Size a scan budget to a per-query scanned-rows SLO — the
+    * deployment rule behind the q176/q177 dial (round-14 verdict:
+    * "size the budget to your latency SLO" needs arithmetic, not
+    * prose). The budget walk keeps a query's next-nearest cell while
+    * the strictly-preceding kept cells hold < `budget` codes, so the
+    * worst case a query scans is `budget − 1` prior rows plus one
+    * final cell — at most `budget − 1 + max_cell` rows. Solving for
+    * the SLO: `budget = targetRowsPerQuery − max_cell + 1` guarantees
+    * every query scans ≤ `targetRowsPerQuery` rows, for ANY skew the
+    * appends produce, because `max_cell` is read from the live
+    * occupancy map (the same ≤ centroids-row driver-bounded
+    * [[cellCounts]] read the audit and the dial share). Floored at 1:
+    * the nearest non-empty cell is always probed, so `max_cell` rows
+    * is the irreducible worst case — a target below it sizes the
+    * walk to that floor rather than failing. Monotone in the target
+    * by construction (a looser SLO never shrinks the walk). */
+  def sizeScanBudget(occ: Map[Long, Long], targetRowsPerQuery: Long): Long = {
+    require(targetRowsPerQuery >= 1, "targetRowsPerQuery must be >= 1")
+    val maxCell = if (occ.isEmpty) 0L else occ.valuesIterator.max
+    math.max(1L, targetRowsPerQuery - maxCell + 1L)
+  }
+
+  /** [[sizeScanBudget]] against a live index tree: reads the
+    * occupancy map (≤ `centroids` rows) and sizes the budget. */
+  def sizeScanBudget(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetRowsPerQuery: Long): Long =
+    sizeScanBudget(
+      cellCounts(spark.read.parquet(s"$path/codes")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      targetRowsPerQuery)
 
   /** [[ivfPqCandidates]] under a SCAN BUDGET instead of a fixed probe
     * count — the latency-SLO lever for a skewed index: each query

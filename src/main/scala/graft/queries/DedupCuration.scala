@@ -1105,21 +1105,38 @@ private[graft] trait DedupCurationQueries extends QueryContext {
       .select(col("doc_id"), col("cluster_id").as("c_exact"))
     val capped = cappedNeardupClusters(spark, sfDir)
       .select(col("doc_id"), col("cluster_id").as("c_capped"))
-    // two-level agg: the per-(c_exact, c_capped) rollup shrinks the
-    // relation to |distinct cluster pairs| BEFORE the dual-distinct
-    // aggregate, so the Expand that two countDistincts plan (3
-    // projections per input row) runs over cluster-count rows, not
-    // n_docs rows — at corpus scale the Expand over docs tripled the
-    // pre-shuffle volume of a 1-row query
-    exact.join(capped.hint("shuffle_hash"), "doc_id")
+    // the per-(c_exact, c_capped) rollup shrinks the relation to
+    // |distinct cluster pairs| BEFORE any distinct counting; the two
+    // distinct-cluster counts then come from a TAGGED UNION of the
+    // rollup (side 'e' keyed by c_exact, side 'c' by c_capped) and
+    // two more keyed partial aggs — a chain of ordinary group-bys,
+    // no countDistinct, so the dual-distinct Expand (3 projections
+    // per input row) never plans. Both union branches share the
+    // rollup's shuffle verbatim, so ReuseExchange computes the doc
+    // join + rollup ONCE; the duplicated final agg runs over
+    // cluster-count rows.
+    val rolled = exact.join(capped.hint("shuffle_hash"), "doc_id")
       .groupBy(col("c_exact"), col("c_capped"))
       .agg(count(lit(1)).as("n_pair_docs"),
         sum(when(col("c_exact") === col("c_capped"), 1L).otherwise(0L))
           .as("n_pair_same"))
-      .agg(sum(col("n_pair_docs")).as("n_docs"),
-        sum(col("n_pair_same")).as("n_same"),
-        countDistinct(col("c_exact")).as("n_clusters_exact"),
-        countDistinct(col("c_capped")).as("n_clusters_capped"))
+    // doc/same totals ride side 'e' only (each rollup row counted once)
+    rolled.select(lit("e").as("side"), col("c_exact").as("cid"),
+        col("n_pair_docs"), col("n_pair_same"))
+      .unionAll(rolled.select(lit("c").as("side"),
+        col("c_capped").as("cid"),
+        lit(0L).as("n_pair_docs"), lit(0L).as("n_pair_same")))
+      .groupBy(col("side"), col("cid"))
+      .agg(sum(col("n_pair_docs")).as("d"), sum(col("n_pair_same")).as("s"))
+      .groupBy(col("side"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("d")).as("d"), sum(col("s")).as("s"))
+      .agg(max(when(col("side") === "e", col("d"))).as("n_docs"),
+        max(when(col("side") === "e", col("s"))).as("n_same"),
+        max(when(col("side") === "e", col("n_clusters")))
+          .as("n_clusters_exact"),
+        max(when(col("side") === "c", col("n_clusters")))
+          .as("n_clusters_capped"))
       .select(col("n_docs"), col("n_same"),
         expr("(n_same * 1000000) DIV n_docs").as("same_ppm"),
         col("n_clusters_exact"), col("n_clusters_capped"))

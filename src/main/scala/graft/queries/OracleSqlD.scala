@@ -446,6 +446,49 @@ private[graft] trait OracleSqlD {
                AS err_retrained)"""
   }
 
+  /** The q178 resolution-audit rollup as CTEs ending at `bbagg`:
+    * assemble each replica row's full code TUPLE off the
+    * `rep`/`{p}rcode` chain (whichever [[ivfPqCtes]] lineage the
+    * caller put in scope), census distinct tuples per cell, and roll
+    * up to one row of integers — two chained GROUP BYs, mirroring
+    * [[graft.operators.Pq.resolutionAuditOf]] exactly (no DISTINCT
+    * aggregates on either side, so neither engine's distinct
+    * planning is in the arithmetic's way). */
+  private def bitBudgetCtes(minCell: Long = 16L,
+      loadFactor: Long = 4L): String =
+    s"""bbt AS (
+           SELECT r.id, r.cid,
+             ${pqSubspaces.map { case (p, _, _) => s"${p}rcode.code AS ${p}t" }
+               .mkString(", ")}
+           FROM rep r
+           ${pqSubspaces.map { case (p, _, _) =>
+             s"JOIN ${p}rcode ON ${p}rcode.id = r.id AND ${p}rcode.cid = r.cid" }
+             .mkString("\n           ")}),
+         bbg AS (
+           SELECT cid,
+             ${pqSubspaces.map { case (p, _, _) => s"${p}t" }.mkString(", ")},
+             count(*) AS tuple_n
+           FROM bbt
+           GROUP BY ${(1 to pqSubspaces.size + 1).mkString(", ")}),
+         bbcell AS (
+           SELECT cid, CAST(sum(tuple_n) AS BIGINT) AS cell_n,
+             CAST(count(*) AS BIGINT) AS n_tuples
+           FROM bbg GROUP BY cid),
+         bbagg AS (
+           SELECT CAST(sum(cell_n) AS BIGINT) AS n_codes,
+             CAST(sum(CASE WHEN cell_n >= $minCell THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_cells_eval,
+             CAST(sum(CASE WHEN cell_n >= $minCell
+                 AND n_tuples * $loadFactor < cell_n
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_cells_flagged,
+             CAST(sum(CASE WHEN cell_n >= $minCell
+                 AND n_tuples * $loadFactor < cell_n
+               THEN cell_n ELSE 0 END) AS BIGINT) AS flagged_codes,
+             CAST(coalesce(max(CASE WHEN cell_n >= $minCell
+               THEN (cell_n * 1000) // n_tuples END), 0) AS BIGINT)
+               AS max_tuple_load_milli
+           FROM bbcell)"""
+
   /** The IVF-PQ probe + exact-re-rank query over an [[ivfPqCtes]]
     * chain (ends at `adc(qid, id, dist)`): wide top-50 candidates,
     * exact double squared-Euclidean re-score, final top-5 with
@@ -453,8 +496,14 @@ private[graft] trait OracleSqlD {
     * so the two gates cannot drift on the re-rank. `modeCol` (q177)
     * additionally replays the q172 occupancy arithmetic over the
     * `rep` chain and carries the elected `search_mode` on every row —
-    * the adaptive dispatch's election, independently recomputed. */
-  private def ivfPqRerankSql(ctes: String, modeCol: Boolean = false): String = {
+    * the adaptive dispatch's election, independently recomputed.
+    * `armCol` (q179) does the same one rung up: it replays the q178
+    * resolution audit over the chain and carries the elected
+    * `search_arm` — on a flagged corpus the Spark side would have
+    * served the exact-vector fallback instead, so the rows AND the
+    * column would both mismatch. */
+  private def ivfPqRerankSql(ctes: String, modeCol: Boolean = false,
+      armCol: Boolean = false): String = {
     val modeCtes = if (!modeCol) "" else s""",
          opercell AS (
            SELECT cid, count(*) AS cell_n FROM rep GROUP BY cid),
@@ -467,9 +516,17 @@ private[graft] trait OracleSqlD {
            SELECT CASE WHEN (max_cell * n_cells_occupied * 1000) // n_codes > 4000
                   THEN 'scan_budget' ELSE 'fixed_probes' END AS search_mode
            FROM oocc)"""
-    val modeSel = if (modeCol) ",\n           m.search_mode" else ""
-    val modeFrom = if (modeCol) " CROSS JOIN omode m" else ""
-    s"""WITH $ctes$modeCtes,
+    val armCtes = if (!armCol) "" else s""",
+         ${bitBudgetCtes()},
+         barm AS (
+           SELECT CASE WHEN n_cells_flagged > 0 THEN 'exact_ivf'
+                  ELSE 'ivfpq' END AS search_arm
+           FROM bbagg)"""
+    val modeSel = (if (modeCol) ",\n           m.search_mode" else "") +
+      (if (armCol) ",\n           a.search_arm" else "")
+    val modeFrom = (if (modeCol) " CROSS JOIN omode m" else "") +
+      (if (armCol) " CROSS JOIN barm a" else "")
+    s"""WITH $ctes$modeCtes$armCtes,
          cand AS (
            SELECT qid, id FROM (
              SELECT qid, id,
@@ -1042,6 +1099,27 @@ private[graft] trait OracleSqlD {
       corpusWhere = "vec_id % 10 <> 0",
       trainWhere = "vec_id % 10 <> 0 AND vec_id % 7 <> 3",
       scanBudget = Some(1200L))),
+    // q178: the bit-budget (resolution) audit on the POST-RETRAIN
+    // representation — q167's chain (codebooks trained on the corpus
+    // they encode), per-cell distinct code-tuple census, one-row
+    // integer rollup + verdict. On this corpus every evaluated cell
+    // censuses collision-free (1000 milli) ⇒ 'fit'; the compress
+    // drift ingest is where it flags (AnnDriftBench / BASELINE.md).
+    "q178_ann_bit_budget" ->
+      s"""WITH ${ivfPqCtes()},
+         ${bitBudgetCtes()}
+         SELECT n_codes, n_cells_eval, n_cells_flagged, flagged_codes,
+           max_tuple_load_milli,
+           CASE WHEN n_cells_flagged > 0 THEN 'bit_budget' ELSE 'fit' END
+             AS decision
+         FROM bbagg""",
+    // q179: exact-fallback dispatch — the q178 audit elects the arm
+    // (deterministically 'ivfpq' on this corpus), q167's fixed-probe
+    // rerank runs, and the elected arm is carried on every row; a
+    // flipped election would mismatch BOTH the column and the rows
+    // (the Spark side would have served exact-vector results).
+    "q179_ann_exact_fallback" -> ivfPqRerankSql(ivfPqCtes(),
+      armCol = true),
     // q173: coarse-rebalance — q170's lineage with the cells re-cut
     // by a fresh coarse chain over the grown corpus while the PQ
     // codebooks keep training batch-less against the old cells

@@ -604,10 +604,38 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
     // gate contracts — so the audit reads them instead of retraining
     // two full-width Lloyd chains (13.8 → ~5 s at sf0.1)
     val standingTree = ivfPqIncrIndexPath(spark, sfDir)
+    val oldCb = Pq.readIvfCb(spark, standingTree)
+    val newCb = Pq.readIvfCb(spark, ivfPqRebalIndexPath(spark, sfDir))
+    // the eight audit-budget residual Lloyd chains are pure corpus
+    // derivatives too, so they persist as VERSIONED artifacts
+    // (round-15, the q152/q164 discipline applied to the audit): the
+    // gates keep trust off and rebuild per run as ever, while a
+    // trust-on deployment run on an unchanged corpus pays only the
+    // eval pass. Codebooks round-trip parquet as exact longs, and
+    // both eval lookups are (code → centroid) maps, so on-disk order
+    // cannot flip the arithmetic.
+    def cbsArtifact(kind: String, items: org.apache.spark.sql.DataFrame,
+        coarse: Seq[(Long, Seq[Long])]): Seq[Seq[(Long, Seq[Long])]] = {
+      import graft.sources.Artifacts
+      import spark.implicits._
+      val p = Artifacts.ensure(kind, sfDir) { path =>
+        val cbs = Pq.auditResidualCodebooks(items, "vec_id", "embedding",
+          dim = 64, m = 4, k = 16, iters = 2, coarse)
+        Artifacts.publishTree(spark, path) { build =>
+          cbs.zipWithIndex
+            .flatMap { case (cb, s) => cb.map { case (c, cv) => (s, c, cv) } }
+            .toDF("subspace", "code", "cv")
+            .coalesce(1).write.parquet(s"$build/codebooks")
+        }
+      }
+      Pq.readPqCbs(spark, p)
+    }
     val drift = Pq.residualDriftAudit(old, grown, "vec_id", "embedding",
       dim = 64, m = 4, k = 16, iters = 2, centroids = centroids,
-      oldCoarse = Some(Pq.readIvfCb(spark, standingTree)),
-      newCoarse = Some(Pq.readIvfCb(spark, ivfPqRebalIndexPath(spark, sfDir))))
+      oldCoarse = Some(oldCb),
+      newCoarse = Some(newCb),
+      standingCbs = Some(cbsArtifact("resid_cbs_standing", old, oldCb)),
+      retrainedCbs = Some(cbsArtifact("resid_cbs_retrained", grown, newCb)))
     val occ = Pq.occupancyAudit(spark, standingTree)
       .select(col("skew_milli"), col("n_cells_empty"))
     drift.crossJoin(occ).select(
@@ -670,6 +698,75 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
         operators.Pq.ivfPqCandidates(q, path, dim = 64, topK = 50,
           probes = 12, "vec_id", "embedding", maxQueryBatch = 32)
     rerankTop5(emb, q, cand).withColumn("search_mode", lit(mode))
+  }
+
+  /** BIT-BUDGET (resolution) audit, gated (q178) — the verdict for
+    * the one maintenance outcome the ladder cannot fix. AnnDriftBench
+    * measured it: on the compress ingest (mutual distances collapse
+    * below PQ resolution) q175 elects `retrain`, retrain runs, and
+    * recall stays ~0.02 on EVERY ladder arm — before this query that
+    * dead-ended in prose, so a deployment would retrain, measure
+    * nothing improved, and have no next move the system names. The
+    * audit ([[graft.operators.Pq.resolutionAudit]]) runs the discrete
+    * resolution test on the POST-RETRAIN representation (q167's
+    * artifact tree — codebooks trained on the corpus they encode):
+    * a populated cell whose rows collapse onto > 4× fewer code
+    * tuples than rows holds items the CURRENT bit budget provably
+    * cannot rank (same cell + same tuple ⇒ ADC distance zero), and
+    * no refresh re-cuts that — `bit_budget` means escalate PAST
+    * `retrain`: more bits, or the q146 exact-vector IVF path that
+    * q179 wires. Integer end to end off a codes-only scan; the
+    * oracle replays the full build (q167's chains) plus the per-cell
+    * tuple rollup. On this corpus every evaluated cell sits at
+    * 1000 milli (zero collisions) ⇒ `fit`; the drift bench shows the
+    * compress rebuild at 8653 milli with 47 % of codes flagged. */
+  def annBitBudgetAudit(spark: SparkSession, sfDir: String): DataFrame =
+    operators.Pq.resolutionAudit(spark, ivfPqIndexPath(spark, sfDir))
+
+  /** EXACT-FALLBACK dispatch, gated (q179) — the wired next move for
+    * the q178 verdict, q177's closed-loop pattern one rung up: read
+    * the resolution audit of the standing IVFADC tree, and when it
+    * says `bit_budget` — the bits cannot rank the corpus, no refresh
+    * helps — serve the query batch from the EXACT-vector IVF path
+    * instead (q146's artifact layout: cells store vectors, probes
+    * prune files, distances are exact floats — probe-bounded cost
+    * without quantization), else the normal IVFADC probe + re-rank.
+    * The elected arm travels as a `search_arm` column the oracle
+    * independently re-elects, so a silently flipped election
+    * hash-mismatches both the column and the rows. AnnDriftBench's
+    * compress scenario measures the fallback arm restoring the
+    * recall every PQ arm loses. */
+  def ivfPqExactFallback(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.Artifacts
+    import operators.{Pq, SimilaritySearch}
+    val pqTree = ivfPqIndexPath(spark, sfDir)
+    val verdict = Pq.resolutionAudit(spark, pqTree)
+      .select(col("decision")).collect().head.getString(0)
+    val emb = t(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") % 10 === 0)
+    val arm = if (verdict == "bit_budget") "exact_ivf" else "ivfpq"
+    val res =
+      if (verdict == "bit_budget") {
+        // q146's exact-vector tree over the same corpus split — built
+        // only when the verdict dispatches here (never on a healthy
+        // corpus), searched with q146's parameters and output shape
+        val path = Artifacts.ensure("ivf_exact_fallback", sfDir) { p =>
+          Artifacts.publishTree(spark, p) { build =>
+            SimilaritySearch.buildIvfIndex(
+              emb.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+              centroids = 64, assignments = 2, build)
+          }
+        }
+        SimilaritySearch.ivfTopKFromIndex(q, path, k = 5,
+            "vec_id", "embedding", probes = 16)
+          .select(col("query_id"), col("rank").cast("long").as("rank"),
+            col("neighbor_id"),
+            floor(col("dist") * 1000000.0).cast("long").as("dist_micro"))
+      } else
+        rerankTop5(emb, q,
+          Pq.ivfPqCandidates(q, pqTree, dim = 64, topK = 50, probes = 12,
+            "vec_id", "embedding"))
+    res.withColumn("search_arm", lit(arm))
   }
 
   /** q163's ADC search served from a PERSISTED PQ index — the q146/

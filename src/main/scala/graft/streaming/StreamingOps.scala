@@ -924,6 +924,22 @@ object StreamingOps {
     * — the latency-SLO dial for a skewed index, so a streaming
     * deployment can obey the q172 `search_mode` alarm ("bounded dial
     * until the rebalance lands") without changing sinks.
+    *
+    * `adaptive` (round-15: q177's loop, streaming-side) makes the
+    * sink obey the alarm ITSELF: at each micro-batch start it reads
+    * the q172 occupancy audit of the live index (one driver-bounded
+    * row off the codes partition listing — the index is APPENDED TO
+    * while the query runs, so the election must be per-batch, not
+    * per-sink-construction) and runs that batch in the elected mode —
+    * fixed probes while the partition is balanced, the budget walk
+    * once a skewed append lands, with no sink restart in between.
+    * The elected budget is `scanBudget` when given, else SIZED from
+    * the live occupancy map ([[graft.operators.Pq.sizeScanBudget]])
+    * to fixed-probe row parity on a balanced partition
+    * (`probes · mean cell occupancy` rows per query — the "equal row
+    * share" point the scan-budget bench prices). Each batch's result
+    * carries the elected mode as a `search_mode` column, so the
+    * downstream sink can log mode flips.
     */
   def ivfPqSearchWriter(
       stream: DataFrame,
@@ -934,20 +950,40 @@ object StreamingOps {
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       maxQueryBatch: Int = 256,
-      scanBudget: Option[Long] = None)(
+      scanBudget: Option[Long] = None,
+      adaptive: Boolean = false)(
       sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
-          val cand = scanBudget match {
-            case Some(b) => graft.operators.Pq.ivfPqCandidatesBudget(
-              batch.toDF(), indexPath, dim, topK, b, idCol, vecCol,
-              maxQueryBatch)
-            case None => graft.operators.Pq.ivfPqCandidates(
-              batch.toDF(), indexPath, dim, topK, probes, idCol, vecCol,
-              maxQueryBatch)
-          }
+          import graft.operators.Pq
+          val spark = batch.sparkSession
+          def budgetSearch(b: Long) = Pq.ivfPqCandidatesBudget(
+            batch.toDF(), indexPath, dim, topK, b, idCol, vecCol,
+            maxQueryBatch)
+          def probeSearch() = Pq.ivfPqCandidates(
+            batch.toDF(), indexPath, dim, topK, probes, idCol, vecCol,
+            maxQueryBatch)
+          val cand =
+            if (adaptive) {
+              // the election, re-read per micro-batch: appends land
+              // between batches, and a flipped alarm must flip THIS
+              // batch's walk (q177's loop without a sink restart)
+              val audit = Pq.occupancyAudit(spark, indexPath)
+                .select(col("search_mode"), col("n_codes"),
+                  col("n_cells_occupied")).collect().head
+              val mode = audit.getString(0)
+              val searched =
+                if (mode == "scan_budget") {
+                  val b = scanBudget.getOrElse(Pq.sizeScanBudget(
+                    spark, indexPath,
+                    math.max(1L, probes * (audit.getLong(1) /
+                      math.max(1L, audit.getLong(2))))))
+                  budgetSearch(b)
+                } else probeSearch()
+              searched.withColumn("search_mode", lit(mode))
+            } else scanBudget.map(budgetSearch).getOrElse(probeSearch())
           sink(cand, batchId)
         }
       }

@@ -896,6 +896,20 @@ class PlanAuditSpec extends SparkSpec {
     val p157 = planOf(Queries.clusteringAgreement(spark, sf))
       .split("== Initial Plan ==")(0)
     assert(p157.contains("ShuffledHashJoin"), p157.take(1200))
+    // round 15: the dual-distinct Expand is retired — the two
+    // distinct-cluster counts ride the tagged union + chained keyed
+    // aggs, and the union's branches share the rollup exchange
+    assert(!p157.contains("Expand"), p157.take(1500))
+  }
+
+  test("q178 resolution audit: chained keyed partial aggs off the codes scan — no distinct Expand, no Window, no join") {
+    val plan = planOf(Queries.annBitBudgetAudit(spark, sf))
+    val finalTree = plan.split("== Initial Plan ==")(0)
+    assert(finalTree.contains("partial_count") ||
+      finalTree.contains("partial_sum"), finalTree.take(1500))
+    assert(!finalTree.contains("Expand"), finalTree.take(1500))
+    assert(!finalTree.contains("Window"), finalTree.take(1500))
+    assert(!finalTree.contains("Join"), finalTree.take(1500))
   }
 
   test("q160/q161: capped provenance matrix and saturation audit ride keyed aggs; no Window") {

@@ -198,7 +198,22 @@ class IvfPqSpec extends SparkSpec {
       Pq.appendIvfPqIndex(batch, "vec_id", "embedding", path,
         batchTag = Some("../escape"))
     }
-    assert(e.getMessage.contains("file-name-safe"))
+    assert(e.getMessage.contains("batchTag must match"))
+    // the cleanup sweep deletes live files by '<tag>-' NAME PREFIX, so
+    // the two tag classes that could sweep someone ELSE's files are
+    // rejected: a '-' inside a tag ('b7' would prefix a committed
+    // 'b7-x' batch's files) and a 'part' prefix (Spark's own data
+    // files are part-*; tag 'part' would sweep the base build)
+    val dash = intercept[IllegalArgumentException] {
+      Pq.appendIvfPqIndex(batch, "vec_id", "embedding", path,
+        batchTag = Some("b7-x"))
+    }
+    assert(dash.getMessage.contains("batchTag must match"))
+    val part = intercept[IllegalArgumentException] {
+      Pq.appendIvfPqIndex(batch, "vec_id", "embedding", path,
+        batchTag = Some("part0"))
+    }
+    assert(part.getMessage.contains("must not start with 'part'"))
   }
 
   test("rebalance: fresh coarse cells, standing PQ codebooks verbatim, search sane") {
@@ -320,6 +335,72 @@ class IvfPqSpec extends SparkSpec {
       out.getAs[Long]("err_retrained"),
       "identical inputs must train identical codebooks either side")
     assert(out.getAs[String]("residual_decision") == "keep")
+  }
+
+  test("sizeScanBudget: SLO bound under any skew, monotone, floored at the nearest cell") {
+    val occ = Map(0L -> 100L, 1L -> 10L, 2L -> 1L, 3L -> 5L)
+    // the walk keeps a cell while prior < budget, so the worst case a
+    // query scans is (budget − 1) + max_cell rows — the bound the
+    // helper sizes to. For every target ≥ max_cell the walk under the
+    // sized budget scans ≤ target rows, for ANY cell visit order.
+    for (target <- Seq(100L, 101L, 116L, 150L, 500L)) {
+      val b = Pq.sizeScanBudget(occ, target)
+      assert(b - 1 + 100L <= target, s"target=$target sized b=$b")
+    }
+    // monotone: a looser SLO never shrinks the walk
+    val sized = (1L to 300L).map(Pq.sizeScanBudget(occ, _))
+    assert(sized.zip(sized.tail).forall { case (a, c) => a <= c })
+    // floor: a target below max_cell sizes to the irreducible walk
+    // (budget 1 = the nearest non-empty cell only)
+    assert(Pq.sizeScanBudget(occ, 1L) == 1L)
+    assert(Pq.sizeScanBudget(occ, 100L) == 1L)
+    assert(Pq.sizeScanBudget(occ, 150L) == 51L)
+    // and the sized budget reproduces the walk it promises: at
+    // target = max_cell the walk IS the probes=1 scan
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_slo"
+    build(path)
+    // 6 codes in 2 cells of 3 → max_cell 3; target 10 → budget 8
+    assert(Pq.sizeScanBudget(spark, path, 10L) == 8L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(rows(Pq.ivfPqCandidatesBudget(query, path, dim = 4, topK = 3,
+        scanBudget = Pq.sizeScanBudget(spark, path, 3L),
+        "vec_id", "embedding")) ==
+      rows(Pq.ivfPqCandidates(query, path, dim = 4, topK = 3,
+        probes = 1, "vec_id", "embedding")))
+  }
+
+  test("resolution audit: collision branches fire; the healthy tree audits fit") {
+    // constructed codes (m=2): cell 0 healthy (18 rows, 18 distinct
+    // tuples), cell 1 collapsed (20 rows on 4 tuples — 4·4 < 20 →
+    // flagged: >4 rows per indistinguishable tuple), cell 2 populated
+    // but below the evaluation floor (8 rows < minCell 16)
+    val codes = ((0 until 18).map(i => (0L, i.toLong, i.toLong)) ++
+      (0 until 20).map(i => (1L, (i % 4).toLong, 0L)) ++
+      (0 until 8).map(_ => (2L, 0L, 0L))).toDF("c_id", "code0", "code1")
+    val row = Pq.resolutionAuditOf(codes, m = 2, minCell = 16L,
+      loadFactor = 4L).collect().head
+    assert(row.getAs[Long]("n_codes") == 46L, row)
+    assert(row.getAs[Long]("n_cells_eval") == 2L, row)
+    assert(row.getAs[Long]("n_cells_flagged") == 1L, row)
+    assert(row.getAs[Long]("flagged_codes") == 20L, row)
+    assert(row.getAs[Long]("max_tuple_load_milli") == 5000L, row)
+    assert(row.getAs[String]("decision") == "bit_budget", row)
+    // without the collapsed cell: collision-free census, fit
+    val healthy = Pq.resolutionAuditOf(codes.filter(col("c_id") =!= 1L),
+      m = 2, minCell = 16L, loadFactor = 4L).collect().head
+    assert(healthy.getAs[Long]("max_tuple_load_milli") == 1000L, healthy)
+    assert(healthy.getAs[String]("decision") == "fit", healthy)
+    // tree form: derives m from the meta sidecar; the spec corpus is
+    // tiny so no cell reaches the floor — evaluated as fit, loudly
+    // countable (n_cells_eval = 0, max load 0)
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_resaudit"
+    build(path)
+    val tree = Pq.resolutionAudit(spark, path).collect().head
+    assert(tree.getAs[Long]("n_codes") == 6L, tree)
+    assert(tree.getAs[Long]("n_cells_eval") == 0L &&
+      tree.getAs[Long]("max_tuple_load_milli") == 0L &&
+      tree.getAs[String]("decision") == "fit", tree)
   }
 
   test("single-agg distinct-min merge == explicit heap/explode/min/re-heap") {

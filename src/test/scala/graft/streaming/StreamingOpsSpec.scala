@@ -761,6 +761,66 @@ class StreamingOpsSpec extends SparkSpec {
     assert(gotB.toSet === batchB, s"budget stream $gotB != batch $batchB")
   }
 
+  test("ivfPqSearchWriter adaptive: a skewed append mid-stream flips the walk, no sink restart") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Pq
+    // 8 well-separated one-item clusters → 8 balanced cells (skew
+    // 1000); the q172 skew alarm needs max > 4× mean, which needs
+    // > 4 occupied cells (skew_milli ≤ 1000·occupied by construction)
+    val corpus = (0 until 8).map { i =>
+      (i.toLong, Seq(10f * i, 10f * i, 10f * i, 10f * i))
+    }.toDF("vec_id", "embedding")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_adaptive_spec"
+    Pq.buildIvfPqIndex(corpus, "vec_id", "embedding", dim = 4, m = 2,
+      k = 2, iters = 2, centroids = 8, path = path, assignments = 1)
+    assert(Pq.occupancyAudit(spark, path).collect().head
+      .getAs[String]("search_mode") == "fixed_probes")
+    // the hot batch: 100 arrivals inside cluster 0's cell → cell 0
+    // holds 101 of 108 codes, skew 101·8·1000/108 = 7481 > 4000
+    val hot = (0 until 100).map { i =>
+      (1000L + i, Seq(0.01f * i, 0f, 0f, 0f))
+    }.toDF("vec_id", "embedding")
+    val query = Seq((500L, Seq(0.1f, 0.05f, 0.05f, 0.1f)))
+    val probes = 2
+    val got = scala.collection.mutable.Map[Long, Seq[(Long, Long, Long, Long, String)]]()
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.ivfPqSearchWriter(
+      in.toDF().toDF("vec_id", "embedding"), path,
+      dim = 4, topK = 3, probes = probes, adaptive = true) { (res, bid) =>
+      got(bid) = res.as[(Long, Long, Long, Long, String)].collect().toSeq
+    }.start()
+    try {
+      // arrival 1: balanced partition → the election says fixed probes
+      in.addData(query.head); q.processAllAvailable()
+      // the skewed append lands while the SAME query keeps running
+      Pq.appendIvfPqIndex(hot, "vec_id", "embedding", path,
+        batchTag = Some("hotbatch"))
+      assert(Pq.occupancyAudit(spark, path).collect().head
+        .getAs[String]("search_mode") == "scan_budget")
+      // arrival 2: the per-batch audit read flips the walk
+      in.addData(query.head); q.processAllAvailable()
+    } finally q.stop()
+    val (first, second) = (got(got.keys.min), got(got.keys.max))
+    assert(got.size == 2 && first.nonEmpty && second.nonEmpty, got)
+    assert(first.forall(_._5 == "fixed_probes") &&
+      second.forall(_._5 == "scan_budget"),
+      s"expected fixed_probes then scan_budget on the same running " +
+        s"query, got $got")
+    // row parity for the flipped batch: it must equal the batch
+    // budget walk under the SIZED budget the sink derives from the
+    // live audit (probes · mean occupancy rows per query)
+    val audit = Pq.occupancyAudit(spark, path)
+      .select(col("n_codes"), col("n_cells_occupied")).collect().head
+    val sized = Pq.sizeScanBudget(spark, path,
+      math.max(1L, probes * (audit.getLong(0) / audit.getLong(1))))
+    val want = Pq.ivfPqCandidatesBudget(query.toDF("vec_id", "embedding"),
+        path, dim = 4, topK = 3, scanBudget = sized, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(second.map(t => (t._1, t._2, t._3, t._4)).toSet == want,
+      s"budget-mode batch $second != $want")
+  }
+
   test("ivfPqAppendSink: streamed micro-batch appends == one batch append (bit-equal codes)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Pq
