@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.operators.{Pq, TopK}
+
+/** Pins RECALL at the data-bound decade — the round-14 verdict's
+  * missing measurement: vec1m/vec4m priced probe LATENCY and
+  * maintenance cost, but no recall gate ran at ≥ 1 M items with the
+  * shipped IVFADC parameters (BASELINE.md's recall rows stopped at
+  * sf1). Same sampled-exact discipline as the q44 gate: a FIXED
+  * 200-query batch (replica-0 ids — the same logical queries at
+  * every scale), exact squared-Euclidean top-5 over the full corpus
+  * as ground truth (sample × corpus — bounded, the whole point of
+  * sampling the gate), and rerank-50 recall@5 for each search arm:
+  *
+  *  - `ivfpq_probes12` — [[Pq.ivfPqCandidates]] at the shipped
+  *    parameters (q167's), exact re-rank of the wide top-50;
+  *  - `ivfpq_budget_<b>` — the q176 scan-budget walk at each budget
+  *    in `SPARK_GRAFT_BUDGETS` (comma-separated), re-ranked the same;
+  *  - `pq_fullscan` — the unpruned full-scan ADC contrast
+  *    ([[Pq.adcTopKFromIndex]]) when `SPARK_GRAFT_PQ_INDEX` points at
+  *    a q165-layout artifact.
+  *
+  * The expectation going in was recall ≈ scan share (the sf0.1 sweep
+  * finding on this near-uniform corpus); the measurement REFUTED it
+  * at 10⁶–10⁷ codes: at a fixed rerank width recall@5 decays with
+  * corpus size while being nearly FLAT in scan share (budget 1/16 ≈
+  * fixed probes ≈ the 100 % full scan), because the binding
+  * constraint is how many of the true top-5 survive into the
+  * width-bounded ADC candidate pool as the corpus grows around it.
+  * `SPARK_GRAFT_TOPK` sweeps the width (default 50, the gates'
+  * setting) — widening it is the recall lever at this decade, and it
+  * prices as a larger re-rank join (width·|Q| vector lookups), not a
+  * deeper scan. Numbers in BASELINE.md's data-bound recall table.
+  *
+  * `SPARK_GRAFT_REUSE_IVFPQ=<path>` probes an existing tree (layout
+  * verified against the shipped parameters via the meta sidecar, the
+  * AnnProbeBench contract) instead of paying a multi-10-minute build.
+  *
+  * Usage: `runMain graft.AnnRecallBench <sfDir>`; prints one
+  * `RECALL <arm> recall5=<r> (<hits>/<n>)` line per arm.
+  */
+object AnnRecallBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+    // rerank width (the candidate pool the exact re-score sees):
+    // default 50 = the shipped gates' width; the data-bound decade
+    // measurement sweeps it because at 10⁶⁺ items recall@5 turns out
+    // to be WIDTH-bound, not scan-share-bound
+    val topK = sys.env.get("SPARK_GRAFT_TOPK").map(_.toInt).getOrElse(50)
+    val spark = GraftSession.local(cpus, "graft-ann-recall")
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val q = emb.filter(col("vec_id") < 2000 && col("vec_id") % 10 === 0)
+      .localCheckpoint()
+
+    val idx = sys.env.get("SPARK_GRAFT_REUSE_IVFPQ") match {
+      case Some(p) =>
+        val meta = Pq.readIvfPqMeta(spark, p)
+        require(meta.dim == 64 && meta.m == 8 && meta.k == 64 &&
+          meta.centroids == 32 && meta.assignments == 2,
+          s"reused tree $p layout ${meta} != shipped 64/8/64/32/2")
+        println(s"RECALL index reused $p")
+        p
+      case None =>
+        val p = s"${sys.props("java.io.tmpdir")}/graft_annrecall_ivfpq"
+        Pq.buildIvfPqIndex(corpus, "vec_id", "embedding", dim = 64, m = 8,
+          k = 64, iters = 2, centroids = 32, path = p, assignments = 2)
+        p
+    }
+
+    def top5(scored: DataFrame): Set[(Long, Long)] = scored
+      .groupBy(col("q_id"))
+      .agg(TopK.topK(5)(col("d"), col("i_id"), col("i_id")).as("top"))
+      .select(col("q_id"), explode(col("top")).as("n"))
+      .select(col("q_id"), col("n.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // exact ground truth: sample × corpus, the q21 broadcast-query /
+    // streaming-corpus plan with the native distance expression
+    val exact = top5(
+      q.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+        .crossJoin(corpus.select(col("vec_id").as("i_id"),
+          col("embedding").as("ie")))
+        .select(col("q_id"),
+          VectorFunctions.squaredEuclidean(col("qe"), col("ie")).as("d"),
+          col("i_id")))
+    println(s"RECALL exact ground truth: ${exact.size} pairs " +
+      s"(queries=${q.count()}, corpus=${corpus.count()})")
+
+    // rerank-50 recall@5: exact re-score of the wide candidates — the
+    // deployment path the gates pin (the re-rank join touches 50·|Q|
+    // vectors, not the corpus)
+    def recallOf(arm: String, cand: DataFrame): Unit = {
+      val got = top5(cand
+        .select(col("query_id").as("q_id"), col("neighbor_id").as("i_id"))
+        .join(q.select(col("vec_id").as("q_id"),
+          col("embedding").as("qe")), "q_id")
+        .join(corpus.select(col("vec_id").as("i_id"),
+          col("embedding").as("ie")).hint("shuffle_hash"), "i_id")
+        .select(col("q_id"),
+          VectorFunctions.squaredEuclidean(col("qe"), col("ie")).as("d"),
+          col("i_id")))
+      val hits = got.intersect(exact).size
+      println(f"RECALL $arm recall5=${hits.toDouble / exact.size}%.3f " +
+        s"($hits/${exact.size})")
+    }
+
+    recallOf(s"ivfpq_probes12_w$topK", Pq.ivfPqCandidates(q, idx, dim = 64,
+      topK = topK, probes = 12, "vec_id", "embedding"))
+    sys.env.get("SPARK_GRAFT_BUDGETS").foreach { bs =>
+      bs.split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).foreach { b =>
+        recallOf(s"ivfpq_budget_${b}_w$topK", Pq.ivfPqCandidatesBudget(q, idx,
+          dim = 64, topK = topK, scanBudget = b, "vec_id", "embedding"))
+      }
+    }
+    sys.env.get("SPARK_GRAFT_PQ_INDEX").foreach { p =>
+      recallOf(s"pq_fullscan_w$topK", Pq.adcTopKFromIndex(q, p, dim = 64,
+        topK = topK, "vec_id", "embedding"))
+    }
+    spark.stop()
+  }
+}
