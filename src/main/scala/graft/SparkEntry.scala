@@ -223,7 +223,8 @@ object Queries
     "q176_ivfpq_budget" -> (ivfPqBudgetRerank _),
     "q177_ivfpq_adaptive" -> (ivfPqAdaptiveRerank _),
     "q178_ann_bit_budget" -> (annBitBudgetAudit _),
-    "q179_ann_exact_fallback" -> (ivfPqExactFallback _))
+    "q179_ann_exact_fallback" -> (ivfPqExactFallback _),
+    "q180_ann_maint_ladder" -> (annMaintLadder _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = {

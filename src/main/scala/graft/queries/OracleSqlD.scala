@@ -489,6 +489,83 @@ private[graft] trait OracleSqlD {
                AS max_tuple_load_milli
            FROM bbcell)"""
 
+  /** The q175 oracle, also the `p` leg of q180's composition —
+    * occupancy off the appended lineage + the residual-space drift
+    * audit (see the q175 map comment). */
+  private def residualPolicySql: String = {
+    val auditSubs = (0 until 4).map(s => (s"ra$s", s"rb$s", s * 16 + 1, (s + 1) * 16))
+
+      s"""WITH ${ivfPqCtes(
+            corpusWhere = "vec_id % 10 <> 0",
+            trainWhere = "vec_id % 10 <> 0 AND vec_id % 7 <> 3")},
+         percell AS (
+           SELECT cid, count(*) AS cell_n FROM rep GROUP BY cid),
+         occ AS (
+           SELECT CAST(count(*) AS BIGINT) AS n_cells_occupied,
+             CAST(sum(cell_n) AS BIGINT) AS n_codes,
+             CAST(max(cell_n) AS BIGINT) AS max_cell
+           FROM percell),
+         occ2 AS (
+           SELECT (max_cell * n_cells_occupied * 1000) // n_codes
+               AS skew_milli,
+             CAST($ivfPqCentroids - n_cells_occupied AS BIGINT)
+               AS n_cells_empty
+           FROM occ),
+         gmv AS (SELECT id, mv FROM xmv),
+         ${pqChainFromMv("g", 64, ivfPqCentroids)},
+         ${auditSubs.map { case (ra, rb, lo, hi) =>
+            s"""${ra}mv AS (
+             SELECT a.id,
+               list_transform(generate_series($lo, $hi),
+                 j -> m.mv[j] - c.cv[j]) AS mv
+             FROM ca2 a JOIN cmv m USING (id) JOIN cc2 c ON a.cid = c.cid),
+           ${pqChainFromMv(ra, hi - lo + 1, 16)},
+           ${rb}mv AS (
+             SELECT a.id,
+               list_transform(generate_series($lo, $hi),
+                 j -> m.mv[j] - c.cv[j]) AS mv
+             FROM ga2 a JOIN gmv m USING (id) JOIN gc2 c ON a.cid = c.cid),
+           ${pqChainFromMv(rb, hi - lo + 1, 16)}"""
+          }.mkString(",\n         ")},
+         ${auditSubs.map { case (ra, rb, lo, hi) =>
+            s"""${ra}xe AS (
+             SELECT m.id, min(${sqDistIntSql("m.mv", "c.cv", (hi - lo + 1).toString)}) AS d
+             FROM ${rb}mv m CROSS JOIN ${ra}c2 c GROUP BY m.id),
+           ${rb}xe AS (
+             SELECT m.id, min(${sqDistIntSql("m.mv", "c.cv", (hi - lo + 1).toString)}) AS d
+             FROM ${rb}mv m CROSS JOIN ${rb}c2 c GROUP BY m.id)"""
+          }.mkString(",\n         ")},
+         rtot AS (
+           SELECT
+             CAST((SELECT count(*) FROM rb0mv) AS BIGINT) AS n_rows,
+             CAST((${auditSubs.map { case (ra, _, _, _) =>
+               s"(SELECT sum(d) FROM ${ra}xe)" }.mkString(" + ")}) AS BIGINT)
+               AS err_standing,
+             CAST((${auditSubs.map { case (_, rb, _, _) =>
+               s"(SELECT sum(d) FROM ${rb}xe)" }.mkString(" + ")}) AS BIGINT)
+               AS err_retrained)
+         SELECT t.n_rows, t.err_standing, t.err_retrained,
+           o.skew_milli, o.n_cells_empty,
+           CASE WHEN (t.err_standing - t.err_retrained) * 20
+                     > t.err_retrained THEN 'retrain'
+                WHEN o.skew_milli > 4000
+                     OR o.n_cells_empty * 4 > $ivfPqCentroids
+                     THEN 'rebalance'
+                ELSE 'append' END AS decision
+         FROM rtot t CROSS JOIN occ2 o"""
+  }
+
+  /** The q178 oracle, also the `b` leg of q180's composition: the
+    * default (post-retrain) chain + the collision census, one row. */
+  private def bitBudgetSql: String =
+    s"""WITH ${ivfPqCtes()},
+         ${bitBudgetCtes()}
+         SELECT n_codes, n_cells_eval, n_cells_flagged, flagged_codes,
+           max_tuple_load_milli,
+           CASE WHEN n_cells_flagged > 0 THEN 'bit_budget' ELSE 'fit' END
+             AS decision
+         FROM bbagg"""
+
   /** The IVF-PQ probe + exact-re-rank query over an [[ivfPqCtes]]
     * chain (ends at `adc(qid, id, dist)`): wide top-50 candidates,
     * exact double squared-Euclidean re-score, final top-5 with
@@ -1105,14 +1182,7 @@ private[graft] trait OracleSqlD {
     // integer rollup + verdict. On this corpus every evaluated cell
     // censuses collision-free (1000 milli) ⇒ 'fit'; the compress
     // drift ingest is where it flags (AnnDriftBench / BASELINE.md).
-    "q178_ann_bit_budget" ->
-      s"""WITH ${ivfPqCtes()},
-         ${bitBudgetCtes()}
-         SELECT n_codes, n_cells_eval, n_cells_flagged, flagged_codes,
-           max_tuple_load_milli,
-           CASE WHEN n_cells_flagged > 0 THEN 'bit_budget' ELSE 'fit' END
-             AS decision
-         FROM bbagg""",
+    "q178_ann_bit_budget" -> bitBudgetSql,
     // q179: exact-fallback dispatch — the q178 audit elects the arm
     // (deterministically 'ivfpq' on this corpus), q167's fixed-probe
     // rerank runs, and the elected arm is carried on every row; a
@@ -1164,67 +1234,22 @@ private[graft] trait OracleSqlD {
     // standing-proxy residual chains (ra*: old residuals vs OLD
     // coarse), retrained chains (rb*: grown residuals vs NEW coarse),
     // both error-summed over the grown-vs-new-coarse rows.
-    "q175_ann_maint_residual" -> {
-      val auditSubs = (0 until 4).map(s => (s"ra$s", s"rb$s", s * 16 + 1, (s + 1) * 16))
-      s"""WITH ${ivfPqCtes(
-            corpusWhere = "vec_id % 10 <> 0",
-            trainWhere = "vec_id % 10 <> 0 AND vec_id % 7 <> 3")},
-         percell AS (
-           SELECT cid, count(*) AS cell_n FROM rep GROUP BY cid),
-         occ AS (
-           SELECT CAST(count(*) AS BIGINT) AS n_cells_occupied,
-             CAST(sum(cell_n) AS BIGINT) AS n_codes,
-             CAST(max(cell_n) AS BIGINT) AS max_cell
-           FROM percell),
-         occ2 AS (
-           SELECT (max_cell * n_cells_occupied * 1000) // n_codes
-               AS skew_milli,
-             CAST($ivfPqCentroids - n_cells_occupied AS BIGINT)
-               AS n_cells_empty
-           FROM occ),
-         gmv AS (SELECT id, mv FROM xmv),
-         ${pqChainFromMv("g", 64, ivfPqCentroids)},
-         ${auditSubs.map { case (ra, rb, lo, hi) =>
-            s"""${ra}mv AS (
-             SELECT a.id,
-               list_transform(generate_series($lo, $hi),
-                 j -> m.mv[j] - c.cv[j]) AS mv
-             FROM ca2 a JOIN cmv m USING (id) JOIN cc2 c ON a.cid = c.cid),
-           ${pqChainFromMv(ra, hi - lo + 1, 16)},
-           ${rb}mv AS (
-             SELECT a.id,
-               list_transform(generate_series($lo, $hi),
-                 j -> m.mv[j] - c.cv[j]) AS mv
-             FROM ga2 a JOIN gmv m USING (id) JOIN gc2 c ON a.cid = c.cid),
-           ${pqChainFromMv(rb, hi - lo + 1, 16)}"""
-          }.mkString(",\n         ")},
-         ${auditSubs.map { case (ra, rb, lo, hi) =>
-            s"""${ra}xe AS (
-             SELECT m.id, min(${sqDistIntSql("m.mv", "c.cv", (hi - lo + 1).toString)}) AS d
-             FROM ${rb}mv m CROSS JOIN ${ra}c2 c GROUP BY m.id),
-           ${rb}xe AS (
-             SELECT m.id, min(${sqDistIntSql("m.mv", "c.cv", (hi - lo + 1).toString)}) AS d
-             FROM ${rb}mv m CROSS JOIN ${rb}c2 c GROUP BY m.id)"""
-          }.mkString(",\n         ")},
-         rtot AS (
-           SELECT
-             CAST((SELECT count(*) FROM rb0mv) AS BIGINT) AS n_rows,
-             CAST((${auditSubs.map { case (ra, _, _, _) =>
-               s"(SELECT sum(d) FROM ${ra}xe)" }.mkString(" + ")}) AS BIGINT)
-               AS err_standing,
-             CAST((${auditSubs.map { case (_, rb, _, _) =>
-               s"(SELECT sum(d) FROM ${rb}xe)" }.mkString(" + ")}) AS BIGINT)
-               AS err_retrained)
-         SELECT t.n_rows, t.err_standing, t.err_retrained,
-           o.skew_milli, o.n_cells_empty,
-           CASE WHEN (t.err_standing - t.err_retrained) * 20
-                     > t.err_retrained THEN 'retrain'
-                WHEN o.skew_milli > 4000
-                     OR o.n_cells_empty * 4 > $ivfPqCentroids
-                     THEN 'rebalance'
-                ELSE 'append' END AS decision
-         FROM rtot t CROSS JOIN occ2 o"""
-    },
+    "q175_ann_maint_residual" -> residualPolicySql,
+    // q180: the FULL four-rung ladder in one election — q175's
+    // refresh policy and q178's resolution audit composed (each leg a
+    // WITH-scoped derived table, so the two chains' CTE namespaces
+    // never meet), final decision `exact_fallback` when the bits
+    // cannot rank even the post-retrain representation (no refresh
+    // op can buy that back — AnnDriftBench), else q175's election.
+    "q180_ann_maint_ladder" ->
+      s"""SELECT p.n_rows, p.err_standing, p.err_retrained,
+           p.skew_milli, p.n_cells_empty,
+           p.decision AS refresh_decision,
+           b.n_cells_flagged, b.max_tuple_load_milli,
+           b.decision AS resolution_decision,
+           CASE WHEN b.decision = 'bit_budget' THEN 'exact_fallback'
+                ELSE p.decision END AS decision
+         FROM ($residualPolicySql) p CROSS JOIN ($bitBudgetSql) b""",
     // q171: codebook-drift audit — the q149 pattern for the ANN
     // index. Two full PQ trainings (m=4 × 16-dim subspaces, k=16,
     // the audit budget) over the standing corpus (batch excluded)

@@ -769,6 +769,32 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
     res.withColumn("search_arm", lit(arm))
   }
 
+  /** The FULL maintenance ladder, gated (q180) — q175's refresh
+    * policy extended with q178's bit-budget verdict into one
+    * four-rung election: `exact_fallback` when the resolution audit
+    * says the bits cannot rank even the post-retrain representation
+    * (AnnDriftBench measured that event at recall ~0.02 on EVERY
+    * refresh arm, 0.998 on the exact arm — no refresh buys it back,
+    * so it outranks `retrain`), else q175's `retrain` > `rebalance`
+    * > `append`. Both sub-elections travel as columns
+    * (`refresh_decision`, `resolution_decision`) so the final call is
+    * explainable from its own row; the oracle composes the two full
+    * replay chains as WITH-scoped derived tables and re-elects
+    * independently. One row — THE maintenance query a deployment
+    * schedules. */
+  def annMaintLadder(spark: SparkSession, sfDir: String): DataFrame = {
+    val refresh = annMaintPolicyResidual(spark, sfDir)
+      .withColumnRenamed("decision", "refresh_decision")
+    val resolution = annBitBudgetAudit(spark, sfDir)
+      .select(col("n_cells_flagged"), col("max_tuple_load_milli"),
+        col("decision").as("resolution_decision"))
+    refresh.crossJoin(resolution)
+      .withColumn("decision",
+        when(col("resolution_decision") === "bit_budget",
+          lit("exact_fallback"))
+          .otherwise(col("refresh_decision")))
+  }
+
   /** q163's ADC search served from a PERSISTED PQ index — the q146/
     * q152/q155 artifact discipline applied to the compressed-corpus
     * relation: build once per corpus (codebooks + codes,
