@@ -403,6 +403,45 @@ class IvfPqSpec extends SparkSpec {
       tree.getAs[String]("decision") == "fit", tree)
   }
 
+  test("q179 dispatch: a collapsed corpus flips the arm to exact_ivf and the exact arm ranks it") {
+    // the arm the sf gates can never exercise (their corpora audit
+    // `fit`), pinned here end to end on a synthetic bit-budget event:
+    // 30 IDENTICAL vectors (mutual distances zero — maximally below
+    // any quantizer's resolution) far from a spread cloud. The
+    // resolution audit must flag the collapsed cells (1 code tuple,
+    // ≥ 16 rows), q178 must say bit_budget, and q179 must dispatch to
+    // the exact-vector IVF arm — which, unlike any PQ arm, ranks the
+    // collapsed mass correctly because its distances are exact floats.
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_bitbudget_corpus"
+    val dim = 64
+    val collapsed = Seq.fill(dim)(100.0f)
+    def spread(i: Int): Seq[Float] =
+      (0 until dim).map(j => ((i * 31 + j * 7) % 97) / 10.0f)
+    val rows =
+      (1L to 33L).filter(_ % 10 != 0).map(id => (id, collapsed)) ++   // 30 collapsed corpus rows
+      (34L to 119L).filter(_ % 10 != 0).map(id => (id, spread(id.toInt))) ++ // spread corpus
+      Seq((10L, collapsed.map(_ + 0.0001f)),                          // query at the ball
+        (20L, spread(20)), (40L, spread(40)))                         // far queries
+    rows.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    graft.sources.Artifacts.resetMemo() // force fresh artifact builds for this dir
+    val audit = graft.Queries.annBitBudgetAudit(spark, dir).collect().head
+    assert(audit.getAs[String]("decision") == "bit_budget", audit)
+    assert(audit.getAs[Long]("n_cells_flagged") >= 1, audit)
+    val res = graft.Queries.ivfPqExactFallback(spark, dir)
+    val out = res.collect()
+    assert(out.nonEmpty && out.forall(_.getAs[String]("search_arm") == "exact_ivf"),
+      out.take(5).mkString("; "))
+    // the ball query's exact top-5 is inside the collapsed mass —
+    // the ranking every PQ arm provably cannot produce there
+    val ballTop = out.filter(_.getAs[Long]("query_id") == 10L)
+      .map(_.getAs[Long]("neighbor_id")).toSet
+    val collapsedIds = (1L to 33L).filter(_ % 10 != 0).toSet
+    assert(ballTop.size == 5 && ballTop.subsetOf(collapsedIds),
+      s"ball query neighbors $ballTop not within the collapsed mass")
+    graft.sources.Artifacts.resetMemo() // don't leak this dir's memo into other specs
+  }
+
   test("single-agg distinct-min merge == explicit heap/explode/min/re-heap") {
     import spark.implicits._
     val scored = Seq(
