@@ -22,9 +22,14 @@ import graft.operators.{Pq, SimilaritySearch, TopK}
   *    buy-back). And the measured punchline is the honest one: at
   *    this bit budget NO ladder arm restores recall@5 inside the
   *    collapsed ball (mutual distances fall below PQ resolution —
-  *    high-dim near-degenerate neighborhoods), so the alarm's real
-  *    message is "this index's bit budget no longer fits the data",
-  *    a parameter decision, not a refresh.
+  *    high-dim near-degenerate neighborhoods). Since round 15 that
+  *    dead end is instrumented and wired: the q178 resolution audit
+  *    (per-cell code-tuple census, [[graft.operators.Pq
+  *    .resolutionAudit]]) fires `bit_budget` on exactly this
+  *    scenario's REBUILT tree and nowhere else, and the exact-vector
+  *    IVF fallback arm (q179's dispatch target, measured below)
+  *    restores the recall every PQ arm loses at the same probe
+  *    shape.
   *  - `shift` (x → x + 0.3): the corpus translates; mutual distances
   *    are PRESERVED. An OCCUPANCY event — every shifted point chases
   *    the few standing centroids with the largest component along the

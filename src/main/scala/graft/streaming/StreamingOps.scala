@@ -940,6 +940,17 @@ object StreamingOps {
     * share" point the scan-budget bench prices). Each batch's result
     * carries the elected mode as a `search_mode` column, so the
     * downstream sink can log mode flips.
+    *
+    * What the adaptive mode deliberately does NOT re-elect per batch
+    * is the q178 BIT-BUDGET verdict: that event changes only when a
+    * retrained index is PUBLISHED (its instrument is a full
+    * code-tuple census, not a partition-column read), and its
+    * escalation target is a different artifact layout entirely (the
+    * exact-vector tree q179 dispatches to). A deployment hitting
+    * `bit_budget` switches sinks at index-publish time — the batch
+    * dispatch (q179) is the template; per-micro-batch re-election
+    * would pay a full codes scan to re-learn a verdict that cannot
+    * have changed.
     */
   def ivfPqSearchWriter(
       stream: DataFrame,
