@@ -403,6 +403,28 @@ class IvfPqSpec extends SparkSpec {
       tree.getAs[String]("decision") == "fit", tree)
   }
 
+  test("sizeScanBudget property: simulated budget walks never scan past max(target, max_cell)") {
+    // the guarantee the helper sells, validated against the ACTUAL
+    // stop rule (keep the next cell while the previously-kept cells'
+    // cumulative occupancy is below the budget) over random occupancy
+    // maps and random cell-visit orders — the walk is order-dependent
+    // per query, the bound must not be
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 300) {
+      val occ = (0L to rnd.nextInt(40).toLong)
+        .map(c => c -> (rnd.nextInt(1000) + 1).toLong).toMap
+      val maxCell = occ.values.max
+      val target = 1L + rnd.nextInt(3000)
+      val b = Pq.sizeScanBudget(occ, target)
+      var prior = 0L
+      rnd.shuffle(occ.keys.toSeq).foreach { c =>
+        if (prior < b) prior += occ(c)
+      }
+      assert(prior <= math.max(target, maxCell),
+        s"occ=$occ target=$target budget=$b scanned=$prior")
+    }
+  }
+
   test("q179 dispatch: a collapsed corpus flips the arm to exact_ivf and the exact arm ranks it") {
     // the arm the sf gates can never exercise (their corpora audit
     // `fit`), pinned here end to end on a synthetic bit-budget event:
