@@ -224,7 +224,8 @@ object Queries
     "q177_ivfpq_adaptive" -> (ivfPqAdaptiveRerank _),
     "q178_ann_bit_budget" -> (annBitBudgetAudit _),
     "q179_ann_exact_fallback" -> (ivfPqExactFallback _),
-    "q180_ann_maint_ladder" -> (annMaintLadder _))
+    "q180_ann_maint_ladder" -> (annMaintLadder _),
+    "q181_ann_search_dispatch" -> (ivfPqSearchDispatch _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = {

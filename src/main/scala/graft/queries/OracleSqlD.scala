@@ -1190,6 +1190,22 @@ private[graft] trait OracleSqlD {
     // (the Spark side would have served exact-vector results).
     "q179_ann_exact_fallback" -> ivfPqRerankSql(ivfPqCtes(),
       armCol = true),
+    // q181: the FULL search dispatch — q180's search-side twin. The
+    // ivfpq leg is q177's oracle verbatim (incr-lineage rerank with
+    // the occupancy-elected search_mode re-derived and carried); the
+    // ARM election re-derives the q178 census over the post-retrain
+    // chain in its own WITH-scoped derived table (the q180
+    // composition trick), so the two chains' CTE names never meet.
+    "q181_ann_search_dispatch" ->
+      s"""SELECT r.*, a.search_arm
+         FROM (${ivfPqRerankSql(ivfPqCtes(
+           corpusWhere = "vec_id % 10 <> 0",
+           trainWhere = "vec_id % 10 <> 0 AND vec_id % 7 <> 3"),
+           modeCol = true)}) r
+         CROSS JOIN (
+           SELECT CASE WHEN b.n_cells_flagged > 0 THEN 'exact_ivf'
+                  ELSE 'ivfpq' END AS search_arm
+           FROM ($bitBudgetSql) b) a""",
     // q173: coarse-rebalance — q170's lineage with the cells re-cut
     // by a fresh coarse chain over the grown corpus while the PQ
     // codebooks keep training batch-less against the old cells

@@ -737,8 +737,7 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
     * compress scenario measures the fallback arm restoring the
     * recall every PQ arm loses. */
   def ivfPqExactFallback(spark: SparkSession, sfDir: String): DataFrame = {
-    import graft.sources.Artifacts
-    import operators.{Pq, SimilaritySearch}
+    import operators.Pq
     val pqTree = ivfPqIndexPath(spark, sfDir)
     val verdict = Pq.resolutionAudit(spark, pqTree)
       .select(col("decision")).collect().head.getString(0)
@@ -746,27 +745,82 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
     val q = emb.filter(col("vec_id") % 10 === 0)
     val arm = if (verdict == "bit_budget") "exact_ivf" else "ivfpq"
     val res =
-      if (verdict == "bit_budget") {
+      if (verdict == "bit_budget")
         // q146's exact-vector tree over the same corpus split — built
         // only when the verdict dispatches here (never on a healthy
         // corpus), searched with q146's parameters and output shape
-        val path = Artifacts.ensure("ivf_exact_fallback", sfDir) { p =>
-          Artifacts.publishTree(spark, p) { build =>
-            SimilaritySearch.buildIvfIndex(
-              emb.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
-              centroids = 64, assignments = 2, build)
-          }
-        }
-        SimilaritySearch.ivfTopKFromIndex(q, path, k = 5,
-            "vec_id", "embedding", probes = 16)
-          .select(col("query_id"), col("rank").cast("long").as("rank"),
-            col("neighbor_id"),
-            floor(col("dist") * 1000000.0).cast("long").as("dist_micro"))
-      } else
+        exactIvfArm(spark, sfDir)
+      else
         rerankTop5(emb, q,
           Pq.ivfPqCandidates(q, pqTree, dim = 64, topK = 50, probes = 12,
             "vec_id", "embedding"))
     res.withColumn("search_arm", lit(arm))
+  }
+
+  /** The FULL search dispatch, gated (q181) — q180's search-side
+    * twin, composing BOTH live alarms into the one election a query
+    * service makes per batch: the q178 resolution audit of the
+    * post-retrain representation elects the ARM (`exact_ivf` when
+    * the bits cannot rank the corpus — q179's escalation — else
+    * `ivfpq`), and inside the ivfpq arm the q172 occupancy audit of
+    * the standing APPENDED tree elects the WALK (`scan_budget` once
+    * a hot cell would inflate fixed probes — q177's loop). The two
+    * audits deliberately watch DIFFERENT lineages: occupancy is a
+    * property of the live tree appends mutate between rebalances;
+    * resolution is a property of the freshest retrained
+    * representation (it cannot improve with any refresh, so it is
+    * read from the tree a retrain would produce). Both elections
+    * travel as columns the oracle independently re-derives — either
+    * flipping silently mismatches the columns AND the rows. On the
+    * gate corpus: arm `ivfpq`, mode `fixed_probes`, q170's verbatim
+    * probe + re-rank. */
+  def ivfPqSearchDispatch(spark: SparkSession, sfDir: String): DataFrame = {
+    import operators.Pq
+    val arm = Pq.resolutionAudit(spark, ivfPqIndexPath(spark, sfDir))
+      .select(col("decision")).collect().head.getString(0) match {
+      case "bit_budget" => "exact_ivf"
+      case _ => "ivfpq"
+    }
+    val res =
+      if (arm == "exact_ivf")
+        exactIvfArm(spark, sfDir).withColumn("search_mode", lit("exact"))
+      else {
+        val path = ivfPqIncrIndexPath(spark, sfDir)
+        val mode = Pq.occupancyAudit(spark, path)
+          .select(col("search_mode")).collect().head.getString(0)
+        val emb = t(spark, sfDir, "embeddings")
+        val q = emb.filter(col("vec_id") % 10 === 0)
+        val cand =
+          if (mode == "scan_budget")
+            Pq.ivfPqCandidatesBudget(q, path, dim = 64, topK = 50,
+              scanBudget = 1200L, "vec_id", "embedding", maxQueryBatch = 32)
+          else
+            Pq.ivfPqCandidates(q, path, dim = 64, topK = 50, probes = 12,
+              "vec_id", "embedding", maxQueryBatch = 32)
+        rerankTop5(emb, q, cand).withColumn("search_mode", lit(mode))
+      }
+    res.withColumn("search_arm", lit(arm))
+  }
+
+  /** The exact-vector arm shared by q179 and q181 — q146's layout
+    * over the same corpus split, built only when dispatched to. */
+  private def exactIvfArm(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.Artifacts
+    import operators.SimilaritySearch
+    val emb = t(spark, sfDir, "embeddings")
+    val path = Artifacts.ensure("ivf_exact_fallback", sfDir) { p =>
+      Artifacts.publishTree(spark, p) { build =>
+        SimilaritySearch.buildIvfIndex(
+          emb.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+          centroids = 64, assignments = 2, build)
+      }
+    }
+    SimilaritySearch.ivfTopKFromIndex(
+        emb.filter(col("vec_id") % 10 === 0), path, k = 5,
+        "vec_id", "embedding", probes = 16)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"),
+        floor(col("dist") * 1000000.0).cast("long").as("dist_micro"))
   }
 
   /** The FULL maintenance ladder, gated (q180) — q175's refresh
