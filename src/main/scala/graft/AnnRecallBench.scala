@@ -123,6 +123,33 @@ object AnnRecallBench {
       recallOf(s"pq_fullscan_w$topK", Pq.adcTopKFromIndex(q, p, dim = 64,
         topK = topK, "vec_id", "embedding"))
     }
+    // SPARK_GRAFT_EXACT_IVF=1: price the q179/q181 EXACT-VECTOR
+    // fallback arm at this decade — q146's layout at the wired
+    // parameters (64 cells / 16 probes / 2 assignments): cells store
+    // vectors, so the probe scans ~probes·assignments/centroids of
+    // the corpus at 42× the bytes-per-row of codes, buying exact
+    // distances (recall limited ONLY by cell pruning — the honest
+    // price/quality point of the escalation the bit-budget verdict
+    // dispatches to)
+    if (sys.env.contains("SPARK_GRAFT_EXACT_IVF")) {
+      import graft.operators.SimilaritySearch
+      val p = s"${sys.props("java.io.tmpdir")}/graft_annrecall_exact_ivf"
+      val t0 = System.nanoTime()
+      SimilaritySearch.buildIvfIndex(corpus, "vec_id", "embedding",
+        centroids = 64, assignments = 2, p)
+      println(f"RECALL exact_ivf_build ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      def cand = SimilaritySearch.ivfTopKFromIndex(q, p, k = 5,
+          "vec_id", "embedding", probes = 16)
+        .select(col("query_id"), col("neighbor_id"))
+      val ts = (1 to 2).map { _ =>
+        val s0 = System.nanoTime()
+        cand.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - s0) / 1e9
+      }
+      println(f"RECALL exact_ivf_probe ${ts.min}%.2f s (runs ${
+        ts.map(t => f"$t%.2f").mkString("/")})")
+      recallOf("exact_ivf_probes16", cand)
+    }
     spark.stop()
   }
 }
