@@ -1001,9 +1001,16 @@ object Pq {
     * is the irreducible worst case — a target below it sizes the
     * walk to that floor rather than failing. Monotone in the target
     * by construction (a looser SLO never shrinks the walk). */
-  def sizeScanBudget(occ: Map[Long, Long], targetRowsPerQuery: Long): Long = {
+  def sizeScanBudget(occ: Map[Long, Long], targetRowsPerQuery: Long): Long =
+    sizeScanBudgetFromMax(
+      if (occ.isEmpty) 0L else occ.valuesIterator.max, targetRowsPerQuery)
+
+  /** The sizing formula itself — `max_cell` is its ONLY occupancy
+    * input, so callers already holding an audit row (q172's
+    * `max_cell` column) size without a second occupancy read. */
+  def sizeScanBudgetFromMax(maxCell: Long, targetRowsPerQuery: Long): Long = {
     require(targetRowsPerQuery >= 1, "targetRowsPerQuery must be >= 1")
-    val maxCell = if (occ.isEmpty) 0L else occ.valuesIterator.max
+    require(maxCell >= 0, "maxCell must be >= 0")
     math.max(1L, targetRowsPerQuery - maxCell + 1L)
   }
 

@@ -983,14 +983,17 @@ object StreamingOps {
               // batch's walk (q177's loop without a sink restart)
               val audit = Pq.occupancyAudit(spark, indexPath)
                 .select(col("search_mode"), col("n_codes"),
-                  col("n_cells_occupied")).collect().head
+                  col("n_cells_occupied"), col("max_cell")).collect().head
               val mode = audit.getString(0)
               val searched =
                 if (mode == "scan_budget") {
-                  val b = scanBudget.getOrElse(Pq.sizeScanBudget(
-                    spark, indexPath,
-                    math.max(1L, probes * (audit.getLong(1) /
-                      math.max(1L, audit.getLong(2))))))
+                  // budget sized from the SAME audit row (its
+                  // max_cell is the sizing rule's only occupancy
+                  // input) — no second codes-listing per batch
+                  val target = math.max(1L, probes * (audit.getLong(1) /
+                    math.max(1L, audit.getLong(2))))
+                  val b = scanBudget.getOrElse(
+                    Pq.sizeScanBudgetFromMax(audit.getLong(3), target))
                   budgetSearch(b)
                 } else probeSearch()
               searched.withColumn("search_mode", lit(mode))
