@@ -477,13 +477,19 @@ object ScaleUp {
     // yet realize eras outside the validated space. The generated
     // tables are uniform by construction; a foreign source is
     // asserted here rather than trusted.
-    val dims = src.select(size(col("embedding"))).distinct().limit(2).collect()
-    require(dims.nonEmpty, "scaleEmbeddings: empty embeddings source — " +
-      "no rows to derive the replica-space bound from")
-    require(dims.length == 1, "scaleEmbeddings: mixed embedding dims " +
-      s"(${dims.map(_.getInt(0)).sorted.mkString(", ")}…) — the Walsh " +
-      "replica capacity is only valid over a uniform-dim corpus")
-    val dimVal = dims.head.getInt(0)
+    // one min/max agg (partial-agg, no distinct shuffle, round-15
+    // advice): min==max IS the uniformity assertion, and the same
+    // pass proves non-emptiness
+    val dimStats = src.agg(min(size(col("embedding"))).as("mn"),
+      max(size(col("embedding"))).as("mx"),
+      count(lit(1)).as("n")).collect().head
+    require(dimStats.getLong(2) > 0, "scaleEmbeddings: empty " +
+      "embeddings source — no rows to derive the replica-space bound from")
+    require(dimStats.getInt(0) == dimStats.getInt(1),
+      "scaleEmbeddings: mixed embedding dims " +
+        s"(${dimStats.getInt(0)}..${dimStats.getInt(1)}) — the Walsh " +
+        "replica capacity is only valid over a uniform-dim corpus")
+    val dimVal = dimStats.getInt(0)
     val eraSpace = Integer.highestOneBit(dimVal)
     require(reps >= 1 && reps <= dimVal * eraSpace,
       s"reps=$reps: embeddings replica space at dim=$dimVal is " +

@@ -521,9 +521,11 @@ object Pq {
     * files by the `<tag>-` NAME PREFIX, so the tag alphabet excludes
     * `-` (a tag could otherwise be a proper prefix of another
     * committed tag — deleting `b7` would sweep `b7-x`'s files while
-    * its marker still stood) and tags starting with `part` are
-    * rejected (Spark names data files `part-*`; tag `part` would
-    * sweep the base build's own files on the first retry). The
+    * its marker still stood) and the exact tag `part` is rejected
+    * (Spark names data files `part-*`; tag `part` would sweep the
+    * base build's own files on the first retry — longer tags like
+    * `partition7` sweep `partition7-`, which cannot prefix a
+    * `part-*` file, so the rest of the namespace stays usable). The
     * marker also binds the index to ONE batch-id lineage: tags
     * encode identity, not contents, so a stream whose checkpoint is
     * wiped while the index is kept restarts batchIds at 0 and
@@ -543,10 +545,12 @@ object Pq {
         s"batchTag must match [A-Za-z0-9._]+ (no '-': cleanup deletes " +
           s"by '<tag>-' name prefix, and a '-' inside a tag would let " +
           s"one tag prefix another committed tag's files), got '$t'")
-      require(!t.startsWith("part"),
-        s"batchTag must not start with 'part' (Spark data files are " +
-          s"named part-*; the crash-cleanup prefix sweep would delete " +
-          s"the base build's own files), got '$t'")
+      require(t != "part",
+        s"batchTag must not be exactly 'part' (Spark data files are " +
+          s"named part-*; that tag's crash-cleanup sweep prefix " +
+          s"'part-' would delete the base build's own files; longer " +
+          s"tags like 'partition7' sweep 'partition7-' which cannot " +
+          s"prefix a part-* file, so they stay allowed), got '$t'")
     }
     val spark = batch.sparkSession
     val meta = readIvfPqMeta(spark, path)
@@ -777,6 +781,31 @@ object Pq {
       path: String): DataFrame =
     occupancyAuditOf(spark.read.parquet(s"$path/codes"),
       readIvfPqMeta(spark, path).centroids)
+
+  /** Cheap change-signature of an IVF-PQ index tree: the `meta/`
+    * sidecar's mtime (a [[graft.sources.Artifacts.publishTree]]
+    * republish — build, rebalance, retrain — swaps in a freshly
+    * written tree, so the mtime moves) plus the sorted `appends/`
+    * marker names (every TAGGED append writes one, LAST). Two metadata
+    * reads, no Spark job — the invalidation key the adaptive search
+    * sink caches its occupancy-audit row on. What it deliberately
+    * cannot see: an UNTAGGED `appendIvfPqIndex` leaves no marker; the
+    * streaming append sink always tags (its batchId IS the tag), and
+    * out-of-band untagged appends are already documented as
+    * at-least-once/non-idempotent — a deployment doing them forfeits
+    * audit caching along with replay safety. */
+  def indexStateSignature(spark: org.apache.spark.sql.SparkSession,
+      path: String): String = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val metaM = fs.getFileStatus(new Path(s"$path/meta")).getModificationTime
+    val appends = new Path(s"$path/appends")
+    val tags =
+      if (fs.exists(appends))
+        fs.listStatus(appends).map(_.getPath.getName).sorted.mkString(",")
+      else ""
+    s"$metaM|$tags"
+  }
 
   /** Per-cell occupancy of a codes relation — the ONE occupancy
     * reader shared by [[occupancyAuditOf]] (the q172 audit) and the

@@ -1131,14 +1131,21 @@ private[graft] trait DedupCurationQueries extends QueryContext {
       .groupBy(col("side"))
       .agg(count(lit(1)).as("n_clusters"),
         sum(col("d")).as("d"), sum(col("s")).as("s"))
-      .agg(max(when(col("side") === "e", col("d"))).as("n_docs"),
-        max(when(col("side") === "e", col("s"))).as("n_same"),
-        max(when(col("side") === "e", col("n_clusters")))
-          .as("n_clusters_exact"),
-        max(when(col("side") === "c", col("n_clusters")))
-          .as("n_clusters_capped"))
+      .agg(coalesce(max(when(col("side") === "e", col("d"))), lit(0L))
+          .as("n_docs"),
+        coalesce(max(when(col("side") === "e", col("s"))), lit(0L))
+          .as("n_same"),
+        coalesce(max(when(col("side") === "e", col("n_clusters"))),
+          lit(0L)).as("n_clusters_exact"),
+        coalesce(max(when(col("side") === "c", col("n_clusters"))),
+          lit(0L)).as("n_clusters_capped"))
+      // zero joined docs: the pre-rewrite countDistinct aggregate
+      // returned 0s, not NULLs — coalesce (and the DIV-by-zero guard
+      // on same_ppm) preserves that contract; non-empty inputs are
+      // untouched (n_docs > 0 and every max is non-null there).
       .select(col("n_docs"), col("n_same"),
-        expr("(n_same * 1000000) DIV n_docs").as("same_ppm"),
+        coalesce(expr("(n_same * 1000000) DIV n_docs"), lit(0L))
+          .as("same_ppm"),
         col("n_clusters_exact"), col("n_clusters_capped"))
   }
 

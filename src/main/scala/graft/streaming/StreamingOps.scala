@@ -927,12 +927,23 @@ object StreamingOps {
     *
     * `adaptive` (round-15: q177's loop, streaming-side) makes the
     * sink obey the alarm ITSELF: at each micro-batch start it reads
-    * the q172 occupancy audit of the live index (one driver-bounded
-    * row off the codes partition listing — the index is APPENDED TO
+    * the q172 occupancy audit of the live index — a one-row result,
+    * but computing it is a real aggregation job over the codes
+    * relation (a cell-count group-by; `c_id` is the partition column
+    * so no code bytes decode, but every batch would still pay a scan
+    * proportional to the codes file count). The index is APPENDED TO
     * while the query runs, so the election must be per-batch, not
-    * per-sink-construction) and runs that batch in the elected mode —
-    * fixed probes while the partition is balanced, the budget walk
-    * once a skewed append lands, with no sink restart in between.
+    * per-sink-construction — yet most batches see an UNCHANGED index,
+    * so the audit row is cached keyed on
+    * [[graft.operators.Pq.indexStateSignature]] (meta mtime + tagged
+    * append markers, two metadata reads) and the aggregation re-runs
+    * only when a republish or a tagged append actually landed
+    * (round-15 advice; untagged out-of-band appends are invisible to
+    * the signature — they already forfeit replay safety, and the
+    * streaming append sink always tags). The batch then runs in the
+    * elected mode — fixed probes while the partition is balanced, the
+    * budget walk once a skewed append lands, with no sink restart in
+    * between.
     * The elected budget is `scanBudget` when given, else SIZED from
     * the live occupancy map ([[graft.operators.Pq.sizeScanBudget]])
     * to fixed-probe row parity on a balanced partition
@@ -963,7 +974,12 @@ object StreamingOps {
       maxQueryBatch: Int = 256,
       scanBudget: Option[Long] = None,
       adaptive: Boolean = false)(
-      sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+      sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
+    // occupancy-audit cache: micro-batches run sequentially on the
+    // driver, so plain vars captured by the foreachBatch closure are
+    // the per-query state store for the elected-mode inputs
+    var auditSig: String = null
+    var auditRow: org.apache.spark.sql.Row = null
     stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
@@ -978,12 +994,19 @@ object StreamingOps {
             maxQueryBatch)
           val cand =
             if (adaptive) {
-              // the election, re-read per micro-batch: appends land
+              // the election, re-checked per micro-batch: appends land
               // between batches, and a flipped alarm must flip THIS
-              // batch's walk (q177's loop without a sink restart)
-              val audit = Pq.occupancyAudit(spark, indexPath)
-                .select(col("search_mode"), col("n_codes"),
-                  col("n_cells_occupied"), col("max_cell")).collect().head
+              // batch's walk (q177's loop without a sink restart) —
+              // but the audit aggregation itself re-runs only when
+              // the tree's signature moved (see scaladoc)
+              val sig = Pq.indexStateSignature(spark, indexPath)
+              if (sig != auditSig) {
+                auditRow = Pq.occupancyAudit(spark, indexPath)
+                  .select(col("search_mode"), col("n_codes"),
+                    col("n_cells_occupied"), col("max_cell")).collect().head
+                auditSig = sig
+              }
+              val audit = auditRow
               val mode = audit.getString(0)
               val searched =
                 if (mode == "scan_budget") {
@@ -1001,4 +1024,5 @@ object StreamingOps {
           sink(cand, batchId)
         }
       }
+  }
 }

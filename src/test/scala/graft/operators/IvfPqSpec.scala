@@ -200,10 +200,12 @@ class IvfPqSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("batchTag must match"))
     // the cleanup sweep deletes live files by '<tag>-' NAME PREFIX, so
-    // the two tag classes that could sweep someone ELSE's files are
+    // the two tags that could sweep someone ELSE's files are
     // rejected: a '-' inside a tag ('b7' would prefix a committed
-    // 'b7-x' batch's files) and a 'part' prefix (Spark's own data
-    // files are part-*; tag 'part' would sweep the base build)
+    // 'b7-x' batch's files) and the exact tag 'part' (Spark's own
+    // data files are part-*; sweep prefix 'part-' would hit the base
+    // build). Longer part* tags sweep '<tag>-' which cannot prefix a
+    // part-* name, so they stay usable (round-15 advice).
     val dash = intercept[IllegalArgumentException] {
       Pq.appendIvfPqIndex(batch, "vec_id", "embedding", path,
         batchTag = Some("b7-x"))
@@ -211,9 +213,40 @@ class IvfPqSpec extends SparkSpec {
     assert(dash.getMessage.contains("batchTag must match"))
     val part = intercept[IllegalArgumentException] {
       Pq.appendIvfPqIndex(batch, "vec_id", "embedding", path,
-        batchTag = Some("part0"))
+        batchTag = Some("part"))
     }
-    assert(part.getMessage.contains("must not start with 'part'"))
+    assert(part.getMessage.contains("must not be exactly 'part'"))
+    val beforeP7 = rows().size
+    Pq.appendIvfPqIndex(batch, "vec_id", "embedding", path,
+      batchTag = Some("partition7"))
+    assert(rows().size == beforeP7 + 4,
+      "a 'part'-prefixed (but not exactly 'part') tag must append normally")
+  }
+
+  test("indexStateSignature: stable on reads, moves on tagged append and republish") {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_sig"
+    build(path)
+    val s0 = Pq.indexStateSignature(spark, path)
+    // pure reads (audit, probe) don't move the signature
+    Pq.occupancyAudit(spark, path).collect()
+    assert(Pq.indexStateSignature(spark, path) == s0,
+      "reads must not invalidate the cached audit")
+    // a tagged append writes a marker → new signature
+    Pq.appendIvfPqIndex(query, "vec_id", "embedding", path,
+      batchTag = Some("sig1"))
+    val s1 = Pq.indexStateSignature(spark, path)
+    assert(s1 != s0, "a tagged append must move the signature")
+    // a replayed tag is a no-op append AND a no-op signature
+    Pq.appendIvfPqIndex(query, "vec_id", "embedding", path,
+      batchTag = Some("sig1"))
+    assert(Pq.indexStateSignature(spark, path) == s1)
+    // a republish (rebuild at the same path) swaps the tree → the
+    // meta mtime moves even though no marker changed (markers are
+    // gone entirely on a fresh tree)
+    Thread.sleep(5) // local-fs mtime granularity
+    build(path)
+    assert(Pq.indexStateSignature(spark, path) != s1,
+      "a republished tree must move the signature")
   }
 
   test("rebalance: fresh coarse cells, standing PQ codebooks verbatim, search sane") {
