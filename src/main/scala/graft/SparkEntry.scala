@@ -225,7 +225,9 @@ object Queries
     "q178_ann_bit_budget" -> (annBitBudgetAudit _),
     "q179_ann_exact_fallback" -> (ivfPqExactFallback _),
     "q180_ann_maint_ladder" -> (annMaintLadder _),
-    "q181_ann_search_dispatch" -> (ivfPqSearchDispatch _))
+    "q181_ann_search_dispatch" ->
+      ((s: SparkSession, d: String) => ivfPqSearchDispatch(s, d)),
+    "q182_ann_dispatch_sized" -> (ivfPqSearchDispatchSized _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = {

@@ -410,7 +410,50 @@ object Pq {
         .coalesce(1).write.parquet(s"$build/codebooks")
       encodeCodes(it, ivfCb, cbs, dim, residual, effAssign)
         .write.partitionBy("c_id").parquet(s"$build/codes")
+      stampResolution(items.sparkSession, build, m)
     }
+  }
+
+  /** Default thresholds of the [[resolutionAudit]] — shared with the
+    * publish-time stamp so the stamped verdict and a live census at
+    * defaults cannot disagree. */
+  val ResolutionMinCell: Long = 16L
+  val ResolutionLoadFactor: Long = 4L
+
+  /** Census the just-written codes of a BUILD tree and persist the
+    * 1-row audit as `<build>/resolution` — the resolution verdict
+    * STAMPED at publish time (round-15 verdict: the verdict is a
+    * property of the published representation; q179/q181 were
+    * re-running the full code-tuple census per dispatch to re-learn
+    * an answer that can only change when a publish swaps the tree).
+    * Appends deliberately do NOT restamp: the q178 doctrine reads the
+    * verdict off the post-RETRAIN representation (no refresh can
+    * clear it, so appended collisions don't change the escalation
+    * call), and the stamp travels inside the publishTree rename, so
+    * a stale verdict after a retrain is impossible — the rebuilt
+    * tree ships its own stamp or ships nothing. */
+  private def stampResolution(spark: org.apache.spark.sql.SparkSession,
+      build: String, m: Int): Unit =
+    resolutionAuditOf(spark.read.parquet(s"$build/codes"), m,
+        ResolutionMinCell, ResolutionLoadFactor)
+      .coalesce(1).write.parquet(s"$build/resolution")
+
+  /** The resolution verdict of an index tree — ONE row read from the
+    * `resolution/` stamp written at publish ([[buildIvfPqIndex]] /
+    * [[rebalanceIvfPqIndex]]); a pre-stamp tree (built before the
+    * stamp format) falls back to the live census, paying the one
+    * codes scan the stamp exists to amortize. This is what a
+    * dispatch reads ([[graft.queries]] q178/q179/q181): the verdict
+    * can only change at index-publish time, so per-dispatch
+    * re-censusing is wasted work (the adaptive sink's scaladoc
+    * argument, now honored by the batch dispatches too). */
+  def resolutionStamp(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(s"$path/resolution")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p)) spark.read.parquet(s"$path/resolution")
+    else resolutionAudit(spark, path)
   }
 
   /** The encode projection shared by [[buildIvfPqIndex]] and
@@ -654,6 +697,7 @@ object Pq {
         .coalesce(1).write.parquet(s"$build/codebooks")
       encodeCodes(it, ivfCb, cbs, meta.dim, meta.residual, effAssign)
         .write.partitionBy("c_id").parquet(s"$build/codes")
+      stampResolution(spark, build, meta.m)
     }
   }
 
@@ -886,7 +930,8 @@ object Pq {
     * the corpus), centroids-bounded second level, 1-row output —
     * strictly cheaper than the drift audit it escalates. */
   def resolutionAudit(spark: org.apache.spark.sql.SparkSession,
-      path: String, minCell: Long = 16L, loadFactor: Long = 4L): DataFrame = {
+      path: String, minCell: Long = ResolutionMinCell,
+      loadFactor: Long = ResolutionLoadFactor): DataFrame = {
     val meta = readIvfPqMeta(spark, path)
     resolutionAuditOf(
       spark.read.parquet(s"$path/codes"), meta.m, minCell, loadFactor)
@@ -1041,6 +1086,91 @@ object Pq {
     require(targetRowsPerQuery >= 1, "targetRowsPerQuery must be >= 1")
     require(maxCell >= 0, "maxCell must be >= 0")
     math.max(1L, targetRowsPerQuery - maxCell + 1L)
+  }
+
+  /** Calibration of the rerank-width recall model — the constants of
+    * `recall ≈ c · width^beta / corpusSize^gamma`, fitted in log
+    * space to AnnRecallBench's measured width×size grid at the
+    * data-bound decade (sf 0.1 tree parameters 32/12/2, exact-rerank
+    * recall@5; BASELINE.md round-15/16 tables):
+    * width 50 → 0.255 @ 921k items / 0.184 @ 3.69M; width 400 →
+    * 0.563 / 0.455. Fit residuals ≤ ±6 % relative at all four
+    * points. The model is an honest POWER-LAW INTERPOLATION of that
+    * grid, not physics: it holds in the regime the grid covers
+    * (near-uniform corpora past ~10⁶ items, where recall is
+    * width-bound — the round-15 measurement) and saturates below it
+    * (at sf0.1's 1.8k items the true recall 0.708 exceeds the
+    * extrapolation's cap-clamped value, which is why the sizing rule
+    * floors at the gates' width 50 instead of trusting the model
+    * down there). A deployment re-fits the three constants from its
+    * own AnnRecallBench grid — the rule's SHAPE, not its numbers, is
+    * the contract. */
+  final case class RerankCalibration(
+      c: Double = 0.723778, beta: Double = 0.408133,
+      gamma: Double = 0.194287) {
+    require(c > 0 && beta > 0 && gamma >= 0,
+      s"calibration must have c>0, beta>0, gamma>=0, got $this")
+  }
+
+  /** Predicted exact-rerank recall@5 (milli, capped at 1000) of a
+    * rerank `width` over a `corpusSize`-item index at the calibrated
+    * probe shape — floor(1000 · c · width^beta / corpusSize^gamma).
+    * The estimate half of the [[sizeRerankWidth]] rule, exposed so a
+    * deployment can read the model's opinion of the width it runs. */
+  def estimateRerankRecallMilli(width: Long, corpusSize: Long,
+      calib: RerankCalibration = RerankCalibration()): Long = {
+    require(width >= 1 && corpusSize >= 1,
+      s"width=$width and corpusSize=$corpusSize must be >= 1")
+    val r = 1000.0 * calib.c * math.pow(width.toDouble, calib.beta) /
+      math.pow(corpusSize.toDouble, calib.gamma)
+    math.min(1000L, math.floor(r).toLong)
+  }
+
+  /** Size the exact-rerank WIDTH to a recall target — the round-15
+    * measurement ("recall at 10⁶⁺ items is rerank-width-bound, not
+    * scan-share-bound; width prices as a corpus-size-independent
+    * re-rank join") turned into the deployment rule, the
+    * [[sizeScanBudget]] discipline one lever over. Inverting the
+    * calibrated model for the smallest width whose predicted recall
+    * clears `recallTargetMilli`:
+    *
+    *   width = floor(exp((ln(target/1000) − ln c + gamma·ln n) / beta)) + 1
+    *
+    * — the smallest integer STRICTLY above the real-valued solution
+    * (the safe side of both the fit and the floating-point
+    * boundary), clamped to `[minWidth, corpusSize]`. Monotone
+    * non-decreasing in the target and in the corpus size (beta,
+    * gamma > 0 ⇒ the inner expression is), so a raised recall floor
+    * or a grown corpus never SHRINKS the width — and when unclamped,
+    * `estimateRerankRecallMilli(sizeRerankWidth(n, t), n) ≥ t` by
+    * construction (spec-pinned, the sizeScanBudget bound
+    * discipline). `minWidth` defaults to 50 — the gates' width,
+    * below which the model is extrapolating outside its grid (small
+    * corpora saturate; the floor, not the model, owns that regime).
+    * The cap at `corpusSize` is the other honesty bound: reranking
+    * more candidates than the corpus holds is the exact scan. An
+    * unreachable target (the model caps at the corpus size) returns
+    * the cap — the caller reads the estimate to see the shortfall. */
+  def sizeRerankWidth(corpusSize: Long, recallTargetMilli: Long,
+      minWidth: Long = 50L,
+      calib: RerankCalibration = RerankCalibration()): Long = {
+    require(minWidth >= 1, s"minWidth=$minWidth must be >= 1")
+    math.min(corpusSize,
+      math.max(minWidth, rerankWidthRaw(corpusSize, recallTargetMilli, calib)))
+  }
+
+  /** The unclamped inversion — exposed so the q182 gate can carry
+    * (and its oracle re-derive) the raw rule output next to the
+    * clamped width. */
+  private[graft] def rerankWidthRaw(corpusSize: Long,
+      recallTargetMilli: Long,
+      calib: RerankCalibration = RerankCalibration()): Long = {
+    require(corpusSize >= 1, s"corpusSize=$corpusSize must be >= 1")
+    require(recallTargetMilli >= 1 && recallTargetMilli <= 1000,
+      s"recallTargetMilli=$recallTargetMilli must be in [1, 1000]")
+    math.floor(math.exp(
+      (math.log(recallTargetMilli / 1000.0) - math.log(calib.c) +
+        calib.gamma * math.log(corpusSize.toDouble)) / calib.beta)).toLong + 1L
   }
 
   /** [[sizeScanBudget]] against a live index tree: reads the

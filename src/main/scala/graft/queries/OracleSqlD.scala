@@ -557,6 +557,27 @@ private[graft] trait OracleSqlD {
 
   /** The q178 oracle, also the `b` leg of q180's composition: the
     * default (post-retrain) chain + the collision census, one row. */
+  /** The q182 width rule in DuckDB: `Pq.sizeRerankWidth`'s
+    * arithmetic re-derived from `count(*)` — target 500 milli,
+    * calibration constants verbatim from `Pq.RerankCalibration`
+    * (c = 0.723778, beta = 0.408133, gamma = 0.194287), raw =
+    * floor(exp((ln(target) − ln c + γ·ln n) / β)) + 1, clamped to
+    * [50, n]. One definition used by both the width-bound leg and
+    * the carried columns, so the two cannot drift. Cross-engine FP
+    * note: exp/ln differ from the JVM's by ≲ 1 ulp; the floor
+    * boundary is safe because the raw solution sits ≥ 0.09 from an
+    * integer at every gate corpus (checked at sf0.001/0.01/0.1). */
+  private def rerankWidthSql: String =
+    s"""SELECT rerank_width_raw,
+           CAST(least(n_corpus, greatest(50, rerank_width_raw)) AS BIGINT)
+             AS rerank_width
+         FROM (
+           SELECT CAST(count(*) AS BIGINT) AS n_corpus,
+             CAST(floor(exp((ln(500.0 / 1000.0) - ln(0.723778)
+               + 0.194287 * ln(CAST(count(*) AS DOUBLE))) / 0.408133))
+               AS BIGINT) + 1 AS rerank_width_raw
+           FROM embeddings WHERE vec_id % 10 <> 0)"""
+
   private def bitBudgetSql: String =
     s"""WITH ${ivfPqCtes()},
          ${bitBudgetCtes()}
@@ -580,7 +601,7 @@ private[graft] trait OracleSqlD {
     * served the exact-vector fallback instead, so the rows AND the
     * column would both mismatch. */
   private def ivfPqRerankSql(ctes: String, modeCol: Boolean = false,
-      armCol: Boolean = false): String = {
+      armCol: Boolean = false, widthSql: String = "50"): String = {
     val modeCtes = if (!modeCol) "" else s""",
          opercell AS (
            SELECT cid, count(*) AS cell_n FROM rep GROUP BY cid),
@@ -608,7 +629,7 @@ private[graft] trait OracleSqlD {
            SELECT qid, id FROM (
              SELECT qid, id,
                row_number() OVER (PARTITION BY qid ORDER BY dist, id) AS rank
-             FROM adc) WHERE rank <= 50),
+             FROM adc) WHERE rank <= $widthSql),
          ex AS (
            SELECT c.qid, c.id,
              ${sqDistDoubleSql("qe.embedding", "ie.embedding", "64")} AS dist
@@ -1206,6 +1227,27 @@ private[graft] trait OracleSqlD {
            SELECT CASE WHEN b.n_cells_flagged > 0 THEN 'exact_ivf'
                   ELSE 'ivfpq' END AS search_arm
            FROM ($bitBudgetSql) b) a""",
+    // q182: the width-SIZED dispatch — q181 with the rerank width
+    // elected by the sizeRerankWidth rule. The oracle re-derives BOTH
+    // rule outputs from count(*) + the calibrated inversion (raw =
+    // floor(exp((ln(target)−ln c + γ·ln n)/β))+1, clamped to
+    // [50, n]) and bounds its own candidate rank by its own derived
+    // width, so a rule drift mismatches the columns and a threading
+    // drift mismatches the rows.
+    "q182_ann_dispatch_sized" ->
+      s"""SELECT r.*, a.search_arm,
+           w.rerank_width_raw, w.rerank_width
+         FROM (${ivfPqRerankSql(ivfPqCtes(
+           corpusWhere = "vec_id % 10 <> 0",
+           trainWhere = "vec_id % 10 <> 0 AND vec_id % 7 <> 3") +
+           s",\n         wrule AS ($rerankWidthSql)",
+           modeCol = true,
+           widthSql = "(SELECT rerank_width FROM wrule)")}) r
+         CROSS JOIN (
+           SELECT CASE WHEN b.n_cells_flagged > 0 THEN 'exact_ivf'
+                  ELSE 'ivfpq' END AS search_arm
+           FROM ($bitBudgetSql) b) a
+         CROSS JOIN ($rerankWidthSql) w""",
     // q173: coarse-rebalance — q170's lineage with the cells re-cut
     // by a fresh coarse chain over the grown corpus while the PQ
     // codebooks keep training batch-less against the old cells

@@ -719,9 +719,19 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
     * oracle replays the full build (q167's chains) plus the per-cell
     * tuple rollup. On this corpus every evaluated cell sits at
     * 1000 milli (zero collisions) ⇒ `fit`; the drift bench shows the
-    * compress rebuild at 8653 milli with 47 % of codes flagged. */
+    * compress rebuild at 8653 milli with 47 % of codes flagged.
+    *
+    * Since round 16 the census runs ONCE, at index-publish time, and
+    * is STAMPED into the tree (`resolution/`,
+    * [[graft.operators.Pq.resolutionStamp]]) — this query and the
+    * q179/q181 dispatches read the one stamped row instead of
+    * re-censusing per invocation (the verdict can only change when a
+    * publish swaps the tree; the adaptive sink's scaladoc argument,
+    * now honored batch-side). The oracle still replays the FULL
+    * census from the raw corpus, so a stale or wrong stamp
+    * hash-mismatches. */
   def annBitBudgetAudit(spark: SparkSession, sfDir: String): DataFrame =
-    operators.Pq.resolutionAudit(spark, ivfPqIndexPath(spark, sfDir))
+    operators.Pq.resolutionStamp(spark, ivfPqIndexPath(spark, sfDir))
 
   /** EXACT-FALLBACK dispatch, gated (q179) — the wired next move for
     * the q178 verdict, q177's closed-loop pattern one rung up: read
@@ -739,7 +749,9 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
   def ivfPqExactFallback(spark: SparkSession, sfDir: String): DataFrame = {
     import operators.Pq
     val pqTree = ivfPqIndexPath(spark, sfDir)
-    val verdict = Pq.resolutionAudit(spark, pqTree)
+    // one stamped row, not a census — the verdict was computed when
+    // the tree was published (q178's scaladoc)
+    val verdict = Pq.resolutionStamp(spark, pqTree)
       .select(col("decision")).collect().head.getString(0)
     val emb = t(spark, sfDir, "embeddings")
     val q = emb.filter(col("vec_id") % 10 === 0)
@@ -773,10 +785,19 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
     * travel as columns the oracle independently re-derives — either
     * flipping silently mismatches the columns AND the rows. On the
     * gate corpus: arm `ivfpq`, mode `fixed_probes`, q170's verbatim
-    * probe + re-rank. */
-  def ivfPqSearchDispatch(spark: SparkSession, sfDir: String): DataFrame = {
+    * probe + re-rank.
+    *
+    * `rerankWidth` (round-16) is the RECALL dial the round-15
+    * measurement identified — at 10⁶⁺ items recall is bound by the
+    * candidate width the exact re-rank sees, not by scan share —
+    * surfaced as a parameter so a deployment passes
+    * [[graft.operators.Pq.sizeRerankWidth]]'s output instead of
+    * editing the dispatch; the default keeps the gates at width 50
+    * (hash-unchanged), and q182 gates the SIZED election. */
+  def ivfPqSearchDispatch(spark: SparkSession, sfDir: String,
+      rerankWidth: Int = 50): DataFrame = {
     import operators.Pq
-    val arm = Pq.resolutionAudit(spark, ivfPqIndexPath(spark, sfDir))
+    val arm = Pq.resolutionStamp(spark, ivfPqIndexPath(spark, sfDir))
       .select(col("decision")).collect().head.getString(0) match {
       case "bit_budget" => "exact_ivf"
       case _ => "ivfpq"
@@ -792,14 +813,44 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
         val q = emb.filter(col("vec_id") % 10 === 0)
         val cand =
           if (mode == "scan_budget")
-            Pq.ivfPqCandidatesBudget(q, path, dim = 64, topK = 50,
+            Pq.ivfPqCandidatesBudget(q, path, dim = 64, topK = rerankWidth,
               scanBudget = 1200L, "vec_id", "embedding", maxQueryBatch = 32)
           else
-            Pq.ivfPqCandidates(q, path, dim = 64, topK = 50, probes = 12,
-              "vec_id", "embedding", maxQueryBatch = 32)
+            Pq.ivfPqCandidates(q, path, dim = 64, topK = rerankWidth,
+              probes = 12, "vec_id", "embedding", maxQueryBatch = 32)
         rerankTop5(emb, q, cand).withColumn("search_mode", lit(mode))
       }
     res.withColumn("search_arm", lit(arm))
+  }
+
+  /** Width-SIZED search dispatch, gated (q182): q181 with the rerank
+    * width elected by the [[graft.operators.Pq.sizeRerankWidth]] rule
+    * instead of hardcoded — the deployment shape after the round-15
+    * finding that width, not scan depth, is the recall lever at the
+    * data-bound decade. Corpus size comes from the same split the
+    * index covers; the recall target is the 500-milli point the
+    * AnnRecallBench grid prices. Both rule outputs travel as columns
+    * (`rerank_width_raw` — the unclamped inversion, exercising the
+    * pow/ln arithmetic — and `rerank_width`, the clamped election)
+    * and the oracle RE-DERIVES both from `count(*)` plus the same
+    * formula, then bounds its own candidate rank by its own derived
+    * width: a width-rule drift mismatches the columns, a
+    * width-threading drift mismatches the rows. On the gate corpora
+    * the rule lands in the CLAMP branch (a few-hundred-item corpus
+    * saturates at width ≪ 50, so the floor owns the answer and the
+    * result rows equal q181's at width 50); the unclamped branch is
+    * property-specced ([[graft.operators.Pq.sizeRerankWidth]]) and
+    * priced at the vec decade by AnnRecallBench. */
+  def ivfPqSearchDispatchSized(spark: SparkSession, sfDir: String): DataFrame = {
+    import operators.Pq
+    val n = t(spark, sfDir, "embeddings")
+      .filter(col("vec_id") % 10 =!= 0).count()
+    val target = 500L
+    val raw = Pq.rerankWidthRaw(n, target)
+    val width = Pq.sizeRerankWidth(n, target)
+    ivfPqSearchDispatch(spark, sfDir, rerankWidth = width.toInt)
+      .withColumn("rerank_width_raw", lit(raw))
+      .withColumn("rerank_width", lit(width))
   }
 
   /** The exact-vector arm shared by q179 and q181 — q146's layout

@@ -952,6 +952,16 @@ object StreamingOps {
     * carries the elected mode as a `search_mode` column, so the
     * downstream sink can log mode flips.
     *
+    * `recallTargetMilli` (round-16, adaptive only) adds the WIDTH
+    * dial the round-15 recall measurement identified: recall at the
+    * data-bound decade is bound by the rerank width, so per batch the
+    * sink sizes its candidate width with
+    * [[graft.operators.Pq.sizeRerankWidth]] from the live corpus size
+    * (the cached audit's `n_codes` over the meta's `assignments` —
+    * no extra read) with `topK` as the floor — a deployment's recall
+    * floor survives corpus growth without a sink edit, and the sized
+    * width travels as a `rerank_width` column beside `search_mode`.
+    *
     * What the adaptive mode deliberately does NOT re-elect per batch
     * is the q178 BIT-BUDGET verdict: that event changes only when a
     * retrained index is PUBLISHED (its instrument is a full
@@ -973,24 +983,29 @@ object StreamingOps {
       vecCol: String = "embedding",
       maxQueryBatch: Int = 256,
       scanBudget: Option[Long] = None,
-      adaptive: Boolean = false)(
+      adaptive: Boolean = false,
+      recallTargetMilli: Option[Long] = None)(
       sink: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(recallTargetMilli.isEmpty || adaptive,
+      "recallTargetMilli sizes the rerank width per batch from the " +
+        "live index state — that loop only exists in adaptive mode")
     // occupancy-audit cache: micro-batches run sequentially on the
     // driver, so plain vars captured by the foreachBatch closure are
     // the per-query state store for the elected-mode inputs
     var auditSig: String = null
     var auditRow: org.apache.spark.sql.Row = null
+    var metaAssignments: Int = 1
     stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
           import graft.operators.Pq
           val spark = batch.sparkSession
-          def budgetSearch(b: Long) = Pq.ivfPqCandidatesBudget(
-            batch.toDF(), indexPath, dim, topK, b, idCol, vecCol,
+          def budgetSearch(b: Long, k: Int) = Pq.ivfPqCandidatesBudget(
+            batch.toDF(), indexPath, dim, k, b, idCol, vecCol,
             maxQueryBatch)
-          def probeSearch() = Pq.ivfPqCandidates(
-            batch.toDF(), indexPath, dim, topK, probes, idCol, vecCol,
+          def probeSearch(k: Int) = Pq.ivfPqCandidates(
+            batch.toDF(), indexPath, dim, k, probes, idCol, vecCol,
             maxQueryBatch)
           val cand =
             if (adaptive) {
@@ -1004,10 +1019,25 @@ object StreamingOps {
                 auditRow = Pq.occupancyAudit(spark, indexPath)
                   .select(col("search_mode"), col("n_codes"),
                     col("n_cells_occupied"), col("max_cell")).collect().head
+                metaAssignments = Pq.readIvfPqMeta(spark, indexPath)
+                  .assignments
                 auditSig = sig
               }
               val audit = auditRow
               val mode = audit.getString(0)
+              // the WIDTH dial (round-16): recall at the data-bound
+              // decade is rerank-width-bound, so a recall target
+              // sizes the candidate width from the live corpus size
+              // (codes / assignments — both already in hand from the
+              // cached audit + meta) and the sink's recall floor
+              // survives corpus growth without a sink edit; `topK`
+              // is the floor, [[Pq.sizeRerankWidth]] the rule
+              val width = recallTargetMilli.map { t =>
+                Pq.sizeRerankWidth(
+                  math.max(1L, audit.getLong(1) / math.max(1, metaAssignments)),
+                  t, minWidth = topK.toLong)
+              }
+              val k = width.map(_.toInt).getOrElse(topK)
               val searched =
                 if (mode == "scan_budget") {
                   // budget sized from the SAME audit row (its
@@ -1017,10 +1047,13 @@ object StreamingOps {
                     math.max(1L, audit.getLong(2))))
                   val b = scanBudget.getOrElse(
                     Pq.sizeScanBudgetFromMax(audit.getLong(3), target))
-                  budgetSearch(b)
-                } else probeSearch()
-              searched.withColumn("search_mode", lit(mode))
-            } else scanBudget.map(budgetSearch).getOrElse(probeSearch())
+                  budgetSearch(b, k)
+                } else probeSearch(k)
+              val modeCol = searched.withColumn("search_mode", lit(mode))
+              width.map(w => modeCol.withColumn("rerank_width", lit(w)))
+                .getOrElse(modeCol)
+            } else scanBudget.map(budgetSearch(_, topK))
+              .getOrElse(probeSearch(topK))
           sink(cand, batchId)
         }
       }

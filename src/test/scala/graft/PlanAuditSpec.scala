@@ -902,14 +902,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p157.contains("Expand"), p157.take(1500))
   }
 
-  test("q178 resolution audit: chained keyed partial aggs off the codes scan — no distinct Expand, no Window, no join") {
+  test("q178 resolution verdict: dispatch reads the 1-row stamp; the census itself stays partial-agg, no Expand/Window/Join") {
+    // the DISPATCH plan (round-16): a bare scan of the publish-time
+    // stamp — no aggregation runs at dispatch time at all (the
+    // verdict can only change when a publish swaps the tree)
     val plan = planOf(Queries.annBitBudgetAudit(spark, sf))
     val finalTree = plan.split("== Initial Plan ==")(0)
-    assert(finalTree.contains("partial_count") ||
-      finalTree.contains("partial_sum"), finalTree.take(1500))
+    assert(!finalTree.contains("HashAggregate"), finalTree.take(1500))
     assert(!finalTree.contains("Expand"), finalTree.take(1500))
     assert(!finalTree.contains("Window"), finalTree.take(1500))
     assert(!finalTree.contains("Join"), finalTree.take(1500))
+    // the CENSUS (now run once, at publish) keeps its chained keyed
+    // partial-agg shape — no countDistinct Expand, no Window, no join
+    import spark.implicits._
+    val codes = Seq((0L, 1L, 2L), (0L, 1L, 2L), (1L, 3L, 4L))
+      .toDF("c_id", "code0", "code1")
+    val census = planOf(
+      graft.operators.Pq.resolutionAuditOf(codes, m = 2,
+        minCell = 16L, loadFactor = 4L))
+    assert(census.contains("partial_count") ||
+      census.contains("partial_sum"), census.take(1500))
+    assert(!census.contains("Expand"), census.take(1500))
+    assert(!census.contains("Window"), census.take(1500))
+    assert(!census.contains("Join"), census.take(1500))
   }
 
   test("q160/q161: capped provenance matrix and saturation audit ride keyed aggs; no Window") {

@@ -458,6 +458,85 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("resolution stamp: equals the live census at publish, survives appends, rewritten by republish") {
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_stamp"
+    build(path)
+    def stampRow() = Pq.resolutionStamp(spark, path).collect().head
+    val stamped = stampRow()
+    assert(stamped == Pq.resolutionAudit(spark, path).collect().head,
+      "the publish-time stamp must equal a live census of the same tree")
+    // an append does NOT restamp (the verdict is a publish-time
+    // property of the retrained representation — the sink doctrine)
+    Pq.appendIvfPqIndex(query, "vec_id", "embedding", path,
+      batchTag = Some("st1"))
+    assert(stampRow() == stamped, "appends must not move the stamp")
+    // a republish over a corpus the bits cannot rank rewrites the
+    // stamp in the same rename — a stale `fit` after a retrain is
+    // impossible by construction
+    val dim = 64
+    val ball = Seq.fill(dim)(100.0f)
+    val collapsed = ((1L to 40L).map(id => (id, ball)) ++
+      (41L to 60L).map(id => (id,
+        (0 until dim).map(j => ((id * 31 + j * 7) % 97) / 10.0f))))
+      .toDF("vec_id", "embedding")
+    Pq.buildIvfPqIndex(collapsed, "vec_id", "embedding", dim = dim, m = 2,
+      k = 2, iters = 2, centroids = 2, path = path)
+    val restamped = stampRow()
+    assert(restamped.getAs[String]("decision") == "bit_budget", restamped)
+    assert(restamped == Pq.resolutionAudit(spark, path).collect().head)
+    // and the rebalance publish stamps too
+    val rebal = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_stamp_rb"
+    Pq.rebalanceIvfPqIndex(collapsed, "vec_id", "embedding", path, rebal)
+    val rbRow = Pq.resolutionStamp(spark, rebal).collect().head
+    assert(rbRow == Pq.resolutionAudit(spark, rebal).collect().head)
+  }
+
+  test("sizeRerankWidth: monotone, round-trips the estimate, clamps at the floor and the corpus") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 300) {
+      val n = 1000L + rnd.nextInt(100000000).toLong
+      val t = 1L + rnd.nextInt(1000)
+      val w = Pq.sizeRerankWidth(n, t, minWidth = 1L)
+      // the bound the rule sells: when unclamped, the sized width's
+      // predicted recall clears the target (the sizeScanBudget
+      // discipline, recall-side)
+      if (w < n)
+        assert(Pq.estimateRerankRecallMilli(w, n) >= t, s"n=$n t=$t w=$w")
+      // monotone: a raised floor or a grown corpus never shrinks it
+      if (t < 1000)
+        assert(Pq.sizeRerankWidth(n, t + 1, minWidth = 1L) >= w, s"n=$n t=$t")
+      assert(Pq.sizeRerankWidth(n * 2, t, minWidth = 1L) >= w, s"n=$n t=$t")
+      // clamps
+      assert(Pq.sizeRerankWidth(n, t) >= math.min(50L, n) && w <= n)
+    }
+    // the rule reproduces the measured-grid arithmetic at the decade
+    // the calibration came from (BASELINE round-15 recall tables)
+    assert(Pq.sizeRerankWidth(921000L, 500L) == 280L)
+    assert(Pq.sizeRerankWidth(3690000L, 500L) == 541L)
+    // and the estimate sits within the fit's tolerance of the
+    // measured points it was calibrated on
+    assert(math.abs(Pq.estimateRerankRecallMilli(50L, 921000L) - 255L) <= 20,
+      Pq.estimateRerankRecallMilli(50L, 921000L).toString)
+    assert(math.abs(Pq.estimateRerankRecallMilli(400L, 3690000L) - 455L) <= 20,
+      Pq.estimateRerankRecallMilli(400L, 3690000L).toString)
+    // gate corpora land in the clamp branch: the floor owns small-n
+    assert(Pq.sizeRerankWidth(450L, 500L) == 50L)
+  }
+
+  test("q181 width dial: a narrower rerank width shrinks the per-query pool") {
+    // threading pin the sf gates can't give (their sized width clamps
+    // to the default 50): width 1 means a 1-candidate re-rank pool,
+    // so every query emits exactly rank 1
+    val sfDir = "/root/testdata/sf0.001"
+    val out50 = graft.Queries.ivfPqSearchDispatch(spark, sfDir).collect()
+    val out1 = graft.Queries.ivfPqSearchDispatch(spark, sfDir,
+      rerankWidth = 1).collect()
+    assert(out50.count(_.getAs[Long]("rank") == 1L) == out1.length,
+      s"${out50.length} vs ${out1.length}")
+    assert(out1.nonEmpty && out1.forall(_.getAs[Long]("rank") == 1L))
+    assert(out50.length > out1.length)
+  }
+
   test("q179 dispatch: a collapsed corpus flips the arm to exact_ivf and the exact arm ranks it") {
     // the arm the sf gates can never exercise (their corpora audit
     // `fit`), pinned here end to end on a synthetic bit-budget event:

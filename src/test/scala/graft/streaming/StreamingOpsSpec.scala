@@ -821,6 +821,60 @@ class StreamingOpsSpec extends SparkSpec {
       s"budget-mode batch $second != $want")
   }
 
+  test("ivfPqSearchWriter adaptive width rule: the recall target re-sizes the rerank width as the corpus grows") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Pq
+    // the flip test's corpus: 8 balanced one-item cells, then a hot
+    // 100-row append — the width rule must follow the corpus size
+    // (8 items → width 3 = the topK floor; 108 items → width 4) on
+    // the same running query, no sink edit
+    val corpus = (0 until 8).map { i =>
+      (i.toLong, Seq(10f * i, 10f * i, 10f * i, 10f * i))
+    }.toDF("vec_id", "embedding")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_width_spec"
+    Pq.buildIvfPqIndex(corpus, "vec_id", "embedding", dim = 4, m = 2,
+      k = 2, iters = 2, centroids = 8, path = path, assignments = 1)
+    val hot = (0 until 100).map { i =>
+      (1000L + i, Seq(0.01f * i, 0f, 0f, 0f))
+    }.toDF("vec_id", "embedding")
+    val query = Seq((500L, Seq(0.1f, 0.05f, 0.05f, 0.1f)))
+    val target = 500L
+    assert(Pq.sizeRerankWidth(8L, target, minWidth = 3L) == 3L)
+    assert(Pq.sizeRerankWidth(108L, target, minWidth = 3L) == 4L)
+    val widths = scala.collection.mutable.ArrayBuffer[Long]()
+    val got = scala.collection.mutable.Map[Long, Set[(Long, Long)]]()
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.ivfPqSearchWriter(
+      in.toDF().toDF("vec_id", "embedding"), path,
+      dim = 4, topK = 3, probes = 2, adaptive = true,
+      recallTargetMilli = Some(target)) { (res, _) =>
+      val rows = res.collect()
+      widths ++= rows.map(_.getAs[Long]("rerank_width")).distinct
+      got(widths.last) =
+        rows.map(r => (r.getAs[Long]("query_id"),
+          r.getAs[Long]("neighbor_id"))).toSet
+    }.start()
+    try {
+      in.addData(query.head); q.processAllAvailable()
+      Pq.appendIvfPqIndex(hot, "vec_id", "embedding", path,
+        batchTag = Some("hotw"))
+      in.addData(query.head); q.processAllAvailable()
+    } finally q.stop()
+    assert(widths.toSeq == Seq(3L, 4L),
+      s"expected the sized width to grow 3 -> 4 with the corpus, got $widths")
+    // row parity at the sized width: batch twin at topK = 4 under the
+    // same elected walk (the appended tree is skewed -> budget mode)
+    val audit = Pq.occupancyAudit(spark, path)
+      .select(col("n_codes"), col("n_cells_occupied")).collect().head
+    val sized = Pq.sizeScanBudget(spark, path,
+      math.max(1L, 2 * (audit.getLong(0) / audit.getLong(1))))
+    val want = Pq.ivfPqCandidatesBudget(query.toDF("vec_id", "embedding"),
+        path, dim = 4, topK = 4, scanBudget = sized, "vec_id", "embedding")
+      .collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("neighbor_id"))).toSet
+    assert(got(4L) == want, s"${got(4L)} != $want")
+  }
+
   test("ivfPqAppendSink: streamed micro-batch appends == one batch append (bit-equal codes)") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Pq
