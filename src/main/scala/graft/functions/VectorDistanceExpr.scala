@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, ByteType, DataType, DoubleType, FloatType}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 
 /** Native Catalyst expression for the vector-distance hot path.
@@ -60,12 +60,12 @@ case class VectorDistanceExpr(
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(e: Expression): Boolean = e.dataType match {
-      case ArrayType(FloatType | DoubleType, _) => true
+      case ArrayType(FloatType | DoubleType | ByteType, _) => true
       case _ => false
     }
     if (!ok(left) || !ok(right))
       TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires array<float|double> inputs, " +
+        s"$prettyName requires array<float|double|tinyint> inputs, " +
           s"got ${left.dataType.sql} and ${right.dataType.sql}")
     else if (!VectorDistanceExpr.Metrics.contains(metric))
       TypeCheckResult.TypeCheckFailure(s"unknown metric '$metric'")
@@ -75,6 +75,9 @@ case class VectorDistanceExpr(
   @inline private def get(arr: ArrayData, i: Int, t: DataType): Double = t match {
     case DoubleType => arr.getDouble(i)
     case FloatType => arr.getFloat(i).toDouble
+    // int8-quantized vectors (the exact_int8 search arm): byte values
+    // promote exactly into double, so sums over dim*254^2 stay exact
+    case ByteType => arr.getByte(i).toDouble
     case _ => throw new IllegalStateException(s"bad element type $t")
   }
 
@@ -127,6 +130,7 @@ case class VectorDistanceExpr(
       def elem(arr: String, idx: String, t: DataType): String = t match {
         case DoubleType => s"$arr.getDouble($idx)"
         case FloatType => s"(double) $arr.getFloat($idx)"
+        case ByteType => s"(double) $arr.getByte($idx)"
         case _ => throw new IllegalStateException(s"bad element type $t")
       }
       val ea = elem(a, i, elemType(left))

@@ -941,12 +941,26 @@ object Pq {
     * formula, separated so the decision branches are spec-testable
     * on constructed code relations. */
   private[graft] def resolutionAuditOf(codes: DataFrame, m: Int,
-      minCell: Long, loadFactor: Long): DataFrame = {
+      minCell: Long, loadFactor: Long): DataFrame =
+    resolutionCensus(codes, (0 until m).map(s => col(s"code$s")),
+      minCell, loadFactor)
+
+  /** The census itself, REPRESENTATION-GENERIC (round-16): per cell,
+    * rows vs distinct stored-tuple count, flagged when rows outnumber
+    * tuples more than `loadFactor`-fold. The PQ audit passes its
+    * code columns; the int8 exact arm passes its quantized-vector
+    * column ([[SimilaritySearch.buildIvfIndexInt8]]) — two items a
+    * representation stores identically are items it provably cannot
+    * rank, whatever the representation is, so every lossy rung of
+    * the search ladder stamps the SAME instrument at publish and the
+    * dispatch walks down until a rung's own stamp says it can
+    * resolve the corpus. */
+  private[graft] def resolutionCensus(rel: DataFrame,
+      tupleCols: Seq[Column], minCell: Long, loadFactor: Long): DataFrame = {
     require(minCell >= 1 && loadFactor >= 1)
-    val tupleCols = (0 until m).map(s => col(s"code$s"))
     val eval = col("cell_n") >= minCell
     val flagged = eval && col("n_tuples") * loadFactor < col("cell_n")
-    codes
+    rel
       .groupBy(col("c_id").cast("long").as("c_id") +: tupleCols: _*)
       .agg(count(lit(1)).as("tuple_n"))
       .groupBy(col("c_id"))

@@ -251,6 +251,133 @@ object SimilaritySearch {
     ivfSearch(q, assigned, codebook, k, probes, dedupCells)
   }
 
+  /** INT8-quantized exact-vector IVF index — the middle rung between
+    * the IVFADC codes (48 bits/item, quantization bounds recall) and
+    * the full exact-vector arm (512 bytes/item at float64 cells,
+    * 5–9× IVFADC probe latency at the vec decade): cells store each
+    * vector as `dim` bytes under ONE global symmetric scale
+    * (`q = floor(x · 127/absMax + 0.5)`), cutting probed bytes 8×
+    * against the float64 cells while keeping distances
+    * per-coordinate-faithful to within half a step — on corpora
+    * whose neighbor gaps exceed `absMax/127` the ranking is
+    * near-exact (AnnDriftBench/AnnRecallBench price exactly that).
+    * The coarse codebook and assignment are [[buildIvfIndex]]'s
+    * verbatim, so cell pruning (and its recall loss) is IDENTICAL to
+    * the float arm: the two arms differ only in stored bytes.
+    *
+    * Tree: `codebook/` (float cells, probe ranking), `scale/` (one
+    * row: absMax, dim), `assigned/` (i_id, i_q array<tinyint>,
+    * partitioned by c_id), and `resolution/` — the SAME bit-budget
+    * census the PQ tree stamps ([[Pq.resolutionCensus]] over the
+    * quantized tuples): a corpus whose mutual distances collapse
+    * below the int8 step quantizes onto few distinct byte tuples,
+    * and the stamp says so at publish — the dispatch's signal that
+    * this rung, too, cannot rank the corpus and the full exact arm
+    * is the remaining move. Global (not per-dim) scale keeps the
+    * integer distance exactly `real/(absMax/127)²`-proportional, so
+    * ranking by the byte-array distance IS ranking by the
+    * dequantized distance. */
+  def buildIvfIndexInt8(items: DataFrame, itemId: String, itemVec: String,
+      centroids: Int, assignments: Int, path: String): Unit = {
+    require(centroids >= 1, "centroids must be >= 1")
+    require(assignments >= 1 && assignments <= centroids,
+      "assignments must be in [1, centroids]")
+    import items.sparkSession.implicits._
+    val it = items.select(col(itemId).cast("long").as("i_id"),
+      col(itemVec).as("i_vec"))
+    val codebook = deriveCodebook(it, centroids)
+    val absMax = it.agg(max(greatest(
+        abs(array_max(col("i_vec").cast("array<double>"))),
+        abs(array_min(col("i_vec").cast("array<double>"))))))
+      .collect().head.getDouble(0)
+    require(absMax > 0.0,
+      s"buildIvfIndexInt8: corpus absMax=$absMax — an all-zero corpus " +
+        "has no scale to quantize against")
+    Seq(absMax).toDF("abs_max")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/scale")
+    codebook.toDF("c_id", "c_vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    val assigned = assignItems(it, codebook, assignments)
+      .select(col("i_id"), int8Quantize(col("i_vec"), absMax).as("i_q"),
+        col("c_id"))
+    assigned.write.mode("overwrite").partitionBy("c_id")
+      .parquet(s"$path/assigned")
+    // the bit-budget census at THIS representation, stamped at
+    // publish like the PQ tree's (one distinct-quantized-tuple
+    // rollup per cell)
+    graft.operators.Pq.resolutionCensus(
+        items.sparkSession.read.parquet(s"$path/assigned"),
+        Seq(col("i_q")), graft.operators.Pq.ResolutionMinCell,
+        graft.operators.Pq.ResolutionLoadFactor)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/resolution")
+  }
+
+  /** `floor(x · 127/absMax + 0.5)` per coordinate, SATURATED to
+    * [−127, 127], cast to byte — round-half-up symmetric
+    * quantization. Corpus values satisfy |x| ≤ absMax by the scale's
+    * definition, but QUERY vectors are foreign (the corpus split
+    * excludes them) and may overshoot the corpus range — saturating
+    * them is the standard int8 contract (a coordinate beyond the
+    * corpus's range is "maximally far" at this resolution, which is
+    * all the ranking needs). A build-time / query-side one-pass
+    * projection, so the HOF is fine here (the PROBE hot path reads
+    * the bytes natively). */
+  private def int8Quantize(vec: Column, absMax: Double): Column =
+    transform(vec.cast("array<double>"),
+      x => greatest(lit(-127.0), least(lit(127.0),
+        floor(x * lit(127.0 / absMax) + lit(0.5)))).cast("byte"))
+
+  /** Search a [[buildIvfIndexInt8]] artifact: coarse probe ranking on
+    * the FLOAT query against the float codebook (identical cell
+    * pruning to the float arm), then the byte-array native distance
+    * over the probed cells — 8× fewer scanned bytes — dequantized at
+    * the end (`dist = int_dist · (absMax/127)²`) so the output is in
+    * corpus units. The returned dist is the QUANTIZED-space distance
+    * in corpus units, not the exact float distance — callers wanting
+    * exact top-k re-rank the top candidates like every PQ arm. */
+  def ivfTopKFromIndexInt8(queries: DataFrame, path: String, k: Int,
+      queryId: String, queryVec: String, probes: Int,
+      dedupCells: Boolean = true): DataFrame = {
+    require(probes >= 1, "probes must be >= 1")
+    require(k >= 1, "k must be >= 1")
+    val spark = queries.sparkSession
+    graft.GraftSession.tune(spark)
+    val codebook: Seq[(Long, Seq[Double])] =
+      spark.read.parquet(s"$path/codebook")
+        .orderBy(col("c_id")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val absMax = spark.read.parquet(s"$path/scale")
+      .collect().head.getDouble(0)
+    val step2 = (absMax / 127.0) * (absMax / 127.0)
+    val assigned = spark.read.parquet(s"$path/assigned")
+      .select(col("i_id"), col("i_q"), col("c_id").cast("long").as("c_id"))
+    val effProbes = math.min(probes, codebook.size)
+    val q0 = queries.select(col(queryId).cast("long").as("q_id"),
+      col(queryVec).as("q_vec"))
+    val probed = q0.select(col("q_id"), col("q_vec"),
+        explode(slice(array_sort(centroidScores(col("q_vec"), codebook)),
+          1, effProbes)).as("cs"))
+      .select(col("q_id"), int8Quantize(col("q_vec"), absMax).as("q_q"),
+        col("cs.c").as("c_id"))
+    val scored0 = assigned.join(broadcast(probed), "c_id")
+      .select(col("q_id"),
+        VectorFunctions.squaredEuclidean(col("q_q"), col("i_q")).as("dist"),
+        col("i_id"))
+    val scored =
+      if (!dedupCells) scored0
+      else scored0.groupBy(col("q_id"), col("i_id"))
+        .agg(min(col("dist")).as("dist"))
+    scored
+      .groupBy(col("q_id"))
+      .agg(TopK.topK(k)(col("dist"), col("i_id"), col("i_id")).as("nbrs"))
+      .select(col("q_id"), posexplode(col("nbrs")).as(Seq("pos", "n")))
+      .select(
+        col("q_id").as("query_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("n.id").as("neighbor_id"),
+        (col("n.dist") * lit(step2)).as("dist"))
+  }
+
   /** Approximate cosine top-k: queries and items are bucketed by their
     * `planes`-bit hyperplane signature; exact cosine runs only within a
     * bucket. Recall < 1 by construction (a true neighbor in another

@@ -46,6 +46,30 @@ class VectorDistanceExprSpec extends SparkSpec {
     }
   }
 
+  test("byte arrays (int8 cells): exact integer-valued distances, codegen and interpreted agree") {
+    // the exact_int8 arm's hot loop: array<tinyint> inputs promote
+    // per-element to double, so Σ(Δ²) ≤ dim·254² is exact in double
+    // Seq[Byte] (not Array[Byte], which encodes as BINARY) makes a
+    // real array<tinyint> column — the type the int8 cells store
+    val df = Seq(
+      (Seq[Byte](1, -2, 3, 127), Seq[Byte](-127, 0, 3, -128)),
+      (Seq[Byte](0, 0, 0, 0), Seq[Byte](0, 0, 0, 0)))
+      .toDF("qa", "qb")
+    val got = df.select(
+        VectorFunctions.squaredEuclidean($"qa", $"qb").as("sq"),
+        VectorFunctions.dotProduct($"qa", $"qb").as("dot"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    val want0 = (Seq(1, -2, 3, 127) zip Seq(-127, 0, 3, -128))
+      .map { case (x, y) => ((x - y).toDouble * (x - y), x.toDouble * y) }
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2))
+    assert(got(0) == want0 && got(1) == ((0.0, 0.0)), got.mkString(";"))
+    // interpreted == codegen on bytes too
+    val interp = df.select(VectorFunctions.squaredEuclidean($"qa", $"qb"))
+    interp.queryExecution // force analysis
+    assert(interp.collect().map(_.getDouble(0)).toSeq ==
+      Seq(want0._1, 0.0))
+  }
+
   test("interpreted eval path matches codegen (double arrays, zero vectors)") {
     val df = Seq(
       (Seq(1.0, 2.0, 3.0), Seq(4.0, 6.0, 8.0)),
