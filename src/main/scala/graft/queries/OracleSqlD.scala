@@ -578,6 +578,67 @@ private[graft] trait OracleSqlD {
                AS BIGINT) + 1 AS rerank_width_raw
            FROM embeddings WHERE vec_id % 10 <> 0)"""
 
+  /** The INT8 rung's resolution census in DuckDB (round-16): replay
+    * the exact-fallback tree's coarse chain (q39's cb/assign CTEs
+    * verbatim — 64 cells, 2 assignments over the non-query split),
+    * quantize each assigned vector with the SAME op order as
+    * `SimilaritySearch.buildIvfIndexInt8` (scaleInv = 127/absMax
+    * once; floor(x·scaleInv + 0.5) clamped to ±127 — all exactly
+    * representable integers, so the list group-by partitions rows
+    * identically to the byte-tuple group-by), then the per-cell
+    * rows-vs-distinct-tuples census. Returns one row:
+    * `i8_flagged` > 0 ⟺ the int8 stamp would read bit_budget. */
+  private def int8FlaggedSql: String =
+    """SELECT CAST(count(*) AS BIGINT) AS i8_flagged FROM (
+         WITH it8 AS (
+           SELECT vec_id AS iid, embedding AS ie FROM embeddings
+           WHERE vec_id % 10 <> 0),
+         cb8 AS (
+           SELECT iid AS cid, ie AS ce FROM it8
+           ORDER BY (((iid % 1000000007 + 1) * 2654435761) % 1000000007) * 2246822519 % 1000000007 % 1000003, iid
+           LIMIT 64),
+         asg8 AS (
+           SELECT iid, ie, cid FROM (
+             SELECT i.iid, i.ie, c.cid,
+               row_number() OVER (PARTITION BY i.iid ORDER BY
+                 list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(generate_series(1, len(i.ie)),
+                     x -> (CAST(i.ie[x] AS DOUBLE) - CAST(c.ce[x] AS DOUBLE))
+                        * (CAST(i.ie[x] AS DOUBLE) - CAST(c.ce[x] AS DOUBLE)))),
+                   (a, b) -> a + b), c.cid) AS rn
+             FROM it8 i CROSS JOIN cb8 c) WHERE rn <= 2),
+         sc8 AS (
+           SELECT 127.0 / max(greatest(
+               abs(CAST(list_max(ie) AS DOUBLE)),
+               abs(CAST(list_min(ie) AS DOUBLE)))) AS sinv
+           FROM it8),
+         iq8 AS (
+           SELECT a.cid,
+             list_transform(a.ie, x -> greatest(-127.0, least(127.0,
+               floor(CAST(x AS DOUBLE) * sc8.sinv + 0.5)))) AS q
+           FROM asg8 a CROSS JOIN sc8),
+         tup8 AS (
+           SELECT cid, q, count(*) AS tuple_n FROM iq8 GROUP BY 1, 2),
+         cell8 AS (
+           SELECT cid, CAST(sum(tuple_n) AS BIGINT) AS cell_n,
+             count(*) AS n_tuples
+           FROM tup8 GROUP BY 1)
+         SELECT 1 AS one FROM cell8
+         WHERE cell_n >= 16 AND n_tuples * 4 < cell_n)"""
+
+  /** The q181/q182 three-rung arm election in DuckDB: the PQ census
+    * elects past ivfpq; the int8 census elects between the int8 and
+    * float exact rungs. Both replays are independent of the Spark
+    * side's stamps — a stale stamp or a silently flipped rung
+    * mismatches the column (and the rows, since the arms' outputs
+    * differ). */
+  private def searchArmSql: String =
+    s"""SELECT CASE WHEN b.n_cells_flagged > 0 THEN
+           (CASE WHEN i8.i8_flagged > 0 THEN 'exact_ivf'
+            ELSE 'exact_int8' END)
+         ELSE 'ivfpq' END AS search_arm
+       FROM ($bitBudgetSql) b CROSS JOIN ($int8FlaggedSql) i8"""
+
   private def bitBudgetSql: String =
     s"""WITH ${ivfPqCtes()},
          ${bitBudgetCtes()}
@@ -1223,10 +1284,7 @@ private[graft] trait OracleSqlD {
            corpusWhere = "vec_id % 10 <> 0",
            trainWhere = "vec_id % 10 <> 0 AND vec_id % 7 <> 3"),
            modeCol = true)}) r
-         CROSS JOIN (
-           SELECT CASE WHEN b.n_cells_flagged > 0 THEN 'exact_ivf'
-                  ELSE 'ivfpq' END AS search_arm
-           FROM ($bitBudgetSql) b) a""",
+         CROSS JOIN ($searchArmSql) a""",
     // q182: the width-SIZED dispatch — q181 with the rerank width
     // elected by the sizeRerankWidth rule. The oracle re-derives BOTH
     // rule outputs from count(*) + the calibrated inversion (raw =
@@ -1243,10 +1301,7 @@ private[graft] trait OracleSqlD {
            s",\n         wrule AS ($rerankWidthSql)",
            modeCol = true,
            widthSql = "(SELECT rerank_width FROM wrule)")}) r
-         CROSS JOIN (
-           SELECT CASE WHEN b.n_cells_flagged > 0 THEN 'exact_ivf'
-                  ELSE 'ivfpq' END AS search_arm
-           FROM ($bitBudgetSql) b) a
+         CROSS JOIN ($searchArmSql) a
          CROSS JOIN ($rerankWidthSql) w""",
     // q173: coarse-rebalance — q170's lineage with the cells re-cut
     // by a fresh coarse chain over the grown corpus while the PQ

@@ -793,17 +793,41 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
     * surfaced as a parameter so a deployment passes
     * [[graft.operators.Pq.sizeRerankWidth]]'s output instead of
     * editing the dispatch; the default keeps the gates at width 50
-    * (hash-unchanged), and q182 gates the SIZED election. */
+    * (hash-unchanged), and q182 gates the SIZED election.
+    *
+    * The escalation is THREE-rung since round 16: a `bit_budget`
+    * verdict first tries the INT8 exact arm
+    * ([[graft.operators.SimilaritySearch.buildIvfIndexInt8]] — byte
+    * cells, 8× fewer probed bytes than float64, measured ≥ 0.90
+    * recall at vec1m/vec4m and 0.747 on the compress-drift event
+    * where every PQ arm sits at ~0.02), falling through to the
+    * float exact arm only when the int8 tree's OWN publish-time
+    * stamp says the corpus collapses below the int8 step too — the
+    * same census instrument, applied per representation, electing
+    * how far down the ladder a query batch must go. The stamp
+    * contract is one-sided (AnnDriftBench round-16: a census that
+    * CLEARS proves only distinguishability, not rank quality — the
+    * m16k64 rebuild clears at recall 0.043), so the rung order is
+    * fixed by MEASURED recall, and the census only decides whether
+    * a rung is provably unusable. q179 deliberately keeps the
+    * single maximal-certainty arm (float exact). */
   def ivfPqSearchDispatch(spark: SparkSession, sfDir: String,
       rerankWidth: Int = 50): DataFrame = {
     import operators.Pq
     val arm = Pq.resolutionStamp(spark, ivfPqIndexPath(spark, sfDir))
       .select(col("decision")).collect().head.getString(0) match {
-      case "bit_budget" => "exact_ivf"
+      case "bit_budget" =>
+        // walk down: int8 unless ITS stamp says the step can't rank
+        val p8 = int8IvfArmPath(spark, sfDir)
+        val i8 = spark.read.parquet(s"$p8/resolution")
+          .select(col("decision")).collect().head.getString(0)
+        if (i8 == "fit") "exact_int8" else "exact_ivf"
       case _ => "ivfpq"
     }
     val res =
-      if (arm == "exact_ivf")
+      if (arm == "exact_int8")
+        exactInt8Arm(spark, sfDir).withColumn("search_mode", lit("exact"))
+      else if (arm == "exact_ivf")
         exactIvfArm(spark, sfDir).withColumn("search_mode", lit("exact"))
       else {
         val path = ivfPqIncrIndexPath(spark, sfDir)
@@ -868,6 +892,37 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
     }
     SimilaritySearch.ivfTopKFromIndex(
         emb.filter(col("vec_id") % 10 === 0), path, k = 5,
+        "vec_id", "embedding", probes = 16)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("neighbor_id"),
+        floor(col("dist") * 1000000.0).cast("long").as("dist_micro"))
+  }
+
+  /** The INT8 exact tree for q181's middle rung — [[exactIvfArm]]'s
+    * corpus split and probe shape with byte cells; built (and its
+    * resolution stamped) only when the PQ verdict dispatches past
+    * ivfpq. */
+  private def int8IvfArmPath(spark: SparkSession, sfDir: String): String = {
+    import graft.sources.Artifacts
+    import operators.SimilaritySearch
+    val emb = t(spark, sfDir, "embeddings")
+    Artifacts.ensure("ivf_int8_fallback", sfDir) { p =>
+      Artifacts.publishTree(spark, p) { build =>
+        SimilaritySearch.buildIvfIndexInt8(
+          emb.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+          centroids = 64, assignments = 2, build)
+      }
+    }
+  }
+
+  /** q181's `exact_int8` rung: probe the byte cells, dequantized
+    * distances floored to micros — [[exactIvfArm]]'s output shape. */
+  private def exactInt8Arm(spark: SparkSession, sfDir: String): DataFrame = {
+    import operators.SimilaritySearch
+    val emb = t(spark, sfDir, "embeddings")
+    SimilaritySearch.ivfTopKFromIndexInt8(
+        emb.filter(col("vec_id") % 10 === 0),
+        int8IvfArmPath(spark, sfDir), k = 5,
         "vec_id", "embedding", probes = 16)
       .select(col("query_id"), col("rank").cast("long").as("rank"),
         col("neighbor_id"),

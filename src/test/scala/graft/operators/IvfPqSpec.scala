@@ -573,6 +573,18 @@ class IvfPqSpec extends SparkSpec {
     val collapsedIds = (1L to 33L).filter(_ % 10 != 0).toSet
     assert(ballTop.size == 5 && ballTop.subsetOf(collapsedIds),
       s"ball query neighbors $ballTop not within the collapsed mass")
+    // q181's three-rung walk on the same corpus: IDENTICAL vectors
+    // collapse at every representation — the int8 fallback's own
+    // stamp flags too — so the dispatch falls through the int8 rung
+    // to the float exact arm. (The (bit_budget, int8-fit) middle
+    // case needs sub-PQ-resolution-but-distinct data, which no unit
+    // corpus at the shipped 64-code budget produces; AnnDriftBench's
+    // compress event measures it live: int8 stamp fit, recall 0.747
+    // vs every PQ arm's 0.02.)
+    val disp = graft.Queries.ivfPqSearchDispatch(spark, dir).collect()
+    assert(disp.nonEmpty &&
+      disp.forall(_.getAs[String]("search_arm") == "exact_ivf"),
+      disp.take(3).mkString("; "))
     graft.sources.Artifacts.resetMemo() // don't leak this dir's memo into other specs
   }
 
