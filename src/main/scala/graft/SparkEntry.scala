@@ -227,7 +227,9 @@ object Queries
     "q180_ann_maint_ladder" -> (annMaintLadder _),
     "q181_ann_search_dispatch" ->
       ((s: SparkSession, d: String) => ivfPqSearchDispatch(s, d)),
-    "q182_ann_dispatch_sized" -> (ivfPqSearchDispatchSized _))
+    "q182_ann_dispatch_sized" -> (ivfPqSearchDispatchSized _),
+    "q183_ivfpq_compacted" -> (ivfPqCompacted _),
+    "q184_ivfpq_file_audit" -> (ivfPqFileAudit _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = {
@@ -247,6 +249,13 @@ object Queries
       // (the artifact-fed deployment merge) inherits the same
       // contract against the same ground truth
       ("q166_incr_cluster_merge" -> base("q43_neardup_clusters")) +
-      ("q168_incr_cluster_deployed" -> base("q43_neardup_clusters"))
+      ("q168_incr_cluster_deployed" -> base("q43_neardup_clusters")) +
+      // q183: compaction changes file boundaries, never rows — the
+      // compacted tree's search replays under q170's oracle VERBATIM
+      ("q183_ivfpq_compacted" -> base("q170_ivfpq_incr"))
+    // q184_ivfpq_file_audit has NO oracle by construction: file
+    // layout is write-history, not corpus — nothing SQL-derivable
+    // to replay (driver records the rows-only check; IvfPqSpec gates
+    // the decision branches, q183 gates the dispatched-to operator)
   }
 }

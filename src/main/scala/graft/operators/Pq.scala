@@ -646,6 +646,168 @@ object Pq {
     }
   }
 
+  /** The data files of one `codes/c_id=…` cell directory, split into
+    * COMMITTED (the base build's `part-*` files plus `<tag>-part-*`
+    * files whose `appends/<tag>` marker landed) and ORPHANED (tagged
+    * files whose append crashed before its marker — their rows are a
+    * partial batch a retry will re-apply). Tags match
+    * `[A-Za-z0-9._]+` (no `-`), so the segment before the first `-`
+    * IS the tag, and `part` itself is a rejected tag — the parse is
+    * unambiguous. Hidden bookkeeping files (`_`/`.` prefixes) are
+    * neither. */
+  private def splitCellFiles(
+      fs: org.apache.hadoop.fs.FileSystem,
+      cell: org.apache.hadoop.fs.Path,
+      committedTags: Set[String]): (Seq[org.apache.hadoop.fs.Path],
+        Seq[org.apache.hadoop.fs.Path]) = {
+    val files = fs.listStatus(cell)
+      .filter(st => !st.isDirectory &&
+        !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath).toSeq
+    files.partition { f =>
+      val name = f.getName
+      name.startsWith("part-") ||
+        committedTags.contains(name.takeWhile(_ != '-'))
+    }
+  }
+
+  /** The committed tag set of an index tree — the names under
+    * `appends/`, each one a fully-applied [[appendIvfPqIndex]]
+    * batch. */
+  private def committedTags(fs: org.apache.hadoop.fs.FileSystem,
+      path: String): Set[String] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/appends")
+    if (fs.exists(dir)) fs.listStatus(dir).map(_.getPath.getName).toSet
+    else Set.empty
+  }
+
+  /** FILE-LAYOUT audit of an index tree (q184) — the small-files
+    * alarm. Every [[appendIvfPqIndex]] batch adds its own part files
+    * to each cell it touches, so a streamed index accumulates
+    * `O(batches × cells)` files whose per-file open/footer/seek cost
+    * eventually dominates the probe (the classic small-files problem
+    * — at 100 TB the scan is billed per FILE as much as per row).
+    * This audit is pure metadata: one namenode listing of the cell
+    * directories (no data read, no Spark job), classifying each file
+    * by the [[appendIvfPqIndex]] commit protocol. One row:
+    *
+    *  - `n_cells`, `n_files` — committed data files across cells;
+    *  - `n_orphans` — tagged files with NO commit marker: a crashed
+    *    append's partial leavings, invisible to correctness (the
+    *    retry deletes them) but surfaced here because only a retry
+    *    or a compaction ever removes them;
+    *  - `files_per_cell_milli` — 1000·n_files/n_cells, integer;
+    *  - `decision` — `compact` when `n_files ≥ 4 × n_cells`
+    *    (compaction rewrites to one file per cell, so the threshold
+    *    reads "a compaction would shrink the listing ≥ 4×" — the
+    *    same factor-4 discipline as the occupancy and resolution
+    *    audits), else `keep`.
+    *
+    * Unlike the occupancy/resolution audits this one is NOT
+    * oracle-replayable — file layout is a property of the write
+    * history, not of the corpus (DuckDB sees the same rows in any
+    * layout) — so its gate is the weaker rows-only check plus specs;
+    * the LATENCY claim behind the decision is measured by
+    * IvfPqCompactBench, not asserted. */
+  def fileAudit(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val tags = committedTags(fs, path)
+    val cells = fs.listStatus(new Path(s"$path/codes"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("c_id="))
+    val (nFiles, nOrphans) = cells.foldLeft((0L, 0L)) { case ((f, o), cell) =>
+      val (committed, orphans) = splitCellFiles(fs, cell.getPath, tags)
+      (f + committed.size, o + orphans.size)
+    }
+    val nCells = cells.length.toLong
+    require(nCells > 0, s"fileAudit: $path/codes has no cell directories")
+    val decision = if (nFiles >= 4L * nCells) "compact" else "keep"
+    Seq((nCells, nFiles, nOrphans, nFiles * 1000L / nCells, decision))
+      .toDF("n_cells", "n_files", "n_orphans", "files_per_cell_milli",
+        "decision")
+  }
+
+  /** COMPACT an IVF-PQ index — rewrite the accumulated per-append
+    * code files into one file per cell, changing NOTHING about the
+    * rows: no retraining, no re-encoding, no re-assignment. The
+    * cheapest maintenance op of all (one shuffle-by-cell of the
+    * codes relation — it never touches vectors, codebooks, or Lloyd
+    * chains) and the only one the [[fileAudit]] small-files alarm
+    * calls for: append-heavy ingest fragments the cell directories,
+    * and at scan time every file costs an open + footer read before
+    * its first row, so probe latency degrades with WRITE HISTORY
+    * while the data is unchanged. Compaction restores the
+    * one-file-per-cell layout a fresh build ships. q183 gates it
+    * bit-equal: the compacted tree's search results replay under
+    * q170's verbatim oracle, because compaction by definition
+    * changes no rows.
+    *
+    * Crash-consistency: only COMMITTED files are compacted — the
+    * base build's plus tagged files whose `appends/<tag>` marker
+    * landed ([[splitCellFiles]]). An ORPHANED partial batch (crashed
+    * before its marker) is deliberately left behind: baking its rows
+    * into anonymous compacted files would strand them beyond the
+    * retrying appender's `<tag>-` cleanup sweep, double-applying the
+    * batch when the retry lands. The `appends/` markers are CARRIED
+    * onto the compacted tree — the compacted codes contain every
+    * committed batch's rows, so a replayed batch (stream restart
+    * from an old checkpoint) must still short-circuit on its marker;
+    * dropping the markers would double-apply history. The
+    * `resolution/` stamp is carried too: compaction permutes file
+    * boundaries, not code tuples, so the publish-time verdict is
+    * unchanged by construction (a pre-stamp source tree gets stamped
+    * fresh from the rewritten codes).
+    *
+    * Output layout: `repartition(col("c_id"))` then
+    * `partitionBy("c_id")` — each cell's rows land in exactly one
+    * task, one file. `maxRecordsPerFile` (> 0) caps rows per file
+    * for very hot cells (several files per cell, still O(1) per
+    * compaction instead of O(batches)). Published via the same
+    * all-or-nothing [[graft.sources.Artifacts.publishTree]] rename
+    * as every build: a crash mid-compaction leaves the source tree
+    * untouched and no target. */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, outPath: String,
+      maxRecordsPerFile: Long = 0L): Unit = {
+    import org.apache.hadoop.fs.Path
+    val meta = readIvfPqMeta(spark, path) // validates the source tree
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val tags = committedTags(fs, path)
+    val committed = fs.listStatus(new Path(s"$path/codes"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("c_id="))
+      .flatMap(cell => splitCellFiles(fs, cell.getPath, tags)._1)
+    require(committed.nonEmpty,
+      s"compactIvfPqIndex: $path/codes has no committed data files")
+    graft.sources.Artifacts.publishTree(spark, outPath) { build =>
+      Seq("meta", "ivf", "codebooks").foreach { d =>
+        spark.read.parquet(s"$path/$d")
+          .coalesce(1).write.parquet(s"$build/$d")
+      }
+      // basePath keeps the c_id partition column while the explicit
+      // file list excludes orphans
+      val codes = spark.read.option("basePath", s"$path/codes")
+        .parquet(committed.map(_.toString).toIndexedSeq: _*)
+      val writer = codes.repartition(col("c_id"))
+        .write.partitionBy("c_id")
+      (if (maxRecordsPerFile > 0L)
+         writer.option("maxRecordsPerFile", maxRecordsPerFile)
+       else writer).parquet(s"$build/codes")
+      val stamp = new Path(s"$path/resolution")
+      if (fs.exists(stamp))
+        spark.read.parquet(s"$path/resolution")
+          .coalesce(1).write.parquet(s"$build/resolution")
+      else stampResolution(spark, build, meta.m)
+      tags.foreach { t =>
+        val mk = new Path(s"$build/appends/$t")
+        fs.mkdirs(mk.getParent)
+        fs.create(mk, false).close()
+      }
+    }
+  }
+
   /** Coarse-rebalance of an IVF-PQ index — the MIDDLE rung of the
     * maintenance ladder between [[appendIvfPqIndex]] (batch share)
     * and [[buildIvfPqIndex]] (full retrain): retrain ONLY the coarse

@@ -877,6 +877,50 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
       .withColumn("rerank_width", lit(width))
   }
 
+  /** COMPACTED-index search, gated (q183) — q170's appended tree
+    * rewritten by [[graft.operators.Pq.compactIvfPqIndex]] to one
+    * file per cell, then q167's verbatim probe + re-rank over the
+    * compacted tree. Compaction changes file boundaries, not rows,
+    * so the gate is BIT-EQUALITY: the oracle is q170's full
+    * independent replay (train-without-batch, encode old ∪ batch,
+    * probe, re-rank) — any row compaction drops (an orphan-filter
+    * bug), duplicates (a marker-carry bug), or re-encodes (it must
+    * never) mismatches. The small-files LATENCY claim that motivates
+    * the operator is measured by IvfPqCompactBench at the vec
+    * decade, not asserted here. */
+  def ivfPqCompacted(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = t(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") % 10 === 0)
+    rerankTop5(emb, q,
+      operators.Pq.ivfPqCandidates(q, ivfPqCompactIndexPath(spark, sfDir),
+        dim = 64, topK = 50, probes = 12, "vec_id", "embedding",
+        maxQueryBatch = 32))
+  }
+
+  /** The compacted per-corpus artifact: q170's incrementally-
+    * maintained tree, compacted. */
+  private def ivfPqCompactIndexPath(spark: SparkSession, sfDir: String): String = {
+    import graft.sources.Artifacts
+    Artifacts.ensure("ivfpq_compact_index", sfDir) { p =>
+      operators.Pq.compactIvfPqIndex(spark,
+        ivfPqIncrIndexPath(spark, sfDir), p)
+    }
+  }
+
+  /** FILE-LAYOUT audit of the live appended tree (q184) — the
+    * small-files alarm ([[graft.operators.Pq.fileAudit]]) on q170's
+    * artifact: one metadata-only row classifying every code file by
+    * the append commit protocol and electing `compact` when the
+    * listing would shrink ≥ 4×. No DuckDB oracle BY CONSTRUCTION:
+    * file layout is a property of the write history, not of the
+    * corpus — the same rows replayed by SQL land in whatever layout
+    * the replaying engine picks, so there is nothing corpus-derived
+    * to compare against. The driver's rows-only check plus
+    * IvfPqSpec's decision-branch specs gate it; q183 gates the
+    * operator the alarm dispatches to. */
+  def ivfPqFileAudit(spark: SparkSession, sfDir: String): DataFrame =
+    operators.Pq.fileAudit(spark, ivfPqIncrIndexPath(spark, sfDir))
+
   /** The exact-vector arm shared by q179 and q181 — q146's layout
     * over the same corpus split, built only when dispatched to. */
   private def exactIvfArm(spark: SparkSession, sfDir: String): DataFrame = {

@@ -615,4 +615,91 @@ class IvfPqSpec extends SparkSpec {
       .collect().map(_.toSeq).sortBy(_.toString).toSeq
     assert(one == three)
   }
+
+  test("compaction: bit-equal rows+search, one file per cell, markers+stamp carried, replay no-ops") {
+    import org.apache.hadoop.fs.Path
+    val src = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_cpt_src"
+    val old = corpus.filter(col("vec_id") =!= 2 && col("vec_id") =!= 12)
+    Pq.buildIvfPqIndex(old, "vec_id", "embedding", dim = 4, m = 2,
+      k = 2, iters = 2, centroids = 2, path = src, assignments = 2)
+    Pq.appendIvfPqIndex(corpus.filter(col("vec_id") === 2),
+      "vec_id", "embedding", src, batchTag = Some("b1"))
+    Pq.appendIvfPqIndex(corpus.filter(col("vec_id") === 12),
+      "vec_id", "embedding", src, batchTag = Some("b2"))
+    def codesOf(p: String) = spark.read.parquet(s"$p/codes")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    def searchOf(p: String) =
+      Pq.ivfPqCandidates(query, p, dim = 4, topK = 6, probes = 2,
+          "vec_id", "embedding")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val rows0 = codesOf(src)
+    val search0 = searchOf(src)
+    val stamp0 = Pq.resolutionStamp(spark, src).collect().head
+
+    val out = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_cpt_out"
+    Pq.compactIvfPqIndex(spark, src, out)
+    assert(codesOf(out) == rows0, "compaction must change no rows")
+    assert(searchOf(out) == search0, "compacted search must be bit-equal")
+    assert(spark.read.parquet(s"$out/resolution").collect().head == stamp0,
+      "the resolution stamp is carried (file layout cannot move it)")
+    // one file per cell — the layout a fresh build ships
+    val fs = new Path(out).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(new Path(s"$out/codes"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("c_id="))
+      .foreach { cell =>
+        val data = fs.listStatus(cell.getPath).map(_.getPath.getName)
+          .filterNot(n => n.startsWith("_") || n.startsWith("."))
+        assert(data.length == 1, s"${cell.getPath.getName}: $data")
+      }
+    // markers carried: a replayed batch short-circuits on the
+    // compacted tree too (its rows are already in the compacted codes)
+    Pq.appendIvfPqIndex(corpus.filter(col("vec_id") === 2),
+      "vec_id", "embedding", out, batchTag = Some("b1"))
+    assert(codesOf(out) == rows0, "replayed tag must no-op after compaction")
+  }
+
+  test("compaction excludes orphaned append files; fileAudit counts and decides") {
+    import org.apache.hadoop.fs.Path
+    val src = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_cpt_orph"
+    val old = corpus.filter(col("vec_id") =!= 2 && col("vec_id") =!= 12)
+    Pq.buildIvfPqIndex(old, "vec_id", "embedding", dim = 4, m = 2,
+      k = 2, iters = 2, centroids = 2, path = src, assignments = 2)
+    Pq.appendIvfPqIndex(corpus.filter(col("vec_id") === 2),
+      "vec_id", "embedding", src, batchTag = Some("b1"))
+    val rowsCommitted = spark.read.parquet(s"$src/codes")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    // plant a crashed append: a tagged file with NO commit marker —
+    // its rows are a partial batch only the retry may re-apply, so
+    // compaction must NOT bake them into anonymous compacted files
+    val fs = new Path(src).getFileSystem(spark.sessionState.newHadoopConf())
+    val cell = fs.listStatus(new Path(s"$src/codes"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("c_id="))
+      .head.getPath
+    val donor = fs.listStatus(cell)
+      .map(_.getPath).filter(_.getName.startsWith("part-")).head
+    val orphan = new Path(cell, s"zz-${donor.getName}")
+    org.apache.hadoop.fs.FileUtil.copy(fs, donor, fs, orphan, false,
+      spark.sessionState.newHadoopConf())
+    val audit = Pq.fileAudit(spark, src).collect().head
+    assert(audit.getAs[Long]("n_orphans") == 1L, audit)
+    assert(audit.getAs[String]("decision") ==
+      (if (audit.getAs[Long]("n_files") >= 4L * audit.getAs[Long]("n_cells"))
+         "compact" else "keep"), audit)
+    val out = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_cpt_orph_out"
+    Pq.compactIvfPqIndex(spark, src, out)
+    assert(spark.read.parquet(s"$out/codes")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq == rowsCommitted,
+      "orphan rows must not survive compaction")
+    val outAudit = Pq.fileAudit(spark, out).collect().head
+    assert(outAudit.getAs[Long]("n_orphans") == 0L, outAudit)
+    assert(outAudit.getAs[String]("decision") == "keep", outAudit)
+    // fragmentation fires the alarm: enough committed single-row
+    // appends push n_files past 4x n_cells on this 2-cell tree
+    (1 to 8).foreach { i =>
+      Pq.appendIvfPqIndex(corpus.filter(col("vec_id") === 12),
+        "vec_id", "embedding", out, batchTag = Some(s"frag$i"))
+    }
+    val fragAudit = Pq.fileAudit(spark, out).collect().head
+    assert(fragAudit.getAs[String]("decision") == "compact", fragAudit)
+  }
 }
