@@ -768,7 +768,22 @@ object Pq {
     * compaction instead of O(batches)). Published via the same
     * all-or-nothing [[graft.sources.Artifacts.publishTree]] rename
     * as every build: a crash mid-compaction leaves the source tree
-    * untouched and no target. */
+    * untouched and no target.
+    *
+    * Operational note: compact to a NEW path and flip the serving
+    * pointer, don't compact in place under live readers —
+    * publishTree's delete-then-rename leaves a window where the
+    * target path has no tree at all, and a reader listing inside it
+    * fails loudly (unlike the append protocol, whose per-file
+    * renames readers see as grown prefixes). Compaction counts as a
+    * WRITE under the single-writer-per-artifact rule: pause the
+    * appender from compaction start to pointer flip — a batch landed
+    * on the old tree mid-compaction would be missing from the new
+    * tree's codes yet invisible to a replay (markers are a
+    * start-of-compaction snapshot). Batches applied BEFORE the
+    * compaction began are safe on both sides: their rows are in the
+    * compacted codes and their carried markers short-circuit any
+    * replay after the flip. */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, outPath: String,
       maxRecordsPerFile: Long = 0L): Unit = {

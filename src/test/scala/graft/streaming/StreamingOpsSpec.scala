@@ -909,6 +909,47 @@ class StreamingOpsSpec extends SparkSpec {
     assert(codes(streamed).size == 12, "4 standing + 2 appended, x2 assignments")
   }
 
+  test("ivfPqAppendSink fragmentation trips the file audit; compaction repairs it bit-equal") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Pq
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 1.0f)),
+      (10L, Seq(5.0f, 5.0f, 5.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_sink_frag"
+    Pq.buildIvfPqIndex(corpus, "vec_id", "embedding", dim = 4, m = 2,
+      k = 2, iters = 2, centroids = 2, path = path, assignments = 2)
+    // 8 single-row micro-batches — the sink's own write pattern:
+    // every batch scatters a tagged part file into each cell its
+    // rows assign to (x2 assignments here = 2 cells per batch)
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.ivfPqAppendSink(
+      in.toDF().toDF("vec_id", "embedding"), path).start()
+    try (1L to 8L).foreach { i =>
+      in.addData((20L + i, Seq(1.0f + i * 0.01f, 0.0f, 0.0f, 1.0f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val fragAudit = Pq.fileAudit(spark, path).collect().head
+    assert(fragAudit.getAs[String]("decision") == "compact",
+      s"8 micro-batches must fragment past 4x cells: $fragAudit")
+    def codes(p: String) = spark.read.parquet(s"$p/codes")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val before = codes(path)
+    val cpt = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_sink_frag_cpt"
+    Pq.compactIvfPqIndex(spark, path, cpt)
+    assert(codes(cpt) == before, "compaction must change no rows")
+    assert(Pq.fileAudit(spark, cpt).collect().head
+      .getAs[String]("decision") == "keep")
+    // the streaming idempotence contract survives compaction: a
+    // replayed micro-batch (checkpoint retry re-delivers batchId 0)
+    // still short-circuits on its carried marker
+    Pq.appendIvfPqIndex(
+      Seq((21L, Seq(1.01f, 0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cpt, batchTag = Some("b0"))
+    assert(codes(cpt) == before,
+      "a replayed streaming batch must no-op on the compacted tree")
+  }
+
   test("semDedupStream: cluster-width cap bounds state; beyond it arrivals pass unchecked") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.SemDedup
