@@ -694,9 +694,10 @@ object Pq {
     *
     *  - `n_cells`, `n_files` — committed data files across cells;
     *  - `n_orphans` — tagged files with NO commit marker: a crashed
-    *    append's partial leavings, invisible to correctness (the
-    *    retry deletes them) but surfaced here because only a retry
-    *    or a compaction ever removes them;
+    *    append's partial leavings, surfaced because only the batch's
+    *    own retry, [[sweepOrphans]] (the janitor for streams that
+    *    will never retry), or a compaction's exclusion ever deals
+    *    with them;
     *  - `files_per_cell_milli` — 1000·n_files/n_cells, integer;
     *  - `decision` — `compact` when `n_files ≥ 4 × n_cells`
     *    (compaction rewrites to one file per cell, so the threshold
@@ -728,6 +729,36 @@ object Pq {
     Seq((nCells, nFiles, nOrphans, nFiles * 1000L / nCells, decision))
       .toDF("n_cells", "n_files", "n_orphans", "files_per_cell_milli",
         "decision")
+  }
+
+  /** Delete ORPHANED append files — tagged code files whose
+    * `appends/<tag>` marker never landed. The retrying appender
+    * sweeps its OWN tag before re-applying, so orphans normally die
+    * at retry; but a decommissioned stream never retries, and its
+    * crashed final batch then sits in the cell directories forever —
+    * counted by [[fileAudit]]'s `n_orphans`, scanned by every probe
+    * (a partial batch is VISIBLE, the documented torn state between
+    * crash and retry), and excluded-but-not-removed by
+    * [[compactIvfPqIndex]]. This is the janitor for that terminal
+    * case. Deleting an orphan is always safe for correctness — no
+    * marker means the batch never committed, so a late retry
+    * re-applies the WHOLE batch from scratch (the marker contract);
+    * what is NOT safe is racing a live appender mid-batch, whose
+    * not-yet-committed files look exactly like orphans — this op is
+    * a WRITE under the single-writer-per-artifact rule, same as the
+    * appender itself. Returns the number of files deleted. */
+  def sweepOrphans(spark: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val tags = committedTags(fs, path)
+    fs.listStatus(new Path(s"$path/codes"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("c_id="))
+      .foldLeft(0L) { (n, cell) =>
+        val orphans = splitCellFiles(fs, cell.getPath, tags)._2
+        orphans.foreach(f => fs.delete(f, false))
+        n + orphans.size
+      }
   }
 
   /** COMPACT an IVF-PQ index — rewrite the accumulated per-append

@@ -702,4 +702,72 @@ class IvfPqSpec extends SparkSpec {
     val fragAudit = Pq.fileAudit(spark, out).collect().head
     assert(fragAudit.getAs[String]("decision") == "compact", fragAudit)
   }
+
+  test("sweepOrphans deletes only uncommitted tagged files; a late retry re-applies cleanly") {
+    import org.apache.hadoop.fs.Path
+    val src = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_sweep"
+    val old = corpus.filter(col("vec_id") =!= 2 && col("vec_id") =!= 12)
+    val batch = corpus.filter(col("vec_id") === 2)
+    Pq.buildIvfPqIndex(old, "vec_id", "embedding", dim = 4, m = 2,
+      k = 2, iters = 2, centroids = 2, path = src, assignments = 2)
+    Pq.appendIvfPqIndex(batch, "vec_id", "embedding", src,
+      batchTag = Some("ok1"))
+    def rows() = spark.read.parquet(s"$src/codes")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val committed = rows()
+    // a decommissioned stream's crashed final batch: tagged files,
+    // no marker — visible to probes, never retried
+    val fs = new Path(src).getFileSystem(spark.sessionState.newHadoopConf())
+    val cell = fs.listStatus(new Path(s"$src/codes"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("c_id="))
+      .head.getPath
+    val donor = fs.listStatus(cell)
+      .map(_.getPath).filter(_.getName.startsWith("part-")).head
+    fs.rename(donor, new Path(cell, s"dead-${donor.getName}"))
+    assert(Pq.fileAudit(spark, src).collect().head
+      .getAs[Long]("n_orphans") == 1L)
+    assert(Pq.sweepOrphans(spark, src) == 1L)
+    assert(Pq.fileAudit(spark, src).collect().head
+      .getAs[Long]("n_orphans") == 0L)
+    // the donor file was REMOVED (renamed to the orphan name, then
+    // swept) — the surviving rows are committed minus the donor's;
+    // committed tagged files are untouched (the ok1 batch row stays)
+    val after = rows()
+    assert(after.size < committed.size)
+    assert(after.exists(_.head == 2L), "the committed ok1 batch row survives")
+    // and a late retry of the swept tag re-applies the WHOLE batch —
+    // the no-marker contract: sweep never strands a batch, it only
+    // advances the cleanup its own retry would have done
+    Pq.appendIvfPqIndex(corpus.filter(col("vec_id") === 12),
+      "vec_id", "embedding", src, batchTag = Some("dead"))
+    assert(rows().count(_.head == 12L) == 2,
+      "the retried batch lands in full (2 assignments)")
+  }
+
+  test("compaction with maxRecordsPerFile: several files per cell, rows unchanged, audit consistent") {
+    import org.apache.hadoop.fs.Path
+    val src = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_cpt_mrpf_src"
+    Pq.buildIvfPqIndex(corpus, "vec_id", "embedding", dim = 4, m = 2,
+      k = 2, iters = 2, centroids = 2, path = src, assignments = 2)
+    val rows0 = spark.read.parquet(s"$src/codes")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val out = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_cpt_mrpf_out"
+    Pq.compactIvfPqIndex(spark, src, out, maxRecordsPerFile = 2L)
+    assert(spark.read.parquet(s"$out/codes")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq == rows0)
+    val fs = new Path(out).getFileSystem(spark.sessionState.newHadoopConf())
+    val perCell = fs.listStatus(new Path(s"$out/codes"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("c_id="))
+      .map { cell =>
+        (spark.read.parquet(cell.getPath.toString).count(),
+          fs.listStatus(cell.getPath).map(_.getPath.getName)
+            .count(n => !n.startsWith("_") && !n.startsWith(".")).toLong)
+      }
+    perCell.foreach { case (n, files) =>
+      assert(files == (n + 1) / 2,
+        s"cell with $n rows at maxRecordsPerFile=2 must split into ceil(n/2) files, got $files")
+    }
+    val audit = Pq.fileAudit(spark, out).collect().head
+    assert(audit.getAs[Long]("n_files") == perCell.map(_._2).sum, audit)
+  }
 }
