@@ -801,6 +801,14 @@ object Pq {
     * as every build: a crash mid-compaction leaves the source tree
     * untouched and no target.
     *
+    * Scale note: the committed-file list is enumerated on the driver
+    * and handed to the reader as explicit paths (that is what makes
+    * orphan EXCLUSION exact — an input_file_name filter would read
+    * the orphan bytes before dropping their rows). At extreme
+    * fragmentation (many millions of files) the path list itself is
+    * driver memory; compact cell ranges in batches at that point —
+    * or simply compact earlier, which is the audit's whole job.
+    *
     * Operational note: compact to a NEW path and flip the serving
     * pointer, don't compact in place under live readers —
     * publishTree's delete-then-rename leaves a window where the
