@@ -744,6 +744,57 @@ class IvfPqSpec extends SparkSpec {
       "the retried batch lands in full (2 assignments)")
   }
 
+  test("compact-and-flip handoff: replays short-circuit, new batches land, parity with a never-compacted twin") {
+    // the deployment choreography the compactIvfPqIndex scaladoc
+    // promises: batches b0/b1 land on the serving tree, the appender
+    // pauses, compaction publishes the new path, the pointer flips —
+    // then a REPLAY of b0/b1 (stream restart from an old checkpoint)
+    // must no-op on the new tree, a genuinely new b2 must land, and
+    // the final tree must equal a never-compacted twin that took the
+    // same three batches, bit-for-bit
+    val serving = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_flip_a"
+    val twin = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_flip_twin"
+    val old = corpus.filter(col("vec_id") =!= 1 && col("vec_id") =!= 2 &&
+      col("vec_id") =!= 12)
+    val batches = Seq(
+      corpus.filter(col("vec_id") === 1),
+      corpus.filter(col("vec_id") === 2),
+      corpus.filter(col("vec_id") === 12))
+    Seq(serving, twin).foreach { p =>
+      Pq.buildIvfPqIndex(old, "vec_id", "embedding", dim = 4, m = 2,
+        k = 2, iters = 2, centroids = 2, path = p, assignments = 2)
+    }
+    batches.zipWithIndex.take(2).foreach { case (b, i) =>
+      Pq.appendIvfPqIndex(b, "vec_id", "embedding", serving,
+        batchTag = Some(s"b$i"))
+    }
+    // appender paused; compact; flip the pointer to the new path
+    val flipped = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_flip_b"
+    Pq.compactIvfPqIndex(spark, serving, flipped)
+    // stream restarts from an old checkpoint: b0 and b1 re-deliver
+    batches.zipWithIndex.take(2).foreach { case (b, i) =>
+      Pq.appendIvfPqIndex(b, "vec_id", "embedding", flipped,
+        batchTag = Some(s"b$i"))
+    }
+    // and the genuinely new batch lands
+    Pq.appendIvfPqIndex(batches(2), "vec_id", "embedding", flipped,
+      batchTag = Some("b2"))
+    // twin: same three batches, no compaction, same tags
+    batches.zipWithIndex.foreach { case (b, i) =>
+      Pq.appendIvfPqIndex(b, "vec_id", "embedding", twin,
+        batchTag = Some(s"b$i"))
+    }
+    def codesOf(p: String) = spark.read.parquet(s"$p/codes")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(codesOf(flipped) == codesOf(twin),
+      "the flipped tree must be bit-equal to the never-compacted twin")
+    def searchOf(p: String) =
+      Pq.ivfPqCandidates(query, p, dim = 4, topK = 8, probes = 2,
+          "vec_id", "embedding")
+        .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(searchOf(flipped) == searchOf(twin))
+  }
+
   test("compaction with maxRecordsPerFile: several files per cell, rows unchanged, audit consistent") {
     import org.apache.hadoop.fs.Path
     val src = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_cpt_mrpf_src"
