@@ -111,9 +111,13 @@ object AnnRecallBench {
       }.min
 
     // the exact re-rank tail every PQ arm pays: width·|Q| vector
-    // lookups + the bounded top-5 heap — by construction independent
-    // of corpus size, which is the claim the seconds column verifies
-    def scoredOf(cand: DataFrame): DataFrame = cand
+    // lookups + the bounded top-5 heap. Two implementations measured
+    // side by side (round-17, verdict #1): the round-16 shape —
+    // corpus-side shuffle_hash exchange per query batch — and the
+    // id-keyed VECTOR STORE (bucketed+sorted by vec_id, candidates
+    // broadcast, corpus side a bare scan with ZERO exchange), which
+    // is what the gates now run
+    def scoredOfShuffle(cand: DataFrame): DataFrame = cand
       .select(col("query_id").as("q_id"), col("neighbor_id").as("i_id"))
       .join(q.select(col("vec_id").as("q_id"),
         col("embedding").as("qe")), "q_id")
@@ -122,26 +126,51 @@ object AnnRecallBench {
       .select(col("q_id"),
         VectorFunctions.squaredEuclidean(col("qe"), col("ie")).as("d"),
         col("i_id"))
+    val tStore = {
+      val t0 = System.nanoTime()
+      graft.operators.VectorStore.ensure(spark, sfDir, emb,
+        "vec_id", "embedding")
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"RECALL vector store build=$tStore%.2f s (once per corpus)")
+    val store = graft.operators.VectorStore.vectors(spark, sfDir)
+    def scoredOfStore(cand: DataFrame): DataFrame = {
+      val c = cand
+        .select(col("query_id").as("q_id"), col("neighbor_id").as("i_id"))
+        .join(q.select(col("vec_id").as("q_id"),
+          col("embedding").as("qe")), "q_id")
+      broadcast(c)
+        .join(store.select(col("vec_id").as("i_id"), col("v").as("ie")), "i_id")
+        .select(col("q_id"),
+          VectorFunctions.squaredEuclidean(col("qe"), col("ie")).as("d"),
+          col("i_id"))
+    }
 
     // rerank-w recall@5 AND its price, decomposed: probe = candidate
     // generation alone; rerank = the exact re-score join + final
     // top-5 timed from MATERIALIZED candidates (localCheckpoint), so
     // the two legs don't contaminate each other — rerank is the leg
-    // whose claimed corpus-size-independence this bench verifies
+    // whose claimed corpus-size-independence this bench verifies,
+    // timed under BOTH join shapes (store = the shipped path,
+    // shuffle = the round-16 contrast)
     def recallOf(arm: String, cand: => DataFrame): Unit = {
       val tProbe = min2(force(cand))
       val candCp = cand.select(col("query_id"), col("neighbor_id"))
         .localCheckpoint()
-      val scored = scoredOf(candCp)
-      val tRerank = min2(force(scored.groupBy(col("q_id"))
-        .agg(TopK.topK(5)(col("d"), col("i_id"), col("i_id")).as("top"))
-        .select(col("q_id"), explode(col("top")).as("n"))))
+      def rerankTime(scored: DataFrame): Double =
+        min2(force(scored.groupBy(col("q_id"))
+          .agg(TopK.topK(5)(col("d"), col("i_id"), col("i_id")).as("top"))
+          .select(col("q_id"), explode(col("top")).as("n"))))
+      val scored = scoredOfStore(candCp)
+      val tRerank = rerankTime(scored)
+      val tRerankShuffle = rerankTime(scoredOfShuffle(candCp))
       val got = top5(scored)
       val hits = got.iterator.map { case (qid, ms) =>
         math.min(exact.getOrElse(qid, Nil).size,
           ms.count(_._2 <= d5.getOrElse(qid, Double.NegativeInfinity)))
       }.sum
       println(f"RECALL $arm probe=$tProbe%.2f s rerank=$tRerank%.2f s " +
+        f"rerank_shuffle=$tRerankShuffle%.2f s " +
         f"total=${tProbe + tRerank}%.2f s " +
         f"recall5=${hits.toDouble / exactN}%.3f ($hits/$exactN)")
     }

@@ -54,6 +54,18 @@ object GraftSession {
   def tune(spark: SparkSession): Unit = {
     spark.conf.set(ObjectHashFallbackKey, ObjectHashFallbackValue.toString)
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    // Report a bucketed+sorted table scan's output ordering (off by
+    // default since SPARK-28595 because it lists files at PLANNING
+    // time to verify the ordering is valid — i.e. one file per
+    // bucket). The engine's id-keyed vector store
+    // ([[graft.operators.VectorStore]]) is written one-file-per-bucket
+    // by construction exactly so its merge-join side needs neither
+    // exchange NOR sort; without this conf Spark re-sorts the store
+    // side of every backfill re-rank, re-paying the work the layout
+    // pre-paid. The planning-time listing is work the scan does
+    // anyway, and multi-file buckets stay correct (the listing is how
+    // Spark decides the ordering can't be trusted).
+    spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
   }
 
   /** A tuned local session: `cpus` worker threads, shuffle partitions

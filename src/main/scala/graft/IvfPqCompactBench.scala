@@ -96,6 +96,24 @@ object IvfPqCompactBench {
     val nf = spark.read.parquet(s"$frag/codes").count()
     val nc = spark.read.parquet(s"$cpt/codes").count()
     println(s"COMPACT rows fragmented=$nf compacted=$nc equal=${nf == nc}")
+
+    // round-17 (verdict #6): the OBJECT-STORE open-cost model,
+    // measured rather than modeled — serve the IDENTICAL trees
+    // through [[graft.sources.SlowOpenFileSystem]] (`slow://` = local
+    // bytes + a per-open sleep) at each delay in
+    // SPARK_GRAFT_OPEN_DELAY_MS (comma-separated, e.g. "10,25,50" ≈
+    // S3 first-byte latitudes). Local numbers are the tax FLOOR; these
+    // rows are where the q184/fileAudit `factor` threshold gets
+    // re-derived for remote stores (BASELINE.md table).
+    sys.env.get("SPARK_GRAFT_OPEN_DELAY_MS").foreach { ds =>
+      ds.split(",").map(_.trim).filter(_.nonEmpty).map(_.toLong).foreach { d =>
+        graft.sources.SlowOpenFileSystem.register(spark, d)
+        probeMin2(s"fragmented_open${d}ms",
+          graft.sources.SlowOpenFileSystem.slowPath(frag))
+        probeMin2(s"compacted_open${d}ms",
+          graft.sources.SlowOpenFileSystem.slowPath(cpt))
+      }
+    }
     spark.stop()
   }
 }

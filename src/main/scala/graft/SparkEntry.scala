@@ -227,9 +227,12 @@ object Queries
     "q180_ann_maint_ladder" -> (annMaintLadder _),
     "q181_ann_search_dispatch" ->
       ((s: SparkSession, d: String) => ivfPqSearchDispatch(s, d)),
-    "q182_ann_dispatch_sized" -> (ivfPqSearchDispatchSized _),
+    "q182_ann_dispatch_sized" ->
+      ((s: SparkSession, d: String) => ivfPqSearchDispatchSized(s, d)),
     "q183_ivfpq_compacted" -> (ivfPqCompacted _),
-    "q184_ivfpq_file_audit" -> (ivfPqFileAudit _))
+    "q184_ivfpq_file_audit" -> (ivfPqFileAudit _),
+    "q185_rerank_calibration" -> (rerankCalibrationFit _),
+    "q186_compaction_cadence" -> (ivfPqCompactionCadence _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = {
@@ -253,9 +256,10 @@ object Queries
       // q183: compaction changes file boundaries, never rows — the
       // compacted tree's search replays under q170's oracle VERBATIM
       ("q183_ivfpq_compacted" -> base("q170_ivfpq_incr"))
-    // q184_ivfpq_file_audit has NO oracle by construction: file
-    // layout is write-history, not corpus — nothing SQL-derivable
-    // to replay (driver records the rows-only check; IvfPqSpec gates
-    // the decision branches, q183 gates the dispatched-to operator)
+    // q184_ivfpq_file_audit and q186_compaction_cadence have NO
+    // oracle by construction: file layout (and its growth history)
+    // is write-history, not corpus — nothing SQL-derivable to replay
+    // (driver records the rows-only check; IvfPqSpec gates the
+    // decision branches, q183 gates the dispatched-to operator)
   }
 }

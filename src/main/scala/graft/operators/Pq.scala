@@ -699,11 +699,26 @@ object Pq {
     *    will never retry), or a compaction's exclusion ever deals
     *    with them;
     *  - `files_per_cell_milli` — 1000·n_files/n_cells, integer;
-    *  - `decision` — `compact` when `n_files ≥ 4 × n_cells`
-    *    (compaction rewrites to one file per cell, so the threshold
-    *    reads "a compaction would shrink the listing ≥ 4×" — the
-    *    same factor-4 discipline as the occupancy and resolution
-    *    audits), else `keep`.
+    *  - `decision` — `compact` when `n_files + n_orphans ≥ factor ×
+    *    n_cells` (compaction + an orphan sweep rewrite the listing to
+    *    one file per cell, so the threshold reads "shrinking the
+    *    listing would save ≥ `factor`×" — factor 4 is the same
+    *    discipline as the occupancy and resolution audits). Orphans
+    *    COUNT toward the threshold (round-16 advice): a probe scans
+    *    orphan files too (the documented visible torn state), so a
+    *    tree accumulating orphans from a decommissioned stream pays
+    *    the per-file open tax exactly like committed fragmentation —
+    *    only the REPAIR differs ([[sweepOrphans]] vs
+    *    [[compactIvfPqIndex]], and a compact-to-new-path drops the
+    *    orphans anyway).
+    *
+    * `factor` is a parameter because the threshold is a function of
+    * the STORE's per-file-open cost, not a constant of the algorithm:
+    * the local-FS tax curve (IvfPqCompactBench: 1.78× probe tax at
+    * 17k files, 8.9× at 65k) is the FLOOR, and an object store
+    * billing 10–50 ms per file open crosses "compaction pays" at a
+    * lower files/cell — the slow-open re-derivation in BASELINE.md
+    * sizes it.
     *
     * Unlike the occupancy/resolution audits this one is NOT
     * oracle-replayable — file layout is a property of the write
@@ -712,9 +727,11 @@ object Pq {
     * the LATENCY claim behind the decision is measured by
     * IvfPqCompactBench, not asserted. */
   def fileAudit(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = {
+      path: String, factor: Long = 4L): DataFrame = {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
+    require(factor >= 1, s"fileAudit factor=$factor must be >= 1")
+    readIvfPqMeta(spark, path) // validate the tree before listing it
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val tags = committedTags(fs, path)
     val cells = fs.listStatus(new Path(s"$path/codes"))
@@ -725,7 +742,8 @@ object Pq {
     }
     val nCells = cells.length.toLong
     require(nCells > 0, s"fileAudit: $path/codes has no cell directories")
-    val decision = if (nFiles >= 4L * nCells) "compact" else "keep"
+    val decision =
+      if (nFiles + nOrphans >= factor * nCells) "compact" else "keep"
     Seq((nCells, nFiles, nOrphans, nFiles * 1000L / nCells, decision))
       .toDF("n_cells", "n_files", "n_orphans", "files_per_cell_milli",
         "decision")
@@ -759,6 +777,77 @@ object Pq {
         orphans.foreach(f => fs.delete(f, false))
         n + orphans.size
       }
+  }
+
+  /** Compaction CADENCE policy (q185's operator) — closes the layout
+    * loop the way q169/q174 closed theirs: [[fileAudit]] says
+    * compact/keep about the tree AS IT STANDS, but a deployment
+    * schedules maintenance against the tree as it is GROWING, and
+    * "how many more append batches until the probe tax crosses the
+    * line" is derivable from the same metadata listing — committed
+    * tags count the applied batches, tag-prefixed files count what
+    * those batches added, and the ratio is the measured growth rate
+    * of this tree's own write history (not a config guess). One row
+    * of integers, no Spark job:
+    *
+    *  - `n_cells`, `n_files`, `n_orphans` — [[fileAudit]]'s census;
+    *  - `n_batches` — committed append batches (`appends/` markers);
+    *  - `append_files` — committed files those batches added
+    *    (tag-prefixed); `files_per_batch_milli` = 1000·append_files /
+    *    n_batches;
+    *  - `batches_to_threshold` — ⌈(factor·n_cells − n_files −
+    *    n_orphans) · n_batches / append_files⌉, the forecast horizon
+    *    (0 when already over the line, −1 when there is no append
+    *    history to extrapolate);
+    *  - `decision` — `compact_now` when the [[fileAudit]] threshold
+    *    is already crossed (probes pay the tax TODAY); `compact_within`
+    *    when append history exists and the forecast horizon is finite
+    *    (book the compaction `batches_to_threshold − 1` batches out —
+    *    its cost is one codes shuffle, measured 26–47 s at the vec
+    *    decade, vs a probe tax that compounds per batch after the
+    *    line); else `keep` (no append history — nothing is growing).
+    *
+    * Orphans count toward the standing tax (probes scan them) but NOT
+    * toward the growth rate (they are a crashed batch's leavings, not
+    * a trend). Same rows-only gate contract as q184 — write history,
+    * not corpus. The streaming append sink surfaces this election per
+    * micro-batch ([[graft.streaming.StreamingOps.ivfPqAppendSink]]),
+    * cached on [[indexStateSignature]] so replay-skipped batches
+    * don't re-list the tree. */
+  def compactionCadence(spark: org.apache.spark.sql.SparkSession,
+      path: String, factor: Long = 4L): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    require(factor >= 1, s"compactionCadence factor=$factor must be >= 1")
+    readIvfPqMeta(spark, path) // validate the tree before listing it
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val tags = committedTags(fs, path)
+    val cells = fs.listStatus(new Path(s"$path/codes"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("c_id="))
+    require(cells.nonEmpty,
+      s"compactionCadence: $path/codes has no cell directories")
+    var nFiles = 0L; var nOrphans = 0L; var appendFiles = 0L
+    cells.foreach { cell =>
+      val (committed, orphans) = splitCellFiles(fs, cell.getPath, tags)
+      nFiles += committed.size
+      nOrphans += orphans.size
+      appendFiles += committed.count(!_.getName.startsWith("part-"))
+    }
+    val nCells = cells.length.toLong
+    val nBatches = tags.size.toLong
+    val scanned = nFiles + nOrphans
+    val threshold = factor * nCells
+    val (decision, horizon) =
+      if (scanned >= threshold) ("compact_now", 0L)
+      else if (nBatches > 0L && appendFiles > 0L)
+        ("compact_within",
+          ((threshold - scanned) * nBatches + appendFiles - 1L) / appendFiles)
+      else ("keep", -1L)
+    Seq((nCells, nFiles, nOrphans, nBatches, appendFiles,
+        if (nBatches > 0L) appendFiles * 1000L / nBatches else 0L,
+        horizon, decision))
+      .toDF("n_cells", "n_files", "n_orphans", "n_batches", "append_files",
+        "files_per_batch_milli", "batches_to_threshold", "decision")
   }
 
   /** COMPACT an IVF-PQ index — rewrite the accumulated per-append
@@ -805,9 +894,18 @@ object Pq {
     * and handed to the reader as explicit paths (that is what makes
     * orphan EXCLUSION exact — an input_file_name filter would read
     * the orphan bytes before dropping their rows). At extreme
-    * fragmentation (many millions of files) the path list itself is
-    * driver memory; compact cell ranges in batches at that point —
-    * or simply compact earlier, which is the audit's whole job.
+    * fragmentation (many millions of files) the FULL path list is
+    * driver memory, so `cellBatch` (> 0) bounds it: the sorted cell
+    * directories are processed in groups of ≤ `cellBatch` cells, each
+    * group enumerating, reading, and writing ONLY its own cells'
+    * committed files — the driver holds one group's list at a time,
+    * and every group appends into the same build tree under the ONE
+    * [[graft.sources.Artifacts.publishTree]] rename (groups own
+    * disjoint cells, so the appends never collide and the composed
+    * result is file-for-file the unbatched layout; spec-pinned
+    * bit-equal in IvfPqSpec). Compacting earlier is still cheaper —
+    * that is the audit's whole job — but the bounded path no longer
+    * depends on it.
     *
     * Operational note: compact to a NEW path and flip the serving
     * pointer, don't compact in place under live readers —
@@ -825,30 +923,53 @@ object Pq {
     * replay after the flip. */
   def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, outPath: String,
-      maxRecordsPerFile: Long = 0L): Unit = {
+      maxRecordsPerFile: Long = 0L,
+      cellBatch: Int = 0): Unit = {
     import org.apache.hadoop.fs.Path
     val meta = readIvfPqMeta(spark, path) // validates the source tree
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val tags = committedTags(fs, path)
-    val committed = fs.listStatus(new Path(s"$path/codes"))
+    val cells = fs.listStatus(new Path(s"$path/codes"))
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("c_id="))
-      .flatMap(cell => splitCellFiles(fs, cell.getPath, tags)._1)
-    require(committed.nonEmpty,
-      s"compactIvfPqIndex: $path/codes has no committed data files")
+      .map(_.getPath).sortBy(_.getName)
+    // one group = the whole tree (legacy path) or ≤ cellBatch cells;
+    // each group's committed-file list is the only one the driver
+    // holds, and groups write disjoint cell partitions so appending
+    // into the same build tree composes to the unbatched layout
+    val groups =
+      if (cellBatch <= 0) Seq(cells.toSeq)
+      else cells.grouped(cellBatch).map(_.toSeq).toSeq
     graft.sources.Artifacts.publishTree(spark, outPath) { build =>
+      // marker creation and build-side writes go through the BUILD
+      // path's filesystem (round-16 advice): the scaladoc recommends
+      // compacting to a NEW path, which may live on a different fs
+      // than the source (hdfs → local, local → s3) — deriving the
+      // marker fs from the source would land the carried markers on
+      // the wrong filesystem and silently drop replay idempotence
+      val outFs = new Path(build)
+        .getFileSystem(spark.sessionState.newHadoopConf())
       Seq("meta", "ivf", "codebooks").foreach { d =>
         spark.read.parquet(s"$path/$d")
           .coalesce(1).write.parquet(s"$build/$d")
       }
-      // basePath keeps the c_id partition column while the explicit
-      // file list excludes orphans
-      val codes = spark.read.option("basePath", s"$path/codes")
-        .parquet(committed.map(_.toString).toIndexedSeq: _*)
-      val writer = codes.repartition(col("c_id"))
-        .write.partitionBy("c_id")
-      (if (maxRecordsPerFile > 0L)
-         writer.option("maxRecordsPerFile", maxRecordsPerFile)
-       else writer).parquet(s"$build/codes")
+      var wroteAny = false
+      groups.foreach { group =>
+        val committed = group.flatMap(cell => splitCellFiles(fs, cell, tags)._1)
+        if (committed.nonEmpty) {
+          wroteAny = true
+          // basePath keeps the c_id partition column while the
+          // explicit file list excludes orphans
+          val codes = spark.read.option("basePath", s"$path/codes")
+            .parquet(committed.map(_.toString).toIndexedSeq: _*)
+          val writer = codes.repartition(col("c_id"))
+            .write.mode("append").partitionBy("c_id")
+          (if (maxRecordsPerFile > 0L)
+             writer.option("maxRecordsPerFile", maxRecordsPerFile)
+           else writer).parquet(s"$build/codes")
+        }
+      }
+      require(wroteAny,
+        s"compactIvfPqIndex: $path/codes has no committed data files")
       val stamp = new Path(s"$path/resolution")
       if (fs.exists(stamp))
         spark.read.parquet(s"$path/resolution")
@@ -856,8 +977,8 @@ object Pq {
       else stampResolution(spark, build, meta.m)
       tags.foreach { t =>
         val mk = new Path(s"$build/appends/$t")
-        fs.mkdirs(mk.getParent)
-        fs.create(mk, false).close()
+        outFs.mkdirs(mk.getParent)
+        outFs.create(mk, false).close()
       }
     }
   }
@@ -1065,6 +1186,98 @@ object Pq {
         fs.listStatus(appends).map(_.getPath.getName).sorted.mkString(",")
       else ""
     s"$metaM|$tags"
+  }
+
+  /** The fields of one cached occupancy-audit row ([[occupancyAudit]]
+    * projected to what the dispatches consume). */
+  final case class OccupancySnapshot(searchMode: String, nCodes: Long,
+      nCellsOccupied: Long, maxCell: Long)
+
+  /** Driver-side cache of the per-tree audit reads a search dispatch
+    * makes — the streaming search sink's round-15 discipline
+    * (recompute only when the tree's state signature moved) unified
+    * for the BATCH dispatches (round-16 verdict: q181/q182 made 4
+    * sequential 1-row collects per invocation; a query service pays
+    * metadata reads only when the tree moved). Three caches, each
+    * keyed on the narrowest signature that can invalidate it:
+    *
+    *  - meta ([[readIvfPqMeta]]) and the resolution verdict
+    *    ([[resolutionStamp]]) change only at PUBLISH — keyed on the
+    *    `meta/` sidecar's mtime (appends move the full
+    *    [[indexStateSignature]] but can change neither);
+    *  - the occupancy snapshot changes with every append — keyed on
+    *    the full [[indexStateSignature]];
+    *  - a bare stamp directory (the int8 arm's tree has no `meta/`) —
+    *    keyed on the `resolution/` directory's own mtime.
+    *
+    * Values are O(1) rows; the maps never hold data-sized state. Load
+    * counters are exposed for the spec that pins "no re-read on an
+    * unchanged tree". */
+  object audits {
+    import java.util.concurrent.ConcurrentHashMap
+    import java.util.concurrent.atomic.AtomicLong
+    private val metaCache = new ConcurrentHashMap[String, (Long, IvfPqMeta)]()
+    private val resCache = new ConcurrentHashMap[String, (Long, String)]()
+    private val occCache =
+      new ConcurrentHashMap[String, (String, OccupancySnapshot)]()
+    private val stampCache = new ConcurrentHashMap[String, (Long, String)]()
+    private[graft] val metaLoads = new AtomicLong
+    private[graft] val resolutionLoads = new AtomicLong
+    private[graft] val occupancyLoads = new AtomicLong
+    private[graft] val stampLoads = new AtomicLong
+
+    private def metaModTime(spark: org.apache.spark.sql.SparkSession,
+        path: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/meta")
+      p.getFileSystem(spark.sessionState.newHadoopConf())
+        .getFileStatus(p).getModificationTime
+    }
+
+    def meta(spark: org.apache.spark.sql.SparkSession,
+        path: String): IvfPqMeta = {
+      val key = metaModTime(spark, path)
+      metaCache.compute(path, (_, prev) =>
+        if (prev != null && prev._1 == key) prev
+        else { metaLoads.incrementAndGet()
+          (key, readIvfPqMeta(spark, path)) })._2
+    }
+
+    def resolutionDecision(spark: org.apache.spark.sql.SparkSession,
+        path: String): String = {
+      val key = metaModTime(spark, path)
+      resCache.compute(path, (_, prev) =>
+        if (prev != null && prev._1 == key) prev
+        else { resolutionLoads.incrementAndGet()
+          (key, resolutionStamp(spark, path)
+            .select(col("decision")).collect().head.getString(0)) })._2
+    }
+
+    def occupancy(spark: org.apache.spark.sql.SparkSession,
+        path: String): OccupancySnapshot = {
+      val key = indexStateSignature(spark, path)
+      occCache.compute(path, (_, prev) =>
+        if (prev != null && prev._1 == key) prev
+        else { occupancyLoads.incrementAndGet()
+          val r = occupancyAudit(spark, path)
+            .select(col("search_mode"), col("n_codes"),
+              col("n_cells_occupied"), col("max_cell")).collect().head
+          (key, OccupancySnapshot(r.getString(0), r.getLong(1),
+            r.getLong(2), r.getLong(3))) })._2
+    }
+
+    /** The `resolution/` stamp of a tree WITHOUT a `meta/` sidecar
+      * (the int8 arm) — keyed on the stamp directory's own mtime. */
+    def stampDecision(spark: org.apache.spark.sql.SparkSession,
+        path: String): String = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/resolution")
+      val key = p.getFileSystem(spark.sessionState.newHadoopConf())
+        .getFileStatus(p).getModificationTime
+      stampCache.compute(path, (_, prev) =>
+        if (prev != null && prev._1 == key) prev
+        else { stampLoads.incrementAndGet()
+          (key, spark.read.parquet(s"$path/resolution")
+            .select(col("decision")).collect().head.getString(0)) })._2
+    }
   }
 
   /** Per-cell occupancy of a codes relation — the ONE occupancy
@@ -1340,6 +1553,103 @@ object Pq {
       gamma: Double = 0.194287) {
     require(c > 0 && beta > 0 && gamma >= 0,
       s"calibration must have c>0, beta>0, gamma>=0, got $this")
+  }
+
+  /** Fit the [[RerankCalibration]] constants from a measured
+    * width×size recall grid — the re-fit operator the round-16
+    * verdict asked for (#2): "a deployment re-fits from its own grid"
+    * was scaladoc prose, and a re-fit meant editing source. This is
+    * the BASELINE.md fit recipe as arithmetic, replayable by the
+    * DuckDB oracle (q185) because every operation is a fixed-order
+    * scalar expression over the grid literals:
+    *
+    *  - `beta` = mean of the two width slopes:
+    *    (ln(r(w_hi,n_lo)/r(w_lo,n_lo)) + ln(r(w_hi,n_hi)/r(w_lo,n_hi)))
+    *    / (2·ln(w_hi/w_lo));
+    *  - `gamma` = mean of the two size slopes (negated):
+    *    (ln(r(w_lo,n_lo)/r(w_lo,n_hi)) + ln(r(w_hi,n_lo)/r(w_hi,n_hi)))
+    *    / (2·ln(n_hi/n_lo));
+    *  - `ln c` = mean intercept over the four points in the fixed
+    *    order (w_lo,n_lo), (w_lo,n_hi), (w_hi,n_lo), (w_hi,n_hi).
+    *
+    * The grid must be a 2×2 FACTORIAL (two widths × two sizes, each
+    * combination once) — the saturated design where this closed form
+    * IS the least-squares solution; a deployment with a denser grid
+    * subsamples its extreme corners (the shape the AnnRecallBench
+    * sweep produces anyway). Recalls are MILLI integers (the grid is
+    * measured by the bench as hits/n — milli is its native
+    * portability unit).
+    *
+    * Provenance note: the shipped [[RerankCalibration]] defaults are
+    * the round-16 HAND fit of the same table, rounded to 6 decimals
+    * (c 0.723778 vs this fit's 0.726141, gamma 0.194287 vs 0.194515 —
+    * sub-±0.4 % constant deltas from rounding order). At target 500
+    * milli both elect width 280 @ 921k; at 3.69M they differ by ONE
+    * candidate (shipped 540 — raw solution 539.97, a hair under the
+    * integer boundary — vs this fit's 541; recall-immaterial, the
+    * out-of-sample run measured 0.509 against the 0.500 target
+    * there, and BASELINE's "541" quote was this fit's value). The
+    * defaults stay as shipped (q182 hash-stable) while deployments
+    * re-fit through here — CalibrationSpec pins both elections. */
+  def fitRerankCalibration(grid: Seq[(Long, Long, Long)]): RerankCalibration = {
+    require(grid.size == 4,
+      s"fitRerankCalibration needs a 2×2 factorial grid (4 points), got ${grid.size}")
+    grid.foreach { case (w, n, rm) =>
+      require(w >= 1 && n >= 1 && rm >= 1 && rm <= 1000,
+        s"grid point (w=$w, n=$n, recall_milli=$rm) out of range") }
+    val ws = grid.map(_._1).distinct.sorted
+    val ns = grid.map(_._2).distinct.sorted
+    require(ws.size == 2 && ns.size == 2,
+      s"grid must span exactly 2 widths × 2 sizes, got widths=$ws sizes=$ns")
+    val r = grid.map(g => ((g._1, g._2), g._3.toDouble / 1000.0)).toMap
+    require(r.size == 4, "grid repeats a (width, size) point")
+    val (wLo, wHi) = (ws(0), ws(1))
+    val (nLo, nHi) = (ns(0), ns(1))
+    val beta = (math.log(r((wHi, nLo)) / r((wLo, nLo))) +
+        math.log(r((wHi, nHi)) / r((wLo, nHi)))) /
+      (2.0 * math.log(wHi.toDouble / wLo.toDouble))
+    val gamma = (math.log(r((wLo, nLo)) / r((wLo, nHi))) +
+        math.log(r((wHi, nLo)) / r((wHi, nHi)))) /
+      (2.0 * math.log(nHi.toDouble / nLo.toDouble))
+    val pts = Seq((wLo, nLo), (wLo, nHi), (wHi, nLo), (wHi, nHi))
+    val lnC = pts.map { case (w, n) =>
+      math.log(r((w, n))) - beta * math.log(w.toDouble) +
+        gamma * math.log(n.toDouble)
+    }.sum / 4.0
+    RerankCalibration(math.exp(lnC), beta, gamma)
+  }
+
+  /** Persist a fitted calibration as a VERSIONED one-row artifact
+    * (c/beta/gamma as exact doubles — parquet round-trips them
+    * bit-identically, so a dispatch fed the artifact equals one fed
+    * the in-memory fit — plus the grid it was fitted from, so the
+    * artifact answers "calibrated against what"). Published via the
+    * same all-or-nothing rename as every artifact. */
+  def publishRerankCalibration(spark: org.apache.spark.sql.SparkSession,
+      grid: Seq[(Long, Long, Long)], path: String): RerankCalibration = {
+    import spark.implicits._
+    val calib = fitRerankCalibration(grid)
+    val sorted = grid.sortBy(g => (g._1, g._2))
+    graft.sources.Artifacts.publish(
+      Seq((calib.c, calib.beta, calib.gamma,
+          sorted.map(_._1), sorted.map(_._2), sorted.map(_._3)))
+        .toDF("c", "beta", "gamma", "grid_w", "grid_n", "grid_recall_milli")
+        .coalesce(1),
+      path)
+    calib
+  }
+
+  /** Read a [[publishRerankCalibration]] artifact back — the exact
+    * constants the fit produced. */
+  def readRerankCalibration(spark: org.apache.spark.sql.SparkSession,
+      path: String): RerankCalibration = {
+    val r = spark.read.parquet(path).select(
+      col("c"), col("beta"), col("gamma")).collect() match {
+      case Array(row) => row
+      case rows => throw new IllegalStateException(
+        s"calibration at $path must be exactly 1 row, got ${rows.length}")
+    }
+    RerankCalibration(r.getDouble(0), r.getDouble(1), r.getDouble(2))
   }
 
   /** Predicted exact-rerank recall@5 (milli, capped at 1000) of a

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Id-keyed VECTOR STORE for the exact re-rank — the artifact that
+  * kills the last wrong-shape plan on the 100 TB ANN path (round-16
+  * verdict #1): every PQ candidate path ends in an exact re-score of
+  * width·|Q| `(id → vector)` POINT LOOKUPS, a relation whose size is
+  * corpus-INDEPENDENT by construction — yet the re-rank join used to
+  * meet it by shuffling the corpus-side `(id, vector)` relation
+  * (`shuffle_hash` hint), i.e. a corpus-wide exchange per query batch
+  * (measured growing ~1.4× per 4× corpus at the vec decade). The fix
+  * is a layout, not a join hint: persist the embeddings ONCE as a
+  * table BUCKETED AND SORTED BY id, and the re-rank join never
+  * exchanges the corpus again, in either batch regime:
+  *
+  *  - bounded candidate batches (the deployment contract — |Q| is
+  *    query-batch-budgeted, so width·|Q| is broadcastable): the
+  *    candidates side broadcasts and the store side is a bare
+  *    bucketed scan feeding a BroadcastHashJoin — ZERO exchange, zero
+  *    sort, anywhere in the plan;
+  *  - unbounded candidate relations (a backfill re-scoring months of
+  *    logged candidates): Catalyst falls back to sort-merge, where
+  *    the BUCKETED side needs neither exchange NOR sort (`sortBy` at
+  *    write time) — only the candidates side shuffles, and that side
+  *    is the small one by definition.
+  *
+  * Both plan shapes are asserted in VectorStoreSpec; the scan itself
+  * remains the store-side cost (columnar, two columns) — at the vec
+  * decade the measured leg is in BASELINE.md. What this store does
+  * NOT try to be is a KV service: Spark has no sub-scan random read,
+  * so "corpus-flat" here means flat in EXCHANGED bytes (zero) and
+  * join-side materialization, with the residual scan pruned to the
+  * two columns the re-rank touches.
+  *
+  * The store is a bucketed TABLE (not a bare parquet path) because
+  * bucketing metadata lives in the catalog — [[ensure]] registers it
+  * in the session catalog once per JVM per corpus, the
+  * [[graft.sources.Artifacts.ensure]] discipline. A deployment with a
+  * durable metastore builds it once, ever.
+  */
+object VectorStore {
+
+  /** Catalog-safe per-corpus table name: the same SHA-256-prefix
+    * injective keying as [[graft.sources.Artifacts.corpusPath]],
+    * digest-only because table identifiers are less permissive than
+    * paths. */
+  def tableName(corpusDir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(corpusDir.getBytes("UTF-8"))
+      .take(8).map(b => f"$b%02x").mkString
+    s"graft_vecstore_$digest"
+  }
+
+  private val builtOnce =
+    new java.util.concurrent.ConcurrentHashMap[String, () => String]()
+
+  /** Build (once per JVM per corpus) the bucketed-by-id store over
+    * `items`' `(idCol, vecCol)` projection and return its table name.
+    * Buckets default to the session's shuffle parallelism; a
+    * deployment sizes them to corpus bytes / target file size (the
+    * bucket count is baked into the layout — resize = rebuild). */
+  def ensure(spark: SparkSession, corpusDir: String, items: DataFrame,
+      idCol: String, vecCol: String, buckets: Int = 0): String = {
+    val cell = builtOnce.computeIfAbsent(corpusDir, { _ =>
+      lazy val built: String = {
+        val name = tableName(corpusDir)
+        val b =
+          if (buckets > 0) buckets
+          else spark.conf.get("spark.sql.shuffle.partitions").toInt
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        // a previous aborted run can leave an orphan table dir the
+        // (in-memory) catalog no longer tracks; overwrite handles the
+        // location, but only if saveAsTable gets that far — clear it
+        val warehouse = new java.io.File(s"spark-warehouse/$name")
+        if (warehouse.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete()
+          }
+          rm(warehouse)
+        }
+        items
+          .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
+          // pre-shuffle onto the bucket hash (repartition and bucketBy
+          // share Murmur3-pmod) so each bucket is written by exactly
+          // one task = ONE FILE per bucket: Spark trusts a bucketed
+          // table's sortBy metadata only at ≤ 1 file per bucket —
+          // multi-file buckets would silently re-sort the store side
+          // of every merge join, the very work the layout pre-pays
+          .repartition(b, col("vec_id"))
+          .write.bucketBy(b, "vec_id").sortBy("vec_id")
+          .mode("overwrite").saveAsTable(name)
+        name
+      }
+      () => built
+    })
+    cell()
+  }
+
+  /** The store relation — (vec_id, v), bucketed+sorted by vec_id. */
+  def vectors(spark: SparkSession, corpusDir: String): DataFrame =
+    spark.table(tableName(corpusDir))
+
+  /** Exact re-rank of ANN candidates against a vector store: re-score
+    * each (query, candidate) pair with exact float squared-Euclidean
+    * and keep the per-query top-`k`, distances floored to micros —
+    * the shared tail of every PQ candidate gate (q164/q167/q170/…).
+    *
+    * Plan shape (the operator's whole point): the candidates side —
+    * width·|Q| rows after the query-vector equi-join, bounded by the
+    * probe paths' enforced query-batch budget — is explicitly
+    * broadcast, so the store side is a bare bucketed scan into a
+    * BroadcastHashJoin: NO corpus-side exchange, ever. When a caller
+    * disables broadcasting (or a backfill genuinely exceeds the
+    * budget), the join degrades to sort-merge where the store side
+    * still needs neither exchange nor sort (bucketed+sorted layout) —
+    * both shapes plan-asserted in VectorStoreSpec.
+    *
+    * @param store      (vec_id, v) — [[vectors]] or any id-keyed
+    *                   vector relation
+    * @param queries    (vec_id, embedding) — the query batch
+    * @param candidates (query_id, neighbor_id) — ANN candidates
+    * @param broadcastCandidates false for the backfill regime — a
+    *                   candidate relation too large to broadcast
+    *                   merge-joins instead, and the bucketed+sorted
+    *                   store side STILL neither exchanges nor sorts
+    * @return (query_id, rank, neighbor_id, dist_micro)
+    */
+  def rerankTopK(store: DataFrame, queries: DataFrame,
+      candidates: DataFrame, k: Int,
+      broadcastCandidates: Boolean = true): DataFrame = {
+    import graft.functions.VectorFunctions
+    val cand0 = candidates
+      .select(col("query_id").as("q_id"), col("neighbor_id").as("i_id"))
+      .join(queries.select(col("vec_id").as("q_id"),
+        col("embedding").as("qe")), "q_id")
+    val cand = if (broadcastCandidates) broadcast(cand0) else cand0
+    cand
+      .join(store.select(col("vec_id").as("i_id"), col("v").as("ie")), "i_id")
+      .select(col("q_id"),
+        VectorFunctions.squaredEuclidean(col("qe"), col("ie")).as("dist"),
+        col("i_id"))
+      .groupBy(col("q_id").as("query_id"))
+      .agg(TopK.topK(k)(col("dist"), col("i_id"), col("i_id")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "n")))
+      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("n.id").as("neighbor_id"),
+        floor(col("n.dist") * 1000000.0).cast("long").as("dist_micro"))
+  }
+}

@@ -1522,5 +1522,42 @@ private[graft] trait OracleSqlD {
          SELECT doc_id, source, CAST(skey % 8 AS BIGINT) AS shard,
            CAST(row_number() OVER (PARTITION BY skey % 8
              ORDER BY skey, doc_id) - 1 AS BIGINT) AS pos
-         FROM s""")
+         FROM s""",
+    // q185: the calibration re-fit replayed from the same grid
+    // LITERALS with the same fixed-order arithmetic as
+    // Pq.fitRerankCalibration (beta = mean width slope, gamma = mean
+    // size slope, lnc = mean intercept in the order (wLo,nLo),
+    // (wLo,nHi), (wHi,nLo), (wHi,nHi)), then the sized widths via
+    // the q182 inversion — including the ln(exp(lnc)) round-trip,
+    // because the Spark side reads c = exp(lnc) from the artifact
+    // and re-takes its log inside sizeRerankWidth. Cross-engine FP
+    // note: same contract as q182 — exp/ln agree to ≲ 1 ulp and
+    // every floored value sits ≥ 0.01 from its integer boundary
+    // (checked: c·1e6 frac 0.66, width fracs 0.016/0.22).
+    "q185_rerank_calibration" ->
+      """WITH bg AS (
+           SELECT
+             (ln((563.0/1000.0)/(255.0/1000.0)) + ln((455.0/1000.0)/(184.0/1000.0)))
+               / (2.0 * ln(400.0/50.0)) AS beta,
+             (ln((255.0/1000.0)/(184.0/1000.0)) + ln((563.0/1000.0)/(455.0/1000.0)))
+               / (2.0 * ln(3686400.0/921600.0)) AS gamma),
+         cc AS (
+           SELECT beta, gamma,
+             ((((ln(255.0/1000.0) - beta*ln(50.0) + gamma*ln(921600.0))
+              + (ln(184.0/1000.0) - beta*ln(50.0) + gamma*ln(3686400.0)))
+              + (ln(563.0/1000.0) - beta*ln(400.0) + gamma*ln(921600.0)))
+              + (ln(455.0/1000.0) - beta*ln(400.0) + gamma*ln(3686400.0))) / 4.0 AS lnc
+           FROM bg),
+         w AS (
+           SELECT beta, gamma, lnc,
+             CAST(floor(exp((ln(500.0/1000.0) - ln(exp(lnc)) + gamma*ln(921600.0))/beta)) AS BIGINT) + 1 AS raw1m,
+             CAST(floor(exp((ln(500.0/1000.0) - ln(exp(lnc)) + gamma*ln(3686400.0))/beta)) AS BIGINT) + 1 AS raw4m
+           FROM cc)
+         SELECT CAST(4 AS BIGINT) AS n_grid,
+           CAST(floor(exp(lnc)*1000000.0) AS BIGINT) AS c_micro,
+           CAST(floor(beta*1000000.0) AS BIGINT) AS beta_micro,
+           CAST(floor(gamma*1000000.0) AS BIGINT) AS gamma_micro,
+           CAST(least(921600, greatest(50, raw1m)) AS BIGINT) AS width_1m,
+           CAST(least(3686400, greatest(50, raw4m)) AS BIGINT) AS width_4m
+         FROM w""")
 }

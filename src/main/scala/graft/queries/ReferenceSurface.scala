@@ -325,33 +325,32 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
     // candidates from the SHARED persisted index (the q165 artifact,
     // bit-equal to inline by its own gate) — the deployment reads the
     // index it already has rather than retraining codebooks per batch
-    rerankTop5(emb, q,
+    rerankTop5(spark, sfDir, q,
       operators.Pq.adcTopKFromIndex(q, pqIndexPath(spark, sfDir),
         dim = 64, topK = 50, "vec_id", "embedding"))
   }
 
   /** The shared exact re-rank tail of every PQ candidate path
-    * (q164/q167): exact float squared-Euclidean on the ≤ 50
-    * candidates per query — the re-rank join touches 50·|Q| vectors,
-    * not the corpus — then the final top-5 with floored micro
-    * distances. One definition, the gates cannot drift. */
-  private def rerankTop5(emb: DataFrame, q: DataFrame,
+    * (q164/q167): exact float squared-Euclidean on the ≤ width
+    * candidates per query — the re-rank join touches width·|Q|
+    * vectors, not the corpus — then the final top-5 with floored
+    * micro distances. One definition, the gates cannot drift.
+    *
+    * Since round 17 the corpus side is the per-corpus ID-KEYED VECTOR
+    * STORE ([[graft.operators.VectorStore]] — bucketed+sorted by
+    * vec_id, built once per corpus) and the candidates side is
+    * broadcast: the re-rank join carries NO corpus-side exchange (the
+    * round-16 verdict's last wrong-shape plan; both no-exchange plan
+    * shapes asserted in VectorStoreSpec). Same rows — the store IS
+    * the embeddings relation keyed by id — so every gate that ends
+    * here is hash-unchanged under its verbatim oracle. */
+  private def rerankTop5(spark: SparkSession, sfDir: String, q: DataFrame,
       candidates: DataFrame): DataFrame = {
-    import graft.functions.VectorFunctions
-    candidates
-      .select(col("query_id").as("q_id"), col("neighbor_id").as("i_id"))
-      .join(q.select(col("vec_id").as("q_id"), col("embedding").as("qe")), "q_id")
-      .join(emb.select(col("vec_id").as("i_id"), col("embedding").as("ie"))
-        .hint("shuffle_hash"), "i_id")
-      .select(col("q_id"),
-        VectorFunctions.squaredEuclidean(col("qe"), col("ie")).as("dist"),
-        col("i_id"))
-      .groupBy(col("q_id").as("query_id"))
-      .agg(operators.TopK.topK(5)(col("dist"), col("i_id"), col("i_id")).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "n")))
-      .select(col("query_id"), (col("pos") + 1).cast("long").as("rank"),
-        col("n.id").as("neighbor_id"),
-        floor(col("n.dist") * 1000000.0).cast("long").as("dist_micro"))
+    import graft.operators.VectorStore
+    VectorStore.ensure(spark, sfDir, t(spark, sfDir, "embeddings"),
+      "vec_id", "embedding")
+    VectorStore.rerankTopK(VectorStore.vectors(spark, sfDir), q,
+      candidates, k = 5)
   }
 
   /** IVFADC — the COMPOSED index (q167): Lloyd-trained coarse cells
@@ -375,7 +374,7 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
   def ivfPqRerank(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = t(spark, sfDir, "embeddings")
     val q = emb.filter(col("vec_id") % 10 === 0)
-    rerankTop5(emb, q,
+    rerankTop5(spark, sfDir, q,
       operators.Pq.ivfPqCandidates(q, ivfPqIndexPath(spark, sfDir),
         dim = 64, topK = 50, probes = 12, "vec_id", "embedding"))
   }
@@ -414,7 +413,7 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
   def ivfPqIncrRerank(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = t(spark, sfDir, "embeddings")
     val q = emb.filter(col("vec_id") % 10 === 0)
-    rerankTop5(emb, q,
+    rerankTop5(spark, sfDir, q,
       operators.Pq.ivfPqCandidates(q, ivfPqIncrIndexPath(spark, sfDir),
         dim = 64, topK = 50, probes = 12, "vec_id", "embedding",
         maxQueryBatch = 32))
@@ -432,8 +431,13 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
         items.filter(col("vec_id") % 7 =!= 3),
         "vec_id", "embedding", dim = 64, m = 8, k = 64, iters = 2,
         centroids = 32, path = p, assignments = 2)
+      // tagged, like the streaming append sink always is — the tag
+      // is what gives the write history an identity: q184 classifies
+      // the files it names, q186 forecasts from the marker count
+      // (rows are tag-independent, so q170/q183 hash unchanged)
       operators.Pq.appendIvfPqIndex(
-        items.filter(col("vec_id") % 7 === 3), "vec_id", "embedding", p)
+        items.filter(col("vec_id") % 7 === 3), "vec_id", "embedding", p,
+        batchTag = Some("ingest1"))
     }
   }
 
@@ -519,7 +523,7 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
   def ivfPqRebalanced(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = t(spark, sfDir, "embeddings")
     val q = emb.filter(col("vec_id") % 10 === 0)
-    rerankTop5(emb, q,
+    rerankTop5(spark, sfDir, q,
       operators.Pq.ivfPqCandidates(q, ivfPqRebalIndexPath(spark, sfDir),
         dim = 64, topK = 50, probes = 12, "vec_id", "embedding",
         maxQueryBatch = 32))
@@ -664,7 +668,7 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
   def ivfPqBudgetRerank(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = t(spark, sfDir, "embeddings")
     val q = emb.filter(col("vec_id") % 10 === 0)
-    rerankTop5(emb, q,
+    rerankTop5(spark, sfDir, q,
       operators.Pq.ivfPqCandidatesBudget(q, ivfPqIncrIndexPath(spark, sfDir),
         dim = 64, topK = 50, scanBudget = 1200L, "vec_id", "embedding",
         maxQueryBatch = 32))
@@ -697,7 +701,7 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
       else
         operators.Pq.ivfPqCandidates(q, path, dim = 64, topK = 50,
           probes = 12, "vec_id", "embedding", maxQueryBatch = 32)
-    rerankTop5(emb, q, cand).withColumn("search_mode", lit(mode))
+    rerankTop5(spark, sfDir, q, cand).withColumn("search_mode", lit(mode))
   }
 
   /** BIT-BUDGET (resolution) audit, gated (q178) — the verdict for
@@ -750,9 +754,10 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
     import operators.Pq
     val pqTree = ivfPqIndexPath(spark, sfDir)
     // one stamped row, not a census — the verdict was computed when
-    // the tree was published (q178's scaladoc)
-    val verdict = Pq.resolutionStamp(spark, pqTree)
-      .select(col("decision")).collect().head.getString(0)
+    // the tree was published (q178's scaladoc) — and CACHED on the
+    // publish signature (round-16 verdict #5: a query service re-reads
+    // audit metadata only when the tree moved)
+    val verdict = Pq.audits.resolutionDecision(spark, pqTree)
     val emb = t(spark, sfDir, "embeddings")
     val q = emb.filter(col("vec_id") % 10 === 0)
     val arm = if (verdict == "bit_budget") "exact_ivf" else "ivfpq"
@@ -763,7 +768,7 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
         // corpus), searched with q146's parameters and output shape
         exactIvfArm(spark, sfDir)
       else
-        rerankTop5(emb, q,
+        rerankTop5(spark, sfDir, q,
           Pq.ivfPqCandidates(q, pqTree, dim = 64, topK = 50, probes = 12,
             "vec_id", "embedding"))
     res.withColumn("search_arm", lit(arm))
@@ -814,14 +819,18 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
   def ivfPqSearchDispatch(spark: SparkSession, sfDir: String,
       rerankWidth: Int = 50): DataFrame = {
     import operators.Pq
-    val arm = Pq.resolutionStamp(spark, ivfPqIndexPath(spark, sfDir))
-      .select(col("decision")).collect().head.getString(0) match {
+    // every audit read below goes through [[Pq.audits]] (round-16
+    // verdict #5): the stamp and occupancy are re-collected only when
+    // the tree's state signature moved — an unchanged tree costs this
+    // dispatch metadata stats, not Spark jobs (spec-pinned in
+    // DispatchCacheSpec)
+    val arm = Pq.audits.resolutionDecision(
+        spark, ivfPqIndexPath(spark, sfDir)) match {
       case "bit_budget" =>
         // walk down: int8 unless ITS stamp says the step can't rank
         val p8 = int8IvfArmPath(spark, sfDir)
-        val i8 = spark.read.parquet(s"$p8/resolution")
-          .select(col("decision")).collect().head.getString(0)
-        if (i8 == "fit") "exact_int8" else "exact_ivf"
+        if (Pq.audits.stampDecision(spark, p8) == "fit") "exact_int8"
+        else "exact_ivf"
       case _ => "ivfpq"
     }
     val res =
@@ -831,8 +840,7 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
         exactIvfArm(spark, sfDir).withColumn("search_mode", lit("exact"))
       else {
         val path = ivfPqIncrIndexPath(spark, sfDir)
-        val mode = Pq.occupancyAudit(spark, path)
-          .select(col("search_mode")).collect().head.getString(0)
+        val mode = Pq.audits.occupancy(spark, path).searchMode
         val emb = t(spark, sfDir, "embeddings")
         val q = emb.filter(col("vec_id") % 10 === 0)
         val cand =
@@ -842,7 +850,7 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
           else
             Pq.ivfPqCandidates(q, path, dim = 64, topK = rerankWidth,
               probes = 12, "vec_id", "embedding", maxQueryBatch = 32)
-        rerankTop5(emb, q, cand).withColumn("search_mode", lit(mode))
+        rerankTop5(spark, sfDir, q, cand).withColumn("search_mode", lit(mode))
       }
     res.withColumn("search_arm", lit(arm))
   }
@@ -865,17 +873,89 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
     * result rows equal q181's at width 50); the unclamped branch is
     * property-specced ([[graft.operators.Pq.sizeRerankWidth]]) and
     * priced at the vec decade by AnnRecallBench. */
-  def ivfPqSearchDispatchSized(spark: SparkSession, sfDir: String): DataFrame = {
+  def ivfPqSearchDispatchSized(spark: SparkSession, sfDir: String,
+      calib: operators.Pq.RerankCalibration =
+        operators.Pq.RerankCalibration()): DataFrame = {
     import operators.Pq
-    val n = t(spark, sfDir, "embeddings")
-      .filter(col("vec_id") % 10 =!= 0).count()
+    // corpus size read off the index the ivfpq arm serves — the
+    // cached occupancy snapshot's n_codes over the meta's assignments
+    // (every item is replicated into exactly `assignments` cells, so
+    // the division is exact) — instead of a count() that re-scans the
+    // corpus filter per invocation (round-16 verdict #7); the same
+    // cached row feeds the dispatch's mode election below, so an
+    // unchanged tree prices this dispatch at metadata reads only
+    val path = ivfPqIncrIndexPath(spark, sfDir)
+    val n = Pq.audits.occupancy(spark, path).nCodes /
+      math.max(1, Pq.audits.meta(spark, path).assignments)
     val target = 500L
-    val raw = Pq.rerankWidthRaw(n, target)
-    val width = Pq.sizeRerankWidth(n, target)
+    val raw = Pq.rerankWidthRaw(n, target, calib)
+    val width = Pq.sizeRerankWidth(n, target, calib = calib)
     ivfPqSearchDispatch(spark, sfDir, rerankWidth = width.toInt)
       .withColumn("rerank_width_raw", lit(raw))
       .withColumn("rerank_width", lit(width))
   }
+
+  /** Rerank-width CALIBRATION re-fit, gated (q185) — the round-16
+    * verdict's #2: [[graft.operators.Pq.RerankCalibration]] shipped
+    * one corpus's constants hardcoded, and a deployment re-fit meant
+    * editing source (which would silently diverge from q182's
+    * oracle). Now the fit is an operator
+    * ([[graft.operators.Pq.fitRerankCalibration]] — the BASELINE.md
+    * closed-form 2×2 recipe as fixed-order arithmetic), the constants
+    * are a VERSIONED one-row artifact
+    * ([[graft.operators.Pq.publishRerankCalibration]], read back by
+    * [[graft.operators.Pq.readRerankCalibration]] and accepted by the
+    * sized dispatch's `calib` parameter), and this gate round-trips
+    * the whole loop: fit the canonical measured grid (the round-15/16
+    * AnnRecallBench table: width {50,400} × corpus {921600, 3686400},
+    * recall milli {255,563,184,455}), publish, READ BACK, and carry
+    * the artifact's constants (micro-floored) plus the widths the
+    * re-read calibration elects at the calibrated decade. The oracle
+    * re-derives every column from the same grid LITERALS with the
+    * same fixed-order ln/exp arithmetic — a drifted fit, a lossy
+    * artifact round-trip, or a broken inversion all hash-mismatch.
+    * (The fitted constants differ from the shipped hand-rounded
+    * defaults in the 4th decimal; the elected widths agree at 921k
+    * and differ by one candidate at 3.69M — 541 vs 540, a raw
+    * solution 0.03 from the boundary, recall-immaterial —
+    * CalibrationSpec pins both elections, which is why q182 can keep
+    * the defaults.) */
+  def rerankCalibrationFit(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.Artifacts
+    import operators.Pq
+    val grid = Seq((50L, 921600L, 255L), (400L, 921600L, 563L),
+      (50L, 3686400L, 184L), (400L, 3686400L, 455L))
+    val path = Artifacts.ensure("rerank_calibration", sfDir) { p =>
+      Pq.publishRerankCalibration(spark, grid, p)
+    }
+    val calib = Pq.readRerankCalibration(spark, path)
+    import spark.implicits._
+    Seq((grid.size.toLong,
+        math.floor(calib.c * 1000000.0).toLong,
+        math.floor(calib.beta * 1000000.0).toLong,
+        math.floor(calib.gamma * 1000000.0).toLong,
+        Pq.sizeRerankWidth(921600L, 500L, calib = calib),
+        Pq.sizeRerankWidth(3686400L, 500L, calib = calib)))
+      .toDF("n_grid", "c_micro", "beta_micro", "gamma_micro",
+        "width_1m", "width_4m")
+  }
+
+  /** Compaction CADENCE election, gated rows-only (q186) — the
+    * round-16 verdict's #4: q184 says compact/keep about the standing
+    * tree; this closes the loop with WHEN, forecasting from the
+    * tree's own write history (committed markers = batches,
+    * tag-prefixed files = what they added) how many more append
+    * batches until the small-files threshold crosses
+    * ([[graft.operators.Pq.compactionCadence]] — integers off one
+    * metadata listing, no Spark job). Runs on q170's live appended
+    * artifact, same as q184. No DuckDB oracle BY CONSTRUCTION — same
+    * contract as q184: every input is write history (file counts,
+    * marker counts), not corpus; SQL replaying the rows lands them in
+    * its own layout with no history at all. IvfPqSpec pins the
+    * decision branches; the streaming append sink surfaces the same
+    * election per micro-batch (StreamingSpec pins the flip). */
+  def ivfPqCompactionCadence(spark: SparkSession, sfDir: String): DataFrame =
+    operators.Pq.compactionCadence(spark, ivfPqIncrIndexPath(spark, sfDir))
 
   /** COMPACTED-index search, gated (q183) — q170's appended tree
     * rewritten by [[graft.operators.Pq.compactIvfPqIndex]] to one
@@ -891,7 +971,7 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
   def ivfPqCompacted(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = t(spark, sfDir, "embeddings")
     val q = emb.filter(col("vec_id") % 10 === 0)
-    rerankTop5(emb, q,
+    rerankTop5(spark, sfDir, q,
       operators.Pq.ivfPqCandidates(q, ivfPqCompactIndexPath(spark, sfDir),
         dim = 64, topK = 50, probes = 12, "vec_id", "embedding",
         maxQueryBatch = 32))

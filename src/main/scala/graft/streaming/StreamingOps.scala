@@ -105,20 +105,51 @@ object StreamingOps {
     * `assignments == 1` index a duplicated code row would surface as
     * a duplicate `neighbor_id` in top-k — prevented here at ingest,
     * not papered over at query. Bit-equality of the appended tree to
-    * a batch append of the same rows is spec-pinned. */
+    * a batch append of the same rows is spec-pinned.
+    *
+    * `cadence` (round-17) closes the LAYOUT loop from the ingest
+    * side: every append fragments the cell directories (the q184
+    * small-files tax), and the appender is the one process that knows
+    * when files landed — so after each applied batch the sink hands
+    * the [[graft.operators.Pq.compactionCadence]] election
+    * (`compact_now` / `compact_within` + `batches_to_threshold` /
+    * `keep`) to the callback with the batch id, and the deployment's
+    * scheduler books the compaction instead of discovering the tax in
+    * probe latency. The election row is CACHED on
+    * [[graft.operators.Pq.indexStateSignature]] (an applied append
+    * moves the signature; a replay-skipped batch does not), so
+    * replayed batches cost no re-listing. */
   def ivfPqAppendSink(
       stream: DataFrame,
       indexPath: String,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataStreamWriter[org.apache.spark.sql.Row] =
+      vecCol: String = "embedding",
+      cadence: Option[(DataFrame, Long) => Unit] = None,
+      cadenceFactor: Long = 4L): DataStreamWriter[org.apache.spark.sql.Row] = {
+    // micro-batches run serially on the driver: plain closure vars are
+    // the cache (the ivfPqSearchWriter discipline)
+    var cadSig: String = null
+    var cadRow: DataFrame = null
     stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        if (!batch.isEmpty)
+        if (!batch.isEmpty) {
           graft.operators.Pq.appendIvfPqIndex(
             batch.toDF(), idCol, vecCol, indexPath,
             batchTag = Some(s"b$batchId"))
+          cadence.foreach { cb =>
+            val sig = graft.operators.Pq.indexStateSignature(
+              batch.sparkSession, indexPath)
+            if (sig != cadSig) {
+              cadRow = graft.operators.Pq.compactionCadence(
+                batch.sparkSession, indexPath, cadenceFactor)
+              cadSig = sig
+            }
+            cb(cadRow, batchId)
+          }
+        }
       }
+  }
 
   /** Streaming exact dedup: keep the first-seen document per content
     * hash, with state bounded by the event-time watermark

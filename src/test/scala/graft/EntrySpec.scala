@@ -17,7 +17,13 @@ class EntrySpec extends SparkSpec {
       // replayed by SQL land in whatever layout the replaying engine
       // picks — nothing corpus-derived to compare (the operator the
       // audit dispatches to IS oracle-gated, bit-equal, as q183)
-      "q184_ivfpq_file_audit")
+      "q184_ivfpq_file_audit",
+      // the cadence forecast is pure write history too: batch count =
+      // commit markers, growth = tag-prefixed file counts — a SQL
+      // replay has no append history at all (same contract as q184;
+      // decision branches spec-pinned in IvfPqSpec, the dispatched-to
+      // operator gated bit-equal as q183)
+      "q186_compaction_cadence")
     assert(SparkEntry.queries.keySet -- rowsOnly ===
       SparkEntry.oracleSql.keySet)
     assert(rowsOnly.subsetOf(SparkEntry.queries.keySet))

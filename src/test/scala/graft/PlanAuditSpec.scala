@@ -954,11 +954,17 @@ class PlanAuditSpec extends SparkSpec {
     val p163 = planOf(Queries.pqAdcTopK(spark, sf))
     assert(p163.contains("BroadcastNestedLoopJoin"), p163.take(1200))
     assert(p163.toLowerCase.contains("partial_topkaggregator"), p163.take(1200))
-    // re-rank: the full-vector relation joins candidates shuffle-hash
-    // (corpus-derived), then the same bounded heap
+    // re-rank (round-17): the corpus side is the id-keyed VECTOR
+    // STORE (bucketed table scan) met by BROADCAST candidates — the
+    // corpus-wide shuffle_hash exchange of rounds ≤ 16 is gone
+    // (VectorStoreSpec pins the exchange-free store subtree; this
+    // census pins that the gate's plan took the new shape)
     val p164 = planOf(Queries.pqRerank(spark, sf))
       .split("== Initial Plan ==")(0)
-    assert(p164.contains("ShuffledHashJoin"), p164.take(1200))
+    assert(p164.contains("BroadcastHashJoin"), p164.take(1200))
+    assert(!p164.contains("ShuffledHashJoin"), p164.take(1200))
+    assert(p164.contains("graft_vecstore_"),
+      "the re-rank corpus side must be the vector store scan: " + p164.take(1200))
     assert(!p164.contains("Window"), p164.take(1200))
     // persisted index: the corpus side is the parquet CODES scan (no
     // full-vector scan, no re-encode lineage), same search shape

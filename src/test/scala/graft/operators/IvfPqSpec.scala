@@ -682,8 +682,11 @@ class IvfPqSpec extends SparkSpec {
       spark.sessionState.newHadoopConf())
     val audit = Pq.fileAudit(spark, src).collect().head
     assert(audit.getAs[Long]("n_orphans") == 1L, audit)
+    // orphans COUNT toward the threshold (round-16 advice: probes
+    // scan them, so they are part of the tax the decision prices)
     assert(audit.getAs[String]("decision") ==
-      (if (audit.getAs[Long]("n_files") >= 4L * audit.getAs[Long]("n_cells"))
+      (if (audit.getAs[Long]("n_files") + audit.getAs[Long]("n_orphans") >=
+           4L * audit.getAs[Long]("n_cells"))
          "compact" else "keep"), audit)
     val out = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_cpt_orph_out"
     Pq.compactIvfPqIndex(spark, src, out)
@@ -820,5 +823,129 @@ class IvfPqSpec extends SparkSpec {
     }
     val audit = Pq.fileAudit(spark, out).collect().head
     assert(audit.getAs[Long]("n_files") == perCell.map(_._2).sum, audit)
+  }
+
+  test("batched cell-range compaction ≡ unbatched: bit-equal rows, one file per cell") {
+    import org.apache.hadoop.fs.Path
+    val src = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_cpt_batched_src"
+    val old = corpus.filter(col("vec_id") =!= 2 && col("vec_id") =!= 12)
+    Pq.buildIvfPqIndex(old, "vec_id", "embedding", dim = 4, m = 2,
+      k = 2, iters = 2, centroids = 2, path = src, assignments = 2)
+    Pq.appendIvfPqIndex(corpus.filter(col("vec_id") === 2),
+      "vec_id", "embedding", src, batchTag = Some("b1"))
+    Pq.appendIvfPqIndex(corpus.filter(col("vec_id") === 12),
+      "vec_id", "embedding", src, batchTag = Some("b2"))
+    def codesOf(p: String) = spark.read.parquet(s"$p/codes")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val full = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_cpt_full"
+    val ranged = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_cpt_ranged"
+    Pq.compactIvfPqIndex(spark, src, full)
+    // cellBatch=1: every cell is its own bounded range — the extreme
+    // batching; the composed result must equal the unbatched compaction
+    Pq.compactIvfPqIndex(spark, src, ranged, cellBatch = 1)
+    assert(codesOf(ranged) == codesOf(full),
+      "ranged ∘ all ranges must be bit-equal to full compaction")
+    val fs = new Path(ranged).getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(new Path(s"$ranged/codes"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("c_id="))
+      .foreach { cell =>
+        val data = fs.listStatus(cell.getPath).map(_.getPath.getName)
+          .filterNot(n => n.startsWith("_") || n.startsWith("."))
+        assert(data.length == 1, s"${cell.getPath.getName}: $data")
+      }
+    // markers carried and the audit sane on the batched result too
+    val audit = Pq.fileAudit(spark, ranged).collect().head
+    assert(audit.getAs[Long]("n_orphans") == 0L, audit)
+    assert(audit.getAs[String]("decision") == "keep", audit)
+    Pq.appendIvfPqIndex(corpus.filter(col("vec_id") === 2),
+      "vec_id", "embedding", ranged, batchTag = Some("b1"))
+    assert(codesOf(ranged) == codesOf(full),
+      "replayed tag must still no-op on the batch-compacted tree")
+  }
+
+  test("fileAudit: orphans trip the threshold; factor is a dial; non-index path fails loudly") {
+    import org.apache.hadoop.fs.Path
+    val src = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_audit_orph"
+    Pq.buildIvfPqIndex(corpus, "vec_id", "embedding", dim = 4, m = 2,
+      k = 2, iters = 2, centroids = 2, path = src, assignments = 1)
+    val fs = new Path(src).getFileSystem(spark.sessionState.newHadoopConf())
+    val cells = fs.listStatus(new Path(s"$src/codes"))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("c_id="))
+      .map(_.getPath)
+    val before = Pq.fileAudit(spark, src).collect().head
+    assert(before.getAs[String]("decision") == "keep", before)
+    // plant enough ORPHANS (tagged, no marker) to cross 4× alone —
+    // a decommissioned stream's leavings must trip the alarm even
+    // though committed files never grew (round-16 advice)
+    val donor = fs.listStatus(cells.head)
+      .map(_.getPath).filter(_.getName.startsWith("part-")).head
+    val need = 4 * cells.length
+    (1 to need).foreach { i =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, donor, fs,
+        new Path(cells.head, s"dead$i-${donor.getName}"), false,
+        spark.sessionState.newHadoopConf())
+    }
+    val after = Pq.fileAudit(spark, src).collect().head
+    assert(after.getAs[Long]("n_orphans") == need.toLong, after)
+    assert(after.getAs[String]("decision") == "compact",
+      s"orphans alone must trip the threshold: $after")
+    // factor dial: a laxer store (higher factor) keeps the same tree
+    val lax = Pq.fileAudit(spark, src, factor = 100L).collect().head
+    assert(lax.getAs[String]("decision") == "keep", lax)
+    // a non-index path fails with the actionable meta message, not a
+    // raw FileNotFoundException from the listing
+    val e = intercept[IllegalStateException] {
+      Pq.fileAudit(spark, s"${sys.props("java.io.tmpdir")}/graft_no_such_tree")
+    }
+    assert(e.getMessage.contains("meta"), e.getMessage)
+  }
+
+  test("compactionCadence: keep with no history, compact_within forecasts, compact_now past the line") {
+    val src = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_spec_cadence"
+    val old = corpus.filter(col("vec_id") =!= 12)
+    Pq.buildIvfPqIndex(old, "vec_id", "embedding", dim = 4, m = 2,
+      k = 2, iters = 2, centroids = 2, path = src, assignments = 1)
+    // fresh build: no append history — nothing growing, keep
+    val fresh = Pq.compactionCadence(spark, src).collect().head
+    assert(fresh.getAs[String]("decision") == "keep", fresh)
+    assert(fresh.getAs[Long]("batches_to_threshold") == -1L, fresh)
+    assert(fresh.getAs[Long]("n_batches") == 0L, fresh)
+    // one append batch: history exists, forecast is finite and
+    // consistent with the integer arithmetic
+    Pq.appendIvfPqIndex(corpus.filter(col("vec_id") === 12),
+      "vec_id", "embedding", src, batchTag = Some("g1"))
+    val one = Pq.compactionCadence(spark, src).collect().head
+    assert(one.getAs[String]("decision") == "compact_within", one)
+    val horizon = one.getAs[Long]("batches_to_threshold")
+    val scanned = one.getAs[Long]("n_files") + one.getAs[Long]("n_orphans")
+    val perBatch = one.getAs[Long]("append_files")
+    assert(horizon ==
+      (4L * one.getAs[Long]("n_cells") - scanned + perBatch - 1L) / perBatch,
+      one)
+    // keep appending: the horizon shrinks monotonically, then the
+    // decision flips to compact_now exactly when fileAudit's does
+    var prev = horizon
+    var flipped = false
+    (2 to 12).takeWhile { i =>
+      Pq.appendIvfPqIndex(corpus.filter(col("vec_id") === 12),
+        "vec_id", "embedding", src, batchTag = Some(s"g$i"))
+      val row = Pq.compactionCadence(spark, src).collect().head
+      val d = row.getAs[String]("decision")
+      if (d == "compact_within") {
+        assert(row.getAs[Long]("batches_to_threshold") <= prev,
+          s"forecast must not grow under steady appends: $row (prev $prev)")
+        prev = row.getAs[Long]("batches_to_threshold")
+        true
+      } else {
+        assert(d == "compact_now", row)
+        assert(row.getAs[Long]("batches_to_threshold") == 0L, row)
+        assert(Pq.fileAudit(spark, src).collect().head
+          .getAs[String]("decision") == "compact",
+          "compact_now must agree with fileAudit's standing decision")
+        flipped = true
+        false
+      }
+    }
+    assert(flipped, "appends never tripped compact_now")
   }
 }

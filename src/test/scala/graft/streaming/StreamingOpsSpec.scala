@@ -950,6 +950,48 @@ class StreamingOpsSpec extends SparkSpec {
       "a replayed streaming batch must no-op on the compacted tree")
   }
 
+  test("ivfPqAppendSink cadence telemetry: election surfaces per batch and flips to compact_now") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.Pq
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 1.0f)),
+      (10L, Seq(5.0f, 5.0f, 5.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_sink_cadence"
+    Pq.buildIvfPqIndex(corpus, "vec_id", "embedding", dim = 4, m = 2,
+      k = 2, iters = 2, centroids = 2, path = path, assignments = 2)
+    // the appender IS the process that knows when files land: each
+    // micro-batch hands the cadence election to the callback
+    val elections = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.ivfPqAppendSink(
+      in.toDF().toDF("vec_id", "embedding"), path,
+      cadence = Some { (row, batchId) =>
+        val r = row.collect().head
+        elections += ((batchId, r.getAs[String]("decision"),
+          r.getAs[Long]("batches_to_threshold")))
+      }).start()
+    try (1L to 8L).foreach { i =>
+      in.addData((20L + i, Seq(1.0f + i * 0.01f, 0.0f, 0.0f, 1.0f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(elections.size == 8, elections)
+    // growing fragmentation: the forecast horizon never grows, and
+    // the election flips compact_within -> compact_now before the
+    // stream ends (the fragmentation test pins that 8 batches cross)
+    val horizons = elections.filter(_._2 == "compact_within").map(_._3)
+    assert(horizons.zip(horizons.drop(1)).forall { case (a, b) => b <= a },
+      s"forecast horizon grew under steady appends: $elections")
+    assert(elections.head._2 == "compact_within", elections.head)
+    assert(elections.last._2 == "compact_now", elections.last)
+    val flipAt = elections.indexWhere(_._2 == "compact_now")
+    assert(elections.drop(flipAt).forall(_._2 == "compact_now"),
+      s"election must not flap back after the flip: $elections")
+    // the surfaced election is the batch operator's own
+    assert(Pq.compactionCadence(spark, path).collect().head
+      .getAs[String]("decision") == "compact_now")
+  }
+
   test("semDedupStream: cluster-width cap bounds state; beyond it arrivals pass unchecked") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.SemDedup
