@@ -232,7 +232,8 @@ object Queries
     "q183_ivfpq_compacted" -> (ivfPqCompacted _),
     "q184_ivfpq_file_audit" -> (ivfPqFileAudit _),
     "q185_rerank_calibration" -> (rerankCalibrationFit _),
-    "q186_compaction_cadence" -> (ivfPqCompactionCadence _))
+    "q186_compaction_cadence" -> (ivfPqCompactionCadence _),
+    "q187_vecstore_incr" -> (ivfPqIncrStoreRerank _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = {
@@ -255,7 +256,12 @@ object Queries
       ("q168_incr_cluster_deployed" -> base("q43_neardup_clusters")) +
       // q183: compaction changes file boundaries, never rows — the
       // compacted tree's search replays under q170's oracle VERBATIM
-      ("q183_ivfpq_compacted" -> base("q170_ivfpq_incr"))
+      ("q183_ivfpq_compacted" -> base("q170_ivfpq_incr")) +
+      // q187: store maintenance changes no ROWS either — the
+      // incrementally-appended vector store re-ranking q170's
+      // candidates replays under q170's oracle verbatim (a stale
+      // store would DROP the appended items and hash-mismatch)
+      ("q187_vecstore_incr" -> base("q170_ivfpq_incr"))
     // q184_ivfpq_file_audit and q186_compaction_cadence have NO
     // oracle by construction: file layout (and its growth history)
     // is write-history, not corpus — nothing SQL-derivable to replay

@@ -103,6 +103,99 @@ object VectorStore {
   def vectors(spark: SparkSession, corpusDir: String): DataFrame =
     spark.table(tableName(corpusDir))
 
+  /** Append an ingest batch's vectors to a standing store — the
+    * lockstep half of [[graft.operators.Pq.appendIvfPqIndex]]: the
+    * store is a SECOND corpus-derived artifact, and an appended index
+    * served against a stale store SILENTLY DROPS the appended items
+    * from every re-rank (the join is inner — a candidate whose vector
+    * is missing doesn't fail, it vanishes from top-k; spec-pinned as
+    * the failure mode this operator exists to prevent). A deployment
+    * that appends to the index appends to the store in the same
+    * ingest transaction — the streaming sink shape — and q187 gates
+    * the composed incremental pair (index append + store append)
+    * bit-equal to the full build under q170's verbatim oracle.
+    *
+    * Mechanics mirror the index append exactly: the batch is written
+    * bucketed through a private staging TABLE (same bucket count ⇒
+    * same Murmur3-pmod bucket ids), each staged file is RENAMED into
+    * the live table directory, and the same `batchTag` contract
+    * applies — tagged appends are idempotent (commit marker at
+    * `<location>/_appends/<tag>`, written LAST; an `_`-prefixed
+    * directory is invisible to scans), a crashed tagged attempt is
+    * swept by its `<tag>-` name prefix on retry, untagged appends are
+    * at-least-once. The `<tag>-` prefix keeps the trailing
+    * `_NNNNN.c000…` bucket suffix intact, which is what Spark's
+    * bucketed scan parses — appended files still bucket-prune and
+    * co-partition.
+    *
+    * What appending DOES age: the one-file-per-bucket layout. A
+    * bucket holding base + appended files forfeits the sortBy
+    * metadata, so the no-broadcast SMJ regime re-SORTS the store side
+    * (correct, measured-degraded — VectorStoreSpec pins the sort
+    * reappearing); the default broadcast regime never needed the
+    * ordering and is unaffected. The repair is the same as the
+    * index's: rebuild the store one-file-per-bucket ([[ensure]] on a
+    * fresh JVM/catalog, or drop + re-ensure) — compaction for a
+    * relation whose write history, like the index's, taxes its
+    * readers. */
+  def appendVectors(spark: SparkSession, corpusDir: String,
+      batch: DataFrame, idCol: String, vecCol: String,
+      batchTag: Option[String] = None): Unit = {
+    import org.apache.hadoop.fs.Path
+    batchTag.foreach { t =>
+      require(t.nonEmpty && t.matches("[A-Za-z0-9._]+"),
+        s"batchTag must match [A-Za-z0-9._]+ (cleanup deletes by " +
+          s"'<tag>-' name prefix), got '$t'")
+      require(t != "part",
+        "batchTag must not be exactly 'part' (the crash-cleanup sweep " +
+          "prefix 'part-' would delete the base store's own files)")
+    }
+    val name = tableName(corpusDir)
+    val catalog = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(name)
+    require(catalog.tableExists(ident),
+      s"vector store $name does not exist — build it with ensure() first")
+    val meta = catalog.getTableMetadata(ident)
+    val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
+      throw new IllegalStateException(s"$name is not bucketed"))
+    val loc = new Path(meta.location)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    val marker = batchTag.map(t => new Path(loc, s"_appends/$t"))
+    if (marker.exists(fs.exists)) return // batch already fully applied
+    // crash cleanup: sweep a prior tagged attempt's partial renames
+    batchTag.foreach { t =>
+      fs.listStatus(loc)
+        .filter(st => !st.isDirectory && st.getPath.getName.startsWith(s"$t-"))
+        .foreach(f => fs.delete(f.getPath, false))
+    }
+    val stage = name + "_stage"
+    spark.sql(s"DROP TABLE IF EXISTS $stage")
+    batch
+      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
+      .repartition(buckets, col("vec_id"))
+      .write.bucketBy(buckets, "vec_id").sortBy("vec_id")
+      .mode("overwrite").saveAsTable(stage)
+    val stageLoc = new Path(catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(stage)).location)
+    val prefix = batchTag.map(_ + "-").getOrElse("")
+    fs.listStatus(stageLoc)
+      .filter(st => !st.isDirectory && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .foreach { f =>
+        require(fs.rename(f.getPath, new Path(loc, prefix + f.getPath.getName)),
+          s"vector store append rename failed: ${f.getPath}")
+      }
+    spark.sql(s"DROP TABLE IF EXISTS $stage")
+    // commit point: the marker lands only after every rename
+    marker.foreach { mk =>
+      fs.mkdirs(mk.getParent)
+      fs.create(mk, false).close()
+    }
+    // a same-session reader caches the table's file listing — the
+    // renamed files must be visible to the next spark.table(name)
+    spark.catalog.refreshTable(name)
+  }
+
   /** Exact re-rank of ANN candidates against a vector store: re-score
     * each (query, candidate) pair with exact float squared-Euclidean
     * and keep the per-query top-`k`, distances floored to micros —

@@ -1001,6 +1001,39 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
   def ivfPqFileAudit(spark: SparkSession, sfDir: String): DataFrame =
     operators.Pq.fileAudit(spark, ivfPqIncrIndexPath(spark, sfDir))
 
+  /** Incrementally-maintained VECTOR STORE, gated (q187) — the
+    * lockstep axis the round-17 store opened: the store is a SECOND
+    * corpus-derived artifact beside the index, and q170's ingest
+    * story is only complete when BOTH absorb the batch — an appended
+    * index re-ranked against a stale store silently DROPS the
+    * appended items from top-k (the re-rank join is inner; no error,
+    * just missing neighbors — VectorStoreSpec pins the failure mode).
+    * This gate runs q170's verbatim candidates (the appended index)
+    * but re-ranks against a store built on the corpus MINUS the
+    * ingest batch and then grown by
+    * [[graft.operators.VectorStore.appendVectors]] (the index
+    * append's protocol: staged bucketed files renamed in, tag marker
+    * committed last) — and shares q170's oracle VERBATIM: a dropped
+    * append, a duplicated replay, or a bucket-id mismatch between the
+    * staged and live layouts all hash-mismatch against the same
+    * ground truth. */
+  def ivfPqIncrStoreRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import operators.{Pq, VectorStore}
+    val emb = t(spark, sfDir, "embeddings")
+    val q = emb.filter(col("vec_id") % 10 === 0)
+    val key = sfDir + "#vecstore_incr"
+    val name = VectorStore.ensure(spark, key,
+      emb.filter(col("vec_id") % 7 =!= 3), "vec_id", "embedding")
+    VectorStore.appendVectors(spark, key,
+      emb.filter(col("vec_id") % 7 === 3), "vec_id", "embedding",
+      batchTag = Some("ingest1"))
+    VectorStore.rerankTopK(spark.table(name), q,
+      Pq.ivfPqCandidates(q, ivfPqIncrIndexPath(spark, sfDir),
+        dim = 64, topK = 50, probes = 12, "vec_id", "embedding",
+        maxQueryBatch = 32),
+      k = 5)
+  }
+
   /** The exact-vector arm shared by q179 and q181 — q146's layout
     * over the same corpus split, built only when dispatched to. */
   private def exactIvfArm(spark: SparkSession, sfDir: String): DataFrame = {

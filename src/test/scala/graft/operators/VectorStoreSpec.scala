@@ -38,6 +38,9 @@ class VectorStoreSpec extends SparkSpec {
   private def hasStoreScan(p: SparkPlan): Boolean =
     p.toString.contains(storeName)
 
+  private def hasScanOf(p: SparkPlan, name: String): Boolean =
+    p.toString.contains(name)
+
   /** Pre-order walk that DESCENDS INTO AQE query stages (TreeNode
     * .collect stops at stage boundaries — a stage's materialized plan
     * is an inner child, not a child). */
@@ -56,15 +59,18 @@ class VectorStoreSpec extends SparkSpec {
 
   /** The store-side child of the re-rank join (the subtree holding the
     * bucketed scan) — the subtree that must stay exchange-free. */
-  private def storeSide(plan: SparkPlan): SparkPlan = {
+  private def storeSide(plan: SparkPlan): SparkPlan =
+    storeSideOf(plan, storeName)
+
+  private def storeSideOf(plan: SparkPlan, name: String): SparkPlan = {
     val joins = collectAll(plan) {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec
-          if j.children.exists(hasStoreScan) => j
+          if j.children.exists(hasScanOf(_, name)) => j
     }
     assert(joins.nonEmpty, s"no join over the store in:\n${plan.toString.take(2000)}")
     // the BOTTOM-most such join (the re-rank join itself)
     val j = joins.last
-    val sides = j.children.filter(hasStoreScan)
+    val sides = j.children.filter(hasScanOf(_, name))
     assert(sides.size == 1,
       s"store scan must feed exactly one join side:\n${j.toString.take(2000)}")
     sides.head
@@ -129,6 +135,93 @@ class VectorStoreSpec extends SparkSpec {
       assert(collectAll(side) {
         case x: org.apache.spark.sql.execution.SortExec => x }.isEmpty,
         s"bucketed store side re-sorted (multi-file buckets?):\n${side.toString.take(2000)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+  }
+
+  test("appendVectors: lockstep ingest — idempotent replay, crash cleanup, stale store drops candidates") {
+    import org.apache.hadoop.fs.Path
+    val key = sf + "#spec_incr"
+    val base = emb.filter(col("vec_id") % 7 =!= 3)
+    val batch = emb.filter(col("vec_id") % 7 === 3)
+    val name = VectorStore.ensure(spark, key, base, "vec_id", "embedding")
+    // candidates drawn FROM the ingest batch: the items a stale store
+    // is missing — their vectors aren't in the base store
+    val batchCandidates = q.select(col("vec_id").as("query_id"))
+      .crossJoin(batch.limit(7).select(col("vec_id").as("neighbor_id")))
+    // THE FAILURE MODE the append exists to prevent: candidates whose
+    // vectors are missing from the store don't fail the re-rank —
+    // they silently vanish (inner join), shrinking the result
+    val staleRows = VectorStore.rerankTopK(
+      spark.table(name), q, batchCandidates, k = 5).count()
+    VectorStore.appendVectors(spark, key, batch, "vec_id", "embedding",
+      batchTag = Some("ing1"))
+    assert(spark.table(name).count() === emb.count())
+    assert(staleRows === 0L,
+      "every candidate was in the missing batch — the stale store must drop them ALL, silently")
+    val freshRows = VectorStore.rerankTopK(
+      spark.table(name), q, batchCandidates, k = 5)
+    assert(freshRows.count() > 0L,
+      "the appended store must restore the dropped candidates")
+    // appended store ≡ the full store, row for row
+    val fullRows = VectorStore.rerankTopK(
+      spark.table(storeName), q, batchCandidates, k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(freshRows.collect().map(_.toSeq).toSet === fullRows)
+    // idempotent replay: the marker short-circuits
+    VectorStore.appendVectors(spark, key, batch, "vec_id", "embedding",
+      batchTag = Some("ing1"))
+    assert(spark.table(name).count() === emb.count(), "replay must no-op")
+    // crash cleanup: plant a partial attempt's tagged file; the retry
+    // sweeps it before re-applying, so rows stay exact
+    val loc = new Path(spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(name)).location)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    val donor = fs.listStatus(loc)
+      .map(_.getPath).filter(_.getName.startsWith("ing1-")).head
+    org.apache.hadoop.fs.FileUtil.copy(fs, donor, fs,
+      new Path(loc, s"ing2-${donor.getName.stripPrefix("ing1-")}"), false,
+      spark.sessionState.newHadoopConf())
+    spark.catalog.refreshTable(name)
+    VectorStore.appendVectors(spark, key,
+      batch.limit(0), "vec_id", "embedding", batchTag = Some("ing2"))
+    assert(spark.table(name).count() === emb.count(),
+      "the crashed attempt's planted file must be swept by its tag prefix")
+  }
+
+  test("appended store: broadcast regime still exchange-free; SMJ regime degrades to a visible sort") {
+    val key = sf + "#spec_incr2"
+    VectorStore.ensure(spark, key,
+      emb.filter(col("vec_id") % 7 =!= 3), "vec_id", "embedding")
+    VectorStore.appendVectors(spark, key,
+      emb.filter(col("vec_id") % 7 === 3), "vec_id", "embedding",
+      batchTag = Some("ing1"))
+    val incrName = VectorStore.tableName(key)
+    val store = spark.table(incrName)
+    // broadcast regime (the deployment default): appended files are
+    // still parseable bucket files; the store side stays a bare scan
+    val bhj = finalPlan(VectorStore.rerankTopK(store, q, candidates, k = 5))
+    assert(bhj.toString.contains("BroadcastHashJoin"), bhj.toString.take(1200))
+    val side = storeSideOf(bhj, incrName)
+    assert(collectAll(side) { case e: ShuffleExchangeLike => e }.isEmpty)
+    assert(collectAll(side) {
+      case s: org.apache.spark.sql.execution.SortExec => s }.isEmpty)
+    // SMJ regime: multi-file buckets forfeit the sortBy metadata, so
+    // the store side re-SORTS (correct, visibly degraded — the
+    // store's own small-files aging; rebuild is its compaction) while
+    // still needing NO exchange (bucketing survives appends)
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val smj = finalPlan(VectorStore.rerankTopK(store, q, candidates,
+        k = 5, broadcastCandidates = false))
+      assert(smj.toString.contains("SortMergeJoin"), smj.toString.take(1200))
+      val s2 = storeSideOf(smj, incrName)
+      assert(collectAll(s2) { case e: ShuffleExchangeLike => e }.isEmpty,
+        "bucketing must survive appends — no exchange even degraded")
+      assert(collectAll(s2) {
+        case x: org.apache.spark.sql.execution.SortExec => x }.nonEmpty,
+        "multi-file buckets must re-sort (if this starts passing " +
+          "sort-free, the ordering metadata is being trusted wrongly)")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
   }
 
