@@ -233,7 +233,8 @@ object Queries
     "q184_ivfpq_file_audit" -> (ivfPqFileAudit _),
     "q185_rerank_calibration" -> (rerankCalibrationFit _),
     "q186_compaction_cadence" -> (ivfPqCompactionCadence _),
-    "q187_vecstore_incr" -> (ivfPqIncrStoreRerank _))
+    "q187_vecstore_incr" -> (ivfPqIncrStoreRerank _),
+    "q188_vecstore_audit" -> (vecStoreAudit _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = {

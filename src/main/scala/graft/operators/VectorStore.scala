@@ -81,17 +81,40 @@ object VectorStore {
           }
           rm(warehouse)
         }
-        items
-          .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
-          // pre-shuffle onto the bucket hash (repartition and bucketBy
-          // share Murmur3-pmod) so each bucket is written by exactly
-          // one task = ONE FILE per bucket: Spark trusts a bucketed
-          // table's sortBy metadata only at ≤ 1 file per bucket —
-          // multi-file buckets would silently re-sort the store side
-          // of every merge join, the very work the layout pre-pays
-          .repartition(b, col("vec_id"))
-          .write.bucketBy(b, "vec_id").sortBy("vec_id")
-          .mode("overwrite").saveAsTable(name)
+        // pre-shuffle onto the bucket hash (repartition and bucketBy
+        // share Murmur3-pmod) so each bucket is written by exactly
+        // one task = ONE FILE per bucket: Spark trusts a bucketed
+        // table's sortBy metadata only at ≤ 1 file per bucket —
+        // multi-file buckets would silently re-sort the store side
+        // of every merge join, the very work the layout pre-pays.
+        //
+        // autoBucketedScan must be OFF for the write when `items` is
+        // itself a bucketed table (the REBUILD path — the store's own
+        // compaction): the planner first elides our repartition
+        // because the bucketed scan's HashPartitioning satisfies it,
+        // then DisableUnnecessaryBucketedScan un-buckets the scan
+        // (nothing downstream "needs" it — the write's distribution
+        // isn't consulted), leaving one task per FILE and a
+        // multi-file-per-bucket store (measured: 16-file aged input →
+        // 11-file "rebuild"). Forcing the bucketed scan keeps the
+        // elision sound — and makes the rebuild shuffle-FREE (4
+        // bucket-grouped tasks write 4 files straight from the scan).
+        val scanKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+        val prevScan = spark.conf.get(scanKey)
+        try {
+          spark.conf.set(scanKey, "false")
+          items
+            .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
+            .repartition(b, col("vec_id"))
+            .write.bucketBy(b, "vec_id").sortBy("vec_id")
+            .mode("overwrite").saveAsTable(name)
+        } finally spark.conf.set(scanKey, prevScan)
+        // the guarantee is load-bearing (the merge-join regime rides
+        // on it) — verify it loudly instead of silently re-sorting
+        // forever after
+        val audit = storeAudit(spark, corpusDir).collect().head
+        require(audit.getAs[String]("sorted_scan") == "intact",
+          s"vector store $name wrote multi-file buckets: $audit")
         name
       }
       () => built
@@ -194,6 +217,77 @@ object VectorStore {
     // a same-session reader caches the table's file listing — the
     // renamed files must be visible to the next spark.table(name)
     spark.catalog.refreshTable(name)
+  }
+
+  /** FILE-LAYOUT audit of a vector store (q188) — [[graft.operators
+    * .Pq.fileAudit]]'s discipline applied to the OTHER artifact that
+    * ages with its write history: every [[appendVectors]] batch adds
+    * up to `buckets` files, so a streamed store accumulates
+    * O(batches × buckets) files whose per-open cost taxes the re-rank
+    * scan (the same curve IvfPqCompactBench measures for the index),
+    * and the FIRST append already forfeits the one-file-per-bucket
+    * sortBy guarantee the no-broadcast merge-join regime rides on.
+    * Pure metadata — one listing of the table location, classified by
+    * the append commit protocol. One row:
+    *
+    *  - `n_buckets` (the layout constant), `n_files` — committed data
+    *    files (base + marker-committed tagged), `n_orphans` — tagged
+    *    files with no `_appends/<tag>` marker (a crashed append's
+    *    leavings; probes scan them, a retry or re-ensure removes them);
+    *  - `files_per_bucket_milli` = 1000·n_files / n_buckets;
+    *  - `sorted_scan` — `intact` while every bucket holds ≤ 1 data
+    *    file (the merge-join regime needs no sort), else `forfeited`;
+    *  - `decision` — `rebuild` when `n_files + n_orphans ≥ factor ×
+    *    n_buckets` (the fileAudit threshold: a rebuild restores one
+    *    file per bucket, so the listing would shrink ≥ factor×),
+    *    else `keep`. The repair is [[ensure]] on a fresh catalog (or
+    *    drop + re-ensure): one corpus shuffle — the store's
+    *    compaction.
+    *
+    * Same gate contract as q184/q186: file layout is write history,
+    * not corpus — rows-only + spec-pinned branches. */
+  def storeAudit(spark: SparkSession, corpusDir: String,
+      factor: Long = 4L): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    require(factor >= 1, s"storeAudit factor=$factor must be >= 1")
+    val name = tableName(corpusDir)
+    val catalog = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(name)
+    require(catalog.tableExists(ident),
+      s"vector store $name does not exist — build it with ensure() first")
+    val meta = catalog.getTableMetadata(ident)
+    val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
+      throw new IllegalStateException(s"$name is not bucketed")).toLong
+    val loc = new Path(meta.location)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    val appendsDir = new Path(loc, "_appends")
+    val tags =
+      if (fs.exists(appendsDir))
+        fs.listStatus(appendsDir).map(_.getPath.getName).toSet
+      else Set.empty[String]
+    val files = fs.listStatus(loc)
+      .filter(st => !st.isDirectory && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .map(_.getPath.getName)
+    val (committed, orphans) = files.partition { n =>
+      n.startsWith("part-") || tags.contains(n.takeWhile(_ != '-'))
+    }
+    // bucket id = the trailing _NNNNN before the extensions — the
+    // same parse Spark's bucketed scan applies, prefix-proof
+    val bucketOf = "_(\\d+)(?:\\..*)?$".r
+    val perBucket = committed.groupBy(n =>
+      bucketOf.findFirstMatchIn(n).map(_.group(1)).getOrElse(n))
+    val sortedScan =
+      if (perBucket.values.forall(_.length <= 1)) "intact" else "forfeited"
+    val nFiles = committed.length.toLong
+    val nOrphans = orphans.length.toLong
+    val decision =
+      if (nFiles + nOrphans >= factor * buckets) "rebuild" else "keep"
+    Seq((buckets, nFiles, nOrphans, nFiles * 1000L / buckets,
+        sortedScan, decision))
+      .toDF("n_buckets", "n_files", "n_orphans", "files_per_bucket_milli",
+        "sorted_scan", "decision")
   }
 
   /** Exact re-rank of ANN candidates against a vector store: re-score

@@ -1021,18 +1021,44 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
     import operators.{Pq, VectorStore}
     val emb = t(spark, sfDir, "embeddings")
     val q = emb.filter(col("vec_id") % 10 === 0)
-    val key = sfDir + "#vecstore_incr"
-    val name = VectorStore.ensure(spark, key,
-      emb.filter(col("vec_id") % 7 =!= 3), "vec_id", "embedding")
-    VectorStore.appendVectors(spark, key,
-      emb.filter(col("vec_id") % 7 === 3), "vec_id", "embedding",
-      batchTag = Some("ingest1"))
-    VectorStore.rerankTopK(spark.table(name), q,
+    val key = incrVectorStoreKey(spark, sfDir)
+    VectorStore.rerankTopK(spark.table(VectorStore.tableName(key)), q,
       Pq.ivfPqCandidates(q, ivfPqIncrIndexPath(spark, sfDir),
         dim = 64, topK = 50, probes = 12, "vec_id", "embedding",
         maxQueryBatch = 32),
       k = 5)
   }
+
+  /** The incrementally-maintained store lineage shared by q187/q188:
+    * base = corpus minus the `% 7 = 3` ingest batch, then one tagged
+    * [[graft.operators.VectorStore.appendVectors]] — q170's split,
+    * store-side. Ensure is JVM-memoized and the tagged append
+    * short-circuits on its marker, so repeat callers pay metadata. */
+  private def incrVectorStoreKey(spark: SparkSession, sfDir: String): String = {
+    import operators.VectorStore
+    val emb = t(spark, sfDir, "embeddings")
+    val key = sfDir + "#vecstore_incr"
+    VectorStore.ensure(spark, key,
+      emb.filter(col("vec_id") % 7 =!= 3), "vec_id", "embedding")
+    VectorStore.appendVectors(spark, key,
+      emb.filter(col("vec_id") % 7 === 3), "vec_id", "embedding",
+      batchTag = Some("ingest1"))
+    key
+  }
+
+  /** Vector-store FILE-LAYOUT audit, gated rows-only (q188) — the
+    * q184 instrument for the OTHER aging artifact: runs
+    * [[graft.operators.VectorStore.storeAudit]] on q187's
+    * incrementally-appended store (base build + one tagged ingest
+    * batch), so the gate row carries a real append history —
+    * `sorted_scan = forfeited` (the first append costs the merge-join
+    * regime its sort-free scan) and the rebuild/keep election. Same
+    * no-oracle contract as q184/q186: every input is write history;
+    * the decision branches are spec-pinned in VectorStoreSpec and the
+    * repair (re-ensure = one corpus shuffle) is the same operator the
+    * build gate exercises. */
+  def vecStoreAudit(spark: SparkSession, sfDir: String): DataFrame =
+    operators.VectorStore.storeAudit(spark, incrVectorStoreKey(spark, sfDir))
 
   /** The exact-vector arm shared by q179 and q181 — q146's layout
     * over the same corpus split, built only when dispatched to. */

@@ -23,7 +23,12 @@ class EntrySpec extends SparkSpec {
       // replay has no append history at all (same contract as q184;
       // decision branches spec-pinned in IvfPqSpec, the dispatched-to
       // operator gated bit-equal as q183)
-      "q186_compaction_cadence")
+      "q186_compaction_cadence",
+      // the vector store's file layout, like the index's: bucket file
+      // counts and sortBy forfeiture are write history a SQL replay
+      // cannot see (branches spec-pinned in VectorStoreSpec; the
+      // repair — re-ensure — is the build path every store gate runs)
+      "q188_vecstore_audit")
     assert(SparkEntry.queries.keySet -- rowsOnly ===
       SparkEntry.oracleSql.keySet)
     assert(rowsOnly.subsetOf(SparkEntry.queries.keySet))

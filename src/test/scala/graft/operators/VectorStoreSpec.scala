@@ -225,6 +225,59 @@ class VectorStoreSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
   }
 
+  test("storeAudit: intact fresh, forfeited after one append, rebuild past the threshold; orphans counted") {
+    import org.apache.hadoop.fs.Path
+    val key = sf + "#spec_audit"
+    val base = emb.filter(col("vec_id") % 7 =!= 3)
+    val batch = emb.filter(col("vec_id") % 7 === 3)
+    val name = VectorStore.ensure(spark, key, base, "vec_id", "embedding")
+    val fresh = VectorStore.storeAudit(spark, key).collect().head
+    assert(fresh.getAs[String]("sorted_scan") == "intact", fresh)
+    assert(fresh.getAs[String]("decision") == "keep", fresh)
+    assert(fresh.getAs[Long]("n_files") ==
+      fresh.getAs[Long]("n_buckets"), fresh)
+    // the FIRST append forfeits the merge-join regime's sort-free scan
+    VectorStore.appendVectors(spark, key, batch, "vec_id", "embedding",
+      batchTag = Some("a1"))
+    val one = VectorStore.storeAudit(spark, key).collect().head
+    assert(one.getAs[String]("sorted_scan") == "forfeited", one)
+    assert(one.getAs[Long]("n_files") > one.getAs[Long]("n_buckets"), one)
+    // keep appending: the same factor-4 line as the index's audit
+    var i = 2
+    while (VectorStore.storeAudit(spark, key).collect().head
+        .getAs[String]("decision") == "keep" && i < 40) {
+      VectorStore.appendVectors(spark, key, batch.limit(3),
+        "vec_id", "embedding", batchTag = Some(s"a$i"))
+      i += 1
+    }
+    val tripped = VectorStore.storeAudit(spark, key).collect().head
+    assert(tripped.getAs[String]("decision") == "rebuild",
+      s"appends never tripped the rebuild line: $tripped")
+    assert(tripped.getAs[Long]("n_files") + tripped.getAs[Long]("n_orphans")
+      >= 4L * tripped.getAs[Long]("n_buckets"), tripped)
+    // orphans (tagged, no marker) count toward the line — probes scan
+    // them; and they classify as orphans, not committed
+    val loc = new Path(spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(name)).location)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    val donor = fs.listStatus(loc)
+      .map(_.getPath).filter(_.getName.startsWith("a1-")).head
+    org.apache.hadoop.fs.FileUtil.copy(fs, donor, fs,
+      new Path(loc, s"zz9-${donor.getName.stripPrefix("a1-")}"), false,
+      spark.sessionState.newHadoopConf())
+    val orph = VectorStore.storeAudit(spark, key).collect().head
+    assert(orph.getAs[Long]("n_orphans") == 1L, orph)
+    assert(orph.getAs[Long]("n_files") == tripped.getAs[Long]("n_files"), orph)
+    // the REPAIR is the build path: a fresh one-file-per-bucket store
+    // over the same rows audits intact/keep again (rebuild = drop +
+    // ensure under a new key here, since ensure memoizes per JVM)
+    val key2 = sf + "#spec_audit_rebuilt"
+    VectorStore.ensure(spark, key2, spark.table(name), "vec_id", "v")
+    val rebuilt = VectorStore.storeAudit(spark, key2).collect().head
+    assert(rebuilt.getAs[String]("sorted_scan") == "intact", rebuilt)
+    assert(rebuilt.getAs[String]("decision") == "keep", rebuilt)
+  }
+
   test("the store writes one file per bucket (the sorted-scan guarantee)") {
     storeName // force build
     val dir = new java.io.File(s"spark-warehouse/$storeName")
