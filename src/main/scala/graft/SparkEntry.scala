@@ -234,7 +234,8 @@ object Queries
     "q185_rerank_calibration" -> (rerankCalibrationFit _),
     "q186_compaction_cadence" -> (ivfPqCompactionCadence _),
     "q187_vecstore_incr" -> (ivfPqIncrStoreRerank _),
-    "q188_vecstore_audit" -> (vecStoreAudit _))
+    "q188_vecstore_audit" -> (vecStoreAudit _),
+    "q189_vecstore_cadence" -> (vecStoreCadence _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = {
@@ -267,6 +268,10 @@ object Queries
     // oracle by construction: file layout (and its growth history)
     // is write-history, not corpus — nothing SQL-derivable to replay
     // (driver records the rows-only check; IvfPqSpec gates the
-    // decision branches, q183 gates the dispatched-to operator)
+    // decision branches, q183 gates the dispatched-to operator).
+    // q188_vecstore_audit and q189_vecstore_cadence are the same
+    // contract for the vector store (VectorStoreSpec pins the
+    // branches; the ensure/rebuild path is oracle-exercised by every
+    // store gate).
   }
 }

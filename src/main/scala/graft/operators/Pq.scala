@@ -665,22 +665,16 @@ object Pq {
         !st.getPath.getName.startsWith("_") &&
         !st.getPath.getName.startsWith("."))
       .map(_.getPath).toSeq
-    files.partition { f =>
-      val name = f.getName
-      name.startsWith("part-") ||
-        committedTags.contains(name.takeWhile(_ != '-'))
-    }
+    files.partition(f => LayoutCensus.isCommitted(f.getName, committedTags))
   }
 
   /** The committed tag set of an index tree — the names under
     * `appends/`, each one a fully-applied [[appendIvfPqIndex]]
     * batch. */
   private def committedTags(fs: org.apache.hadoop.fs.FileSystem,
-      path: String): Set[String] = {
-    val dir = new org.apache.hadoop.fs.Path(s"$path/appends")
-    if (fs.exists(dir)) fs.listStatus(dir).map(_.getPath.getName).toSet
-    else Set.empty
-  }
+      path: String): Set[String] =
+    LayoutCensus.committedTags(fs,
+      new org.apache.hadoop.fs.Path(s"$path/appends"))
 
   /** FILE-LAYOUT audit of an index tree (q184) — the small-files
     * alarm. Every [[appendIvfPqIndex]] batch adds its own part files
@@ -743,7 +737,7 @@ object Pq {
     val nCells = cells.length.toLong
     require(nCells > 0, s"fileAudit: $path/codes has no cell directories")
     val decision =
-      if (nFiles + nOrphans >= factor * nCells) "compact" else "keep"
+      LayoutCensus.elect(nFiles + nOrphans, nCells, factor, "compact")
     Seq((nCells, nFiles, nOrphans, nFiles * 1000L / nCells, decision))
       .toDF("n_cells", "n_files", "n_orphans", "files_per_cell_milli",
         "decision")
@@ -835,14 +829,9 @@ object Pq {
     }
     val nCells = cells.length.toLong
     val nBatches = tags.size.toLong
-    val scanned = nFiles + nOrphans
-    val threshold = factor * nCells
-    val (decision, horizon) =
-      if (scanned >= threshold) ("compact_now", 0L)
-      else if (nBatches > 0L && appendFiles > 0L)
-        ("compact_within",
-          ((threshold - scanned) * nBatches + appendFiles - 1L) / appendFiles)
-      else ("keep", -1L)
+    val (decision, horizon) = LayoutCensus.forecast(
+      nFiles + nOrphans, nCells, factor, nBatches, appendFiles,
+      "compact_now", "compact_within")
     Seq((nCells, nFiles, nOrphans, nBatches, appendFiles,
         if (nBatches > 0L) appendFiles * 1000L / nBatches else 0L,
         horizon, decision))
@@ -1164,9 +1153,11 @@ object Pq {
       readIvfPqMeta(spark, path).centroids)
 
   /** Cheap change-signature of an IVF-PQ index tree: the `meta/`
-    * sidecar's mtime (a [[graft.sources.Artifacts.publishTree]]
-    * republish — build, rebalance, retrain — swaps in a freshly
-    * written tree, so the mtime moves) plus the sorted `appends/`
+    * sidecar's data-file fingerprint (a
+    * [[graft.sources.Artifacts.publishTree]] republish — build,
+    * rebalance, retrain — swaps in a freshly written tree, so the
+    * file names/lengths/mtimes move; see [[LayoutCensus.dirFingerprint]] for why
+    * the directory's own mtime is NOT the key) plus the sorted `appends/`
     * marker names (every TAGGED append writes one, LAST). Two metadata
     * reads, no Spark job — the invalidation key the adaptive search
     * sink caches its occupancy-audit row on. What it deliberately
@@ -1179,13 +1170,12 @@ object Pq {
       path: String): String = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
-    val metaM = fs.getFileStatus(new Path(s"$path/meta")).getModificationTime
     val appends = new Path(s"$path/appends")
     val tags =
       if (fs.exists(appends))
         fs.listStatus(appends).map(_.getPath.getName).sorted.mkString(",")
       else ""
-    s"$metaM|$tags"
+    s"${LayoutCensus.dirFingerprint(fs, new Path(s"$path/meta"))}|$tags"
   }
 
   /** The fields of one cached occupancy-audit row ([[occupancyAudit]]
@@ -1203,12 +1193,12 @@ object Pq {
     *
     *  - meta ([[readIvfPqMeta]]) and the resolution verdict
     *    ([[resolutionStamp]]) change only at PUBLISH — keyed on the
-    *    `meta/` sidecar's mtime (appends move the full
+    *    `meta/` sidecar's data-file fingerprint (appends move the full
     *    [[indexStateSignature]] but can change neither);
     *  - the occupancy snapshot changes with every append — keyed on
     *    the full [[indexStateSignature]];
     *  - a bare stamp directory (the int8 arm's tree has no `meta/`) —
-    *    keyed on the `resolution/` directory's own mtime.
+    *    keyed on the `resolution/` data-file fingerprint.
     *
     * Values are O(1) rows; the maps never hold data-sized state. Load
     * counters are exposed for the spec that pins "no re-read on an
@@ -1216,26 +1206,31 @@ object Pq {
   object audits {
     import java.util.concurrent.ConcurrentHashMap
     import java.util.concurrent.atomic.AtomicLong
-    private val metaCache = new ConcurrentHashMap[String, (Long, IvfPqMeta)]()
-    private val resCache = new ConcurrentHashMap[String, (Long, String)]()
+    private val metaCache = new ConcurrentHashMap[String, (String, IvfPqMeta)]()
+    private val resCache = new ConcurrentHashMap[String, (String, String)]()
     private val occCache =
       new ConcurrentHashMap[String, (String, OccupancySnapshot)]()
-    private val stampCache = new ConcurrentHashMap[String, (Long, String)]()
+    private val stampCache = new ConcurrentHashMap[String, (String, String)]()
     private[graft] val metaLoads = new AtomicLong
     private[graft] val resolutionLoads = new AtomicLong
     private[graft] val occupancyLoads = new AtomicLong
     private[graft] val stampLoads = new AtomicLong
 
-    private def metaModTime(spark: org.apache.spark.sql.SparkSession,
-        path: String): Long = {
+    /** The meta sidecar's data-file fingerprint ([[LayoutCensus.dirFingerprint]]):
+      * a publish rewrites the sidecar's files, an append touches only
+      * `codes/` + `appends/` — so this key moves exactly when meta or
+      * the resolution verdict can have changed, independent of
+      * filesystem mtime granularity. */
+    private def metaKey(spark: org.apache.spark.sql.SparkSession,
+        path: String): String = {
       val p = new org.apache.hadoop.fs.Path(s"$path/meta")
-      p.getFileSystem(spark.sessionState.newHadoopConf())
-        .getFileStatus(p).getModificationTime
+      LayoutCensus.dirFingerprint(
+        p.getFileSystem(spark.sessionState.newHadoopConf()), p)
     }
 
     def meta(spark: org.apache.spark.sql.SparkSession,
         path: String): IvfPqMeta = {
-      val key = metaModTime(spark, path)
+      val key = metaKey(spark, path)
       metaCache.compute(path, (_, prev) =>
         if (prev != null && prev._1 == key) prev
         else { metaLoads.incrementAndGet()
@@ -1244,7 +1239,7 @@ object Pq {
 
     def resolutionDecision(spark: org.apache.spark.sql.SparkSession,
         path: String): String = {
-      val key = metaModTime(spark, path)
+      val key = metaKey(spark, path)
       resCache.compute(path, (_, prev) =>
         if (prev != null && prev._1 == key) prev
         else { resolutionLoads.incrementAndGet()
@@ -1266,12 +1261,13 @@ object Pq {
     }
 
     /** The `resolution/` stamp of a tree WITHOUT a `meta/` sidecar
-      * (the int8 arm) — keyed on the stamp directory's own mtime. */
+      * (the int8 arm) — keyed on the stamp's own data-file
+      * fingerprint (same mtime-granularity rationale as [[metaKey]]). */
     def stampDecision(spark: org.apache.spark.sql.SparkSession,
         path: String): String = {
       val p = new org.apache.hadoop.fs.Path(s"$path/resolution")
-      val key = p.getFileSystem(spark.sessionState.newHadoopConf())
-        .getFileStatus(p).getModificationTime
+      val key = LayoutCensus.dirFingerprint(
+        p.getFileSystem(spark.sessionState.newHadoopConf()), p)
       stampCache.compute(path, (_, prev) =>
         if (prev != null && prev._1 == key) prev
         else { stampLoads.incrementAndGet()

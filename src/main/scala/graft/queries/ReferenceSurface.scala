@@ -1029,20 +1029,31 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
       k = 5)
   }
 
-  /** The incrementally-maintained store lineage shared by q187/q188:
-    * base = corpus minus the `% 7 = 3` ingest batch, then one tagged
-    * [[graft.operators.VectorStore.appendVectors]] — q170's split,
-    * store-side. Ensure is JVM-memoized and the tagged append
-    * short-circuits on its marker, so repeat callers pay metadata. */
+  /** The incrementally-maintained store lineage shared by
+    * q187/q188/q189: base = corpus minus the `% 7 = 3` ingest batch,
+    * then the ingest batch through the composed
+    * [[graft.operators.VectorStore.lockstepAppend]] — which pins the
+    * CROSS-ARTIFACT ORDERING CONTRACT in the gate path itself: store
+    * FIRST, then index, one shared tag (round-18; a crash between the
+    * halves must leave the harmless store-ahead regime — extra
+    * vectors the index cannot yet name as candidates — never
+    * index-ahead, whose candidates silently vanish from top-k). The
+    * index half short-circuits here by construction: q170's artifact
+    * is built WITH its `ingest1` append (marker carried by the
+    * publish), so the composed call exercises the order and the
+    * shared-tag idempotence without double-applying. Ensure is
+    * JVM-memoized and the tagged store append short-circuits on its
+    * marker, so repeat callers pay metadata. */
   private def incrVectorStoreKey(spark: SparkSession, sfDir: String): String = {
     import operators.VectorStore
     val emb = t(spark, sfDir, "embeddings")
     val key = sfDir + "#vecstore_incr"
     VectorStore.ensure(spark, key,
       emb.filter(col("vec_id") % 7 =!= 3), "vec_id", "embedding")
-    VectorStore.appendVectors(spark, key,
+    VectorStore.lockstepAppend(spark, key,
+      ivfPqIncrIndexPath(spark, sfDir),
       emb.filter(col("vec_id") % 7 === 3), "vec_id", "embedding",
-      batchTag = Some("ingest1"))
+      batchTag = "ingest1")
     key
   }
 
@@ -1059,6 +1070,21 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
     * build gate exercises. */
   def vecStoreAudit(spark: SparkSession, sfDir: String): DataFrame =
     operators.VectorStore.storeAudit(spark, incrVectorStoreKey(spark, sfDir))
+
+  /** Vector-store REBUILD-cadence forecast, gated rows-only (q189) —
+    * the q186 instrument for the store's own aging: runs
+    * [[graft.operators.VectorStore.storeCadence]] on q187's
+    * incrementally-appended store, so the gate row carries a real
+    * append history (one committed batch, its tag-prefixed files, a
+    * finite `batches_to_threshold` horizon toward the factor-4
+    * rebuild line). Same no-oracle contract as q184/q186/q188: batch
+    * count = commit markers, growth rate = tag-prefixed file counts —
+    * pure write history a SQL replay cannot see. Decision branches
+    * spec-pinned in VectorStoreSpec; the dispatched-to repair is
+    * [[graft.operators.VectorStore.ensure]]'s rebuild, the same
+    * operator every store gate exercises. */
+  def vecStoreCadence(spark: SparkSession, sfDir: String): DataFrame =
+    operators.VectorStore.storeCadence(spark, incrVectorStoreKey(spark, sfDir))
 
   /** The exact-vector arm shared by q179 and q181 — q146's layout
     * over the same corpus split, built only when dispatched to. */

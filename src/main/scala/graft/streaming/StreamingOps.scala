@@ -107,6 +107,20 @@ object StreamingOps {
     * not papered over at query. Bit-equality of the appended tree to
     * a batch append of the same rows is spec-pinned.
     *
+    * `storeCorpus` (round-18, closing round-17's one silent-wrong-
+    * results gap) makes the sink the full ingest TRANSACTION: the
+    * index is only half of what a batch must land in — an appended
+    * index re-ranked against a stale store silently DROPS the
+    * appended items from every top-k (inner join; VectorStoreSpec
+    * pins the shrinkage). With a store attached, each micro-batch
+    * goes through [[graft.operators.VectorStore.lockstepAppend]] —
+    * STORE FIRST, then index, both under the same `b<batchId>` tag —
+    * so the only crash window is store-ahead (extra vectors the index
+    * cannot yet name as candidates: served results stay correct),
+    * never index-ahead (missing neighbors). Replay composes: each
+    * half short-circuits on its own marker, so a retry after a crash
+    * between the halves re-applies only the index half.
+    *
     * `cadence` (round-17) closes the LAYOUT loop from the ingest
     * side: every append fragments the cell directories (the q184
     * small-files tax), and the appender is the one process that knows
@@ -118,34 +132,63 @@ object StreamingOps {
     * probe latency. The election row is CACHED on
     * [[graft.operators.Pq.indexStateSignature]] (an applied append
     * moves the signature; a replay-skipped batch does not), so
-    * replayed batches cost no re-listing. */
+    * replayed batches cost no re-listing. `storeCadence` is the same
+    * loop for the store's own aging ([[graft.operators.VectorStore
+    * .storeCadence]]: every append fragments the bucket layout toward
+    * the rebuild line), cached on
+    * [[graft.operators.VectorStore.storeStateSignature]]. */
   def ivfPqAppendSink(
       stream: DataFrame,
       indexPath: String,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       cadence: Option[(DataFrame, Long) => Unit] = None,
-      cadenceFactor: Long = 4L): DataStreamWriter[org.apache.spark.sql.Row] = {
+      cadenceFactor: Long = 4L,
+      storeCorpus: Option[String] = None,
+      storeCadence: Option[(DataFrame, Long) => Unit] = None,
+      storeCadenceFactor: Long = 4L): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(storeCadence.isEmpty || storeCorpus.nonEmpty,
+      "storeCadence needs storeCorpus — there is no store to forecast")
     // micro-batches run serially on the driver: plain closure vars are
     // the cache (the ivfPqSearchWriter discipline)
     var cadSig: String = null
     var cadRow: DataFrame = null
+    var storeSig: String = null
+    var storeRow: DataFrame = null
     stream.writeStream
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         if (!batch.isEmpty) {
-          graft.operators.Pq.appendIvfPqIndex(
-            batch.toDF(), idCol, vecCol, indexPath,
-            batchTag = Some(s"b$batchId"))
+          val spark = batch.sparkSession
+          storeCorpus match {
+            case Some(corpus) =>
+              graft.operators.VectorStore.lockstepAppend(
+                spark, corpus, indexPath, batch.toDF(), idCol, vecCol,
+                batchTag = s"b$batchId")
+            case None =>
+              graft.operators.Pq.appendIvfPqIndex(
+                batch.toDF(), idCol, vecCol, indexPath,
+                batchTag = Some(s"b$batchId"))
+          }
           cadence.foreach { cb =>
-            val sig = graft.operators.Pq.indexStateSignature(
-              batch.sparkSession, indexPath)
+            val sig = graft.operators.Pq.indexStateSignature(spark, indexPath)
             if (sig != cadSig) {
               cadRow = graft.operators.Pq.compactionCadence(
-                batch.sparkSession, indexPath, cadenceFactor)
+                spark, indexPath, cadenceFactor)
               cadSig = sig
             }
             cb(cadRow, batchId)
+          }
+          storeCadence.foreach { cb =>
+            val corpus = storeCorpus.get
+            val sig = graft.operators.VectorStore
+              .storeStateSignature(spark, corpus)
+            if (sig != storeSig) {
+              storeRow = graft.operators.VectorStore.storeCadence(
+                spark, corpus, storeCadenceFactor)
+              storeSig = sig
+            }
+            cb(storeRow, batchId)
           }
         }
       }

@@ -11,21 +11,18 @@ class BucketingSpec extends SparkSpec {
 
   test("join of two tables bucketed on the key plans with no shuffle exchange") {
     val sf = "/root/testdata/sf0.001"
-    // tables land in the default ./spark-warehouse (warehouse.dir is a
-    // static conf); dropped at the end, and the dir is gitignored
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS o_b")
     // a previous aborted run can leave orphan table dirs the catalog no
-    // longer tracks — DROP TABLE won't clear those
+    // longer tracks — DROP TABLE won't clear those; resolve the
+    // location through the catalog (the suite runs under a non-default
+    // warehouse.dir, so a hardcoded ./spark-warehouse would miss)
     for (t <- Seq("li_b", "o_b")) {
-      val dir = new java.io.File(s"spark-warehouse/$t")
-      if (dir.exists()) {
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        rm(dir)
-      }
+      val p = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(t)))
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
     }
 
     Tables.load(spark, sf, "lineitem")

@@ -28,7 +28,14 @@ class EntrySpec extends SparkSpec {
       // counts and sortBy forfeiture are write history a SQL replay
       // cannot see (branches spec-pinned in VectorStoreSpec; the
       // repair — re-ensure — is the build path every store gate runs)
-      "q188_vecstore_audit")
+      "q188_vecstore_audit",
+      // the store's rebuild-cadence forecast is the same write
+      // history again (q186's contract, store-side): batch count =
+      // `_appends` markers, growth rate = tag-prefixed file counts —
+      // a SQL replay has no append history at all (branches
+      // spec-pinned in VectorStoreSpec; the dispatched-to repair is
+      // the ensure/rebuild path every store gate runs)
+      "q189_vecstore_cadence")
     assert(SparkEntry.queries.keySet -- rowsOnly ===
       SparkEntry.oracleSql.keySet)
     assert(rowsOnly.subsetOf(SparkEntry.queries.keySet))

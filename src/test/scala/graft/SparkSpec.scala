@@ -21,6 +21,12 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // deliberately NON-default (round-17 advice): every table-backed
+      // operator must resolve locations through the catalog, never a
+      // hardcoded cwd-relative ./spark-warehouse — running the whole
+      // suite under a configured warehouse keeps that honest
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft_test_warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     GraftSession.tune(s) // engine-required confs (top-k agg fallback threshold)

@@ -55,8 +55,12 @@ class DispatchCacheSpec extends SparkSpec {
       s"append must reload ONLY occupancy: $afterFirst -> $afterAppend")
 
     // a republish (full rebuild over the grown corpus) moves the
-    // meta mtime: every cache reloads on next read
-    Thread.sleep(1100) // local-fs mtime granularity can be 1 s
+    // meta data-file fingerprint: every cache reloads on next read.
+    // No mtime-granularity sleep — the key is (name, length, mtime)
+    // of the sidecar's data files, and a publish writes fresh file
+    // names, so the key moves even when every mtime ties (the
+    // round-17 advice: 1 s local-fs granularity / object stores with
+    // no directory mtime must not serve a stale dispatch arm)
     Pq.buildIvfPqIndex(corpus.unionAll(
         Seq((2L, Seq(0.9f, 0.1f, 0.1f, 0.9f))).toDF("vec_id", "embedding")),
       "vec_id", "embedding", dim = 4, m = 2,

@@ -138,6 +138,74 @@ class VectorStoreSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
   }
 
+  test("bucket pruning: the bounded candidate id set prunes the store scan to its buckets") {
+    // one candidate id can hash into at most ONE of the buckets — the
+    // pruned scan must say so (at deployment bucket counts this is
+    // the full-corpus-scan vs width·|Q|-bucket-files difference).
+    // The candidate relation is a LOCAL relation on purpose: a
+    // literal-filtered one would let InferFiltersFromConstraints push
+    // the id through the join anyway (verified — that shape prunes
+    // without our help), while real probe-derived candidates carry no
+    // such constraint, which is exactly what the isin pushdown is for
+    import spark.implicits._
+    val qid = q.limit(1).select("vec_id").collect().head.getLong(0)
+    val oneCand = Seq((qid, 42L)).toDF("query_id", "neighbor_id")
+    // minPruneBuckets = 1: the suite's 4-bucket store sits far below
+    // the deployment dial (256+), where pruning's win covers its
+    // planning cost — the dial itself is asserted at the end
+    val pruned = VectorStore.rerankTopK(
+      spark.table(storeName), q, oneCand, k = 5, minPruneBuckets = 1)
+    val plan = finalPlan(pruned)
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan.toString)
+    assert(sel.isDefined,
+      s"no bucket pruning on the store scan:\n${plan.toString.take(2500)}")
+    assert(sel.get.group(1).toInt == 1 && sel.get.group(2).toInt ==
+      spark.conf.get("spark.sql.shuffle.partitions").toInt,
+      s"one id must select one bucket: ${sel.get.matched}")
+    // still the exchange-free BHJ shape on the store side
+    assert(plan.toString.contains("BroadcastHashJoin"), plan.toString.take(1200))
+    val side = storeSide(plan)
+    assert(collectAll(side) { case e: ShuffleExchangeLike => e }.isEmpty)
+    // pruning is a pure scan optimization: rows identical to unpruned.
+    // (The annotation itself also prints on a FULL scan — IsNotNull on
+    // the bucket column defines a select-everything bucket set — so
+    // the contrast is selected < total, not presence vs absence.)
+    def selectedOf(df: DataFrame): (Int, Int) = {
+      val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+        .findFirstMatchIn(finalPlan(df).toString)
+      m.map(x => (x.group(1).toInt, x.group(2).toInt)).getOrElse((-1, -1))
+    }
+    val unpruned = VectorStore.rerankTopK(
+      spark.table(storeName), q, oneCand, k = 5, pruneStoreBuckets = false)
+    val (selU, totU) = selectedOf(unpruned)
+    assert(selU == totU || selU == -1,
+      s"the unpruned twin must scan every bucket, got $selU/$totU")
+    assert(pruned.collect().map(_.toSeq).toSet ===
+      unpruned.collect().map(_.toSeq).toSet)
+    // a candidate pool wider than maxPruneIds falls back to the
+    // unpruned scan (correct, corpus-priced) instead of planning a
+    // giant InSet
+    val capped = VectorStore.rerankTopK(
+      spark.table(storeName), q, candidates, k = 5, maxPruneIds = 2,
+      minPruneBuckets = 1)
+    val (selC, totC) = selectedOf(capped)
+    assert(selC == totC || selC == -1,
+      s"past maxPruneIds the scan must stay unpruned, got $selC/$totC")
+    assert(capped.collect().map(_.toSeq).toSet ===
+      VectorStore.rerankTopK(spark.table(storeName), q, candidates, k = 5,
+        pruneStoreBuckets = false).collect().map(_.toSeq).toSet)
+    // the DIAL: at the default minPruneBuckets (deployment bucket
+    // counts) a 4-bucket store keeps the plain full-scan plan — no
+    // checkpoint, no collect, no In-literal planning cost on the
+    // gates (measured +0.8–5 s per rerank gate when forced on)
+    val dialed = VectorStore.rerankTopK(
+      spark.table(storeName), q, oneCand, k = 5)
+    val (selD, totD) = selectedOf(dialed)
+    assert(selD == totD || selD == -1,
+      s"below minPruneBuckets the scan must stay unpruned, got $selD/$totD")
+  }
+
   test("appendVectors: lockstep ingest — idempotent replay, crash cleanup, stale store drops candidates") {
     import org.apache.hadoop.fs.Path
     val key = sf + "#spec_incr"
@@ -278,15 +346,172 @@ class VectorStoreSpec extends SparkSpec {
     assert(rebuilt.getAs[String]("decision") == "keep", rebuilt)
   }
 
+  test("lockstepAppend: the crash window between the halves is store-ahead (correct) — index-ahead serves missing neighbors") {
+    import graft.operators.Pq
+    import org.apache.hadoop.fs.Path
+    val base = emb.filter(col("vec_id") % 7 =!= 3)
+    val batch = emb.filter(col("vec_id") % 7 === 3)
+    val fs = new Path("/tmp").getFileSystem(spark.sessionState.newHadoopConf())
+    def buildIdx(p: String): Unit = {
+      val ppath = new Path(p)
+      if (fs.exists(ppath)) fs.delete(ppath, true)
+      Pq.buildIvfPqIndex(base, "vec_id", "embedding", dim = 64, m = 8,
+        k = 16, iters = 1, centroids = 4, path = p, assignments = 1)
+    }
+    def cands(p: String) = Pq.ivfPqCandidates(q, p, dim = 64, topK = 20,
+      probes = 4, "vec_id", "embedding", maxQueryBatch = 32)
+    val batchIds = batch.select("vec_id").collect().map(_.getLong(0)).toSet
+
+    // THE FORBIDDEN ORDER (index first), killed between the halves:
+    // the index names batch ids as candidates, the store has no
+    // vectors for them — the inner join SILENTLY DROPS them
+    val idxA = s"${sys.props("java.io.tmpdir")}/graft_lockstep_idxA"
+    buildIdx(idxA)
+    val keyA = sf + "#lockstep_idxahead"
+    VectorStore.ensure(spark, keyA, base, "vec_id", "embedding")
+    Pq.appendIvfPqIndex(batch, "vec_id", "embedding", idxA,
+      batchTag = Some("w1")) // crash before the store half
+    val candA = cands(idxA)
+    val namedBatch = candA.select("neighbor_id").collect()
+      .map(_.getLong(0)).toSet.intersect(batchIds)
+    assert(namedBatch.nonEmpty,
+      "probe must surface some appended items as candidates for the " +
+        "regime to be observable")
+    val servedA = VectorStore.rerankTopK(
+        spark.table(VectorStore.tableName(keyA)), q, candA, k = 20)
+      .select("neighbor_id").collect().map(_.getLong(0)).toSet
+    assert(servedA.intersect(batchIds).isEmpty,
+      "index-ahead: every batch candidate silently vanished from the " +
+        "served top-k — the wrong-results regime lockstepAppend forbids")
+
+    // THE CONTRACT ORDER (store first), killed between the halves:
+    // the store holds extra vectors the index cannot name — the batch
+    // is invisible, every served row is correct
+    val idxB = s"${sys.props("java.io.tmpdir")}/graft_lockstep_idxB"
+    buildIdx(idxB)
+    val keyB = sf + "#lockstep_storeahead"
+    val nameB = VectorStore.ensure(spark, keyB, base, "vec_id", "embedding")
+    VectorStore.appendVectors(spark, keyB, batch, "vec_id", "embedding",
+      batchTag = Some("b1")) // crash before the index half
+    val candB = cands(idxB)
+    assert(candB.select("neighbor_id").collect().map(_.getLong(0)).toSet
+      .intersect(batchIds).isEmpty,
+      "store-ahead: the index cannot name the batch as candidates yet")
+    val servedB = VectorStore.rerankTopK(spark.table(nameB), q, candB, k = 20)
+      .collect().map(_.toSeq).toSet
+    // correct = what a pre-ingest pair serves (batch not yet visible)
+    val preIngest = VectorStore.rerankTopK(
+      spark.table(VectorStore.tableName(keyA)), q, candB, k = 20)
+      .collect().map(_.toSeq).toSet
+    assert(servedB === preIngest,
+      "store-ahead must serve exactly the pre-ingest results")
+
+    // RETRY lands the pair: the store half no-ops on its marker, the
+    // index half applies — composed state == a clean lockstep pair
+    VectorStore.lockstepAppend(spark, keyB, idxB, batch,
+      "vec_id", "embedding", batchTag = "b1")
+    val idxC = s"${sys.props("java.io.tmpdir")}/graft_lockstep_idxC"
+    buildIdx(idxC)
+    val keyC = sf + "#lockstep_clean"
+    VectorStore.ensure(spark, keyC, base, "vec_id", "embedding")
+    VectorStore.lockstepAppend(spark, keyC, idxC, batch,
+      "vec_id", "embedding", batchTag = "b1")
+    val afterRetry = VectorStore.rerankTopK(spark.table(nameB), q,
+      cands(idxB), k = 20).collect().map(_.toSeq).toSet
+    val clean = VectorStore.rerankTopK(
+      spark.table(VectorStore.tableName(keyC)), q, cands(idxC), k = 20)
+      .collect().map(_.toSeq).toSet
+    assert(afterRetry === clean,
+      "retried crash-window pair must serve exactly the clean pair")
+    assert(afterRetry.exists(r =>
+      batchIds.contains(r(2).asInstanceOf[Long])),
+      "the landed pair must serve batch items as neighbors")
+  }
+
+  test("storeCadence: keep with no history, rebuild_within with a shrinking horizon, rebuild_now past the line") {
+    val key = sf + "#spec_store_cadence"
+    val base = emb.filter(col("vec_id") % 7 =!= 3)
+    val batch = emb.filter(col("vec_id") % 7 === 3)
+    VectorStore.ensure(spark, key, base, "vec_id", "embedding")
+    val fresh = VectorStore.storeCadence(spark, key).collect().head
+    assert(fresh.getAs[String]("decision") == "keep", fresh)
+    assert(fresh.getAs[Long]("batches_to_threshold") == -1L, fresh)
+    assert(fresh.getAs[Long]("n_batches") == 0L, fresh)
+    // one committed batch: a growth rate exists — finite horizon
+    VectorStore.appendVectors(spark, key, batch, "vec_id", "embedding",
+      batchTag = Some("c1"))
+    val one = VectorStore.storeCadence(spark, key).collect().head
+    assert(one.getAs[String]("decision") == "rebuild_within", one)
+    assert(one.getAs[Long]("batches_to_threshold") >= 1L, one)
+    assert(one.getAs[Long]("n_batches") == 1L, one)
+    assert(one.getAs[Long]("append_files") > 0L, one)
+    // steady appends: the horizon never grows, and the election flips
+    // to rebuild_now exactly when the audit's factor-4 line trips
+    var horizons = List(one.getAs[Long]("batches_to_threshold"))
+    var i = 2
+    var row = one
+    while (row.getAs[String]("decision") == "rebuild_within" && i < 40) {
+      VectorStore.appendVectors(spark, key, batch, "vec_id", "embedding",
+        batchTag = Some(s"c$i"))
+      row = VectorStore.storeCadence(spark, key).collect().head
+      if (row.getAs[String]("decision") == "rebuild_within")
+        horizons ::= row.getAs[Long]("batches_to_threshold")
+      i += 1
+    }
+    assert(row.getAs[String]("decision") == "rebuild_now",
+      s"appends never tripped the line: $row")
+    assert(row.getAs[Long]("batches_to_threshold") == 0L, row)
+    val ordered = horizons.reverse
+    assert(ordered.zip(ordered.drop(1)).forall { case (a, b) => b <= a },
+      s"forecast horizon grew under steady appends: $ordered")
+    // the election and the audit share one threshold (LayoutCensus):
+    // the audit must read rebuild on the same listing
+    assert(VectorStore.storeAudit(spark, key).collect().head
+      .getAs[String]("decision") == "rebuild")
+  }
+
   test("the store writes one file per bucket (the sorted-scan guarantee)") {
     storeName // force build
-    val dir = new java.io.File(s"spark-warehouse/$storeName")
-    assert(dir.exists(), s"warehouse dir missing: $dir")
-    val dataFiles = dir.listFiles().filter(f =>
-      f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+    // resolve through the catalog — the suite runs under a NON-default
+    // spark.sql.warehouse.dir precisely so a hardcoded ./spark-warehouse
+    // path here (or in the operator) would fail loudly
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(storeName)).location)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(loc), s"warehouse dir missing: $loc")
+    assert(loc.toString.contains("graft_test_warehouse"),
+      s"store must live under the configured warehouse, got $loc")
+    val dataFiles = fs.listStatus(loc).filter(f =>
+      f.getPath.getName.startsWith("part-") &&
+        !f.getPath.getName.endsWith(".crc"))
     val buckets = spark.conf.get("spark.sql.shuffle.partitions").toInt
     assert(dataFiles.length <= buckets,
       s"${dataFiles.length} data files for $buckets buckets — " +
         "multi-file buckets forfeit the sortBy metadata")
+  }
+
+  test("ensure recovers an aborted run's leftover location under a configured warehouse") {
+    // the aborted-run scenario the cleanup exists for: a table
+    // directory exists at the catalog's default path but the (fresh,
+    // in-memory) catalog doesn't track it — DROP TABLE no-ops and CTAS
+    // would fail on the non-empty location. The old hardcoded
+    // ./spark-warehouse cleanup silently no-ops under this suite's
+    // configured warehouse; the catalog-derived cleanup must recover.
+    val key = sf + "#spec_aborted"
+    val name = VectorStore.tableName(key)
+    val p = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(name)))
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    fs.mkdirs(p)
+    fs.create(new org.apache.hadoop.fs.Path(p, "part-junk.parquet"), true)
+      .close() // the aborted run's leftover
+    val built = VectorStore.ensure(spark, key, emb, "vec_id", "embedding")
+    assert(built === name)
+    assert(spark.table(name).count() === emb.count())
+    val audit = VectorStore.storeAudit(spark, key).collect().head
+    assert(audit.getAs[String]("sorted_scan") == "intact", audit)
   }
 }

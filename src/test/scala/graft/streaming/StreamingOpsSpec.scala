@@ -950,6 +950,75 @@ class StreamingOpsSpec extends SparkSpec {
       "a replayed streaming batch must no-op on the compacted tree")
   }
 
+  test("ivfPqAppendSink with a store: streamed lockstep ingest == one batch pair; replay no-ops; store cadence surfaces") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Pq, VectorStore}
+    import org.apache.hadoop.fs.Path
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Seq(1.1f, 0.0f, 0.0f, 1.1f)),
+      (10L, Seq(5.0f, 5.0f, 5.0f, 5.0f)),
+      (11L, Seq(5.1f, 4.9f, 5.1f, 4.9f)))
+      .toDF("vec_id", "embedding")
+    val arrivals = Seq(
+      (2L, Seq(0.9f, 0.1f, 0.1f, 0.9f)),
+      (12L, Seq(4.9f, 5.1f, 4.9f, 5.1f)))
+    val fs = new Path("/tmp").getFileSystem(spark.sessionState.newHadoopConf())
+    def build(p: String): Unit = {
+      if (fs.exists(new Path(p))) fs.delete(new Path(p), true)
+      Pq.buildIvfPqIndex(corpus, "vec_id", "embedding", dim = 4, m = 2,
+        k = 2, iters = 2, centroids = 2, path = p, assignments = 2)
+    }
+    // streamed: each micro-batch lands in BOTH artifacts through the
+    // sink's lockstepAppend (store first, tag = b<batchId>)
+    val streamedIdx = s"${sys.props("java.io.tmpdir")}/graft_lockstep_sink_idx"
+    build(streamedIdx)
+    val storeKey = "graft#lockstep_sink_stream"
+    VectorStore.ensure(spark, storeKey, corpus, "vec_id", "embedding")
+    val elections = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.ivfPqAppendSink(
+      in.toDF().toDF("vec_id", "embedding"), streamedIdx,
+      storeCorpus = Some(storeKey),
+      storeCadence = Some { (row, batchId) =>
+        val r = row.collect().head
+        elections += ((batchId, r.getAs[String]("decision"),
+          r.getAs[Long]("n_batches")))
+      }).start()
+    try arrivals.foreach { row => in.addData(row); q.processAllAvailable() }
+    finally q.stop()
+    // batch twin: one composed lockstepAppend of the same rows
+    val batchIdx = s"${sys.props("java.io.tmpdir")}/graft_lockstep_batch_idx"
+    build(batchIdx)
+    val batchKey = "graft#lockstep_sink_batch"
+    VectorStore.ensure(spark, batchKey, corpus, "vec_id", "embedding")
+    VectorStore.lockstepAppend(spark, batchKey, batchIdx,
+      arrivals.toDF("vec_id", "embedding"), "vec_id", "embedding",
+      batchTag = "one")
+    def codes(p: String) = spark.read.parquet(s"$p/codes")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    def storeRows(k: String) = spark.table(VectorStore.tableName(k))
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(codes(streamedIdx) == codes(batchIdx),
+      "streamed index half must be bit-equal to the batch pair's")
+    assert(storeRows(storeKey) == storeRows(batchKey),
+      "streamed store half must be row-equal to the batch pair's")
+    // replay: a checkpoint retry re-delivers batchId 0 — BOTH halves
+    // short-circuit on their markers, nothing double-applies
+    VectorStore.lockstepAppend(spark, storeKey, streamedIdx,
+      Seq(arrivals.head).toDF("vec_id", "embedding"), "vec_id", "embedding",
+      batchTag = "b0")
+    assert(storeRows(storeKey) == storeRows(batchKey), "store replay must no-op")
+    assert(codes(streamedIdx) == codes(batchIdx), "index replay must no-op")
+    // the store-cadence election surfaced once per applied batch, on
+    // the store's own growing history
+    assert(elections.map(e => (e._1, e._3)) == Seq((0L, 1L), (1L, 2L)),
+      s"one election per batch with the marker count growing: $elections")
+    assert(elections.forall(_._2 == "rebuild_within"),
+      s"two one-file appends against a 4-bucket store sit inside the " +
+        s"factor-4 line with a finite horizon: $elections")
+  }
+
   test("ivfPqAppendSink cadence telemetry: election surfaces per batch and flips to compact_now") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Pq
