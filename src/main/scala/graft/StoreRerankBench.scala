@@ -120,6 +120,47 @@ object StoreRerankBench {
             broadcastCandidates = false))
         } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
       }
+
+      def arm2(name: String, nq: Int, df: => DataFrame,
+          note: String = ""): Unit = {
+        val t = min2(force(df))
+        println(f"RRB $name buckets=$b nq=$nq $t%.2f s $note")
+      }
+
+      // the OBJECT-STORE arm: the same bytes behind a per-open latency
+      // (slow:// = RawLocalFileSystem + sleep per open). Local NVMe
+      // hides what pruning saves — OPENS — so this is where the dial's
+      // threshold actually gets priced: an external bucketed table over
+      // the fresh store's own files, scanned with and without the isin
+      // pushdown. Metadata-only DDL; DROP leaves the files (external).
+      val delay = sys.env.get("SPARK_GRAFT_OPEN_DELAY_MS").map(_.toLong)
+        .getOrElse(25L)
+      if (delay > 0L) {
+        graft.sources.SlowOpenFileSystem.register(spark, delay)
+        val loc = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(
+            VectorStore.tableName(freshKey))).location.getPath
+        val slowTable = s"rrb_slow_$b"
+        spark.sql(s"DROP TABLE IF EXISTS $slowTable")
+        spark.sql(
+          s"""CREATE TABLE $slowTable (vec_id BIGINT, v ARRAY<FLOAT>)
+             |USING PARQUET
+             |CLUSTERED BY (vec_id) SORTED BY (vec_id) INTO $b BUCKETS
+             |LOCATION '${graft.sources.SlowOpenFileSystem.slowPath(loc)}'
+             |""".stripMargin)
+        val slow = spark.table(slowTable)
+        nqs.foreach { nq =>
+          val cand = candidatesFor(nq).localCheckpoint()
+          val prunedDf = VectorStore.rerankTopK(slow, qAll, cand, k = 5)
+          arm2(s"slow${delay}ms_pruned", nq,
+            VectorStore.rerankTopK(slow, qAll, cand, k = 5),
+            selectedBuckets(prunedDf))
+          arm2(s"slow${delay}ms_unpruned", nq,
+            VectorStore.rerankTopK(slow, qAll, cand, k = 5,
+              pruneStoreBuckets = false))
+        }
+        spark.sql(s"DROP TABLE IF EXISTS $slowTable")
+      }
     }
     spark.stop()
   }

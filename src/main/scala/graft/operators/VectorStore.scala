@@ -475,8 +475,13 @@ object VectorStore {
     * plan that is already optimal there, with zero added cost.
     * `maxPruneIds` caps the literal set (a very wide candidate pool
     * falls back to the unpruned scan rather than plan a
-    * multi-million-literal InSet); the backfill (no-broadcast) regime
-    * never prunes — its id set is unbounded by definition.
+    * multi-million-literal InSet), and the id set must also sit at or
+    * below HALF the bucket count — expected selected share is
+    * 1 − e^(−ids/buckets), so a wider set selects nearly every bucket
+    * and pays the planning cost for nothing (both cut-offs measured
+    * in StoreRerankBench's nq=8 vs nq=200 rows). The backfill
+    * (no-broadcast) regime never prunes — its id set is unbounded by
+    * definition.
     *
     * @param store      (vec_id, v) — [[vectors]] or any id-keyed
     *                   vector relation
@@ -526,15 +531,22 @@ object VectorStore {
       .select(col("query_id").as("q_id"), col("neighbor_id").as("i_id"))
       .join(queries.select(col("vec_id").as("q_id"),
         col("embedding").as("qe")), "q_id")
+    val nBuckets = storeBucketCount(store)
     val prunable = pruneStoreBuckets &&
-      storeBucketCount(store).exists(_ >= minPruneBuckets)
+      nBuckets.exists(_ >= minPruneBuckets)
     val (cand, storeSide) =
       if (broadcastCandidates && prunable) {
         val cp = cand0.localCheckpoint()
         val ids = cp.select(col("i_id")).distinct()
           .collect().map(_.getLong(0))
+        // prune only while ids ≤ buckets/2: the expected selected
+        // share is 1 − e^(−ids/buckets), so an id set approaching the
+        // bucket count selects nearly everything — all In-literal
+        // planning cost (grows with |ids|; measured ~5 s at 10k ids),
+        // no skipped buckets (StoreRerankBench: the nq=200 rows)
         val pruned =
-          if (ids.nonEmpty && ids.length <= maxPruneIds)
+          if (ids.nonEmpty && ids.length <= maxPruneIds &&
+              ids.length <= nBuckets.get / 2)
             store.where(col("vec_id").isInCollection(ids.toSeq))
           else store
         (broadcast(cp), pruned)
