@@ -235,7 +235,8 @@ object Queries
     "q186_compaction_cadence" -> (ivfPqCompactionCadence _),
     "q187_vecstore_incr" -> (ivfPqIncrStoreRerank _),
     "q188_vecstore_audit" -> (vecStoreAudit _),
-    "q189_vecstore_cadence" -> (vecStoreCadence _))
+    "q189_vecstore_cadence" -> (vecStoreCadence _),
+    "q190_store_sizing" -> (storeSizing _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = {

@@ -129,6 +129,51 @@ object VectorStore {
     cell()
   }
 
+  /** Deployment BUCKET-COUNT sizing rule (q190) — the arithmetic
+    * behind [[ensure]]'s "a deployment sizes buckets to corpus bytes /
+    * target file size" (the q176/q182 discipline: a sizing rule is an
+    * operator with an oracle, not prose). One row, all integer:
+    *
+    *  - `n_items`, `dim` — corpus count and vector width (max over
+    *    rows: constant-width corpora read it exactly, and a mixed
+    *    relation sizes for its widest rows);
+    *  - `payload_bytes` = n_items · (8 + 4·dim) — the MODELED width
+    *    of the two columns the re-rank reads (8-byte id + 4-byte
+    *    floats), deliberately not measured parquet bytes (encoding-
+    *    dependent, engine-specific — the model is oracle-portable and
+    *    errs toward more buckets, i.e. smaller files, the safe side
+    *    for the one-task-per-bucket rebuild);
+    *  - `n_buckets` = clamp(⌈payload / targetFileBytes⌉, 1,
+    *    maxBuckets) — the count to pass to [[ensure]]. Baked into the
+    *    layout: resize = rebuild, so size it for the corpus the store
+    *    will GROW INTO, not today's (appends fragment long before the
+    *    bucket count is the problem — q188/q189 own that axis).
+    *
+    * The bucket count is also the pruning dial's other operand
+    * ([[rerankTopK]]: prune while |ids| ≤ buckets/2) — at the 100 TB
+    * shape this rule elects ~400k buckets for 128 MB files, which is
+    * what makes point-lookup re-ranks prunable at all. */
+  def sizeBuckets(items: DataFrame, vecCol: String,
+      targetFileBytes: Long = 128L << 20,
+      maxBuckets: Long = 1L << 20): DataFrame = {
+    require(targetFileBytes >= 1, s"targetFileBytes=$targetFileBytes")
+    require(maxBuckets >= 1, s"maxBuckets=$maxBuckets")
+    items
+      .agg(count(lit(1)).as("n_items"),
+        max(size(col(vecCol))).cast("long").as("dim"))
+      .select(col("n_items"), col("dim"),
+        (col("n_items") * (lit(8L) + lit(4L) * col("dim")))
+          .as("payload_bytes"),
+        lit(targetFileBytes).as("target_file_bytes"))
+      .select(col("n_items"), col("dim"), col("payload_bytes"),
+        col("target_file_bytes"),
+        // exact integer ceil-division (`div`, never `/` — the FP rule)
+        greatest(lit(1L), least(lit(maxBuckets),
+          expr(s"(payload_bytes + ${targetFileBytes - 1L}L) div " +
+            s"${targetFileBytes}L")))
+          .as("n_buckets"))
+  }
+
   /** The store relation — (vec_id, v), bucketed+sorted by vec_id. */
   def vectors(spark: SparkSession, corpusDir: String): DataFrame =
     spark.table(tableName(corpusDir))

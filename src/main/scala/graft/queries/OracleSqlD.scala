@@ -1534,6 +1534,21 @@ private[graft] trait OracleSqlD {
     // note: same contract as q182 — exp/ln agree to ≲ 1 ulp and
     // every floored value sits ≥ 0.01 from its integer boundary
     // (checked: c·1e6 frac 0.66, width fracs 0.016/0.22).
+    // q190: the store bucket-count sizing rule — pure integer corpus
+    // arithmetic (count, max vector width, 8+4·dim payload model,
+    // clamped ceil division at the gate's 64 KiB target), replayed
+    // exactly (// is DuckDB integer division; every term BIGINT)
+    "q190_store_sizing" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_items,
+           CAST(max(len(embedding)) AS BIGINT) AS dim,
+           CAST(count(*) * (8 + 4 * max(len(embedding))) AS BIGINT)
+             AS payload_bytes,
+           CAST(65536 AS BIGINT) AS target_file_bytes,
+           CAST(greatest(1, least(1048576,
+             (count(*) * (8 + 4 * max(len(embedding))) + 65535) // 65536))
+             AS BIGINT) AS n_buckets
+         FROM embeddings""",
+
     "q185_rerank_calibration" ->
       """WITH bg AS (
            SELECT

@@ -1086,6 +1086,18 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
   def vecStoreCadence(spark: SparkSession, sfDir: String): DataFrame =
     operators.VectorStore.storeCadence(spark, incrVectorStoreKey(spark, sfDir))
 
+  /** Vector-store BUCKET-COUNT sizing rule, gated (q190) —
+    * [[graft.operators.VectorStore.sizeBuckets]] on the embeddings
+    * corpus at a 64 KiB target file size (a deployment's 128 MB
+    * target elects 1 bucket on every test corpus — the gate's small
+    * target exercises the ceil-division and clamps on real counts).
+    * Fully corpus-derived — count, max vector width, the integer
+    * payload model, the clamped ceil division — so unlike the
+    * write-history audits this sizing rule has a REAL oracle. */
+  def storeSizing(spark: SparkSession, sfDir: String): DataFrame =
+    operators.VectorStore.sizeBuckets(t(spark, sfDir, "embeddings"),
+      "embedding", targetFileBytes = 64L << 10)
+
   /** The exact-vector arm shared by q179 and q181 — q146's layout
     * over the same corpus split, built only when dispatched to. */
   private def exactIvfArm(spark: SparkSession, sfDir: String): DataFrame = {

@@ -470,6 +470,25 @@ class VectorStoreSpec extends SparkSpec {
       .getAs[String]("decision") == "rebuild")
   }
 
+  test("sizeBuckets: integer payload model, exact ceil division, both clamps") {
+    val n = emb.count()
+    val r = VectorStore.sizeBuckets(emb, "embedding",
+      targetFileBytes = 1000L).collect().head
+    assert(r.getAs[Long]("n_items") === n)
+    assert(r.getAs[Long]("dim") === 64L)
+    val payload = n * (8L + 4L * 64L)
+    assert(r.getAs[Long]("payload_bytes") === payload)
+    assert(r.getAs[Long]("target_file_bytes") === 1000L)
+    assert(r.getAs[Long]("n_buckets") === (payload + 999L) / 1000L)
+    // floor clamp: a deployment-sized target elects 1 on a tiny corpus
+    assert(VectorStore.sizeBuckets(emb, "embedding").collect().head
+      .getAs[Long]("n_buckets") === 1L)
+    // cap clamp: a 1-byte target wants n_items·264 buckets — capped
+    assert(VectorStore.sizeBuckets(emb, "embedding",
+      targetFileBytes = 1L, maxBuckets = 7L).collect().head
+      .getAs[Long]("n_buckets") === 7L)
+  }
+
   test("the store writes one file per bucket (the sorted-scan guarantee)") {
     storeName // force build
     // resolve through the catalog — the suite runs under a NON-default
