@@ -396,6 +396,39 @@ object VectorStore {
     Pq.appendIvfPqIndex(batch, idCol, vecCol, indexPath, Some(batchTag))
   }
 
+  /** Delete ORPHANED store files — tagged bucket files whose
+    * `_appends/<tag>` marker never landed ([[Pq.sweepOrphans]]'s
+    * janitor for the OTHER artifact, same census, same terminal
+    * case): a retrying appender sweeps its own tag before
+    * re-applying, but a decommissioned stream never retries, and its
+    * crashed final batch then taxes every re-rank scan forever —
+    * counted by [[storeAudit]]'s `n_orphans`, removed only here or by
+    * a rebuild. Safe for correctness by the same argument as the
+    * index's: no marker means the batch never committed, so a late
+    * retry re-applies the WHOLE batch from scratch; under the
+    * [[lockstepAppend]] store-first order the orphaned vectors were
+    * never nameable as candidates anyway (the index half never ran).
+    * NOT safe against a live appender mid-batch (its uncommitted
+    * files look exactly like orphans) — this is a WRITE under the
+    * single-writer rule. Returns the number of files deleted and
+    * refreshes the table's cached listing. */
+  def sweepOrphans(spark: SparkSession, corpusDir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val name = tableName(corpusDir)
+    val catalog = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(name)
+    require(catalog.tableExists(ident),
+      s"vector store $name does not exist — build it with ensure() first")
+    val loc = new Path(catalog.getTableMetadata(ident).location)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    val tags = LayoutCensus.committedTags(fs, new Path(loc, "_appends"))
+    val orphans = LayoutCensus.dataFileNames(fs, loc)
+      .filterNot(LayoutCensus.isCommitted(_, tags))
+    orphans.foreach(n => fs.delete(new Path(loc, n), false))
+    if (orphans.nonEmpty) spark.catalog.refreshTable(name)
+    orphans.size.toLong
+  }
+
   /** REBUILD-cadence forecast for a vector store (q189) — the q186
     * discipline ([[Pq.compactionCadence]]) applied to the OTHER aging
     * artifact: [[storeAudit]] elects rebuild/keep about the store AS

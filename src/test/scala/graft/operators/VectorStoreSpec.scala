@@ -336,6 +336,18 @@ class VectorStoreSpec extends SparkSpec {
     val orph = VectorStore.storeAudit(spark, key).collect().head
     assert(orph.getAs[Long]("n_orphans") == 1L, orph)
     assert(orph.getAs[Long]("n_files") == tripped.getAs[Long]("n_files"), orph)
+    // the janitor (the index's sweepOrphans, store-side): removes
+    // exactly the markerless tagged file, committed files untouched
+    val preSweepRows = spark.table(name).count()
+    val orphanRows = spark.read.parquet(
+      fs.listStatus(loc).map(_.getPath)
+        .filter(_.getName.startsWith("zz9-")).head.toString).count()
+    assert(VectorStore.sweepOrphans(spark, key) === 1L)
+    val swept = VectorStore.storeAudit(spark, key).collect().head
+    assert(swept.getAs[Long]("n_orphans") == 0L, swept)
+    assert(swept.getAs[Long]("n_files") == orph.getAs[Long]("n_files"), swept)
+    assert(spark.table(name).count() === preSweepRows - orphanRows,
+      "sweep must remove exactly the orphan's visible rows")
     // the REPAIR is the build path: a fresh one-file-per-bucket store
     // over the same rows audits intact/keep again (rebuild = drop +
     // ensure under a new key here, since ensure memoizes per JVM)
