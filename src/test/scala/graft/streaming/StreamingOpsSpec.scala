@@ -1019,6 +1019,57 @@ class StreamingOpsSpec extends SparkSpec {
         s"factor-4 line with a finite horizon: $elections")
   }
 
+  test("lockstep sink: the store-cadence election flips to rebuild_now under fragmenting appends") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{Pq, VectorStore}
+    import org.apache.hadoop.fs.Path
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 1.0f)),
+      (10L, Seq(5.0f, 5.0f, 5.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val idx = s"${sys.props("java.io.tmpdir")}/graft_storecad_idx"
+    val idxPath = new Path(idx)
+    val fs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(idxPath)) fs.delete(idxPath, true)
+    Pq.buildIvfPqIndex(corpus, "vec_id", "embedding", dim = 4, m = 2,
+      k = 2, iters = 2, centroids = 2, path = idx, assignments = 1)
+    val key = "graft#storecad_sink"
+    VectorStore.ensure(spark, key, corpus, "vec_id", "embedding")
+    // 4 test buckets -> the factor-4 rebuild line is 16 scanned files;
+    // the base build ships <= 4 and every single-row batch adds one,
+    // so the election must walk rebuild_within -> rebuild_now and the
+    // appender (the sink) is the process that surfaces the walk
+    val elections = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.ivfPqAppendSink(
+      in.toDF().toDF("vec_id", "embedding"), idx,
+      storeCorpus = Some(key),
+      storeCadence = Some { (row, batchId) =>
+        val r = row.collect().head
+        elections += ((batchId, r.getAs[String]("decision"),
+          r.getAs[Long]("batches_to_threshold")))
+      }).start()
+    try (1L to 16L).foreach { i =>
+      in.addData((100L + i, Seq(1.0f + i * 0.01f, 0.0f, 0.0f, 1.0f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(elections.size == 16, elections)
+    assert(elections.head._2 == "rebuild_within", elections.head)
+    val horizons = elections.filter(_._2 == "rebuild_within").map(_._3)
+    assert(horizons.zip(horizons.drop(1)).forall { case (a, b) => b <= a },
+      s"forecast horizon grew under steady appends: $elections")
+    assert(elections.last._2 == "rebuild_now", elections.last)
+    val flipAt = elections.indexWhere(_._2 == "rebuild_now")
+    assert(flipAt > 0 && elections.drop(flipAt).forall(_._2 == "rebuild_now"),
+      s"election must not flap back after the flip: $elections")
+    // the surfaced election is the batch operator's own, and the
+    // standing audit agrees the line is crossed
+    assert(VectorStore.storeCadence(spark, key).collect().head
+      .getAs[String]("decision") == "rebuild_now")
+    assert(VectorStore.storeAudit(spark, key).collect().head
+      .getAs[String]("decision") == "rebuild")
+  }
+
   test("ivfPqAppendSink cadence telemetry: election surfaces per batch and flips to compact_now") {
     implicit val sqlCtx = spark.sqlContext
     import graft.operators.Pq
