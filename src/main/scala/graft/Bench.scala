@@ -180,7 +180,12 @@ object Bench {
       .map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failed":$failed,"extra_failed":$extraF,"runs":$repeat,"sf":"$sfDir","artifacts_reused":$reusedJ}"""
-    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    // a SUBSET run (SPARK_GRAFT_ONLY) must never clobber the committed
+    // full-suite record (round-17 advice: a 4-query A/B replaced the
+    // tracked 199-query baseline) — focused runs get their own file
+    // unless the caller explicitly pointed SPARK_GRAFT_BENCH_OUT
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "BENCH_SUBSET_LOCAL.json" else "BENCH_LOCAL.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(benchOut),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case e: Throwable =>
