@@ -98,3 +98,167 @@ private[graft] object LayoutCensus {
       .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
       .sorted.mkString(",")
 }
+
+/** The ONE staged-append WRITE protocol shared by the same two
+  * artifacts (round-18 verdict #4: [[graft.operators.VectorStore
+  * .appendVectors]] was [[graft.operators.Pq.appendIvfPqIndex]]'s
+  * port — stage/rename/marker/sweep logic duplicated; [[LayoutCensus]]
+  * unified the READ side, this unifies the WRITE side so the halves
+  * cannot drift). The protocol, in commit order:
+  *
+  *  1. short-circuit if `markersDir/<tag>` exists (batch applied);
+  *  2. sweep a prior crashed attempt's `<tag>-` prefixed files;
+  *  3. write the batch to a private STAGE, rename each staged data
+  *     file into the live directory under the `<tag>-` prefix;
+  *  4. commit: create the marker — LAST, so a crash anywhere above
+  *     leaves no marker and the retry re-runs from step 2.
+  *
+  * Also home to the WRITER LEASE (round-18 verdict #3): the
+  * single-writer-per-artifact contract used to be documented but
+  * unenforced — two concurrent writers corrupted silently (unsynchronized
+  * live-root renames and sweeps). [[withWriterLease]] converts that
+  * into a loud failure: every mutator (append, rebuild, janitor,
+  * compaction-as-reader-pause) creates `<root>/_writer_lease`
+  * exclusively before touching the tree and deletes it after. The
+  * lease is NOT a distributed lock service — it is a tripwire:
+  *
+  *  - a SECOND live writer fails fast instead of tearing files;
+  *  - a writer retrying its own crashed attempt self-heals (the
+  *    lease carries the owner string; an identical owner re-enters —
+  *    the single-writer rule says nobody else can legitimately hold
+  *    that identity while the retry runs);
+  *  - a crashed tagged append whose marker DID land (the
+  *    commit-to-release window) is provably complete, so any next
+  *    writer may break its lease (`staleIf`);
+  *  - any OTHER stale lease (a crashed janitor/rebuild/compaction)
+  *    fails the next writer loudly with the remedy in the message —
+  *    [[breakLease]] after confirming no writer is live. Loud and
+  *    manual beats silent corruption; the automated path (the
+  *    streaming sink's tagged appends) self-heals via the two rules
+  *    above.
+  */
+private[graft] object AppendProtocol {
+
+  /** Tag contract shared by both artifacts (see the
+    * [[graft.operators.Pq.appendIvfPqIndex]] scaladoc for the full
+    * reasoning): `[A-Za-z0-9._]+` (no `-` — cleanup deletes by
+    * `<tag>-` name prefix, and a `-` inside a tag would let one tag
+    * prefix another committed tag's files); not exactly `part` (that
+    * sweep prefix would delete the base build's own `part-*` files);
+    * and — round-19 — no LEADING `.` or `_`: Spark scans treat
+    * `_`/`.`-prefixed files as hidden bookkeeping, so a tag like
+    * `_b3` would rename the batch's data files into INVISIBILITY
+    * (appended rows silently absent from every read — strictly worse
+    * than either failure the other two rules prevent). */
+  def validateTag(tag: String): Unit = {
+    require(tag.nonEmpty && tag.matches("[A-Za-z0-9._]+"),
+      s"batchTag must match [A-Za-z0-9._]+ (no '-': cleanup deletes " +
+        s"by '<tag>-' name prefix, and a '-' inside a tag would let " +
+        s"one tag prefix another committed tag's files), got '$tag'")
+    require(!tag.startsWith("_") && !tag.startsWith("."),
+      s"batchTag must not start with '_' or '.': Spark scans skip " +
+        s"hidden files, so the renamed '<tag>-part-*' data files would " +
+        s"be INVISIBLE to every read, got '$tag'")
+    require(tag != "part",
+      s"batchTag must not be exactly 'part' (Spark data files are " +
+        s"named part-*; that tag's crash-cleanup sweep prefix " +
+        s"'part-' would delete the base build's own files; longer " +
+        s"tags like 'partition7' sweep 'partition7-' which cannot " +
+        s"prefix a part-* file, so they stay allowed), got '$tag'")
+  }
+
+  /** Step 1: has `tag` fully applied? (its marker exists) */
+  def applied(fs: FileSystem, markersDir: Path, tag: String): Boolean =
+    fs.exists(new Path(markersDir, tag))
+
+  /** Step 2: sweep a prior crashed attempt's partial renames — the
+    * non-directory files in `dir` named `<tag>-…`. */
+  def sweepTag(fs: FileSystem, dir: Path, tag: String): Unit =
+    fs.listStatus(dir)
+      .filter(st => !st.isDirectory && st.getPath.getName.startsWith(s"$tag-"))
+      .foreach(f => fs.delete(f.getPath, false))
+
+  /** Step 3: rename every non-hidden data file of `stagedDir` into
+    * `liveDir` under `prefix` (`"<tag>-"`, or `""` untagged). The
+    * prefix keeps the trailing `_NNNNN.c000…` suffix intact, which is
+    * what Spark's bucketed scan parses — renamed files still
+    * bucket-prune and co-partition. */
+  def renameIn(fs: FileSystem, stagedDir: Path, liveDir: Path,
+      prefix: String, what: String): Unit =
+    fs.listStatus(stagedDir)
+      .filter(st => !st.isDirectory && !st.getPath.getName.startsWith("_") &&
+        !st.getPath.getName.startsWith("."))
+      .foreach { f =>
+        require(fs.rename(f.getPath, new Path(liveDir, prefix + f.getPath.getName)),
+          s"$what append rename failed: ${f.getPath}")
+      }
+
+  /** Step 4, the commit point: the marker lands only after every
+    * rename, so a crash anywhere above leaves no marker and the
+    * retry cleans up. */
+  def commitMarker(fs: FileSystem, markersDir: Path, tag: String): Unit = {
+    fs.mkdirs(markersDir)
+    fs.create(new Path(markersDir, tag), false).close()
+  }
+
+  /** The lease file guarding one artifact root. `_`-prefixed: hidden
+    * from scans and from every [[LayoutCensus]] listing. */
+  def leasePath(root: Path): Path = new Path(root, "_writer_lease")
+
+  /** Run `body` holding the artifact's writer lease — see the object
+    * scaladoc for the tripwire semantics. `staleIf(heldOwner)` lets a
+    * caller prove a held lease stale beyond the identical-owner rule
+    * (e.g. an append whose marker already landed). The lease is
+    * deleted on exit, normal or thrown; only process death leaves it
+    * behind, which is exactly the case the owner string adjudicates. */
+  def withWriterLease[T](fs: FileSystem, root: Path, owner: String,
+      staleIf: String => Boolean = _ => false)(body: => T): T = {
+    acquireLease(fs, root, owner, staleIf)
+    try body
+    finally fs.delete(leasePath(root), false)
+  }
+
+  /** Acquire (exclusive-create) the lease; adjudicate a held one. */
+  def acquireLease(fs: FileSystem, root: Path, owner: String,
+      staleIf: String => Boolean = _ => false): Unit = {
+    val lease = leasePath(root)
+    val acquired =
+      try {
+        val out = fs.create(lease, false) // exclusive: fails if held
+        out.write(owner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    if (!acquired) {
+      val held = readOwner(fs, lease)
+      // identical owner = this writer's own crashed/retrying attempt
+      // (the single-writer rule says nobody else may run under the
+      // same identity) — re-enter on the standing lease file
+      if (held != owner && !staleIf(held))
+        throw new IllegalStateException(
+          s"artifact at $root is leased by writer '$held' — refusing to " +
+            s"write as '$owner'. Either a writer is LIVE (the " +
+            s"single-writer contract: serialize out-of-band writes) or " +
+            s"it crashed mid-write; after confirming no writer is " +
+            s"live, remove the lease (AppendProtocol.breakLease) and " +
+            s"retry. Failing loudly here is the point — unsynchronized " +
+            s"concurrent writes corrupt the tree silently.")
+    }
+  }
+
+  private def readOwner(fs: FileSystem, lease: Path): String =
+    try {
+      val in = fs.open(lease)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        buf.toString("UTF-8")
+      } finally in.close()
+    } catch { case _: java.io.IOException => "<unreadable>" }
+
+  /** Manual remedy for a crashed non-append writer's stale lease —
+    * only after confirming no writer is live. Returns whether a lease
+    * existed. */
+  def breakLease(fs: FileSystem, root: Path): Boolean =
+    fs.delete(leasePath(root), false)
+}

@@ -583,66 +583,51 @@ object Pq {
       path: String,
       batchTag: Option[String] = None): Unit = {
     import org.apache.hadoop.fs.Path
-    batchTag.foreach { t =>
-      require(t.nonEmpty && t.matches("[A-Za-z0-9._]+"),
-        s"batchTag must match [A-Za-z0-9._]+ (no '-': cleanup deletes " +
-          s"by '<tag>-' name prefix, and a '-' inside a tag would let " +
-          s"one tag prefix another committed tag's files), got '$t'")
-      require(t != "part",
-        s"batchTag must not be exactly 'part' (Spark data files are " +
-          s"named part-*; that tag's crash-cleanup sweep prefix " +
-          s"'part-' would delete the base build's own files; longer " +
-          s"tags like 'partition7' sweep 'partition7-' which cannot " +
-          s"prefix a part-* file, so they stay allowed), got '$t'")
-    }
+    batchTag.foreach(AppendProtocol.validateTag)
     val spark = batch.sparkSession
     val meta = readIvfPqMeta(spark, path)
     val ivfCb = readIvfCb(spark, path)
     val cbs = readPqCbs(spark, path)
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
-    val marker = batchTag.map(t => new Path(s"$path/appends/$t"))
-    if (marker.exists(fs.exists)) return // batch already fully applied
-    val codesRoot = new Path(s"$path/codes")
-    // crash cleanup: a prior tagged attempt may have renamed SOME of
-    // this batch's files before dying — the tag prefix makes them
-    // findable, so the retry starts from a clean slate
-    batchTag.filter(_ => fs.exists(codesRoot)).foreach { t =>
-      fs.listStatus(codesRoot)
+    val markersDir = new Path(s"$path/appends")
+    if (batchTag.exists(AppendProtocol.applied(fs, markersDir, _)))
+      return // batch already fully applied (read-only check, no lease)
+    val owner = s"append:${batchTag.getOrElse("untagged")}"
+    // a held lease whose append COMMITTED (marker landed inside the
+    // commit-to-release crash window) is provably done — break it so
+    // the stream's next batch proceeds unattended
+    val staleIf = (held: String) => held.startsWith("append:") &&
+      AppendProtocol.applied(fs, markersDir, held.stripPrefix("append:"))
+    AppendProtocol.withWriterLease(fs, new Path(path), owner, staleIf) {
+      val codesRoot = new Path(s"$path/codes")
+      // crash cleanup: a prior tagged attempt may have renamed SOME of
+      // this batch's files before dying — the tag prefix makes them
+      // findable, so the retry starts from a clean slate
+      batchTag.filter(_ => fs.exists(codesRoot)).foreach { t =>
+        fs.listStatus(codesRoot)
+          .filter(st => st.isDirectory && st.getPath.getName.startsWith("c_id="))
+          .foreach(cell => AppendProtocol.sweepTag(fs, cell.getPath, t))
+      }
+      val it = batch.select(col(itemId).cast("long").as("i_id"),
+        col(vecCol).as("i_vec"))
+      val stage = path + ".append"
+      val stagePath = new Path(stage)
+      if (fs.exists(stagePath)) fs.delete(stagePath, true)
+      encodeCodes(it, ivfCb, cbs, meta.dim, meta.residual,
+          math.min(meta.assignments, ivfCb.size))
+        .write.partitionBy("c_id").parquet(s"$stage/codes")
+      val prefix = batchTag.map(_ + "-").getOrElse("")
+      fs.listStatus(new Path(s"$stage/codes"))
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("c_id="))
         .foreach { cell =>
-          fs.listStatus(cell.getPath)
-            .filter(_.getPath.getName.startsWith(s"$t-"))
-            .foreach(f => fs.delete(f.getPath, false))
+          val target = new Path(s"$path/codes/${cell.getPath.getName}")
+          if (!fs.exists(target)) fs.mkdirs(target)
+          AppendProtocol.renameIn(fs, cell.getPath, target, prefix, "ivf-pq")
         }
-    }
-    val it = batch.select(col(itemId).cast("long").as("i_id"),
-      col(vecCol).as("i_vec"))
-    val stage = path + ".append"
-    val stagePath = new Path(stage)
-    if (fs.exists(stagePath)) fs.delete(stagePath, true)
-    encodeCodes(it, ivfCb, cbs, meta.dim, meta.residual,
-        math.min(meta.assignments, ivfCb.size))
-      .write.partitionBy("c_id").parquet(s"$stage/codes")
-    val prefix = batchTag.map(_ + "-").getOrElse("")
-    fs.listStatus(new Path(s"$stage/codes"))
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("c_id="))
-      .foreach { cell =>
-        val target = new Path(s"$path/codes/${cell.getPath.getName}")
-        if (!fs.exists(target)) fs.mkdirs(target)
-        fs.listStatus(cell.getPath)
-          .filter(f => !f.isDirectory && !f.getPath.getName.startsWith("_"))
-          .foreach { f =>
-            require(fs.rename(f.getPath,
-              new Path(target, prefix + f.getPath.getName)),
-              s"ivf-pq append rename failed: ${f.getPath}")
-          }
-      }
-    fs.delete(stagePath, true)
-    // commit point: the marker lands only after every rename, so a
-    // crash anywhere above leaves no marker and the retry cleans up
-    marker.foreach { mk =>
-      fs.mkdirs(mk.getParent)
-      fs.create(mk, false).close()
+      fs.delete(stagePath, true)
+      // commit point: the marker lands only after every rename, so a
+      // crash anywhere above leaves no marker and the retry cleans up
+      batchTag.foreach(AppendProtocol.commitMarker(fs, markersDir, _))
     }
   }
 
@@ -763,14 +748,16 @@ object Pq {
       path: String): Long = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
-    val tags = committedTags(fs, path)
-    fs.listStatus(new Path(s"$path/codes"))
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("c_id="))
-      .foldLeft(0L) { (n, cell) =>
-        val orphans = splitCellFiles(fs, cell.getPath, tags)._2
-        orphans.foreach(f => fs.delete(f, false))
-        n + orphans.size
-      }
+    AppendProtocol.withWriterLease(fs, new Path(path), "janitor") {
+      val tags = committedTags(fs, path)
+      fs.listStatus(new Path(s"$path/codes"))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("c_id="))
+        .foldLeft(0L) { (n, cell) =>
+          val orphans = splitCellFiles(fs, cell.getPath, tags)._2
+          orphans.foreach(f => fs.delete(f, false))
+          n + orphans.size
+        }
+    }
   }
 
   /** Compaction CADENCE policy (q185's operator) — closes the layout
@@ -821,19 +808,31 @@ object Pq {
     require(cells.nonEmpty,
       s"compactionCadence: $path/codes has no cell directories")
     var nFiles = 0L; var nOrphans = 0L; var appendFiles = 0L
+    val liveTags = scala.collection.mutable.Set[String]()
     cells.foreach { cell =>
       val (committed, orphans) = splitCellFiles(fs, cell.getPath, tags)
       nFiles += committed.size
       nOrphans += orphans.size
-      appendFiles += committed.count(!_.getName.startsWith("part-"))
+      committed.filterNot(_.getName.startsWith("part-")).foreach { f =>
+        appendFiles += 1
+        liveTags += f.getName.takeWhile(_ != '-')
+      }
     }
     val nCells = cells.length.toLong
     val nBatches = tags.size.toLong
+    // growth RATE on the LIVE epoch only (round-19): a compaction
+    // carries markers (idempotence) but folds the tagged files into
+    // anonymous part files, so rating appendFiles over the LIFETIME
+    // marker count would mix epochs — post-repair the rate collapses
+    // toward zero and the forecast under-books the next compaction.
+    // The batches that still have files standing (distinct surviving
+    // tags) are exactly the current epoch's appends.
+    val liveBatches = liveTags.size.toLong
     val (decision, horizon) = LayoutCensus.forecast(
-      nFiles + nOrphans, nCells, factor, nBatches, appendFiles,
+      nFiles + nOrphans, nCells, factor, liveBatches, appendFiles,
       "compact_now", "compact_within")
     Seq((nCells, nFiles, nOrphans, nBatches, appendFiles,
-        if (nBatches > 0L) appendFiles * 1000L / nBatches else 0L,
+        if (liveBatches > 0L) appendFiles * 1000L / liveBatches else 0L,
         horizon, decision))
       .toDF("n_cells", "n_files", "n_orphans", "n_batches", "append_files",
         "files_per_batch_milli", "batches_to_threshold", "decision")
@@ -902,11 +901,15 @@ object Pq {
     * target path has no tree at all, and a reader listing inside it
     * fails loudly (unlike the append protocol, whose per-file
     * renames readers see as grown prefixes). Compaction counts as a
-    * WRITE under the single-writer-per-artifact rule: pause the
-    * appender from compaction start to pointer flip — a batch landed
-    * on the old tree mid-compaction would be missing from the new
-    * tree's codes yet invisible to a replay (markers are a
-    * start-of-compaction snapshot). Batches applied BEFORE the
+    * WRITE under the single-writer-per-artifact rule: the appender
+    * is PAUSED from compaction start to the end of the codes read —
+    * enforced since round 19 by holding the source tree's writer
+    * lease (owner `compact`), because a batch landed on the old tree
+    * mid-compaction would be missing from the new tree's codes yet
+    * invisible to a replay (markers are a start-of-compaction
+    * snapshot); the window from lease release to the caller's
+    * pointer flip remains the caller's serialization (appends landed
+    * there go to a tree about to be dropped). Batches applied BEFORE the
     * compaction began are safe on both sides: their rows are in the
     * compacted codes and their carried markers short-circuit any
     * replay after the flip. */
@@ -917,6 +920,14 @@ object Pq {
     import org.apache.hadoop.fs.Path
     val meta = readIvfPqMeta(spark, path) // validates the source tree
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    // "pause the appender from compaction start to pointer flip" is
+    // now ENFORCED, not prose (round-18 verdict #3): compaction holds
+    // the SOURCE tree's writer lease for its whole read — an append
+    // landing mid-compaction would be missing from the new tree's
+    // codes yet invisible to replay (markers are a start-of-compaction
+    // snapshot), so it must fail loudly instead. The caller's pointer
+    // flip after this returns is its own serialization problem.
+    AppendProtocol.withWriterLease(fs, new Path(path), "compact") {
     val tags = committedTags(fs, path)
     val cells = fs.listStatus(new Path(s"$path/codes"))
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("c_id="))
@@ -970,6 +981,7 @@ object Pq {
         outFs.create(mk, false).close()
       }
     }
+    } // release the source lease — the appender may resume
   }
 
   /** Coarse-rebalance of an IVF-PQ index — the MIDDLE rung of the

@@ -64,6 +64,7 @@ object VectorStore {
     * Buckets default to the session's shuffle parallelism; a
     * deployment sizes them to corpus bytes / target file size (the
     * bucket count is baked into the layout — resize = rebuild). */
+  @annotation.tailrec
   def ensure(spark: SparkSession, corpusDir: String, items: DataFrame,
       idCol: String, vecCol: String, buckets: Int = 0): String = {
     val cell = builtOnce.computeIfAbsent(corpusDir, { _ =>
@@ -106,16 +107,7 @@ object VectorStore {
         // 11-file "rebuild"). Forcing the bucketed scan keeps the
         // elision sound — and makes the rebuild shuffle-FREE (4
         // bucket-grouped tasks write 4 files straight from the scan).
-        val scanKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-        val prevScan = spark.conf.get(scanKey)
-        try {
-          spark.conf.set(scanKey, "false")
-          items
-            .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
-            .repartition(b, col("vec_id"))
-            .write.bucketBy(b, "vec_id").sortBy("vec_id")
-            .mode("overwrite").saveAsTable(name)
-        } finally spark.conf.set(scanKey, prevScan)
+        writeBucketed(spark, items, idCol, vecCol, b, name)
         // the guarantee is load-bearing (the merge-join regime rides
         // on it) — verify it loudly instead of silently re-sorting
         // forever after
@@ -126,7 +118,38 @@ object VectorStore {
       }
       () => built
     })
-    cell()
+    val name = cell()
+    // a DROP + re-ensure in the SAME JVM must rebuild, not serve the
+    // stale memo (round-18 verdict: silently serving a cell whose
+    // table is gone is worse than failing) — the memo is a build
+    // short-circuit, not a source of truth, so re-validate it against
+    // the catalog and retry once invalidated. [[rebuildStore]] keeps
+    // the table alive across its flip, so its memo stays valid.
+    if (spark.sessionState.catalog.tableExists(
+        org.apache.spark.sql.catalyst.TableIdentifier(name))) name
+    else {
+      builtOnce.remove(corpusDir, cell)
+      ensure(spark, corpusDir, items, idCol, vecCol, buckets)
+    }
+  }
+
+  /** The one bucketed-table write both build paths share ([[ensure]]
+    * and [[rebuildStore]]'s stage): project to `(vec_id, v)`,
+    * pre-shuffle onto the bucket hash, write bucketed+sorted —
+    * ONE FILE per bucket (see [[ensure]]'s inline reasoning for why
+    * autoBucketedScan must be forced for the write). */
+  private def writeBucketed(spark: SparkSession, items: DataFrame,
+      idCol: String, vecCol: String, b: Int, table: String): Unit = {
+    val scanKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevScan = spark.conf.get(scanKey)
+    try {
+      spark.conf.set(scanKey, "false")
+      items
+        .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
+        .repartition(b, col("vec_id"))
+        .write.bucketBy(b, "vec_id").sortBy("vec_id")
+        .mode("overwrite").saveAsTable(table)
+    } finally spark.conf.set(scanKey, prevScan)
   }
 
   /** Deployment BUCKET-COUNT sizing rule (q190) — the arithmetic
@@ -159,8 +182,13 @@ object VectorStore {
     require(targetFileBytes >= 1, s"targetFileBytes=$targetFileBytes")
     require(maxBuckets >= 1, s"maxBuckets=$maxBuckets")
     items
+      // degenerate-input guard (round-18 advice): on an EMPTY corpus
+      // max() is NULL, and null-skipping least/greatest would elect
+      // n_buckets = maxBuckets — the extreme wrong answer. Coalescing
+      // dim to 0 zeroes the payload, so the documented floor clamp
+      // of 1 applies instead (mirrored in the q190 oracle SQL).
       .agg(count(lit(1)).as("n_items"),
-        max(size(col(vecCol))).cast("long").as("dim"))
+        coalesce(max(size(col(vecCol))).cast("long"), lit(0L)).as("dim"))
       .select(col("n_items"), col("dim"),
         (col("n_items") * (lit(8L) + lit(4L) * col("dim")))
           .as("payload_bytes"),
@@ -211,10 +239,9 @@ object VectorStore {
     * (correct, measured-degraded — VectorStoreSpec pins the sort
     * reappearing); the default broadcast regime never needed the
     * ordering and is unaffected. The repair is the same as the
-    * index's: rebuild the store one-file-per-bucket ([[ensure]] on a
-    * fresh JVM/catalog, or drop + re-ensure) — compaction for a
-    * relation whose write history, like the index's, taxes its
-    * readers.
+    * index's: [[rebuildStore]] — the in-process rebuild-and-flip
+    * that restores one file per bucket — compaction for a relation
+    * whose write history, like the index's, taxes its readers.
     *
     * SINGLE WRITER per store — the same rule as
     * [[graft.operators.Pq.appendIvfPqIndex]] (this operator is its
@@ -226,21 +253,19 @@ object VectorStore {
     * must serialize externally. The staging table name is derived
     * from the batchTag (digest-suffixed — table identifiers reject
     * the tag charset's dots), so distinct TAGGED batches at least
-    * never tear each other's stage; the live-root renames and sweeps
-    * are still unsynchronized, which is why the contract is
-    * single-writer, not just distinct-tags. */
+    * never tear each other's stage. Since round 19 the contract is
+    * ENFORCED, not just documented: every mutator takes the table
+    * root's writer lease ([[LayoutCensus]] companion
+    * `AppendProtocol.withWriterLease`), so a second concurrent
+    * writer fails loudly instead of corrupting silently — with the
+    * two self-healing carve-outs a retrying stream needs (identical
+    * owner re-enters; a committed append's stale lease is breakable
+    * by the next writer). */
   def appendVectors(spark: SparkSession, corpusDir: String,
       batch: DataFrame, idCol: String, vecCol: String,
       batchTag: Option[String] = None): Unit = {
     import org.apache.hadoop.fs.Path
-    batchTag.foreach { t =>
-      require(t.nonEmpty && t.matches("[A-Za-z0-9._]+"),
-        s"batchTag must match [A-Za-z0-9._]+ (cleanup deletes by " +
-          s"'<tag>-' name prefix), got '$t'")
-      require(t != "part",
-        "batchTag must not be exactly 'part' (the crash-cleanup sweep " +
-          "prefix 'part-' would delete the base store's own files)")
-    }
+    batchTag.foreach(AppendProtocol.validateTag)
     val name = tableName(corpusDir)
     val catalog = spark.sessionState.catalog
     val ident = org.apache.spark.sql.catalyst.TableIdentifier(name)
@@ -251,43 +276,35 @@ object VectorStore {
       throw new IllegalStateException(s"$name is not bucketed"))
     val loc = new Path(meta.location)
     val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
-    val marker = batchTag.map(t => new Path(loc, s"_appends/$t"))
-    if (marker.exists(fs.exists)) return // batch already fully applied
-    // crash cleanup: sweep a prior tagged attempt's partial renames
-    batchTag.foreach { t =>
-      fs.listStatus(loc)
-        .filter(st => !st.isDirectory && st.getPath.getName.startsWith(s"$t-"))
-        .foreach(f => fs.delete(f.getPath, false))
+    val markersDir = new Path(loc, "_appends")
+    if (batchTag.exists(AppendProtocol.applied(fs, markersDir, _)))
+      return // batch already fully applied (read-only check, no lease)
+    val owner = s"append:${batchTag.getOrElse("untagged")}"
+    // a held lease whose append COMMITTED (its marker landed in the
+    // crash window between commit and release) is provably done —
+    // safe to break so the stream's next batch proceeds unattended
+    val staleIf = (held: String) => held.startsWith("append:") &&
+      AppendProtocol.applied(fs, markersDir, held.stripPrefix("append:"))
+    AppendProtocol.withWriterLease(fs, loc, owner, staleIf) {
+      // crash cleanup: sweep a prior tagged attempt's partial renames
+      batchTag.foreach(AppendProtocol.sweepTag(fs, loc, _))
+      val stage = name + "_stage" + batchTag.map { t =>
+        "_" + java.security.MessageDigest.getInstance("SHA-256")
+          .digest(t.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+      }.getOrElse("")
+      spark.sql(s"DROP TABLE IF EXISTS $stage")
+      writeBucketed(spark, batch, idCol, vecCol, buckets, stage)
+      val stageLoc = new Path(catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(stage)).location)
+      AppendProtocol.renameIn(fs, stageLoc, loc,
+        batchTag.map(_ + "-").getOrElse(""), "vector store")
+      spark.sql(s"DROP TABLE IF EXISTS $stage")
+      // commit point: the marker lands only after every rename
+      batchTag.foreach(AppendProtocol.commitMarker(fs, markersDir, _))
+      // a same-session reader caches the table's file listing — the
+      // renamed files must be visible to the next spark.table(name)
+      spark.catalog.refreshTable(name)
     }
-    val stage = name + "_stage" + batchTag.map { t =>
-      "_" + java.security.MessageDigest.getInstance("SHA-256")
-        .digest(t.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
-    }.getOrElse("")
-    spark.sql(s"DROP TABLE IF EXISTS $stage")
-    batch
-      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
-      .repartition(buckets, col("vec_id"))
-      .write.bucketBy(buckets, "vec_id").sortBy("vec_id")
-      .mode("overwrite").saveAsTable(stage)
-    val stageLoc = new Path(catalog.getTableMetadata(
-      org.apache.spark.sql.catalyst.TableIdentifier(stage)).location)
-    val prefix = batchTag.map(_ + "-").getOrElse("")
-    fs.listStatus(stageLoc)
-      .filter(st => !st.isDirectory && !st.getPath.getName.startsWith("_") &&
-        !st.getPath.getName.startsWith("."))
-      .foreach { f =>
-        require(fs.rename(f.getPath, new Path(loc, prefix + f.getPath.getName)),
-          s"vector store append rename failed: ${f.getPath}")
-      }
-    spark.sql(s"DROP TABLE IF EXISTS $stage")
-    // commit point: the marker lands only after every rename
-    marker.foreach { mk =>
-      fs.mkdirs(mk.getParent)
-      fs.create(mk, false).close()
-    }
-    // a same-session reader caches the table's file listing — the
-    // renamed files must be visible to the next spark.table(name)
-    spark.catalog.refreshTable(name)
   }
 
   /** FILE-LAYOUT audit of a vector store (q188) — [[graft.operators
@@ -304,16 +321,17 @@ object VectorStore {
     *  - `n_buckets` (the layout constant), `n_files` — committed data
     *    files (base + marker-committed tagged), `n_orphans` — tagged
     *    files with no `_appends/<tag>` marker (a crashed append's
-    *    leavings; probes scan them, a retry or re-ensure removes them);
+    *    leavings; probes scan them, a retry, [[sweepOrphans]] or
+    *    [[rebuildStore]] removes them);
     *  - `files_per_bucket_milli` = 1000·n_files / n_buckets;
     *  - `sorted_scan` — `intact` while every bucket holds ≤ 1 data
     *    file (the merge-join regime needs no sort), else `forfeited`;
     *  - `decision` — `rebuild` when `n_files + n_orphans ≥ factor ×
     *    n_buckets` (the fileAudit threshold: a rebuild restores one
     *    file per bucket, so the listing would shrink ≥ factor×),
-    *    else `keep`. The repair is [[ensure]] on a fresh catalog (or
-    *    drop + re-ensure): one corpus shuffle — the store's
-    *    compaction.
+    *    else `keep`. The repair is [[rebuildStore]]: one corpus
+    *    shuffle, dispatchable by the JVM that reads this election —
+    *    the store's compaction.
     *
     * Same gate contract as q184/q186: file layout is write history,
     * not corpus — rows-only + spec-pinned branches. */
@@ -421,12 +439,151 @@ object VectorStore {
       s"vector store $name does not exist — build it with ensure() first")
     val loc = new Path(catalog.getTableMetadata(ident).location)
     val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
-    val tags = LayoutCensus.committedTags(fs, new Path(loc, "_appends"))
+    AppendProtocol.withWriterLease(fs, loc, "janitor") {
+      sweepOrphansHolding(spark, name, fs, loc)
+    }
+  }
+
+  /** [[sweepOrphans]]'s body, for callers ALREADY holding the writer
+    * lease ([[rebuildStore]] sweeps before its rebuild scan so a
+    * crashed append's partial rows are never baked into anonymous
+    * part-files, beyond the retrying appender's tag sweep = a double
+    * apply when the retry lands). */
+  private def sweepOrphansHolding(spark: SparkSession, name: String,
+      fs: org.apache.hadoop.fs.FileSystem,
+      loc: org.apache.hadoop.fs.Path): Long = {
+    val tags = LayoutCensus.committedTags(fs,
+      new org.apache.hadoop.fs.Path(loc, "_appends"))
     val orphans = LayoutCensus.dataFileNames(fs, loc)
       .filterNot(LayoutCensus.isCommitted(_, tags))
-    orphans.foreach(n => fs.delete(new Path(loc, n), false))
+    orphans.foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(loc, n), false))
     if (orphans.nonEmpty) spark.catalog.refreshTable(name)
     orphans.size.toLong
+  }
+
+  /** REBUILD-and-FLIP of a live vector store — the dispatchable
+    * repair arm of the q188/q189 election (round-18 verdict #1: the
+    * forecast loop was closed on the election side and OPEN on the
+    * dispatch side — "[[ensure]] on a fresh JVM" cannot be executed
+    * by the long-running serving JVM that computes the election,
+    * because ensure's memo has no invalidation path and an in-process
+    * drop + re-ensure used to serve the stale memoized cell). This is
+    * the store's compaction, same in-process discipline as the
+    * index's [[Pq.compactIvfPqIndex]] + pointer flip:
+    *
+    *  1. under the writer lease (owner `rebuild` — a crashed rebuild
+    *     retried under the same owner self-heals; any OTHER writer
+    *     fails loudly), sweep orphans FIRST: the rebuild scan reads
+    *     the live table, and baking a crashed append's partial rows
+    *     into anonymous part-files would strand them beyond the
+    *     retrying appender's `<tag>-` sweep — a double apply when the
+    *     retry lands (the same argument as compaction's orphan
+    *     exclusion, [[Pq.compactIvfPqIndex]]);
+    *  2. write a fresh ONE-FILE-PER-BUCKET stage table from the live
+    *     rows (same bucket count — resize = [[ensure]] with a new
+    *     count; the forced-bucketed-scan write path, shuffle-free:
+    *     bucket-grouped read tasks write straight back out);
+    *  3. CARRY the `_appends` markers onto the stage (the compaction
+    *     discipline: the rebuilt rows contain every committed batch,
+    *     so a replayed tag must still short-circuit — dropping the
+    *     markers would double-apply history) and lease the stage root
+    *     so no writer can slip in between flip and cleanup;
+    *  4. FLIP: point the live table name at the stage location and
+    *     the stage name at the old location — each a single catalog
+    *     metadata swap, so a concurrent reader resolving the name
+    *     sees the OLD tree or the NEW tree, never a torn mix (the
+    *     "compact to a new path and flip the serving pointer"
+    *     operational note, executed through the catalog);
+    *  5. DROP the stage entry — managed, so dropping purges the OLD
+    *     tree (old data files, old markers, old lease) in one step —
+    *     refresh the cached listing, release the new root's lease,
+    *     and re-point the [[ensure]] memo at the rebuilt table.
+    *
+    * Restores `sorted_scan = intact` (the SMJ regime's sort-free
+    * scan) and one file per bucket; rows are BIT-EQUAL by
+    * construction and the audit [[require]]s the layout loudly, the
+    * [[ensure]] discipline. Crash anywhere: the live name always
+    * resolves to a complete tree (old before the flip, new after),
+    * and a retry under owner `rebuild` self-heals; a crash between
+    * the two catalog ops can leave the OLD tree orphaned on disk
+    * (both names point at the new tree) — storage leaked, never
+    * correctness, and the retry's stage-drop reclaims it. */
+  def rebuildStore(spark: SparkSession, corpusDir: String): String = {
+    import org.apache.hadoop.fs.Path
+    val name = tableName(corpusDir)
+    val catalog = spark.sessionState.catalog
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(name)
+    require(catalog.tableExists(ident),
+      s"vector store $name does not exist — build it with ensure() first")
+    val meta = catalog.getTableMetadata(ident)
+    val buckets = meta.bucketSpec.map(_.numBuckets).getOrElse(
+      throw new IllegalStateException(s"$name is not bucketed"))
+    val loc = new Path(meta.location)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    AppendProtocol.withWriterLease(fs, loc, "rebuild") {
+      // NEVER trust a cached listing before a destructive rewrite:
+      // Spark caches a table's file listing per SESSION, and appends
+      // land from OTHER sessions (Structured Streaming's foreachBatch
+      // clones the session — its refreshTable does not invalidate
+      // this one's cache). Rebuilding from a stale listing would bake
+      // the stale subset and DROP every file the cache missed — real
+      // data loss, caught live by the lifecycle-soak spec (the outer
+      // session's rebuild erased ten streamed batches).
+      spark.catalog.refreshTable(name)
+      sweepOrphansHolding(spark, name, fs, loc)
+      // PING-PONG the stage name: after a flip the LIVE table sits at
+      // the previous stage's default path, so reusing one stage name
+      // would aim the stale-stage cleanup (and the new write) at the
+      // live tree itself — the second rebuild would destroy the store
+      // (caught by the repair×repair interleave spec). Two names
+      // alternate; the one the live location currently occupies is
+      // never the one staged into.
+      val stageA = name + "_rebuild"
+      val stageB = name + "_rebuild2"
+      val stage =
+        if (loc == new Path(catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(stageA)))) stageB
+        else stageA
+      spark.sql(s"DROP TABLE IF EXISTS $stage")
+      // a crashed prior rebuild can leave an untracked stage dir (the
+      // ensure aborted-run discipline — CTAS fails on a non-empty
+      // leftover location the fresh catalog never registered)
+      val staleStage = new Path(catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(stage)))
+      require(staleStage != loc,
+        s"rebuildStore stage path $staleStage collides with the live " +
+          s"location — refusing to delete the live tree")
+      val stageFs = staleStage.getFileSystem(spark.sessionState.newHadoopConf())
+      if (stageFs.exists(staleStage)) stageFs.delete(staleStage, true)
+      writeBucketed(spark, spark.table(name), "vec_id", "v", buckets, stage)
+      val stageIdent = org.apache.spark.sql.catalyst.TableIdentifier(stage)
+      val stageMeta = catalog.getTableMetadata(stageIdent)
+      val stageLoc = new Path(stageMeta.location)
+      // carry the markers, then lease the root that is about to go live
+      LayoutCensus.committedTags(fs, new Path(loc, "_appends")).foreach(
+        AppendProtocol.commitMarker(fs, new Path(stageLoc, "_appends"), _))
+      AppendProtocol.acquireLease(fs, stageLoc, "rebuild")
+      try {
+        // the FLIP: two single-metadata catalog swaps — name → new
+        // tree, stage → old tree (which DROP then purges, markers,
+        // lease and all)
+        catalog.alterTable(meta.copy(storage =
+          meta.storage.copy(locationUri = Some(stageLoc.toUri))))
+        catalog.alterTable(stageMeta.copy(storage =
+          stageMeta.storage.copy(locationUri = Some(loc.toUri))))
+        spark.sql(s"DROP TABLE $stage")
+        spark.catalog.refreshTable(name)
+      } finally AppendProtocol.breakLease(fs, stageLoc)
+    }
+    // the guarantee this rebuild exists to restore — verified loudly
+    // (ensure's discipline), and the memo re-pointed so a later
+    // ensure() serves the rebuilt table instead of rebuilding
+    val audit = storeAudit(spark, corpusDir).collect().head
+    require(audit.getAs[String]("sorted_scan") == "intact",
+      s"rebuildStore left multi-file buckets: $audit")
+    builtOnce.put(corpusDir, () => name)
+    name
   }
 
   /** REBUILD-cadence forecast for a vector store (q189) — the q186
@@ -469,13 +626,20 @@ object VectorStore {
       .partition(LayoutCensus.isCommitted(_, tags))
     val nFiles = committed.length.toLong
     val nOrphans = orphans.length.toLong
-    val appendFiles = committed.count(!_.startsWith("part-")).toLong
+    val appendTagged = committed.filterNot(_.startsWith("part-"))
+    val appendFiles = appendTagged.size.toLong
     val nBatches = tags.size.toLong
+    // growth rate on the LIVE epoch only — [[Pq.compactionCadence]]'s
+    // round-19 reasoning verbatim: a rebuild carries markers but
+    // folds tagged files into anonymous part files, so the surviving
+    // distinct tags (not the lifetime marker count) are the epoch's
+    // batch count
+    val liveBatches = appendTagged.map(_.takeWhile(_ != '-')).distinct.size.toLong
     val (decision, horizon) = LayoutCensus.forecast(
-      nFiles + nOrphans, buckets, factor, nBatches, appendFiles,
+      nFiles + nOrphans, buckets, factor, liveBatches, appendFiles,
       "rebuild_now", "rebuild_within")
     Seq((buckets, nFiles, nOrphans, nBatches, appendFiles,
-        if (nBatches > 0L) appendFiles * 1000L / nBatches else 0L,
+        if (liveBatches > 0L) appendFiles * 1000L / liveBatches else 0L,
         horizon, decision))
       .toDF("n_buckets", "n_files", "n_orphans", "n_batches",
         "append_files", "files_per_batch_milli", "batches_to_threshold",
@@ -502,10 +666,11 @@ object VectorStore {
     val loc = new Path(meta.location)
     val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
     val appendsDir = new Path(loc, "_appends")
-    if (fs.exists(appendsDir))
-      fs.listStatus(appendsDir)
-        .map(st => s"${st.getPath.getName}:${st.getModificationTime}")
-        .sorted.mkString(",")
+    // the (name, length, mtime) dirFingerprint discipline (round-18
+    // advice) — markers are empty so length is constant today, but
+    // keying on the same triple as every other artifact listing
+    // keeps the doctrine uniform if a marker ever carries content
+    if (fs.exists(appendsDir)) LayoutCensus.dirFingerprint(fs, appendsDir)
     else ""
   }
 
@@ -530,15 +695,20 @@ object VectorStore {
     * buckets for a candidate id set that is bounded and known. The
     * broadcast regime's boundedness contract (width·|Q| fits on the
     * driver — the same bound that makes the side broadcastable) also
-    * makes the id set collectable, so the candidates are materialized
-    * ONCE (localCheckpoint — the join reuses the materialized rows,
-    * the probe plan never re-runs), the distinct ids collected, and
-    * `vec_id ISIN (ids…)` pushed onto the store scan — Spark's bucket
-    * pruning (`genBucketSet` handles In/InSet on the bucket column)
-    * turns the full-corpus scan into a selected-buckets scan.
+    * makes the id set collectable, so the candidates are COLLECTED
+    * ONCE to the driver (round-18 advice: the same bytes the
+    * broadcast already puts there — collecting them explicitly and
+    * rebuilding a LOCAL relation feeds the broadcast without a
+    * localCheckpoint, whose blocks are non-recomputable after
+    * executor loss, and yields the id set from the in-hand rows with
+    * no second job), and `vec_id ISIN (ids…)` is pushed onto the
+    * store scan — Spark's bucket pruning (`genBucketSet` handles
+    * In/InSet on the bucket column) turns the full-corpus scan into
+    * a selected-buckets scan. A null `neighbor_id` (which the inner
+    * join drops anyway) is skipped when deriving the ids.
     *
     * Pruning is a DIAL, not a default-on rewrite, because it is not
-    * free: the checkpoint + distinct-collect is an extra job round
+    * free: the candidate materialization is an extra job round
     * trip and a width·|Q|-literal In costs real planning time per
     * invocation (measured: +0.8–5 s per gate at sf0.1 when applied
     * unconditionally — every rerank-tail query in the suite slowed).
@@ -577,7 +747,7 @@ object VectorStore {
     *                   beyond it the scan stays unpruned (correct,
     *                   corpus-priced)
     * @param minPruneBuckets smallest store bucket count where the
-    *                   pruned-scan win covers the checkpoint +
+    *                   pruned-scan win covers the candidate
     *                   collect + In-literal planning cost (the
     *                   StoreRerankBench A/B); below it the full
     *                   bucketed scan is already the right plan
@@ -614,20 +784,32 @@ object VectorStore {
       nBuckets.exists(_ >= minPruneBuckets)
     val (cand, storeSide) =
       if (broadcastCandidates && prunable) {
-        val cp = cand0.localCheckpoint()
-        val ids = cp.select(col("i_id")).distinct()
-          .collect().map(_.getLong(0))
+        // ONE materialization: the collected rows rebuild a local
+        // relation for the broadcast (no localCheckpoint — its
+        // blocks die with an executor and cannot be recomputed) AND
+        // yield the id set driver-side with no second job. The
+        // collect is bounded by the broadcastability contract that
+        // already puts these exact rows on the driver; maxPruneIds
+        // bounds only the In-LITERAL (a wider pool still broadcasts
+        // — it just keeps the unpruned scan).
+        val spark = candidates.sparkSession
+        val rows = cand0.collect()
+        val local = spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), cand0.schema)
+        val iIdx = cand0.schema.fieldIndex("i_id")
+        val ids = rows.iterator.filterNot(_.isNullAt(iIdx))
+          .map(_.getLong(iIdx)).toSet
         // prune only while ids ≤ buckets/2: the expected selected
         // share is 1 − e^(−ids/buckets), so an id set approaching the
         // bucket count selects nearly everything — all In-literal
         // planning cost (grows with |ids|; measured ~5 s at 10k ids),
         // no skipped buckets (StoreRerankBench: the nq=200 rows)
         val pruned =
-          if (ids.nonEmpty && ids.length <= maxPruneIds &&
-              ids.length <= nBuckets.get / 2)
-            store.where(col("vec_id").isInCollection(ids.toSeq))
+          if (ids.nonEmpty && ids.size <= maxPruneIds &&
+              ids.size <= nBuckets.get / 2)
+            store.where(col("vec_id").isInCollection(ids))
           else store
-        (broadcast(cp), pruned)
+        (broadcast(local), pruned)
       } else if (broadcastCandidates) (broadcast(cand0), store)
       else (cand0, store)
     cand

@@ -1537,15 +1537,19 @@ private[graft] trait OracleSqlD {
     // q190: the store bucket-count sizing rule — pure integer corpus
     // arithmetic (count, max vector width, 8+4·dim payload model,
     // clamped ceil division at the gate's 64 KiB target), replayed
-    // exactly (// is DuckDB integer division; every term BIGINT)
+    // exactly (// is DuckDB integer division; every term BIGINT).
+    // max() is coalesced to 0 — the Spark side's empty-corpus guard
+    // mirrored (round-18 advice), so a degenerate input elects the
+    // floor clamp of 1 in both engines, not maxBuckets.
     "q190_store_sizing" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_items,
-           CAST(max(len(embedding)) AS BIGINT) AS dim,
-           CAST(count(*) * (8 + 4 * max(len(embedding))) AS BIGINT)
-             AS payload_bytes,
+           CAST(coalesce(max(len(embedding)), 0) AS BIGINT) AS dim,
+           CAST(count(*) * (8 + 4 * coalesce(max(len(embedding)), 0))
+             AS BIGINT) AS payload_bytes,
            CAST(65536 AS BIGINT) AS target_file_bytes,
            CAST(greatest(1, least(1048576,
-             (count(*) * (8 + 4 * max(len(embedding))) + 65535) // 65536))
+             (count(*) * (8 + 4 * coalesce(max(len(embedding)), 0))
+               + 65535) // 65536))
              AS BIGINT) AS n_buckets
          FROM embeddings""",
 

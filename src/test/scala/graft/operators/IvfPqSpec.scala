@@ -948,4 +948,46 @@ class IvfPqSpec extends SparkSpec {
     }
     assert(flipped, "appends never tripped compact_now")
   }
+
+  test("writer lease: a mid-write crash blocks other writers loudly; compaction pauses the appender") {
+    import org.apache.hadoop.fs.Path
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_lease"
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(new Path(path))) fs.delete(new Path(path), true)
+    build(path)
+    val batch = corpus.filter(col("vec_id") === 2)
+    // a crashed appender's standing lease (no marker): every other
+    // writer fails loudly instead of corrupting the tree silently
+    AppendProtocol.acquireLease(fs, new Path(path), "append:z1")
+    intercept[IllegalStateException] {
+      Pq.appendIvfPqIndex(batch, "vec_id", "embedding", path,
+        batchTag = Some("z2"))
+    }
+    intercept[IllegalStateException] { Pq.sweepOrphans(spark, path) }
+    intercept[IllegalStateException] {
+      Pq.compactIvfPqIndex(spark, path,
+        s"${sys.props("java.io.tmpdir")}/graft_ivfpq_lease_cpt0")
+    }
+    // z1's own retry re-enters (identical owner) and releases
+    Pq.appendIvfPqIndex(batch, "vec_id", "embedding", path,
+      batchTag = Some("z1"))
+    assert(!fs.exists(AppendProtocol.leasePath(new Path(path))))
+    // compaction HOLDS the source lease for its whole read — the
+    // "pause the appender" operational rule enforced: an append
+    // racing a live compaction fails instead of landing rows the new
+    // tree will silently miss. Simulated via the lease a live
+    // compaction would hold (same owner string).
+    AppendProtocol.acquireLease(fs, new Path(path), "compact")
+    intercept[IllegalStateException] {
+      Pq.appendIvfPqIndex(corpus.filter(col("vec_id") === 1),
+        "vec_id", "embedding", path, batchTag = Some("z3"))
+    }
+    AppendProtocol.breakLease(fs, new Path(path))
+    // and a real compaction releases on exit — the appender resumes
+    val cpt = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_lease_cpt"
+    Pq.compactIvfPqIndex(spark, path, cpt)
+    assert(!fs.exists(AppendProtocol.leasePath(new Path(path))))
+    Pq.appendIvfPqIndex(corpus.filter(col("vec_id") === 1),
+      "vec_id", "embedding", path, batchTag = Some("z3"))
+  }
 }

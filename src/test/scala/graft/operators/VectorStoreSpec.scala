@@ -499,6 +499,15 @@ class VectorStoreSpec extends SparkSpec {
     assert(VectorStore.sizeBuckets(emb, "embedding",
       targetFileBytes = 1L, maxBuckets = 7L).collect().head
       .getAs[Long]("n_buckets") === 7L)
+    // degenerate input (round-18 advice): an EMPTY corpus must elect
+    // the floor clamp of 1, not maxBuckets — max() over zero rows is
+    // NULL, and null-skipping least/greatest would pick the cap
+    val empty = VectorStore.sizeBuckets(emb.limit(0), "embedding")
+      .collect().head
+    assert(empty.getAs[Long]("n_items") === 0L, empty)
+    assert(empty.getAs[Long]("dim") === 0L, empty)
+    assert(empty.getAs[Long]("payload_bytes") === 0L, empty)
+    assert(empty.getAs[Long]("n_buckets") === 1L, empty)
   }
 
   test("the store writes one file per bucket (the sorted-scan guarantee)") {
@@ -520,6 +529,201 @@ class VectorStoreSpec extends SparkSpec {
     assert(dataFiles.length <= buckets,
       s"${dataFiles.length} data files for $buckets buckets — " +
         "multi-file buckets forfeit the sortBy metadata")
+  }
+
+  test("writer lease: a second writer fails loudly and tears nothing; retries and committed appends self-heal") {
+    import org.apache.hadoop.fs.Path
+    val key = sf + "#spec_lease"
+    val base = emb.filter(col("vec_id") % 7 =!= 3)
+    val batch = emb.filter(col("vec_id") % 7 === 3)
+    val name = VectorStore.ensure(spark, key, base, "vec_id", "embedding")
+    val baseCount = spark.table(name).count()
+    val loc = new Path(spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(name)).location)
+    val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+    // simulate writer x1 crashed MID-WRITE (lease standing, no marker):
+    // every other mutator must fail loudly — the round-18 alternative
+    // was silent corruption (unsynchronized renames and sweeps)
+    AppendProtocol.acquireLease(fs, loc, "append:x1")
+    val e1 = intercept[IllegalStateException] {
+      VectorStore.appendVectors(spark, key, batch, "vec_id", "embedding",
+        batchTag = Some("x2"))
+    }
+    assert(e1.getMessage.contains("leased by writer 'append:x1'"), e1.getMessage)
+    intercept[IllegalStateException] { VectorStore.sweepOrphans(spark, key) }
+    intercept[IllegalStateException] { VectorStore.rebuildStore(spark, key) }
+    assert(spark.table(name).count() === baseCount,
+      "failed acquisitions must leave the store untouched")
+    assert(fs.exists(AppendProtocol.leasePath(loc)),
+      "a failed acquisition must not release someone else's lease")
+    // x1's OWN retry re-enters on the identical owner (the
+    // single-writer rule says nobody else may run as x1) and releases
+    VectorStore.appendVectors(spark, key, batch, "vec_id", "embedding",
+      batchTag = Some("x1"))
+    assert(spark.table(name).count() === emb.count())
+    assert(!fs.exists(AppendProtocol.leasePath(loc)),
+      "a completed append must release the lease")
+    // crash in the commit-to-release window: x1's marker landed but
+    // its lease stayed — provably complete, so the NEXT writer breaks
+    // it unattended (the streaming sink's batches keep flowing)
+    AppendProtocol.acquireLease(fs, loc, "append:x1")
+    VectorStore.appendVectors(spark, key, batch.limit(0),
+      "vec_id", "embedding", batchTag = Some("x3"))
+    assert(!fs.exists(AppendProtocol.leasePath(loc)))
+    // a stale NON-append lease (crashed janitor/rebuild) stays loud —
+    // breakLease is the documented manual remedy
+    AppendProtocol.acquireLease(fs, loc, "rebuild")
+    intercept[IllegalStateException] {
+      VectorStore.appendVectors(spark, key, batch.limit(0),
+        "vec_id", "embedding", batchTag = Some("x4"))
+    }
+    assert(AppendProtocol.breakLease(fs, loc))
+    VectorStore.appendVectors(spark, key, batch.limit(0),
+      "vec_id", "embedding", batchTag = Some("x4"))
+    // tag hygiene (round-19): a leading '_'/'.' would rename the
+    // batch's data files into scan-invisibility — rejected up front
+    intercept[IllegalArgumentException] {
+      VectorStore.appendVectors(spark, key, batch, "vec_id", "embedding",
+        batchTag = Some("_x5"))
+    }
+    intercept[IllegalArgumentException] {
+      VectorStore.appendVectors(spark, key, batch, "vec_id", "embedding",
+        batchTag = Some(".x5"))
+    }
+  }
+
+  test("rebuildStore: in-process rebuild-and-flip — bit-equal committed rows, layout restored, markers carried, memo re-pointed") {
+    import org.apache.hadoop.fs.Path
+    val key = sf + "#spec_rebuild"
+    val base = emb.filter(col("vec_id") % 7 =!= 3)
+    val ingest = emb.filter(col("vec_id") % 7 === 3)
+    val b1 = ingest.filter(col("vec_id") % 2 === 0)
+    val b2 = ingest.filter(col("vec_id") % 2 === 1)
+    val name = VectorStore.ensure(spark, key, base, "vec_id", "embedding")
+    VectorStore.appendVectors(spark, key, b1, "vec_id", "embedding", Some("r1"))
+    VectorStore.appendVectors(spark, key, b2, "vec_id", "embedding", Some("r2"))
+    // a crashed third appender's orphan: the rebuild must SWEEP it,
+    // not bake its partial rows into anonymous part files (which
+    // would double-apply when the crashed batch retries)
+    val locBefore = new Path(spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(name)).location)
+    val fs = locBefore.getFileSystem(spark.sessionState.newHadoopConf())
+    val donor = fs.listStatus(locBefore)
+      .map(_.getPath).filter(_.getName.startsWith("r1-")).head
+    org.apache.hadoop.fs.FileUtil.copy(fs, donor, fs,
+      new Path(locBefore, s"zz7-${donor.getName.stripPrefix("r1-")}"), false,
+      spark.sessionState.newHadoopConf())
+    spark.catalog.refreshTable(name)
+    assert(VectorStore.storeAudit(spark, key).collect().head
+      .getAs[String]("sorted_scan") == "forfeited")
+    val expected = emb
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").as("v"))
+      .collect().map(_.toSeq).toSet
+
+    assert(VectorStore.rebuildStore(spark, key) === name)
+
+    // the FLIP: same name, fresh location, old tree purged
+    val locAfter = new Path(spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(name)).location)
+    assert(locAfter !== locBefore)
+    assert(!fs.exists(locBefore), "the old tree must be dropped")
+    assert(!spark.sessionState.catalog.tableExists(
+      org.apache.spark.sql.catalyst.TableIdentifier(name + "_rebuild")),
+      "the stage entry must not outlive the flip")
+    assert(!fs.exists(AppendProtocol.leasePath(locAfter)),
+      "the rebuild must release the new root's lease")
+    // committed rows bit-equal (orphan swept, never baked in)
+    assert(spark.table(name).collect().map(_.toSeq).toSet === expected)
+    // layout restored: the audit the election reads flips back
+    val audit = VectorStore.storeAudit(spark, key).collect().head
+    assert(audit.getAs[String]("sorted_scan") == "intact", audit)
+    assert(audit.getAs[String]("decision") == "keep", audit)
+    assert(audit.getAs[Long]("n_orphans") === 0L, audit)
+    // markers CARRIED (the compaction discipline): a replayed batch
+    // still short-circuits — dropping markers would double-apply
+    val cad = VectorStore.storeCadence(spark, key).collect().head
+    assert(cad.getAs[Long]("n_batches") === 2L, cad)
+    assert(cad.getAs[Long]("append_files") === 0L, cad)
+    assert(cad.getAs[String]("decision") == "keep",
+      s"nothing has grown since the rebuild — the live-epoch rate " +
+        s"must not extrapolate carried history: $cad")
+    val n = spark.table(name).count()
+    VectorStore.appendVectors(spark, key, b1, "vec_id", "embedding", Some("r1"))
+    assert(spark.table(name).count() === n, "replayed r1 must no-op")
+    // the SMJ regime's sort-free scan is back (what the election
+    // promised the rebuild would buy)
+    val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val smj = finalPlan(VectorStore.rerankTopK(spark.table(name), q,
+        candidates, k = 5, broadcastCandidates = false))
+      val side = storeSideOf(smj, name)
+      assert(collectAll(side) {
+        case x: org.apache.spark.sql.execution.SortExec => x }.isEmpty,
+        "the rebuilt store must merge-join sort-free again")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+    // the ensure memo was re-pointed: a later ensure serves the
+    // REBUILT table (location unchanged — no silent second rebuild)
+    assert(VectorStore.ensure(spark, key, emb, "vec_id", "embedding") === name)
+    assert(new Path(spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(name)).location)
+      === locAfter)
+    // and an in-process DROP + re-ensure now REBUILDS instead of
+    // serving the stale memo (the round-18 "worse than failing" case)
+    spark.sql(s"DROP TABLE $name")
+    assert(VectorStore.ensure(spark, key, emb, "vec_id", "embedding") === name)
+    assert(spark.table(name).count() === emb.count())
+  }
+
+  test("repair x repair: index compaction and store rebuild interleave in either order — served rows never change") {
+    import graft.operators.Pq
+    import org.apache.hadoop.fs.Path
+    // both repairs are row-preserving, so ANY interleaving of the two
+    // (each under its own artifact's writer lease) must serve
+    // identical results — the contract stated by round-18 verdict #7,
+    // pinned here on one adversarial interleave in each order
+    val fs = new Path("/tmp").getFileSystem(spark.sessionState.newHadoopConf())
+    val idx = s"${sys.props("java.io.tmpdir")}/graft_rxr_idx"
+    if (fs.exists(new Path(idx))) fs.delete(new Path(idx), true)
+    val base = emb.filter(col("vec_id") % 7 =!= 3)
+    val ingest = emb.filter(col("vec_id") % 7 === 3)
+    Pq.buildIvfPqIndex(base, "vec_id", "embedding", dim = 64, m = 8,
+      k = 16, iters = 1, centroids = 4, path = idx, assignments = 1)
+    val key = sf + "#spec_rxr"
+    VectorStore.ensure(spark, key, base, "vec_id", "embedding")
+    // fragment BOTH artifacts with three lockstep batches
+    Seq(0L, 1L, 2L).foreach { i =>
+      VectorStore.lockstepAppend(spark, key, idx,
+        ingest.filter(col("vec_id") % 3 === i), "vec_id", "embedding",
+        batchTag = s"rx$i")
+    }
+    val name = VectorStore.tableName(key)
+    def probe(p: String): Set[Seq[Any]] =
+      VectorStore.rerankTopK(spark.table(name), q,
+        Pq.ivfPqCandidates(q, p, dim = 64, topK = 20, probes = 4,
+          "vec_id", "embedding", maxQueryBatch = 32), k = 10)
+        .collect().map(_.toSeq).toSet
+    val served = probe(idx)
+    // order A: compact the index, probe, THEN rebuild the store, probe
+    val idxC = s"${sys.props("java.io.tmpdir")}/graft_rxr_idx_c"
+    Pq.compactIvfPqIndex(spark, idx, idxC)
+    assert(probe(idxC) === served, "index compaction changed served rows")
+    VectorStore.rebuildStore(spark, key)
+    assert(probe(idxC) === served, "store rebuild changed served rows")
+    // order B: fragment again (FRESH ids — a replayed id set would
+    // duplicate store rows), rebuild the store FIRST, then compact
+    VectorStore.lockstepAppend(spark, key, idxC,
+      ingest.filter(col("vec_id") % 3 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding")),
+      "vec_id", "embedding", batchTag = "rx3")
+    val served2 = probe(idxC)
+    assert(served2.nonEmpty)
+    VectorStore.rebuildStore(spark, key)
+    assert(probe(idxC) === served2, "store rebuild changed served rows (order B)")
+    val idxC2 = s"${sys.props("java.io.tmpdir")}/graft_rxr_idx_c2"
+    Pq.compactIvfPqIndex(spark, idxC, idxC2)
+    assert(probe(idxC2) === served2, "index compaction changed served rows (order B)")
   }
 
   test("ensure recovers an aborted run's leftover location under a configured warehouse") {

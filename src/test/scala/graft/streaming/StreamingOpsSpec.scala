@@ -1260,4 +1260,126 @@ class StreamingOpsSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(ckpt))
     }
   }
+
+  test("lifecycle soak: BOTH elections dispatched LIVE mid-stream — compaction flips the index, rebuildStore flips the store, served rows never change") {
+    // round-18 verdict #5: N fragmenting micro-batches through the
+    // lockstep sink with both maintenance arms actually FIRING from
+    // the cadence callbacks the sink hands the deployment — index
+    // compaction (compact to a fresh tree, flip the serving path) and
+    // the store's rebuildStore (in-process, same JVM that computed
+    // the election) — with probes pinned bit-equal around every
+    // dispatch and the end state equal to a clean one-shot pair.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{AppendProtocol, Pq, VectorStore}
+    import org.apache.hadoop.fs.Path
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Seq(1.1f, 0.0f, 0.0f, 1.1f)),
+      (10L, Seq(5.0f, 5.0f, 5.0f, 5.0f)),
+      (11L, Seq(5.1f, 4.9f, 5.1f, 4.9f)))
+      .toDF("vec_id", "embedding")
+    val arrivals = (1 to 16).map { i =>
+      if (i % 2 == 0) (100L + i, Seq(1.0f + i * 0.01f, 0.0f, 0.0f, 1.0f))
+      else (100L + i, Seq(5.0f + i * 0.01f, 5.0f, 5.0f, 5.0f))
+    }
+    val queries = Seq(
+      (900L, Seq(1.0f, 0.05f, 0.05f, 1.0f)),
+      (901L, Seq(5.0f, 5.05f, 5.05f, 5.0f))).toDF("vec_id", "embedding")
+    val fs = new Path("/tmp").getFileSystem(spark.sessionState.newHadoopConf())
+    def build(p: String): Unit = {
+      if (fs.exists(new Path(p))) fs.delete(new Path(p), true)
+      Pq.buildIvfPqIndex(corpus, "vec_id", "embedding", dim = 4, m = 2,
+        k = 2, iters = 2, centroids = 2, path = p, assignments = 1)
+    }
+    val idx = s"${sys.props("java.io.tmpdir")}/graft_soak_idx"
+    build(idx)
+    val key = "graft#soak_store"
+    val name = VectorStore.ensure(spark, key, corpus, "vec_id", "embedding")
+    def probe(p: String): Set[Seq[Any]] = {
+      // the probing session is a SEPARATE reader from the ingesting
+      // foreachBatch session (Spark clones it per micro-batch), and a
+      // file-backed table's listing is cached per session — a serving
+      // session refreshes before reading, or it serves the listing
+      // from whenever it last looked (standard Spark semantics; the
+      // rebuild operator itself refreshes defensively for the same
+      // reason)
+      spark.catalog.refreshTable(name)
+      VectorStore.rerankTopK(spark.table(name), queries,
+        Pq.ivfPqCandidates(queries, p, dim = 4, topK = 6, probes = 2,
+          "vec_id", "embedding"), k = 4)
+        .collect().map(_.toSeq).toSet
+    }
+    // every dispatch records (batchId, arm, probe-before == probe-after)
+    val dispatched = scala.collection.mutable.ArrayBuffer[(Long, String, Boolean)]()
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.ivfPqAppendSink(
+      in.toDF().toDF("vec_id", "embedding"), idx,
+      storeCorpus = Some(key),
+      cadence = Some { (row, batchId) =>
+        if (row.collect().head.getAs[String]("decision") == "compact_now") {
+          val pre = probe(idx)
+          // compact-and-flip, executed by the JVM that read the
+          // election: new tree beside the live one, then swap the
+          // serving path (the appender is this same serial thread,
+          // so nothing writes between compaction and flip)
+          val cpt = idx + ".compacting"
+          if (fs.exists(new Path(cpt))) fs.delete(new Path(cpt), true)
+          Pq.compactIvfPqIndex(spark, idx, cpt)
+          fs.delete(new Path(idx), true)
+          require(fs.rename(new Path(cpt), new Path(idx)))
+          dispatched += ((batchId, "compact", probe(idx) == pre))
+        }
+      },
+      storeCadence = Some { (row, batchId) =>
+        if (row.collect().head.getAs[String]("decision") == "rebuild_now") {
+          val pre = probe(idx)
+          VectorStore.rebuildStore(spark, key)
+          dispatched += ((batchId, "rebuild", probe(idx) == pre))
+        }
+      }).start()
+    try arrivals.foreach { row => in.addData(row); q.processAllAvailable() }
+    finally q.stop()
+    assert(dispatched.exists(_._2 == "compact"),
+      s"the index compaction arm never fired: $dispatched")
+    assert(dispatched.exists(_._2 == "rebuild"),
+      s"the store rebuild arm never fired: $dispatched")
+    assert(dispatched.forall(_._3),
+      s"a maintenance dispatch changed served rows: $dispatched")
+    // maintenance left both artifacts healthy and unleased
+    assert(Pq.fileAudit(spark, idx).collect().head
+      .getAs[Long]("n_orphans") == 0L)
+    assert(VectorStore.storeAudit(spark, key).collect().head
+      .getAs[Long]("n_orphans") == 0L)
+    assert(!fs.exists(AppendProtocol.leasePath(new Path(idx))))
+    assert(!fs.exists(AppendProtocol.leasePath(new Path(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(name)).location))))
+    // end state == a CLEAN one-shot pair over the same rows: fresh
+    // index built on the corpus + ONE append of every arrival (the
+    // bit-equality contract), fresh store over corpus ∪ arrivals
+    val cleanIdx = s"${sys.props("java.io.tmpdir")}/graft_soak_clean_idx"
+    build(cleanIdx)
+    Pq.appendIvfPqIndex(arrivals.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cleanIdx)
+    val cleanKey = "graft#soak_clean_store"
+    val cleanName = VectorStore.ensure(spark, cleanKey,
+      corpus.union(arrivals.toDF("vec_id", "embedding")),
+      "vec_id", "embedding")
+    val cleanServed = VectorStore.rerankTopK(spark.table(cleanName), queries,
+      Pq.ivfPqCandidates(queries, cleanIdx, dim = 4, topK = 6, probes = 2,
+        "vec_id", "embedding"), k = 4)
+      .collect().map(_.toSeq).toSet
+    spark.catalog.refreshTable(name)
+    assert(spark.table(name).collect().map(_.toSeq).toSet ===
+      spark.table(cleanName).collect().map(_.toSeq).toSet,
+      s"the soaked store must hold exactly the clean pair's rows " +
+        s"(dispatched: $dispatched)")
+    assert(spark.read.parquet(s"$idx/codes").select("vec_id").collect()
+      .map(_.getLong(0)).sorted.toSeq ===
+      spark.read.parquet(s"$cleanIdx/codes").select("vec_id").collect()
+      .map(_.getLong(0)).sorted.toSeq,
+      "the soaked index must code exactly the clean pair's items")
+    assert(probe(idx) === cleanServed,
+      "the soaked deployment must serve exactly the clean pair's rows")
+  }
 }
