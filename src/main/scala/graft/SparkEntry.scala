@@ -236,7 +236,8 @@ object Queries
     "q187_vecstore_incr" -> (ivfPqIncrStoreRerank _),
     "q188_vecstore_audit" -> (vecStoreAudit _),
     "q189_vecstore_cadence" -> (vecStoreCadence _),
-    "q190_store_sizing" -> (storeSizing _))
+    "q190_store_sizing" -> (storeSizing _),
+    "q191_vecstore_pruned" -> (vecStorePrunedRerank _))
 
   /** DuckDB-dialect oracle SQL, one per query, same column names/types. */
   val oracles: Map[String, String] = {
@@ -264,7 +265,16 @@ object Queries
       // incrementally-appended vector store re-ranking q170's
       // candidates replays under q170's oracle verbatim (a stale
       // store would DROP the appended items and hash-mismatch)
-      ("q187_vecstore_incr" -> base("q170_ivfpq_incr"))
+      ("q187_vecstore_incr" -> base("q170_ivfpq_incr")) +
+      // q191: the PRUNED store plan over q170's query SUBSET
+      // (% 100 = 0 ⊂ % 10 = 0; per query the probe + re-rank depend
+      // only on the query vector and the index, so the subset's rows
+      // are the filtered superset's) — the deployment-default isin
+      // pushdown replays under q170's ground truth
+      ("q191_vecstore_pruned" ->
+        s"""SELECT query_id, rank, neighbor_id, dist_micro
+            FROM (${base("q170_ivfpq_incr")}) AS q170
+            WHERE query_id % 100 = 0""")
     // q184_ivfpq_file_audit and q186_compaction_cadence have NO
     // oracle by construction: file layout (and its growth history)
     // is write-history, not corpus — nothing SQL-derivable to replay

@@ -27,6 +27,11 @@ import graft.operators.VectorStore
   *    deepest; 200 = AnnRecallBench's batch, where width·|Q| ids can
   *    touch every bucket (the honest no-win case).
   *  - `SPARK_GRAFT_WIDTH` — candidates per query (default 50).
+  *  - `SPARK_GRAFT_PRUNE_ONLY=1` — skip the aged-store build and the
+  *    SMJ arms: at the 16k–64k decade (the round-18 verdict's third
+  *    point on the pruning growth curve) a second full store build
+  *    plus 64k-bucket append stages would double a run that only the
+  *    pruned-vs-unpruned pair informs.
   *
   * Usage: `runMain graft.StoreRerankBench <corpusDir>` (e.g.
   * /tmp/vec1m). Prints `RRB <arm> buckets=<B> nq=<n> <secs> s
@@ -78,6 +83,7 @@ object StoreRerankBench {
         .map(m => s"selected=${m.group(1)}/${m.group(2)}").getOrElse("selected=all")
     }
 
+    val pruneOnly = sys.env.get("SPARK_GRAFT_PRUNE_ONLY").contains("1")
     buckets.foreach { b =>
       // FRESH store at this bucket count
       val freshKey = s"$dir#rrb_fresh_$b"
@@ -88,13 +94,15 @@ object StoreRerankBench {
       // AGED store: same base, one appended batch of NEW ids (the
       // store's own small-files aging — multi-file buckets, sortBy
       // forfeited)
-      val agedKey = s"$dir#rrb_aged_$b"
-      VectorStore.ensure(spark, agedKey, emb, "vec_id", "embedding", buckets = b)
-      VectorStore.appendVectors(spark, agedKey,
-        emb.orderBy(xxhash64(col("vec_id"), lit(3))).limit(50000)
-          .select((col("vec_id") + 100000000L).as("vec_id"), col("embedding")),
-        "vec_id", "embedding", batchTag = Some("age1"))
-      val aged = spark.table(VectorStore.tableName(agedKey))
+      val aged = if (pruneOnly) fresh else {
+        val agedKey = s"$dir#rrb_aged_$b"
+        VectorStore.ensure(spark, agedKey, emb, "vec_id", "embedding", buckets = b)
+        VectorStore.appendVectors(spark, agedKey,
+          emb.orderBy(xxhash64(col("vec_id"), lit(3))).limit(50000)
+            .select((col("vec_id") + 100000000L).as("vec_id"), col("embedding")),
+          "vec_id", "embedding", batchTag = Some("age1"))
+        spark.table(VectorStore.tableName(agedKey))
+      }
 
       nqs.foreach { nq =>
         val cand = candidatesFor(nq).localCheckpoint()
@@ -107,18 +115,20 @@ object StoreRerankBench {
           selectedBuckets(prunedDf))
         arm("bcast_unpruned", VectorStore.rerankTopK(fresh, qAll, cand, k = 5,
           pruneStoreBuckets = false))
-        arm("bcast_pruned_aged", VectorStore.rerankTopK(aged, qAll, cand, k = 5))
-        // the backfill SMJ regime: candidates too large to broadcast —
-        // the bucketed+sorted store side needs no exchange and (fresh)
-        // no sort; the AGED store re-sorts (the q188 forfeiture, priced)
-        val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        try {
-          arm("smj_fresh", VectorStore.rerankTopK(fresh, qAll, cand, k = 5,
-            broadcastCandidates = false))
-          arm("smj_aged", VectorStore.rerankTopK(aged, qAll, cand, k = 5,
-            broadcastCandidates = false))
-        } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+        if (!pruneOnly) {
+          arm("bcast_pruned_aged", VectorStore.rerankTopK(aged, qAll, cand, k = 5))
+          // the backfill SMJ regime: candidates too large to broadcast —
+          // the bucketed+sorted store side needs no exchange and (fresh)
+          // no sort; the AGED store re-sorts (the q188 forfeiture, priced)
+          val prevB = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          try {
+            arm("smj_fresh", VectorStore.rerankTopK(fresh, qAll, cand, k = 5,
+              broadcastCandidates = false))
+            arm("smj_aged", VectorStore.rerankTopK(aged, qAll, cand, k = 5,
+              broadcastCandidates = false))
+          } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevB)
+        }
       }
 
       def arm2(name: String, nq: Int, df: => DataFrame,

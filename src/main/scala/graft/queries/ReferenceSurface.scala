@@ -1098,6 +1098,58 @@ private[graft] trait ReferenceSurfaceQueries extends QueryContext {
     operators.VectorStore.sizeBuckets(t(spark, sfDir, "embeddings"),
       "embedding", targetFileBytes = 64L << 10)
 
+  /** PRUNED re-rank plan, oracle-hash-gated (q191) — the round-18
+    * verdict's #2: the deployment-DEFAULT store plan (≥ 256 buckets →
+    * candidate-id isin pushdown → Spark bucket pruning) was
+    * spec-pinned bit-equal and A/B-benched, but every CORRECTNESS
+    * gate store sat at 32 buckets, below the dial — so the plan a
+    * 100 TB deployment actually runs had never been through the
+    * DuckDB hash. This gate rebuilds the tail of q170 over a store
+    * bucketed ABOVE `minPruneBuckets` and a query batch narrow
+    * enough that the prune dial engages (|ids| ≤ buckets/2), then
+    * REQUIRES the pruned scan in its own physical plan
+    * (`SelectedBucketsCount` strictly between 0 and the bucket
+    * count) — a silently-disengaged dial fails the gate rather than
+    * quietly hash-matching through the full-scan plan.
+    *
+    * Bucket count: q190's sizing arithmetic ([[graft.operators
+    * .VectorStore.sizeBuckets]]) at a gate-scale 128-BYTE target file
+    * (a deployment's 128 MB target at the 100 TB corpus elects ~400k
+    * buckets — the gate scales the target down so the elected count
+    * stands in the same relation to the candidate width: thousands of
+    * buckets vs hundreds of ids), floored at 2·`minPruneBuckets` so
+    * the dial engages at every test scale. Queries are q170's
+    * `% 100 = 0` SUBSET (q170 probes `% 10 = 0`), so the oracle is
+    * q170's verbatim replay filtered to the subset's query ids — per
+    * query, probe + re-rank are functions of the query vector and the
+    * index alone, so the subset's rows are exactly the filtered
+    * superset's. */
+  def vecStorePrunedRerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import operators.{Pq, VectorStore}
+    val emb = t(spark, sfDir, "embeddings")
+    val sized = VectorStore.sizeBuckets(emb, "embedding",
+      targetFileBytes = 128L).collect().head.getAs[Long]("n_buckets")
+    val buckets = math.max(512L, sized).toInt
+    val key = sfDir + "#vecstore_pruned"
+    val name = VectorStore.ensure(spark, key, emb, "vec_id", "embedding",
+      buckets = buckets)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+    val out = VectorStore.rerankTopK(spark.table(name), q,
+      Pq.ivfPqCandidates(q, ivfPqIncrIndexPath(spark, sfDir),
+        dim = 64, topK = 50, probes = 12, "vec_id", "embedding",
+        maxQueryBatch = 32),
+      k = 5)
+    val sel = "SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(out.queryExecution.executedPlan.toString)
+    require(sel.exists(m =>
+      m.group(1).toInt > 0 && m.group(1).toInt < m.group(2).toInt),
+      s"q191 must run the PRUNED store scan (got " +
+        s"${sel.map(_.matched).getOrElse("no SelectedBucketsCount")} " +
+        s"at $buckets buckets) — the dial disengaged, so the gate " +
+        s"would hash-match through the wrong plan")
+    out
+  }
+
   /** The exact-vector arm shared by q179 and q181 — q146's layout
     * over the same corpus split, built only when dispatched to. */
   private def exactIvfArm(spark: SparkSession, sfDir: String): DataFrame = {
