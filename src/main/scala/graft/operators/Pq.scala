@@ -926,8 +926,23 @@ object Pq {
     // landing mid-compaction would be missing from the new tree's
     // codes yet invisible to replay (markers are a start-of-compaction
     // snapshot), so it must fail loudly instead. The caller's pointer
-    // flip after this returns is its own serialization problem.
+    // flip after this returns is its own serialization problem
+    // (or use [[compactIvfPqIndexInPlace]], which holds the lease
+    // ACROSS its flip).
     AppendProtocol.withWriterLease(fs, new Path(path), "compact") {
+      compactInto(spark, path, outPath, maxRecordsPerFile, cellBatch)
+    }
+  }
+
+  /** [[compactIvfPqIndex]]'s body, for callers already holding the
+    * source tree's writer lease. */
+  private def compactInto(spark: org.apache.spark.sql.SparkSession,
+      path: String, outPath: String,
+      maxRecordsPerFile: Long,
+      cellBatch: Int): Unit = {
+    import org.apache.hadoop.fs.Path
+    val meta = readIvfPqMeta(spark, path)
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val tags = committedTags(fs, path)
     val cells = fs.listStatus(new Path(s"$path/codes"))
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("c_id="))
@@ -981,7 +996,67 @@ object Pq {
         outFs.create(mk, false).close()
       }
     }
-    } // release the source lease — the appender may resume
+  }
+
+  /** COMPACT-AND-FLIP in place — the index-side twin of
+    * [[VectorStore.rebuildStore]] (round-19): [[compactIvfPqIndex]]
+    * compacts to a NEW path and leaves the pointer flip to the
+    * caller, which is right for a deployment with a serving pointer —
+    * but the maintenance dispatch the streaming sink's cadence
+    * callback runs (the q186 election's repair arm) serves from ONE
+    * fixed path, and hand-rolled delete+rename at every call site is
+    * exactly the drift the shared protocol exists to prevent. This
+    * operator owns the whole sequence under the artifact's writer
+    * lease: compact to `<path>.compacting`, delete the live tree,
+    * rename the compacted tree in. Holding the lease ACROSS the flip
+    * closes the window [[compactIvfPqIndex]]'s scaladoc leaves to the
+    * caller (an append between compaction and flip would land on a
+    * tree about to be dropped); re-entry uses the `compact` owner, so
+    * the operator's own crash retries self-heal like every other
+    * writer.
+    *
+    * Crash windows, walked: before the delete — live tree intact,
+    * `.compacting` is rebuilt-from-scratch on retry (publishTree
+    * replaces it). Between delete and rename — the live path is
+    * MISSING (readers fail loudly, never wrongly; the same window the
+    * compact-to-new-path + pointer-flip deployment avoids entirely —
+    * a fixed-path deployment accepts it, which is why both operators
+    * exist) and the retry completes the rename because `.compacting`
+    * is a full tree. After the rename — done; retry rebuilds a fresh
+    * `.compacting` from the already-compacted tree and swaps again,
+    * idempotent by rows. */
+  def compactIvfPqIndexInPlace(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxRecordsPerFile: Long = 0L,
+      cellBatch: Int = 0): Unit = {
+    import org.apache.hadoop.fs.Path
+    val live = new Path(path)
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val staged = new Path(path + ".compacting")
+    AppendProtocol.withWriterLease(fs, live, "compact-flip") {
+      // retry of a crash AFTER the delete: the live path holds no
+      // tree (at most the just-created lease file — acquiring the
+      // lease recreates the bare directory, so exists() can't tell)
+      // but the staged one is complete — finish the flip, don't
+      // recompact. publishTree's all-or-nothing rename is what makes
+      // "staged meta exists" equal "staged tree is complete".
+      val liveIsTree = fs.exists(new Path(live, "meta"))
+      val stagedIsTree = fs.exists(new Path(staged, "meta"))
+      if (!liveIsTree && stagedIsTree) {
+        fs.delete(live, true) // the bare lease-only shell
+        require(fs.rename(staged, live), s"compact flip rename failed: $staged")
+      } else {
+        compactInto(spark, path, staged.toString, maxRecordsPerFile, cellBatch)
+        // the flip: between this delete and the rename the live path
+        // is MISSING — readers fail loudly, never wrongly (the window
+        // a serving-pointer deployment avoids by using
+        // [[compactIvfPqIndex]] + its own flip). The delete also
+        // removes this run's lease file; the staged tree carries
+        // none, so the post-rename tree is unleased — mutation is
+        // already done by then.
+        fs.delete(live, true)
+        require(fs.rename(staged, live), s"compact flip rename failed: $staged")
+      }
+    }
   }
 
   /** Coarse-rebalance of an IVF-PQ index — the MIDDLE rung of the

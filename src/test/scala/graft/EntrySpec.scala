@@ -27,14 +27,15 @@ class EntrySpec extends SparkSpec {
       // the vector store's file layout, like the index's: bucket file
       // counts and sortBy forfeiture are write history a SQL replay
       // cannot see (branches spec-pinned in VectorStoreSpec; the
-      // repair — re-ensure — is the build path every store gate runs)
+      // dispatched-to repair — rebuildStore, round 19 — is spec-pinned
+      // bit-equal and fires live in the lifecycle soak)
       "q188_vecstore_audit",
       // the store's rebuild-cadence forecast is the same write
       // history again (q186's contract, store-side): batch count =
       // `_appends` markers, growth rate = tag-prefixed file counts —
       // a SQL replay has no append history at all (branches
       // spec-pinned in VectorStoreSpec; the dispatched-to repair is
-      // the ensure/rebuild path every store gate runs)
+      // rebuildStore, exercised bit-equal in spec and soak)
       "q189_vecstore_cadence")
     assert(SparkEntry.queries.keySet -- rowsOnly ===
       SparkEntry.oracleSql.keySet)

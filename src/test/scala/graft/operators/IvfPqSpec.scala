@@ -990,4 +990,49 @@ class IvfPqSpec extends SparkSpec {
     Pq.appendIvfPqIndex(corpus.filter(col("vec_id") === 1),
       "vec_id", "embedding", path, batchTag = Some("z3"))
   }
+
+  test("compactIvfPqIndexInPlace: bit-equal rows at the same path, markers carried, crash-after-delete retry completes the flip") {
+    import org.apache.hadoop.fs.Path
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ivfpq_inplace"
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(new Path(path))) fs.delete(new Path(path), true)
+    build(path)
+    (1 to 4).foreach { i =>
+      Pq.appendIvfPqIndex(
+        Seq((20L + i, Seq(1.0f + i * 0.01f, 0.0f, 0.0f, 1.0f)))
+          .toDF("vec_id", "embedding"),
+        "vec_id", "embedding", path, batchTag = Some(s"p$i"))
+    }
+    def codes() = spark.read.parquet(s"$path/codes")
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val before = codes()
+    assert(Pq.fileAudit(spark, path).collect().head
+      .getAs[String]("decision") == "compact")
+    Pq.compactIvfPqIndexInPlace(spark, path)
+    assert(codes() == before, "in-place compaction must change no rows")
+    assert(Pq.fileAudit(spark, path).collect().head
+      .getAs[String]("decision") == "keep")
+    assert(!fs.exists(new Path(path + ".compacting")))
+    assert(!fs.exists(AppendProtocol.leasePath(new Path(path))))
+    // markers carried: a replayed batch still short-circuits
+    Pq.appendIvfPqIndex(
+      Seq((21L, Seq(9.9f, 9.9f, 9.9f, 9.9f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", path, batchTag = Some("p1"))
+    assert(codes() == before, "replay must no-op on the flipped tree")
+    // crash AFTER the delete, before the rename: live path gone (or a
+    // bare lease-only shell — the retry recreates it by acquiring),
+    // staged tree complete. The retry must finish the flip without
+    // recompacting a missing source.
+    val staged = new Path(path + ".compacting")
+    fs.mkdirs(staged)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new Path(path), fs,
+      new Path(staged.toString + ".tmp"), false,
+      spark.sessionState.newHadoopConf())
+    fs.delete(staged, true)
+    require(fs.rename(new Path(staged.toString + ".tmp"), staged))
+    fs.delete(new Path(path), true) // the crash: live tree gone
+    Pq.compactIvfPqIndexInPlace(spark, path)
+    assert(codes() == before, "the retry must serve the staged tree's rows")
+    assert(!fs.exists(new Path(path + ".compacting")))
+  }
 }

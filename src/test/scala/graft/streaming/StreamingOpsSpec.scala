@@ -1319,14 +1319,10 @@ class StreamingOpsSpec extends SparkSpec {
         if (row.collect().head.getAs[String]("decision") == "compact_now") {
           val pre = probe(idx)
           // compact-and-flip, executed by the JVM that read the
-          // election: new tree beside the live one, then swap the
-          // serving path (the appender is this same serial thread,
-          // so nothing writes between compaction and flip)
-          val cpt = idx + ".compacting"
-          if (fs.exists(new Path(cpt))) fs.delete(new Path(cpt), true)
-          Pq.compactIvfPqIndex(spark, idx, cpt)
-          fs.delete(new Path(idx), true)
-          require(fs.rename(new Path(cpt), new Path(idx)))
+          // election — the operator owns the staged tree, the lease
+          // across the flip, and the crash retries (the appender is
+          // this same serial thread, so nothing writes mid-flip)
+          Pq.compactIvfPqIndexInPlace(spark, idx)
           dispatched += ((batchId, "compact", probe(idx) == pre))
         }
       },
