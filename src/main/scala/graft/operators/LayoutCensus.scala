@@ -234,7 +234,32 @@ private[graft] object AppendProtocol {
       // identical owner = this writer's own crashed/retrying attempt
       // (the single-writer rule says nobody else may run under the
       // same identity) — re-enter on the standing lease file
-      if (held != owner && !staleIf(held))
+      if (held == owner) ()
+      else if (staleIf(held)) {
+        // the holder provably finished — break its lease, but
+        // RE-ACQUIRE exclusively under our own owner rather than
+        // squatting on the stale file: if we merely proceeded, the
+        // lease would still name the finished holder, and a THIRD
+        // writer would read the same stale owner, draw the same
+        // conclusion, and run concurrently with us — two live
+        // writers, the exact corruption the lease exists to prevent.
+        // The delete+create race window is the create's exclusivity:
+        // whoever loses the second create fails loudly below.
+        fs.delete(lease, false)
+        val reacquired =
+          try {
+            val out = fs.create(lease, false)
+            out.write(owner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            out.close()
+            true
+          } catch { case _: java.io.IOException => false }
+        if (!reacquired)
+          throw new IllegalStateException(
+            s"artifact at $root: lost the lease race to '" +
+              s"${readOwner(fs, lease)}' while breaking finished writer " +
+              s"'$held' — another writer is live, refusing to write as " +
+              s"'$owner'.")
+      } else
         throw new IllegalStateException(
           s"artifact at $root is leased by writer '$held' — refusing to " +
             s"write as '$owner'. Either a writer is LIVE (the " +

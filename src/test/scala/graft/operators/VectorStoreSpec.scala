@@ -570,6 +570,24 @@ class VectorStoreSpec extends SparkSpec {
     VectorStore.appendVectors(spark, key, batch.limit(0),
       "vec_id", "embedding", batchTag = Some("x3"))
     assert(!fs.exists(AppendProtocol.leasePath(loc)))
+    // breaking a finished holder's lease must RE-ACQUIRE under the
+    // breaker's own owner — a lease still naming the finished holder
+    // would let a third writer draw the same stale conclusion and run
+    // concurrently with the live breaker
+    AppendProtocol.acquireLease(fs, loc, "append:x1") // x1 is committed
+    AppendProtocol.acquireLease(fs, loc, "append:x9",
+      staleIf = held => held == "append:x1")
+    val in = fs.open(AppendProtocol.leasePath(loc))
+    val ownerNow = try scala.io.Source.fromInputStream(in).mkString
+      finally in.close()
+    assert(ownerNow === "append:x9",
+      "the breaker must own the lease it broke")
+    // and a writer that can NOT prove x9 finished now fails loudly
+    intercept[IllegalStateException] {
+      VectorStore.appendVectors(spark, key, batch.limit(0),
+        "vec_id", "embedding", batchTag = Some("x10"))
+    }
+    assert(AppendProtocol.breakLease(fs, loc))
     // a stale NON-append lease (crashed janitor/rebuild) stays loud —
     // breakLease is the documented manual remedy
     AppendProtocol.acquireLease(fs, loc, "rebuild")
