@@ -136,7 +136,27 @@ object StreamingOps {
     * loop for the store's own aging ([[graft.operators.VectorStore
     * .storeCadence]]: every append fragments the bucket layout toward
     * the rebuild line), cached on
-    * [[graft.operators.VectorStore.storeStateSignature]]. */
+    * [[graft.operators.VectorStore.storeStateSignature]].
+    *
+    * `autoMaintain` (round-19) closes the loop WITHOUT a scheduler:
+    * when an election lands on its `_now` arm, the sink itself
+    * dispatches the repair before the next batch —
+    * [[graft.operators.Pq.compactIvfPqIndexInPlace]] for the index,
+    * [[graft.operators.VectorStore.rebuildStore]] for the store —
+    * on the same serial foreachBatch thread, so the dispatch holds
+    * the single-writer rule for free and no append can land
+    * mid-repair. Both repairs are row-preserving (spec-pinned,
+    * including the repair×repair interleave), so served results
+    * never change across a dispatch; both carry markers, so replay
+    * idempotence survives. The callbacks still fire FIRST with the
+    * election as computed (telemetry sees `compact_now`/`rebuild_now`
+    * exactly when the deployment would have had to act); a
+    * deployment that books repairs externally keeps
+    * `autoMaintain = false` and owns the dispatch. The self-
+    * maintained deployment's steady state: audits hover below the
+    * factor line forever, probes never meet an aged layout
+    * (StreamingOpsSpec's self-maintaining twin pins both, plus
+    * end-state bit-equality to a clean one-shot pair). */
   def ivfPqAppendSink(
       stream: DataFrame,
       indexPath: String,
@@ -146,7 +166,8 @@ object StreamingOps {
       cadenceFactor: Long = 4L,
       storeCorpus: Option[String] = None,
       storeCadence: Option[(DataFrame, Long) => Unit] = None,
-      storeCadenceFactor: Long = 4L): DataStreamWriter[org.apache.spark.sql.Row] = {
+      storeCadenceFactor: Long = 4L,
+      autoMaintain: Boolean = false): DataStreamWriter[org.apache.spark.sql.Row] = {
     require(storeCadence.isEmpty || storeCorpus.nonEmpty,
       "storeCadence needs storeCorpus — there is no store to forecast")
     // micro-batches run serially on the driver: plain closure vars are
@@ -170,16 +191,21 @@ object StreamingOps {
                 batch.toDF(), idCol, vecCol, indexPath,
                 batchTag = Some(s"b$batchId"))
           }
-          cadence.foreach { cb =>
+          if (cadence.nonEmpty || autoMaintain) {
             val sig = graft.operators.Pq.indexStateSignature(spark, indexPath)
             if (sig != cadSig) {
               cadRow = graft.operators.Pq.compactionCadence(
                 spark, indexPath, cadenceFactor)
               cadSig = sig
             }
-            cb(cadRow, batchId)
+            cadence.foreach(_(cadRow, batchId))
+            if (autoMaintain && cadRow.collect().head
+                .getAs[String]("decision") == "compact_now") {
+              graft.operators.Pq.compactIvfPqIndexInPlace(spark, indexPath)
+              cadSig = null // the flip rewrote the tree — re-elect fresh
+            }
           }
-          storeCadence.foreach { cb =>
+          if (storeCadence.nonEmpty || (autoMaintain && storeCorpus.nonEmpty)) {
             val corpus = storeCorpus.get
             val sig = graft.operators.VectorStore
               .storeStateSignature(spark, corpus)
@@ -188,7 +214,12 @@ object StreamingOps {
                 spark, corpus, storeCadenceFactor)
               storeSig = sig
             }
-            cb(storeRow, batchId)
+            storeCadence.foreach(_(storeRow, batchId))
+            if (autoMaintain && storeRow.collect().head
+                .getAs[String]("decision") == "rebuild_now") {
+              graft.operators.VectorStore.rebuildStore(spark, corpus)
+              storeSig = null // the flip moved the table — re-elect fresh
+            }
           }
         }
       }

@@ -1378,4 +1378,93 @@ class StreamingOpsSpec extends SparkSpec {
     assert(probe(idx) === cleanServed,
       "the soaked deployment must serve exactly the clean pair's rows")
   }
+
+  test("self-maintaining sink: autoMaintain dispatches both repairs itself — audits never finish above the line, rows equal the clean pair") {
+    // the callback-less deployment: the sink reads its own elections
+    // and fires compactIvfPqIndexInPlace / rebuildStore before the
+    // next batch. Telemetry callbacks still see the pre-dispatch
+    // election, so the `_now` arms are observable exactly when an
+    // external scheduler would have had to act.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.operators.{AppendProtocol, Pq, VectorStore}
+    import org.apache.hadoop.fs.Path
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 1.0f)),
+      (1L, Seq(1.1f, 0.0f, 0.0f, 1.1f)),
+      (10L, Seq(5.0f, 5.0f, 5.0f, 5.0f)),
+      (11L, Seq(5.1f, 4.9f, 5.1f, 4.9f)))
+      .toDF("vec_id", "embedding")
+    val arrivals = (1 to 16).map { i =>
+      if (i % 2 == 0) (200L + i, Seq(1.0f + i * 0.01f, 0.0f, 0.0f, 1.0f))
+      else (200L + i, Seq(5.0f + i * 0.01f, 5.0f, 5.0f, 5.0f))
+    }
+    val fs = new Path("/tmp").getFileSystem(spark.sessionState.newHadoopConf())
+    def build(p: String): Unit = {
+      if (fs.exists(new Path(p))) fs.delete(new Path(p), true)
+      Pq.buildIvfPqIndex(corpus, "vec_id", "embedding", dim = 4, m = 2,
+        k = 2, iters = 2, centroids = 2, path = p, assignments = 1)
+    }
+    val idx = s"${sys.props("java.io.tmpdir")}/graft_automaint_idx"
+    build(idx)
+    val key = "graft#automaint_store"
+    val name = VectorStore.ensure(spark, key, corpus, "vec_id", "embedding")
+    val elections = scala.collection.mutable.ArrayBuffer[(Long, String, String)]()
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.ivfPqAppendSink(
+      in.toDF().toDF("vec_id", "embedding"), idx,
+      cadence = Some { (row, bid) =>
+        elections += ((bid, "idx", row.collect().head.getAs[String]("decision")))
+      },
+      storeCorpus = Some(key),
+      storeCadence = Some { (row, bid) =>
+        elections += ((bid, "store", row.collect().head.getAs[String]("decision")))
+      },
+      autoMaintain = true).start()
+    try arrivals.foreach { row => in.addData(row); q.processAllAvailable() }
+    finally q.stop()
+    // the elections DID reach their dispatch arms (telemetry is the
+    // pre-dispatch view, so the `_now` rows prove repairs fired)...
+    assert(elections.exists(e => e._2 == "idx" && e._3 == "compact_now"),
+      s"the index election never reached compact_now: $elections")
+    assert(elections.exists(e => e._2 == "store" && e._3 == "rebuild_now"),
+      s"the store election never reached rebuild_now: $elections")
+    // ...and the self-maintained artifacts never FINISH above the
+    // line (16 fragmenting batches would otherwise sit far past
+    // factor 4 — the fragmentation spec above pins that), with no
+    // stale stage trees or leases left behind
+    assert(Pq.fileAudit(spark, idx).collect().head
+      .getAs[String]("decision") == "keep")
+    assert(VectorStore.storeAudit(spark, key).collect().head
+      .getAs[String]("decision") == "keep")
+    assert(!fs.exists(new Path(idx + ".compacting")))
+    assert(!fs.exists(AppendProtocol.leasePath(new Path(idx))))
+    // end state == the clean one-shot pair over the same rows
+    val cleanIdx = s"${sys.props("java.io.tmpdir")}/graft_automaint_clean_idx"
+    build(cleanIdx)
+    Pq.appendIvfPqIndex(arrivals.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", cleanIdx)
+    val cleanKey = "graft#automaint_clean_store"
+    val cleanName = VectorStore.ensure(spark, cleanKey,
+      corpus.union(arrivals.toDF("vec_id", "embedding")),
+      "vec_id", "embedding")
+    spark.catalog.refreshTable(name)
+    assert(spark.table(name).collect().map(_.toSeq).toSet ===
+      spark.table(cleanName).collect().map(_.toSeq).toSet,
+      "the self-maintained store must hold exactly the clean pair's rows")
+    assert(spark.read.parquet(s"$idx/codes").select("vec_id").collect()
+      .map(_.getLong(0)).sorted.toSeq ===
+      spark.read.parquet(s"$cleanIdx/codes").select("vec_id").collect()
+      .map(_.getLong(0)).sorted.toSeq,
+      "the self-maintained index must code exactly the clean pair's items")
+    val queries = Seq(
+      (900L, Seq(1.0f, 0.05f, 0.05f, 1.0f)),
+      (901L, Seq(5.0f, 5.05f, 5.05f, 5.0f))).toDF("vec_id", "embedding")
+    def served(p: String, n: String): Set[Seq[Any]] =
+      VectorStore.rerankTopK(spark.table(n), queries,
+        Pq.ivfPqCandidates(queries, p, dim = 4, topK = 6, probes = 2,
+          "vec_id", "embedding"), k = 4)
+        .collect().map(_.toSeq).toSet
+    assert(served(idx, name) === served(cleanIdx, cleanName),
+      "the self-maintained deployment must serve the clean pair's rows")
+  }
 }
