@@ -205,6 +205,51 @@ private[graft] object AppendProtocol {
     * from scans and from every [[LayoutCensus]] listing. */
   def leasePath(root: Path): Path = new Path(root, "_writer_lease")
 
+  /** Stable per-JVM writer identity (pid@host) — the nonce that makes
+    * REPAIR owners unique per process: two live janitors/rebuilds
+    * from different processes must NOT adjudicate each other as "my
+    * own retry" (they would run concurrently, the silent corruption
+    * the lease exists to prevent), while a same-process retry — the
+    * autoMaintain sink re-dispatching after a thrown repair — still
+    * re-enters its own lease. The cost, stated honestly: a repair
+    * that dies WITH its JVM leaves a lease no restarted process can
+    * steal — the remedy is [[breakLease]] after confirming no writer
+    * is live, and that manual step is the price of never letting two
+    * live repairs interleave silently. */
+  private lazy val processNonce: String =
+    java.lang.management.ManagementFactory.getRuntimeMXBean.getName
+
+  /** The owner string for an append: the TAG is the identity (stable
+    * across processes and restarts — a streaming checkpoint replays
+    * the same batchId from any JVM, and the single-writer rule says
+    * nobody else may run that tag), so tagged appends self-heal
+    * across restarts. An UNTAGGED append has no cross-process
+    * identity to key on — it gets the per-process nonce, so only its
+    * own process may retry it (untagged already forfeits replay
+    * safety; it forfeits cross-restart lease healing with it). */
+  def appendOwner(tag: Option[String]): String =
+    tag.map("append:" + _).getOrElse(s"append:untagged#$processNonce")
+
+  /** The owner string for a repair/janitor (`rebuild`, `janitor`,
+    * `compact`, `compact-flip`) — per-process identity, see
+    * [[processNonce]]. */
+  def repairOwner(kind: String): String = s"$kind#$processNonce"
+
+  /** The one stale-lease adjudication every writer shares: a held
+    * lease naming a TAGGED append whose commit marker landed is
+    * provably a finished writer that crashed in its
+    * commit-to-release window — safe for ANY next writer (append,
+    * janitor, rebuild, compaction) to break, which is what keeps an
+    * unattended deployment flowing after such a crash (a restarted
+    * stream's replayed batch short-circuits on the marker WITHOUT
+    * touching the lease, so the break must be available to whatever
+    * writer runs next, not just the next append). Untagged-append
+    * owners carry a `#` nonce and never have a marker, so they are
+    * never adjudicated stale here. */
+  def committedAppendStaleIf(fs: FileSystem, markersDir: Path): String => Boolean =
+    held => held.startsWith("append:") && !held.contains("#") &&
+      applied(fs, markersDir, held.stripPrefix("append:"))
+
   /** Run `body` holding the artifact's writer lease — see the object
     * scaladoc for the tripwire semantics. `staleIf(heldOwner)` lets a
     * caller prove a held lease stale beyond the identical-owner rule
@@ -215,7 +260,16 @@ private[graft] object AppendProtocol {
       staleIf: String => Boolean = _ => false)(body: => T): T = {
     acquireLease(fs, root, owner, staleIf)
     try body
-    finally fs.delete(leasePath(root), false)
+    finally {
+      // release only a lease that still names THIS writer: a holder
+      // lingering in its commit-to-release window whose lease was
+      // legitimately broken-and-reacquired by the next writer must
+      // not delete that writer's live lease on its way out (an
+      // owner-blind delete would let a third writer acquire and run
+      // concurrently with the breaker)
+      if (readOwner(fs, leasePath(root)) == owner)
+        fs.delete(leasePath(root), false)
+    }
   }
 
   /** Acquire (exclusive-create) the lease; adjudicate a held one. */

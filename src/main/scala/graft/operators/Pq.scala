@@ -592,13 +592,12 @@ object Pq {
     val markersDir = new Path(s"$path/appends")
     if (batchTag.exists(AppendProtocol.applied(fs, markersDir, _)))
       return // batch already fully applied (read-only check, no lease)
-    val owner = s"append:${batchTag.getOrElse("untagged")}"
-    // a held lease whose append COMMITTED (marker landed inside the
-    // commit-to-release crash window) is provably done — break it so
-    // the stream's next batch proceeds unattended
-    val staleIf = (held: String) => held.startsWith("append:") &&
-      AppendProtocol.applied(fs, markersDir, held.stripPrefix("append:"))
-    AppendProtocol.withWriterLease(fs, new Path(path), owner, staleIf) {
+    // owner + stale adjudication are the SHARED definitions — a held
+    // lease whose tagged append COMMITTED (marker landed inside the
+    // commit-to-release crash window) is provably done and breakable
+    AppendProtocol.withWriterLease(fs, new Path(path),
+        AppendProtocol.appendOwner(batchTag),
+        AppendProtocol.committedAppendStaleIf(fs, markersDir)) {
       val codesRoot = new Path(s"$path/codes")
       // crash cleanup: a prior tagged attempt may have renamed SOME of
       // this batch's files before dying — the tag prefix makes them
@@ -748,7 +747,9 @@ object Pq {
       path: String): Long = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
-    AppendProtocol.withWriterLease(fs, new Path(path), "janitor") {
+    AppendProtocol.withWriterLease(fs, new Path(path),
+        AppendProtocol.repairOwner("janitor"),
+        AppendProtocol.committedAppendStaleIf(fs, new Path(s"$path/appends"))) {
       val tags = committedTags(fs, path)
       fs.listStatus(new Path(s"$path/codes"))
         .filter(st => st.isDirectory && st.getPath.getName.startsWith("c_id="))
@@ -918,7 +919,7 @@ object Pq {
       maxRecordsPerFile: Long = 0L,
       cellBatch: Int = 0): Unit = {
     import org.apache.hadoop.fs.Path
-    val meta = readIvfPqMeta(spark, path) // validates the source tree
+    // (tree validation happens in compactInto's own meta read)
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     // "pause the appender from compaction start to pointer flip" is
     // now ENFORCED, not prose (round-18 verdict #3): compaction holds
@@ -929,7 +930,9 @@ object Pq {
     // flip after this returns is its own serialization problem
     // (or use [[compactIvfPqIndexInPlace]], which holds the lease
     // ACROSS its flip).
-    AppendProtocol.withWriterLease(fs, new Path(path), "compact") {
+    AppendProtocol.withWriterLease(fs, new Path(path),
+        AppendProtocol.repairOwner("compact"),
+        AppendProtocol.committedAppendStaleIf(fs, new Path(s"$path/appends"))) {
       compactInto(spark, path, outPath, maxRecordsPerFile, cellBatch)
     }
   }
@@ -1011,9 +1014,9 @@ object Pq {
     * rename the compacted tree in. Holding the lease ACROSS the flip
     * closes the window [[compactIvfPqIndex]]'s scaladoc leaves to the
     * caller (an append between compaction and flip would land on a
-    * tree about to be dropped); re-entry uses the `compact` owner, so
-    * the operator's own crash retries self-heal like every other
-    * writer.
+    * tree about to be dropped); re-entry uses the `compact-flip`
+    * owner (per-process — [[AppendProtocol.repairOwner]]), so the
+    * operator's own same-process retries self-heal.
     *
     * Crash windows, walked: before the delete — live tree intact,
     * `.compacting` is rebuilt-from-scratch on retry (publishTree
@@ -1032,7 +1035,9 @@ object Pq {
     val live = new Path(path)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
     val staged = new Path(path + ".compacting")
-    AppendProtocol.withWriterLease(fs, live, "compact-flip") {
+    val owner = AppendProtocol.repairOwner("compact-flip")
+    AppendProtocol.withWriterLease(fs, live, owner,
+        AppendProtocol.committedAppendStaleIf(fs, new Path(s"$path/appends"))) {
       // retry of a crash AFTER the delete: the live path holds no
       // tree (at most the just-created lease file — acquiring the
       // lease recreates the bare directory, so exists() can't tell)
@@ -1046,16 +1051,28 @@ object Pq {
         require(fs.rename(staged, live), s"compact flip rename failed: $staged")
       } else {
         compactInto(spark, path, staged.toString, maxRecordsPerFile, cellBatch)
+        // carry THIS writer's lease inside the staged tree, so the
+        // post-rename live tree is leased by us the instant it lands
+        // (withWriterLease's owner-checked finally then releases it)
+        AppendProtocol.acquireLease(fs, staged, owner)
         // the flip: between this delete and the rename the live path
-        // is MISSING — readers fail loudly, never wrongly (the window
-        // a serving-pointer deployment avoids by using
-        // [[compactIvfPqIndex]] + its own flip). The delete also
-        // removes this run's lease file; the staged tree carries
-        // none, so the post-rename tree is unleased — mutation is
-        // already done by then.
+        // is MISSING — a reader fails loudly, never wrongly (the
+        // window a serving-pointer deployment avoids by using
+        // [[compactIvfPqIndex]] + its own flip), and a WRITER racing
+        // in acquires a lease whose create recreates the bare live
+        // dir, which makes our rename NEST the staged tree inside it
+        // (Hadoop rename-into-existing-dir semantics) — so the
+        // post-flip shape is verified loudly below instead of
+        // trusting rename's return value.
         fs.delete(live, true)
         require(fs.rename(staged, live), s"compact flip rename failed: $staged")
       }
+      require(fs.exists(new Path(live, "meta")),
+        s"compact flip left no index tree at $live — a concurrent " +
+          s"writer re-created the path mid-flip (its lease landed " +
+          s"between delete and rename, nesting the staged tree); the " +
+          s"staged data is intact under $live — recover it manually. " +
+          s"This is the loud form of a single-writer violation.")
     }
   }
 

@@ -279,13 +279,12 @@ object VectorStore {
     val markersDir = new Path(loc, "_appends")
     if (batchTag.exists(AppendProtocol.applied(fs, markersDir, _)))
       return // batch already fully applied (read-only check, no lease)
-    val owner = s"append:${batchTag.getOrElse("untagged")}"
-    // a held lease whose append COMMITTED (its marker landed in the
-    // crash window between commit and release) is provably done —
-    // safe to break so the stream's next batch proceeds unattended
-    val staleIf = (held: String) => held.startsWith("append:") &&
-      AppendProtocol.applied(fs, markersDir, held.stripPrefix("append:"))
-    AppendProtocol.withWriterLease(fs, loc, owner, staleIf) {
+    // owner + stale adjudication are the SHARED definitions — a held
+    // lease whose tagged append COMMITTED (marker landed inside the
+    // commit-to-release crash window) is provably done and breakable,
+    // so the stream's next batch proceeds unattended
+    AppendProtocol.withWriterLease(fs, loc, AppendProtocol.appendOwner(batchTag),
+        AppendProtocol.committedAppendStaleIf(fs, markersDir)) {
       // crash cleanup: sweep a prior tagged attempt's partial renames
       batchTag.foreach(AppendProtocol.sweepTag(fs, loc, _))
       val stage = name + "_stage" + batchTag.map { t =>
@@ -439,7 +438,8 @@ object VectorStore {
       s"vector store $name does not exist — build it with ensure() first")
     val loc = new Path(catalog.getTableMetadata(ident).location)
     val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
-    AppendProtocol.withWriterLease(fs, loc, "janitor") {
+    AppendProtocol.withWriterLease(fs, loc, AppendProtocol.repairOwner("janitor"),
+        AppendProtocol.committedAppendStaleIf(fs, new Path(loc, "_appends"))) {
       sweepOrphansHolding(spark, name, fs, loc)
     }
   }
@@ -521,7 +521,8 @@ object VectorStore {
       throw new IllegalStateException(s"$name is not bucketed"))
     val loc = new Path(meta.location)
     val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
-    AppendProtocol.withWriterLease(fs, loc, "rebuild") {
+    AppendProtocol.withWriterLease(fs, loc, AppendProtocol.repairOwner("rebuild"),
+        AppendProtocol.committedAppendStaleIf(fs, new Path(loc, "_appends"))) {
       // NEVER trust a cached listing before a destructive rewrite:
       // Spark caches a table's file listing per SESSION, and appends
       // land from OTHER sessions (Structured Streaming's foreachBatch
@@ -560,10 +561,13 @@ object VectorStore {
       val stageIdent = org.apache.spark.sql.catalyst.TableIdentifier(stage)
       val stageMeta = catalog.getTableMetadata(stageIdent)
       val stageLoc = new Path(stageMeta.location)
-      // carry the markers, then lease the root that is about to go live
+      // carry the markers, then lease the root that is about to go
+      // live — all stage-root writes through the STAGE's FileSystem
+      // (the warehouse may live on a different fs than the table)
       LayoutCensus.committedTags(fs, new Path(loc, "_appends")).foreach(
-        AppendProtocol.commitMarker(fs, new Path(stageLoc, "_appends"), _))
-      AppendProtocol.acquireLease(fs, stageLoc, "rebuild")
+        AppendProtocol.commitMarker(stageFs, new Path(stageLoc, "_appends"), _))
+      AppendProtocol.acquireLease(stageFs, stageLoc,
+        AppendProtocol.repairOwner("rebuild"))
       try {
         // the FLIP: two single-metadata catalog swaps — name → new
         // tree, stage → old tree (which DROP then purges, markers,
@@ -574,7 +578,7 @@ object VectorStore {
           stageMeta.storage.copy(locationUri = Some(loc.toUri))))
         spark.sql(s"DROP TABLE $stage")
         spark.catalog.refreshTable(name)
-      } finally AppendProtocol.breakLease(fs, stageLoc)
+      } finally AppendProtocol.breakLease(stageFs, stageLoc)
     }
     // the guarantee this rebuild exists to restore — verified loudly
     // (ensure's discipline), and the memo re-pointed so a later

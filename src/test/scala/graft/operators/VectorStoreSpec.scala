@@ -588,6 +588,32 @@ class VectorStoreSpec extends SparkSpec {
         "vec_id", "embedding", batchTag = Some("x10"))
     }
     assert(AppendProtocol.breakLease(fs, loc))
+    // release is OWNER-CHECKED: a holder exiting late (its lease
+    // legitimately broken-and-reacquired while it lingered in the
+    // commit-to-release window) must not delete the breaker's live
+    // lease on the way out
+    AppendProtocol.withWriterLease(fs, loc, "append:w1") {
+      fs.delete(AppendProtocol.leasePath(loc), false) // the break...
+      AppendProtocol.acquireLease(fs, loc, "append:w2") // ...and re-acquire
+    }
+    val in2 = fs.open(AppendProtocol.leasePath(loc))
+    val survivor = try scala.io.Source.fromInputStream(in2).mkString
+      finally in2.close()
+    assert(survivor === "append:w2",
+      "w1's exit must not release w2's lease")
+    assert(AppendProtocol.breakLease(fs, loc))
+    // repair owners are per-PROCESS identities: another process's
+    // live repair (different nonce) must fail loudly, never re-enter
+    AppendProtocol.acquireLease(fs, loc, "rebuild#other-host-pid")
+    intercept[IllegalStateException] { VectorStore.rebuildStore(spark, key) }
+    assert(AppendProtocol.breakLease(fs, loc))
+    // ...while a COMMITTED append's stale lease is breakable by a
+    // repair too — the restarted stream's replayed batch skips on its
+    // marker without touching the lease, so the next writer of ANY
+    // kind must be able to proceed unattended
+    AppendProtocol.acquireLease(fs, loc, "append:x1") // x1 is committed
+    assert(VectorStore.sweepOrphans(spark, key) >= 0L)
+    assert(!fs.exists(AppendProtocol.leasePath(loc)))
     // a stale NON-append lease (crashed janitor/rebuild) stays loud —
     // breakLease is the documented manual remedy
     AppendProtocol.acquireLease(fs, loc, "rebuild")
