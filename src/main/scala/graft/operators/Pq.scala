@@ -151,18 +151,18 @@ object Pq {
         (0 until m).map(s =>
           SemDedup.quantizeMilli(slice(col(vecCol), s * sub + 1, sub))
             .as(s"mv$s")): _*)
+    // one fused argmin per subspace; its `d` field IS the assigned
+    // centroid's exact distance, so the reconstruction error needs no
+    // second map-lookup fold (bit-equal: same centroid, same integer
+    // arithmetic)
     val stage2 = stage1.select(
       col("vec_id") +:
-        (0 until m).flatMap(s => Seq(
-          col(s"mv$s"),
-          SemDedup.assignClusterMilli(col(s"mv$s"), cbs(s)).as(s"code$s"))): _*)
-    val err = (0 until m).map { s =>
-      SemDedup.sqDistInt(col(s"mv$s"),
-        element_at(typedLit(cbs(s).toMap), col(s"code$s")))
-    }.reduce(_ + _)
+        (0 until m).map(s =>
+          SemDedup.assignWithDistMilli(col(s"mv$s"), cbs(s)).as(s"nc$s")): _*)
+    val err = (0 until m).map(s => col(s"nc$s").getField("d")).reduce(_ + _)
     stage2.select(
       col("vec_id") +:
-        (0 until m).map(s => col(s"code$s")) :+
+        (0 until m).map(s => col(s"nc$s").getField("c").as(s"code$s")) :+
         err.as("recon_err"): _*)
   }
 

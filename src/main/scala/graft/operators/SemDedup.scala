@@ -62,8 +62,31 @@ object SemDedup {
     * literals — the per-row assignment projection (lexicographic
     * `(distance, cluster id)` argmin; no join, the corpus never
     * shuffles to be assigned). Shared by the batch Lloyd loop and the
-    * streaming twin (`StreamingOps.semDedupStream`). */
+    * streaming twin (`StreamingOps.semDedupStream`).
+    *
+    * Since round 20 this dispatches to the fused native
+    * [[graft.functions.NearestCentroidExpr]] — one plan node and one
+    * `long[][]` reference instead of k struct branches of interpreted
+    * HOF folds (the q162/q163 Lloyd chains carried 2.4 MiB task
+    * binaries and paid ~3 s/query of driver planning on the
+    * declarative trees). Bit-equal by construction (integer argmin,
+    * identical tie-break and null fallback); the replaced formulation
+    * stays below as [[assignClusterMilliHof]], the executable spec
+    * NearestCentroidExprSpec pins the twin pair on. */
   def assignClusterMilli(mv: Column, centroids: Seq[(Long, Seq[Long])]): Column =
+    graft.functions.NearestCentroidExpr(mv, centroids).getField("c")
+
+  /** [[assignWithDistMilli]]'s `d` field is the assigned centroid's
+    * exact distance — the PQ encode path reads it instead of re-paying
+    * a map-lookup `sqDistInt` per subspace. */
+  def assignWithDistMilli(mv: Column, centroids: Seq[(Long, Seq[Long])]): Column =
+    graft.functions.NearestCentroidExpr(mv, centroids)
+
+  /** The declarative argmin [[assignClusterMilli]] replaced — kept as
+    * the executable spec of the assignment's semantics (k struct
+    * branches, `array_min`'s struct ordering, HOF integer folds). */
+  private[graft] def assignClusterMilliHof(
+      mv: Column, centroids: Seq[(Long, Seq[Long])]): Column =
     array_min(array(centroids.map { case (cid, cv) =>
       struct(sqDistInt(mv, typedLit(cv)).as("d"), lit(cid).as("c"))
     }: _*)).getField("c")
