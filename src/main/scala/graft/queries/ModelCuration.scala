@@ -310,6 +310,25 @@ private[graft] trait ModelCurationQueries extends QueryContext {
         expr("(eff_tokens * 1000000) DIV raw_tokens").as("eff_ppm"))
   }
 
+  /** The q132 scored relation as a build-once-per-run ARTIFACT — the
+    * [[cappedPairsShared]] discipline for the classifier: TWO
+    * consumers here (q141's calibration, q158's uncertainty sample)
+    * would otherwise each re-pay q132's train+score per run, and no
+    * deployment re-trains its quality filter per consumer — it scores
+    * the corpus once and every downstream read is a scan. The
+    * train+score arithmetic stays inline-gated by q132 itself, and
+    * both consumers' oracles replay the FULL train+score chain, so
+    * any artifact round-trip drift is a hash flip against the same
+    * ground truth (the q152/q155 shared-oracle argument). All columns
+    * are integer-exact, so parquet round-trips bit-equal. */
+  private def nbScoresShared(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.sources.Artifacts
+    val path = Artifacts.ensure("nb_scores", sfDir) { p =>
+      Artifacts.publish(nbQualityClassifier(spark, sfDir), p)
+    }
+    spark.read.parquet(path)
+  }
+
   /** Classifier calibration table — the eval q132's scaladoc tells its
     * consumer to run ("threshold the SCORE, not the sign"): documents
     * bucketed into nine DISCRETE score deciles (q83's broadcast
@@ -322,9 +341,11 @@ private[graft] trait ModelCurationQueries extends QueryContext {
     * regression in q132's trainer shows up here as a hash flip even
     * when q132 itself still passes.
     *
-    * Scale shape: rides q132 (two exploded-token passes), then one
-    * tiny percentile_disc aggregate broadcast into a map-side binning
-    * projection and a 10-row partial agg.
+    * Scale shape: reads the per-run [[nbScoresShared]] artifact (one
+    * parquet scan; the first toucher per run pays q132's two
+    * exploded-token passes), then one tiny percentile_disc aggregate
+    * broadcast into a map-side binning projection and a 10-row
+    * partial agg.
     *
     * Boundary DEFINITION (engine-independent, pinned by the oracle
     * with explicit rank arithmetic rather than the oracle engine's
@@ -334,7 +355,7 @@ private[graft] trait ModelCurationQueries extends QueryContext {
     * well-defined under ties since rank selection reads a VALUE from
     * the sorted multiset. */
   def scoreCalibration(spark: SparkSession, sfDir: String): DataFrame = {
-    val scored = nbQualityClassifier(spark, sfDir)
+    val scored = nbScoresShared(spark, sfDir)
       .select(col("nb_score"), col("is_hi"))
     val bs = (1 to 9).map(i =>
       expr(s"percentile_disc(0.$i) WITHIN GROUP (ORDER BY nb_score)")
@@ -360,14 +381,15 @@ private[graft] trait ModelCurationQueries extends QueryContext {
     * SIGNED score so the labeling queue shows which side of the
     * boundary each candidate leans.
     *
-    * Scale shape: rides q132's scoring, then ONE ungrouped bounded-heap
+    * Scale shape: reads the per-run [[nbScoresShared]] artifact (one
+    * parquet scan), then ONE ungrouped bounded-heap
     * [[operators.TopK]] aggregation — O(64) state per partition,
     * map-side partial heaps, no global sort of the corpus (the q44
     * sampled-gate discipline: a `orderBy(abs).limit(64)` would plan a
     * TakeOrdered over every scored row, which is fine, but the heap
     * agg composes into further aggregations without a sort at all). */
   def uncertaintySample(spark: SparkSession, sfDir: String): DataFrame = {
-    val scored = nbQualityClassifier(spark, sfDir)
+    val scored = nbScoresShared(spark, sfDir)
       .select(col("doc_id"), col("nb_score"))
     scored
       .agg(operators.TopK.topK(64)(
