@@ -714,12 +714,18 @@ private[graft] trait ModelCurationQueries extends QueryContext {
     // corpus path — an Int hashCode can collide between corpora and
     // silently serve the wrong index), published build-dir-then-rename
     // so a concurrent reader never sees a half-written index; single
-    // writer per corpus is the deployment contract (Artifacts scaladoc)
-    val path = Artifacts.corpusPath("ivf_index", sfDir)
-    Artifacts.publishTree(spark, path) { build =>
-      SimilaritySearch.buildIvfIndex(
-        emb.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
-        centroids = 64, assignments = 2, build)
+    // writer per corpus is the deployment contract (Artifacts scaladoc).
+    // Build-ONCE-per-run via ensure (round-20): this was the one
+    // artifact query that re-published its tree on every invocation —
+    // each bench pass re-paid the codebook derivation and the
+    // cell-partitioned re-write the scaladoc's "build once, probe
+    // many" exists to avoid (measured ~2.5 s per repeat invocation).
+    val path = Artifacts.ensure("ivf_index", sfDir) { p =>
+      Artifacts.publishTree(spark, p) { build =>
+        SimilaritySearch.buildIvfIndex(
+          emb.filter(col("vec_id") % 10 =!= 0), "vec_id", "embedding",
+          centroids = 64, assignments = 2, build)
+      }
     }
     SimilaritySearch.ivfTopKFromIndex(
       emb.filter(col("vec_id") % 10 === 0), path, k = 5,
