@@ -779,7 +779,16 @@ class PlanAuditSpec extends SparkSpec {
     val plan = planOf(Queries.scoreCalibration(spark, sf))
     val finalTree = plan.split("== Initial Plan ==")(0)
     assert(!finalTree.contains("Window"), finalTree.take(1200))
-    assert(finalTree.contains("ShuffledHashJoin"), finalTree.take(1200)) // q132's model join
+    // round 20: q141 reads the per-run nb_scores ARTIFACT (q132's
+    // scored relation, the q152 discipline) instead of re-running the
+    // train+score chain — the plan is one artifact scan with the
+    // 9-boundary percentile aggregate broadcast back onto it; q132's
+    // model ShuffledHashJoin lives in the artifact BUILD, audited by
+    // its own test above
+    assert(finalTree.contains("graft_nb_scores"), finalTree.take(1200))
+    assert(finalTree.contains("BroadcastNestedLoopJoin") ||
+      finalTree.contains("BroadcastExchange"), finalTree.take(1200))
+    assert(!finalTree.contains("SortMergeJoin"), finalTree.take(1200))
   }
 
   test("q142 cluster split: pure projection over the clustering; no extra shuffle") {
