@@ -75,12 +75,18 @@ object Bench {
       // noop sink: forces full materialization of every output column
       // (a bare count() would let Catalyst prune the projections away
       // and under-measure scan/transform queries)
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+      try {
+        // label the query's jobs (guide §1.5) so a UI/event-log reader
+        // can attribute every job of a multi-job query to its gate
+        spark.sparkContext.setJobDescription(name)
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+      }
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
       }
+      finally spark.sparkContext.setJobDescription(null)
 
     def jvmStats(): String = {
       import scala.jdk.CollectionConverters._
@@ -178,8 +184,30 @@ object Bench {
     // warm-path bench record can state what was NOT rebuilt this JVM
     val reusedJ = graft.sources.Artifacts.reusedThisRun
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Host-calibration fields (round-19 verdict #5: two rounds in a
+    // row a cross-host total read as a regression until someone
+    // exhumed git history to normalize): the record carries its OWN
+    // normalization anchors — q167's time (the suite's calibrator: an
+    // untouched artifact-probe gate that moved < 4% across three
+    // rounds of code change) and the MEDIAN per-query ratio against
+    // the previous round's record (the statistic the round-18/19
+    // adjudications used; median, not mean, so a genuinely-changed
+    // query can't masquerade as host drift). Read ratio ≈ 1 with a
+    // different total as "different host"; ratio itself moving says
+    // the TREE changed speed. Null-safe: no previous record → null.
+    val calibrator = results.find(_._1 == "q167_ivfpq_rerank")
+      .filter(_._3).map(_._2)
+    val ratios = results.filter(_._3).flatMap { case (name, dt, _) =>
+      prev.get(name).orElse(prev.get(name.takeWhile(_ != '_')))
+        .filter(_ > 0.0).map(p => dt / p)
+    }.sorted
+    val medianRatio =
+      if (ratios.isEmpty) None
+      else Some(ratios(ratios.size / 2))
+    def optJ(v: Option[Double]): String =
+      v.map(d => f"$d%.4f").getOrElse("null")
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failed":$failed,"extra_failed":$extraF,"runs":$repeat,"sf":"$sfDir","artifacts_reused":$reusedJ}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"failed":$failed,"extra_failed":$extraF,"runs":$repeat,"sf":"$sfDir","artifacts_reused":$reusedJ,"calibrator_q167":${optJ(calibrator)},"median_ratio_vs_prev":${optJ(medianRatio)}}"""
     // a SUBSET run (SPARK_GRAFT_ONLY) must never clobber the committed
     // full-suite record (round-17 advice: a 4-query A/B replaced the
     // tracked 199-query baseline) — focused runs get their own file
