@@ -68,6 +68,21 @@ object GraftSession {
     spark.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
   }
 
+  /** Whole-stage-codegen compile cache entries (static conf, sized at
+    * CodeGenerator class-init from the active session). The default is
+    * 100 — an LRU far smaller than one pass over this engine's query
+    * surface (~15 generated classes per query × 188 queries ≈ 3k
+    * fragments), so EVERY repeat invocation of EVERY query re-pays
+    * janino compilation (~20–40 ms per class, measured: q121 alone
+    * recompiles 43 classes ≈ 1.7 s) instead of hitting the cache. Any
+    * long-running session — a query service, the bench, Verify —
+    * compiles each fragment once under this size. Scale-independent:
+    * this is a per-JVM compile cache (driver AND executors), not a
+    * data-sized structure; 8192 entries ≈ tens of MB of generated
+    * classes, and entries are weak-referenced per classloader. */
+  val CodegenCacheKey = "spark.sql.codegen.cache.maxEntries"
+  val CodegenCacheValue: Int = 8192
+
   /** A tuned local session: `cpus` worker threads, shuffle partitions
     * sized to match (local mode has no executor fan-out to feed; 200
     * tiny tasks only add scheduling overhead), UTC so timestamp text is
@@ -81,6 +96,7 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config(ObjectHashFallbackKey, ObjectHashFallbackValue.toString)
+      .config(CodegenCacheKey, CodegenCacheValue.toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     tune(s)

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 
 /** Per-query profiling harness for the optimization rounds (guide §1):
   * separates CONSTRUCTION time (query-fn call — artifact ensures,
@@ -41,13 +41,40 @@ object ProfileQuery {
           System.err.println(f"[prof-job] id=${je.jobId}%3d ${dt}%7.3fs $desc")
         }
       }
+      // per-stage: where inside a job the wall goes — scheduler-side
+      // duration vs summed executor task run time vs task count
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = (for {a <- si.completionTime; b <- si.submissionTime}
+          yield (a - b) / 1e3).getOrElse(-1.0)
+        System.err.println(
+          f"[prof-stage] stage=${si.stageId}%3d tasks=${si.numTasks}%3d " +
+            f"wall=$wall%6.3fs runSum=${si.taskMetrics.executorRunTime / 1e3}%6.3fs " +
+            f"cpuSum=${si.taskMetrics.executorCpuTime / 1e9}%6.3fs " +
+            f"deserSum=${si.taskMetrics.executorDeserializeTime / 1e3}%6.3fs ${si.name.take(60)}")
+      }
     })
 
     val picked = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       args.isEmpty || args.exists(p => n == p || n.startsWith(p + "_"))
     }
+    // Fixed-floor decomposition (round-21): per pass, how much of the
+    // wall went to whole-stage-codegen JANINO COMPILES (cache misses in
+    // CodeGenerator.cache — count and mean ms from the codahale
+    // histogram) vs Spark JOBS (sum of job walls; overlapping jobs
+    // under-attribute, fine for tail queries which run 1-3 sequential
+    // jobs) vs the analyzer/optimizer/planner phases of the BUILD-side
+    // QueryExecution (tracker phases; the exec-side write plans its own
+    // QueryExecution whose phases land in the unattributed remainder).
+    import org.apache.spark.metrics.source.CodegenMetrics
+    def compiles(): (Long, Double) = {
+      val h = CodegenMetrics.METRIC_COMPILATION_TIME
+      (h.getCount, h.getSnapshot.getMean)
+    }
     picked.foreach { case (name, fn) =>
       (1 to repeat).foreach { pass =>
+        val (c0, _) = compiles()
+        val jobs0 = jobLog.map(_._3).sum
         spark.sparkContext.setJobDescription(s"$name pass$pass build")
         val t0 = System.nanoTime()
         val df = fn(spark, sfDir)
@@ -56,9 +83,16 @@ object ProfileQuery {
         df.write.format("noop").mode("overwrite").save()
         val t2 = System.nanoTime()
         spark.catalog.clearCache()
+        val (c1, cMean) = compiles()
+        val jobs1 = jobLog.map(_._3).sum
+        val phases = df.queryExecution.tracker.phases
+          .map { case (p, s) => f"$p=${(s.endTimeMs - s.startTimeMs) / 1e3}%.3fs" }
+          .mkString(" ")
         System.err.println(
           f"[prof] $name pass$pass build=${(t1 - t0) / 1e9}%.3fs " +
-            f"exec=${(t2 - t1) / 1e9}%.3fs total=${(t2 - t0) / 1e9}%.3fs")
+            f"exec=${(t2 - t1) / 1e9}%.3fs total=${(t2 - t0) / 1e9}%.3fs " +
+            f"codegenCompiles=${c1 - c0} (mean ${cMean}%.0fms) " +
+            f"jobSum=${jobs1 - jobs0}%.3fs buildPhases: $phases")
         if (pass == repeat) {
           val dir = java.nio.file.Paths.get(s"plans/$tag")
           java.nio.file.Files.createDirectories(dir)
