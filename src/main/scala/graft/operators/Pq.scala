@@ -1931,35 +1931,62 @@ object Pq {
     // the count below and every chunk filter scan the materialized
     // rows, not the source plan (which for a non-trivial query side
     // would otherwise run once per consumer)
-    val qc = q.localCheckpoint()
-    val nq = qc.count() // the query side is batch-bounded by contract
+    val qc0 = q.localCheckpoint()
+    val nq = qc0.count() // the query side is batch-bounded by contract
+    // the checkpoint inherits the query SOURCE's partitioning (32 scan
+    // partitions at local defaults), and every chunk job re-scans it —
+    // 16 chunks × 32 near-empty tasks per invocation. Coalesce (narrow,
+    // no exchange, no extra job) to a width derived from the measured
+    // row count: ~4k query rows per task keeps the per-chunk coarse-LUT
+    // projection tens of ms while capping task count at the row count's
+    // scale, not the source's split count.
+    val qc = qc0.coalesce(math.max(1,
+      math.min(spark.sparkContext.defaultParallelism,
+        math.ceil(nq / 4096.0).toInt)))
     val nChunks = math.max(1, math.ceil(nq.toDouble / maxQueryBatch).toInt)
-    if (nChunks == 1) ivfPqCandidatesBatch(qc, path, meta, ivfCb, cbs, topK, probeSel, occ)
+    // the occupancy map sizes the ADC fan-out width on BOTH probe
+    // selectors (round-21; cached on the tree's append signature, so
+    // an unchanged tree costs repeat invocations no job), and one
+    // codes read serves every chunk — 16 chunks each re-resolving
+    // `parquet(codes)` paid 16 listing/schema rounds per invocation
+    val occAll = audits.cellOccupancy(spark, path)
+    val codesAll = spark.read.parquet(s"$path/codes")
+    if (nChunks == 1)
+      ivfPqCandidatesBatch(qc, codesAll, meta, ivfCb, cbs, topK, probeSel, occ, occAll)
     else {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
-      // every chunk's probed-cell set, from ONE job over the whole
-      // checkpointed query relation instead of one distinct+collect
-      // job PER CHUNK (round-20: 16 chunks at sf0.1 paid 16 tiny jobs
-      // plus 16 plan analyses for sets this single aggregation
-      // yields; the per-chunk walk is the same probe projection
-      // filtered by the same hash, so the sets are identical). Still
-      // driver-bounded: ≤ nChunks · centroids longs.
-      val cellsByChunk: Map[Int, Seq[Long]] =
+      // every chunk's probed-cell set AND scored-row count, from ONE
+      // job over the whole checkpointed query relation instead of one
+      // distinct+collect job PER CHUNK (round-20: 16 chunks at sf0.1
+      // paid 16 tiny jobs plus 16 plan analyses for sets this single
+      // aggregation yields; the per-chunk walk is the same probe
+      // projection filtered by the same hash, so the sets are
+      // identical). The scored-row count — Σ over the chunk's (query,
+      // probed cell) pairs of that cell's occupancy — is exactly the
+      // ADC rows the chunk will score; it sizes the chunk's fan-out
+      // repartition. Still driver-bounded: ≤ nChunks · centroids longs.
+      val cellsByChunk: Map[Int, (Seq[Long], Long)] =
         probedCells(qc, dim, meta, ivfCb, probeSel, occ)
           .select(pmod(xxhash64(col("q_id")), lit(nChunks)).cast("int")
             .as("chunk"), col("c_id"))
-          .distinct().collect()
-          .groupBy(_.getInt(0))
-          .map { case (c, rows) => c -> rows.map(_.getLong(1)).toSeq }
+          .groupBy(col("chunk"))
+          .agg(collect_set(col("c_id")).as("cells"),
+            sum(coalesce(element_at(typedLit(occAll), col("c_id")), lit(0L)))
+              .as("scored"))
+          .collect()
+          .map(r => r.getInt(0) ->
+            (r.getSeq[Long](1), r.getLong(2)))
+          .toMap
       val pool = java.util.concurrent.Executors.newFixedThreadPool(ChunkConcurrency)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
       try {
         val fs = (0 until nChunks).map { i =>
           Future {
             val chunk = qc.filter(pmod(xxhash64(col("q_id")), lit(nChunks)) === i)
-            ivfPqCandidatesBatch(chunk, path, meta, ivfCb, cbs, topK, probeSel, occ,
-              knownCells = Some(cellsByChunk.getOrElse(i, Seq.empty)))
+            val (cells, scored) = cellsByChunk.getOrElse(i, (Seq.empty[Long], 0L))
+            ivfPqCandidatesBatch(chunk, codesAll, meta, ivfCb, cbs, topK, probeSel, occ,
+              occAll, knownCells = Some((cells, scored)))
               .localCheckpoint() // eager: runs the chunk job in this thread
           }
         }
@@ -1968,6 +1995,26 @@ object Pq {
       } finally pool.shutdown()
     }
   }
+
+  /** Partitions for the ×|Q| ADC fan-out of one query batch: derived
+    * from the EXACT number of rows the batch will score (Σ over its
+    * (query, probed cell) pairs of cell occupancy — the same map the
+    * q172 audit reads), not a constant. The codes relation is tiny in
+    * BYTES (that is the point of PQ), so both the scan split count and
+    * AQE's byte-based coalescing mis-size the fan-out in both
+    * directions: a constant `defaultParallelism` pays a full-width
+    * exchange + reduce per chunk when the chunk scores thousands of
+    * rows (the sf0.1 dispatch floor: 16 chunks × 3 32-task stages of
+    * microsecond tasks), and byte-based sizing puts a whole sf1 search
+    * into ONE task. ~256k scored rows per task ≈ tens of ms of fused
+    * LUT adds — small enough to parallelize real work, large enough
+    * that scheduling doesn't dominate. Capped at defaultParallelism
+    * (the cluster's slot count), floored at 1. */
+  private[graft] def adcFanoutWidth(spark: org.apache.spark.sql.SparkSession,
+      scoredRows: Long): Int =
+    math.max(1, math.min(spark.sparkContext.defaultParallelism,
+      math.ceil(scoredRows.toDouble / AdcRowsPerTask).toInt))
+  private val AdcRowsPerTask: Long = 1L << 18
 
   /** Concurrent chunk jobs in [[ivfPqCandidates]]: caps live LUT
     * broadcasts at this × the per-chunk budget. */
@@ -2030,19 +2077,20 @@ object Pq {
 
   /** One bounded query chunk of [[ivfPqCandidates]] — the plan the
     * scaladoc above describes, with the LUT broadcast bounded by the
-    * chunk size. `knownCells` = this chunk's probed cell ids when the
-    * impl already computed them (one job for all chunks); None = one
-    * distinct+collect here (the single-batch path). */
+    * chunk size. `knownCells` = this chunk's (probed cell ids, scored
+    * rows) when the impl already computed them (one job for all
+    * chunks); None = one aggregation here (the single-batch path). */
   private def ivfPqCandidatesBatch(
       queries: DataFrame,
-      path: String,
+      codesAll: DataFrame,
       meta: IvfPqMeta,
       ivfCb: Seq[(Long, Seq[Long])],
       cbs: Seq[Seq[(Long, Seq[Long])]],
       topK: Int,
       probeSel: Either[Int, Long],
       occ: Option[Map[Long, Long]],
-      knownCells: Option[Seq[Long]] = None): DataFrame = {
+      occAll: Map[Long, Long],
+      knownCells: Option[(Seq[Long], Long)] = None): DataFrame = {
     val spark = queries.sparkSession
     graft.GraftSession.tune(spark)
     val dim = meta.dim
@@ -2062,14 +2110,31 @@ object Pq {
     val luts = probed.select(col("q_id"), col("c_id"),
       graft.functions.AdcLutsExpr(col("qmv"), cellCv, cbs, k).as("luts"))
 
-    // static probe-bounded partition pruning: ≤ `centroids` cell ids
-    val cells = knownCells.getOrElse(probed.select(col("c_id")).distinct()
-      .collect().map(_.getLong(0)).toSeq)
-    val codes = spark.read.parquet(s"$path/codes")
+    // static probe-bounded partition pruning (≤ `centroids` cell ids)
+    // plus the batch's scored-row count — one aggregation, same shape
+    // as the chunked impl's per-chunk precompute
+    val (cells, scoredRows) = knownCells.getOrElse {
+      val r = probed
+        .agg(collect_set(col("c_id")).as("cells"),
+          sum(coalesce(element_at(typedLit(occAll), col("c_id")), lit(0L)))
+            .as("scored"))
+        .collect().head
+      (r.getSeq[Long](0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val width = adcFanoutWidth(spark, scoredRows)
+    val codesPruned = codesAll
       .filter(col("c_id").isin(cells: _*))
       .select(col("vec_id") +: col("c_id").cast("long").as("c_id") +:
         (0 until m).map(s => col(s"code$s")): _*)
-      .repartition(spark.sparkContext.defaultParallelism, col("vec_id"))
+    // width 1 = the whole fan-out fits one task's budget: a narrow
+    // coalesce merges the scan splits with NO exchange (one stage job
+    // + one AQE round fewer per chunk). width > 1 keeps the hash
+    // repartition — only an exchange can spread rows past the scan's
+    // split count, which for byte-tiny PQ codes under-splits (one task
+    // carried the whole sf1 search; see [[adcFanoutWidth]]).
+    val codes =
+      if (width == 1) codesPruned.coalesce(1)
+      else codesPruned.repartition(width, col("vec_id"))
 
     val dist = (0 until m).map { s =>
       element_at(col("luts"), lit(s * k) + col(s"code$s").cast("int") + 1)
