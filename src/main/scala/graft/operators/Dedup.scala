@@ -587,11 +587,31 @@ object Dedup {
     def cut(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val edges = pairs.select(col(id1Col).cast("long").as("src"), col(id2Col).cast("long").as("dst"))
+    // The union inherits the SUM of its inputs' partition counts (a
+    // 3-way pair union read back symmetrized lands at ~130 partitions
+    // locally), and every propagation iteration re-scans the cached
+    // relation at that width — paying per-task scheduling and task-
+    // binary deserialization once per cached partition per iteration.
+    // A narrow coalesce (no shuffle) bounds the cached width at the
+    // session's shuffle parallelism — the width every iteration's join
+    // shuffles to anyway, at any scale.
+    val symWidth = math.max(spark.sessionState.conf.numShufflePartitions,
+      spark.sparkContext.defaultParallelism)
     val sym = edges
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .coalesce(symWidth)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var comp = cut(sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp")))
+    // Initial label = min(id ∪ N(id)) — exactly what iteration 1 of
+    // the loop would compute from comp₀ = id, but as ONE direct
+    // aggregation over the edge relation instead of a join + checkpoint
+    // + convergence count (the distinct() the id-labeled init paid is
+    // the same exchange this groupBy pays). Saves one full iteration
+    // round per clustering; the fixpoint (component-min labels) and
+    // the convergence check are unchanged.
+    var comp = cut(sym.groupBy(col("src"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("src").as("id"),
+        least(col("src"), col("nmin")).as("comp")))
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIters) {

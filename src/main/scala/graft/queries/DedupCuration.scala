@@ -158,9 +158,38 @@ private[graft] trait DedupCurationQueries extends QueryContext {
     val dfreq = corpus.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .select(col("tok"), floor(lit(1000000L) / col("df")).cast("long").as("w"))
     val qtoks = distinctToks(docs.filter(col("doc_id") % 25 === 0), "query_id")
-    val scored = qtoks
-      .join(corpus.hint("shuffle_hash"), Seq("tok"))
+    // Candidate-join shape (round-21, guide §2.5): on a dense vocab
+    // EVERY term is a hot key — candidate volume per term is
+    // q_count(t)·doc_count(t) while the join key has only |vocab|
+    // distinct values, so hash partitioning caps the fan-out at
+    // |vocab| tasks and AQE's byte-based coalescing (which sees the
+    // tiny INPUTS, not the multiplicative output) collapses it
+    // further — measured at sf0.1: the whole 17M-row candidate join +
+    // partial agg ran as ONE task, 6.2 s of single-core CPU. So:
+    //  (a) the per-term weight joins onto the QUERY side first (tiny ×
+    //      tiny — algebraically identical, and the 17M-row join output
+    //      feeds the partial agg directly instead of re-probing a
+    //      second hash table per candidate row);
+    //  (b) the posting side is SALTED by doc hash and the query side
+    //      replicated across the salts, so the fan-out spreads over
+    //      |vocab| × salts cells regardless of vocab density;
+    //  (c) both sides repartition with an EXPLICIT partition count
+    //      (user-specified counts are exempt from AQE coalescing, and
+    //      the join reuses the co-partitioning — no extra exchange).
+    // Same candidate multiset — each (q,t) meets (d,t) exactly once,
+    // at salt(d) — so scores and hashes are unchanged.
+    val salts = spark.sparkContext.defaultParallelism
+    val qw = qtoks
       .join(dfreq.hint("shuffle_hash"), Seq("tok"))
+      .select(col("tok"), col("query_id"), col("w"),
+        explode(sequence(lit(0), lit(salts - 1))).as("salt"))
+      .repartition(salts, col("tok"), col("salt"))
+    val csalted = corpus
+      .select(col("tok"), col("doc_id"),
+        pmod(xxhash64(col("doc_id")), lit(salts)).cast("int").as("salt"))
+      .repartition(salts, col("tok"), col("salt"))
+    val scored = qw
+      .join(csalted.hint("shuffle_hash"), Seq("tok", "salt"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("w")).as("score"))
     scored

